@@ -1,0 +1,67 @@
+"""Benchmark harness: headline queries at $SPARK_GRAFT_SF_DIR (default
+/root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS].
+
+Prints ONE JSON line:
+  {"metric": "...", "value": N, "unit": "sec", "queries": {...}, "sf": ...}
+
+Each query is forced end-to-end with the noop datasource writer (full
+materialization, no sink cost, nothing collected to the driver).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import re
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+#: headline set — the flagship pipeline plus the scale shapes
+#: (scan+agg, join+agg, multi-join, window) and extension operators.
+HEADLINE = [
+    "trip_daily_kpi",
+    "d1_first_write_wins",
+    "q1_pricing_summary",
+    "q3_shipping_priority",
+    "q5_region_revenue",
+    "top_k_per_group",
+]
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    m = re.search(r"sf([0-9.]+)", sf_dir)
+    sf = float(m.group(1).rstrip(".")) if m else None
+
+    from nsp_bolt_pipeline_spark.registry import REGISTRY
+    from nsp_bolt_pipeline_spark.session import get_spark
+
+    spark = get_spark("nsp_bench")
+
+    names = [n for n in HEADLINE if n in REGISTRY]
+    timings: dict[str, float] = {}
+    # Warm the JVM/IO once with the first query (not timed).
+    REGISTRY[names[0]][0](spark, sf_dir).write.mode("overwrite").format("noop").save()
+    for name in names:
+        fn, _ = REGISTRY[name]
+        t0 = time.time()
+        fn(spark, sf_dir).write.mode("overwrite").format("noop").save()
+        timings[name] = round(time.time() - t0, 3)
+
+    print(
+        json.dumps(
+            {
+                "metric": "headline_query_total",
+                "value": round(sum(timings.values()), 3),
+                "unit": "sec",
+                "queries": timings,
+                "sf": sf,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,20 @@
+"""nsp_bolt_pipeline_spark — a PySpark-native analytics engine.
+
+Re-expresses the capabilities of the reference pipeline
+(Kwame842/nsp-bolt-pipeline: Kinesis -> Lambda -> DynamoDB -> Glue -> S3)
+as an idiomatic Apache Spark engine:
+
+- ``sources``   : schema-enforced readers + partitioned sinks + DLQ split
+- ``functions`` : scalar function surface (datetime, validation, casts)
+- ``operators`` : dedup, completion join, KPI aggregation, similarity
+                  search, text analysis, multimodal plumbing
+- ``streaming`` : Structured Streaming ingest / stateful dedup /
+                  windowed KPI / stream-stream completion join
+- ``pipeline``  : end-to-end batch composition (bronze -> silver -> gold)
+
+Everything is a pure ``DataFrame -> DataFrame`` function so the same
+transform runs in batch tests, the DuckDB-oracle harness, and streaming
+``foreachBatch``.
+"""
+
+__version__ = "0.1.0"

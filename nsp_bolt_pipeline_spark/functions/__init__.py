@@ -1,0 +1,16 @@
+"""Scalar function surface (SURVEY.md §2.7) — all native Catalyst
+expressions, zero Python UDFs for the reference semantics."""
+
+from nsp_bolt_pipeline_spark.functions.datetime import (  # noqa: F401
+    parse_wire_timestamp,
+    to_event_date,
+)
+from nsp_bolt_pipeline_spark.functions.scalar import (  # noqa: F401
+    sort_key,
+    with_bookkeeping,
+)
+from nsp_bolt_pipeline_spark.functions.validation import (  # noqa: F401
+    coerce_typed,
+    required_fields_present,
+    split_valid_rejects,
+)

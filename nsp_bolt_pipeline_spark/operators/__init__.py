@@ -1,0 +1,8 @@
+"""Operator library (SURVEY.md §2 inventory + scale extensions)."""
+
+from nsp_bolt_pipeline_spark.operators.dedup import (  # noqa: F401
+    exact_dedup,
+    first_write_wins,
+)
+from nsp_bolt_pipeline_spark.operators.completion import completed_trips  # noqa: F401
+from nsp_bolt_pipeline_spark.operators.kpi import daily_kpis  # noqa: F401

@@ -1,0 +1,32 @@
+"""Trip-completion detection (operator J1).
+
+The reference's completion logic is exactly one line: an inner
+equi-join of deduped start rows and end rows on ``trip_id``
+(glue_jobs/KPI-Aggregator.py:98); incomplete trips drop out of the
+join (README.md:414). The README *claims* the end-processor Lambda
+does streaming completion matching, but the code does not (SURVEY.md
+§1.4) — the streaming variant lives in
+``nsp_bolt_pipeline_spark.streaming.completion`` as an upgrade.
+
+Scale notes: start/end sides are near-equal cardinality, so this is a
+shuffle (sort-merge) join on ``trip_id`` — correct choice at 100 TB.
+AQE converts it to broadcast automatically when one side turns out
+small, and splits skewed trip_id partitions (hot keys can only come
+from upstream dedup being disabled). If both sides are bronze tables
+written bucketed by ``trip_id`` (see sources.sinks), the shuffle
+disappears entirely.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+
+
+def completed_trips(
+    starts: DataFrame, ends: DataFrame, key: str = "trip_id"
+) -> DataFrame:
+    """Inner equi-join on the trip key; only trips with both a start
+    and an end event survive. Column sets are assumed disjoint apart
+    from ``key`` (select/alias upstream, mirroring the reference's
+    defensive projections at KPI-Aggregator.py:66-95)."""
+    return starts.join(ends, on=key, how="inner")

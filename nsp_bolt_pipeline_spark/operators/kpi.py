@@ -1,0 +1,49 @@
+"""Daily KPI aggregation (operators A1, A2, P12, L1).
+
+Reference: group completed trips by dropoff date and compute
+sum/count/avg/min/max of ``fare_amount``
+(glue_jobs/KPI-Aggregator.py:101-110), then ``na.fill(0)``.
+
+Spark executes this as partial (map-side) + final hash aggregation
+with whole-stage codegen — one shuffle keyed on ``date``. Date
+cardinality is tiny (days), so the shuffled data is already near-final
+after partial agg; no skew concern even at 100 TB because the partial
+aggregate collapses each input partition to |dates| rows.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from nsp_bolt_pipeline_spark.functions.datetime import to_event_date
+
+
+def daily_kpis(
+    completed: DataFrame,
+    *,
+    ts_col: str = "dropoff_datetime",
+    fare_col: str = "fare_amount",
+    id_col: str = "trip_id",
+) -> DataFrame:
+    """P12 + A1 + A2: derive the date grain from the dropoff timestamp
+    and aggregate the five KPI measures, null-filled to 0."""
+    return (
+        completed.withColumn("date", to_event_date(ts_col))
+        .groupBy("date")
+        .agg(
+            F.sum(fare_col).alias("total_fare"),
+            F.count(id_col).alias("count_trips"),
+            F.avg(fare_col).alias("average_fare"),
+            F.max(fare_col).alias("max_fare"),
+            F.min(fare_col).alias("min_fare"),
+        )
+        .na.fill(0)
+    )
+
+
+def sample_rows(df: DataFrame, n: int = 5) -> list:
+    """L1: the reference's debug ``limit(5).collect()``
+    (KPI-Aggregator.py:113-114). Driver-side by design; never use in a
+    transform."""
+    return df.limit(n).collect()

@@ -1,0 +1,70 @@
+"""SparkSession construction with scale-oriented defaults.
+
+Local testing runs ``local[$SPARK_GRAFT_CPUS]``; on a real cluster the
+same configs apply (AQE, skew-join handling, partition sizing) — only
+``master`` and memory sizing change.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+#: Configs that matter at 100 TB as much as on a laptop: adaptive
+#: execution re-plans joins/partitions at runtime from observed stats,
+#: skew-join splitting protects the completion join from hot trip keys,
+#: Arrow makes the (rare) pandas-UDF path batch-vectorized.
+_SCALE_CONF = {
+    "spark.sql.adaptive.enabled": "true",
+    "spark.sql.adaptive.coalescePartitions.enabled": "true",
+    "spark.sql.adaptive.skewJoin.enabled": "true",
+    "spark.sql.session.timeZone": "UTC",
+    "spark.sql.execution.arrow.pyspark.enabled": "true",
+    "spark.sql.files.maxPartitionBytes": "134217728",  # 128 MiB scan splits
+    "spark.sql.parquet.filterPushdown": "true",
+    "spark.ui.showConsoleProgress": "false",
+}
+
+
+def get_spark(
+    app_name: str = "nsp_bolt_pipeline_spark",
+    *,
+    master: str | None = None,
+    shuffle_partitions: int | None = None,
+    extra_conf: dict[str, str] | None = None,
+) -> SparkSession:
+    """Build (or reuse) a SparkSession with the engine's defaults.
+
+    ``shuffle_partitions`` defaults to the local core count — the
+    reference's Glue job inherited Spark's 200 default, which is wrong
+    in both directions (over-parallelized locally, under- at 100 TB);
+    on a cluster pass an explicit value sized to data volume, or rely
+    on AQE coalescing from a higher initial number.
+    """
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", str(os.cpu_count() or 4))
+    master = master or f"local[{cpus}]"
+    if shuffle_partitions is None:
+        shuffle_partitions = int(cpus) if cpus.isdigit() else (os.cpu_count() or 4)
+
+    builder = SparkSession.builder.appName(app_name).master(master)
+    builder = builder.config("spark.sql.shuffle.partitions", str(shuffle_partitions))
+    builder = builder.config("spark.ui.enabled", "false")
+    for k, v in _SCALE_CONF.items():
+        builder = builder.config(k, v)
+    for k, v in (extra_conf or {}).items():
+        builder = builder.config(k, v)
+    spark = builder.getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    return spark
+
+
+def configure_for_oracle(spark: SparkSession) -> SparkSession:
+    """Pin runtime confs that affect result comparison against DuckDB.
+
+    Session timezone must be fixed so date extraction from naive
+    parquet timestamps is wall-clock-stable (DuckDB timestamps are
+    TZ-naive). Safe to call on a session we did not create.
+    """
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    return spark

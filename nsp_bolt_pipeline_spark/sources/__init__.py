@@ -1,0 +1,4 @@
+"""Sources & sinks (SURVEY.md §2.1)."""
+
+from nsp_bolt_pipeline_spark.sources.readers import read_table  # noqa: F401
+from nsp_bolt_pipeline_spark.sources.sinks import write_daily_kpis  # noqa: F401

@@ -1,0 +1,11 @@
+from __future__ import annotations
+
+import pytest
+
+from nsp_bolt_pipeline_spark.session import get_spark
+
+
+@pytest.fixture(scope="session")
+def spark():
+    s = get_spark("nsp_tests", shuffle_partitions=4)
+    yield s

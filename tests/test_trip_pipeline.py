@@ -1,0 +1,152 @@
+"""Edge cases from FIXTURES.md §5 / reference behavior (SURVEY.md §1.4).
+
+Tiny in-memory fixtures; each case cites the reference behavior it
+pins down.
+"""
+
+from __future__ import annotations
+
+import datetime as dt
+
+from pyspark.sql import functions as F
+
+from nsp_bolt_pipeline_spark.operators.completion import completed_trips
+from nsp_bolt_pipeline_spark.operators.dedup import first_write_wins
+from nsp_bolt_pipeline_spark.operators.kpi import daily_kpis
+from nsp_bolt_pipeline_spark.pipeline import trip_daily_kpis
+
+
+def _ts(s: str) -> dt.datetime:
+    return dt.datetime.fromisoformat(s)
+
+
+def _starts(spark, rows):
+    return spark.createDataFrame(
+        rows, "trip_id string, pickup_datetime timestamp, start_event_id long"
+    )
+
+
+def _ends(spark, rows):
+    return spark.createDataFrame(
+        rows,
+        "trip_id string, dropoff_datetime timestamp, fare_amount double,"
+        " end_event_id long",
+    )
+
+
+def test_duplicate_start_first_wins(spark):
+    # Fixture case 1: a second start for an existing trip_id is dropped
+    # even with a different pickup time (TripStartProcessor.py:100-103).
+    starts = _starts(
+        spark,
+        [
+            ("t1", _ts("2024-07-11 14:00:00"), 1),
+            ("t1", _ts("2024-07-11 15:00:00"), 2),
+        ],
+    )
+    out = first_write_wins(
+        starts, ["trip_id"], ["pickup_datetime", "start_event_id"]
+    ).collect()
+    assert len(out) == 1
+    assert out[0].start_event_id == 1
+
+
+def test_duplicate_dedup_tiebreak_deterministic(spark):
+    # Same event time -> the lower event id wins (stable across runs).
+    starts = _starts(
+        spark,
+        [("t1", _ts("2024-07-11 14:00:00"), 9), ("t1", _ts("2024-07-11 14:00:00"), 3)],
+    )
+    out = first_write_wins(
+        starts, ["trip_id"], ["pickup_datetime", "start_event_id"]
+    ).collect()
+    assert out[0].start_event_id == 3
+
+
+def test_incomplete_trips_excluded(spark):
+    # Fixture cases 3+4: end-without-start and start-without-end drop
+    # out of the inner join (KPI-Aggregator.py:98, README.md:414);
+    # out-of-order arrival (end before start) still completes.
+    starts = _starts(
+        spark,
+        [
+            ("both", _ts("2024-07-11 14:00:00"), 1),
+            ("start_only", _ts("2024-07-11 14:05:00"), 2),
+            ("late_start", _ts("2024-07-11 23:00:00"), 3),
+        ],
+    )
+    ends = _ends(
+        spark,
+        [
+            ("both", _ts("2024-07-11 14:30:00"), 10.0, 1),
+            ("end_only", _ts("2024-07-11 15:00:00"), 20.0, 2),
+            # arrived/timestamped before its start row exists: still joins
+            ("late_start", _ts("2024-07-11 22:00:00"), 30.0, 3),
+        ],
+    )
+    done = completed_trips(starts, ends)
+    ids = sorted(r.trip_id for r in done.collect())
+    assert ids == ["both", "late_start"]
+
+
+def test_daily_kpis_shape_and_values(spark):
+    # Golden shape from README.md:301-310 / KPI-Aggregator.py:104-110;
+    # grain is the DROPOFF date, one row per date (fixture case 9).
+    ends = _ends(
+        spark,
+        [
+            ("a", _ts("2024-07-11 10:00:00"), 10.0, 1),
+            ("b", _ts("2024-07-11 23:59:00"), 30.0, 2),
+            ("c", _ts("2024-07-12 00:01:00"), 7.5, 3),
+        ],
+    )
+    starts = _starts(
+        spark,
+        [
+            ("a", _ts("2024-07-11 09:00:00"), 1),
+            ("b", _ts("2024-07-11 09:30:00"), 2),
+            ("c", _ts("2024-07-11 23:50:00"), 3),
+        ],
+    )
+    kpis = {r.date.isoformat(): r for r in trip_daily_kpis(starts, ends).collect()}
+    assert set(kpis) == {"2024-07-11", "2024-07-12"}
+    d1 = kpis["2024-07-11"]
+    assert d1.count_trips == 2
+    assert d1.total_fare == 40.0
+    assert d1.average_fare == 20.0
+    assert d1.min_fare == 10.0
+    assert d1.max_fare == 30.0
+    assert list(kpis["2024-07-12"].asDict()) == [
+        "date",
+        "total_fare",
+        "count_trips",
+        "average_fare",
+        "max_fare",
+        "min_fare",
+    ]
+
+
+def test_kpi_pipeline_dedups_before_join(spark):
+    # Duplicates must not inflate the join (D1/D2 run before J1).
+    starts = _starts(
+        spark,
+        [("t", _ts("2024-07-11 09:00:00"), 1), ("t", _ts("2024-07-11 09:10:00"), 2)],
+    )
+    ends = _ends(
+        spark,
+        [
+            ("t", _ts("2024-07-11 10:00:00"), 10.0, 1),
+            ("t", _ts("2024-07-11 10:30:00"), 99.0, 2),
+        ],
+    )
+    out = trip_daily_kpis(starts, ends).collect()
+    assert len(out) == 1
+    assert out[0].count_trips == 1
+    assert out[0].total_fare == 10.0  # first end event's fare wins
+
+
+def test_daily_kpis_na_fill(spark):
+    # A2: na.fill(0) — null aggregates become 0 (KPI-Aggregator.py:110).
+    ends = _ends(spark, [("a", _ts("2024-07-11 10:00:00"), None, 1)])
+    row = daily_kpis(ends.withColumn("date", F.lit(None))).collect()[0]
+    assert row.total_fare == 0.0

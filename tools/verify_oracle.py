@@ -1,0 +1,117 @@
+"""Local stand-in for the driver's correctness gate.
+
+Runs every ``queries()`` entry on Spark and its ``oracle_sql()`` on
+DuckDB over the same sf dir, then compares row count, column names,
+and order-insensitively compared values (columns sorted by name, rows
+sorted by all columns). Floats compare with a small tolerance locally
+to distinguish "real mismatch" from last-ULP noise — the driver's
+hash is exact, so any tolerance-only pass is flagged.
+
+Usage: python tools/verify_oracle.py [sf_dir] [query ...]
+"""
+
+from __future__ import annotations
+
+import sys
+import time
+
+import duckdb
+import pandas as pd
+
+sys.path.insert(0, ".")
+
+TABLES = (
+    "region nation customer supplier part orders lineitem events documents embeddings"
+).split()
+
+
+def _normalize(df: pd.DataFrame) -> pd.DataFrame:
+    df = df.reindex(sorted(df.columns), axis=1)
+    for c in df.columns:
+        if str(df[c].dtype).startswith("datetime64"):
+            df[c] = df[c].astype("datetime64[us]")
+        if df[c].dtype == object:
+            # dates / decimals to canonical str for stable sort
+            df[c] = df[c].map(lambda v: None if v is None else str(v))
+    return df.sort_values(by=list(df.columns), ignore_index=True)
+
+
+def compare(name: str, spark_pdf: pd.DataFrame, duck_pdf: pd.DataFrame) -> list[str]:
+    issues = []
+    if len(spark_pdf) != len(duck_pdf):
+        return [f"row count {len(spark_pdf)} != {len(duck_pdf)}"]
+    a, b = _normalize(spark_pdf), _normalize(duck_pdf)
+    if list(a.columns) != list(b.columns):
+        return [f"columns {list(a.columns)} != {list(b.columns)}"]
+    for c in a.columns:
+        av, bv = a[c], b[c]
+        if str(av.dtype).startswith("float") or str(bv.dtype).startswith("float"):
+            av_f = pd.to_numeric(av, errors="coerce")
+            bv_f = pd.to_numeric(bv, errors="coerce")
+            exact = ((av_f == bv_f) | (av_f.isna() & bv_f.isna())).all()
+            close = (
+                ((av_f - bv_f).abs() < 1e-9) | (av_f.isna() & bv_f.isna())
+            ).all()
+            if not close:
+                bad = (~(((av_f - bv_f).abs() < 1e-9) | (av_f.isna() & bv_f.isna()))).idxmax()
+                issues.append(
+                    f"col {c}: value mismatch e.g. row {bad}: {av_f[bad]!r} vs {bv_f[bad]!r}"
+                )
+            elif not exact:
+                issues.append(f"col {c}: FLOAT-NOISE-ONLY (driver hash may fail)")
+        else:
+            if not (av.eq(bv) | (av.isna() & bv.isna())).all():
+                bad = (~(av.eq(bv) | (av.isna() & bv.isna()))).idxmax()
+                issues.append(
+                    f"col {c}: value mismatch e.g. row {bad}: {av[bad]!r} vs {bv[bad]!r}"
+                )
+    return issues
+
+
+def main() -> int:
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+    only = set(sys.argv[2:])
+
+    import __spark_entry__ as e
+    from nsp_bolt_pipeline_spark.session import get_spark
+
+    spark = get_spark("verify_oracle")
+    con = duckdb.connect()
+    for t in TABLES:
+        con.sql(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
+
+    qs, oracles = e.queries(), e.oracle_sql()
+    failures = 0
+    for name, fn in qs.items():
+        if only and name not in only:
+            continue
+        t0 = time.time()
+        try:
+            sdf = fn(spark, sf_dir)
+            spark_pdf = sdf.toPandas()
+        except Exception as ex:  # noqa: BLE001
+            print(f"FAIL {name}: spark error: {ex}")
+            failures += 1
+            continue
+        if name not in oracles:
+            print(f"ok   {name}: rows-only ({len(spark_pdf)} rows, "
+                  f"{time.time()-t0:.1f}s)")
+            continue
+        try:
+            duck_pdf = con.sql(oracles[name]).df()
+        except Exception as ex:  # noqa: BLE001
+            print(f"FAIL {name}: duckdb error: {ex}")
+            failures += 1
+            continue
+        issues = compare(name, spark_pdf, duck_pdf)
+        if issues:
+            failures += 1
+            print(f"FAIL {name} ({len(spark_pdf)} rows): " + "; ".join(issues))
+        else:
+            print(f"ok   {name}: {len(spark_pdf)} rows match ({time.time()-t0:.1f}s)")
+    print(f"\n{len(qs) - failures}/{len(qs)} passing")
+    return 1 if failures else 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
