@@ -433,7 +433,8 @@ def q_strings(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.concat(F.lit("CUST#"), F.col("c_name")).alias("tagged"),
         F.col("c_mktsegment").startswith("BUILD").alias("is_building"),
         F.upper(F.trim("c_name")).alias("norm_name"),
-        F.length("c_name").alias("name_len"),
+        # cast to long: DuckDB length() returns BIGINT
+        F.length("c_name").cast("long").alias("name_len"),
         F.substring("c_name", 1, 8).alias("name_prefix"),
     )
 
@@ -594,7 +595,7 @@ def q_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = read_table(spark, sf_dir, "events")
     w = W.partitionBy("event_type").orderBy(F.col("value").desc(), F.col("event_id"))
     return (
-        ev.withColumn("rnk", F.row_number().over(w))
+        ev.withColumn("rnk", F.row_number().over(w).cast("long"))
         .filter(F.col("rnk") <= 3)
         .select("event_type", "event_id", "value", "rnk")
     )
