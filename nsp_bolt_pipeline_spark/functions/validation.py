@@ -52,7 +52,7 @@ def coerce_typed(
     valid = F.lit(True)
     for name, typ in {**required, **optional}.items():
         if name not in df.columns:
-            out = out.withColumn(name, F.lit(None).cast(typ if typ != "timestamp" else "timestamp"))
+            out = out.withColumn(name, F.lit(None).cast(typ))
             if name in required:
                 valid = valid & F.lit(False)
             continue

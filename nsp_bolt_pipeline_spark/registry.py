@@ -97,11 +97,13 @@ SELECT date, total_fare, count_trips,
        FLOOR((total_fare / count_trips)*100 + 0.5)/100 AS average_fare,
        max_fare, min_fare
 FROM (
+    -- COALESCE mirrors the Spark side's na.fill(0) (operators/kpi.py):
+    -- an all-null fare group yields 0.0, not NULL, on both engines.
     SELECT CAST(e.dropoff_datetime AS DATE) AS date,
-           FLOOR((SUM(e.fare_amount))*100 + 0.5)/100 AS total_fare,
+           COALESCE(FLOOR((SUM(e.fare_amount))*100 + 0.5)/100, 0.0) AS total_fare,
            COUNT(*) AS count_trips,
-           MAX(e.fare_amount) AS max_fare,
-           MIN(e.fare_amount) AS min_fare
+           COALESCE(MAX(e.fare_amount), 0.0) AS max_fare,
+           COALESCE(MIN(e.fare_amount), 0.0) AS min_fare
     FROM starts s JOIN ends e USING (trip_id)
     WHERE s.rn = 1 AND e.rn = 1
     GROUP BY 1
@@ -451,8 +453,9 @@ def q_strings(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT l_returnflag, l_linestatus,
            FLOOR((SUM(l_quantity))*100 + 0.5)/100 AS sum_qty,
            FLOOR((SUM(l_extendedprice))*100 + 0.5)/100 AS sum_base_price,
-           ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
-           ROUND(SUM(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 2)
+           FLOOR((SUM(l_extendedprice * (1 - l_discount)))*100 + 0.5)/100
+               AS sum_disc_price,
+           FLOOR((SUM(l_extendedprice * (1 - l_discount) * (1 + l_tax)))*100 + 0.5)/100
                AS sum_charge,
            FLOOR((AVG(l_quantity))*100 + 0.5)/100 AS avg_qty,
            FLOOR((AVG(l_extendedprice))*100 + 0.5)/100 AS avg_price,
@@ -498,7 +501,8 @@ def q_q1(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q3_shipping_priority",
     """
     SELECT l.l_orderkey AS orderkey,
-           ROUND(SUM(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue,
+           FLOOR((SUM(l.l_extendedprice * (1 - l.l_discount)))*100 + 0.5)/100
+               AS revenue,
            CAST(o.o_orderdate AS DATE) AS orderdate,
            o.o_orderpriority AS orderpriority
     FROM customer c
@@ -544,7 +548,8 @@ def q_q3(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q5_region_revenue",
     """
     SELECT n.n_name AS nation,
-           ROUND(SUM(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue
+           FLOOR((SUM(l.l_extendedprice * (1 - l.l_discount)))*100 + 0.5)/100
+               AS revenue
     FROM customer c
     JOIN orders o ON c.c_custkey = o.o_custkey
     JOIN lineitem l ON l.l_orderkey = o.o_orderkey

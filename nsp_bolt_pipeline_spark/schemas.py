@@ -112,7 +112,7 @@ DAILY_KPI_SCHEMA = T.StructType(
         T.StructField("total_fare", T.DoubleType()),
         T.StructField("count_trips", T.LongType()),
         T.StructField("average_fare", T.DoubleType()),
-        T.StructField("min_fare", T.DoubleType()),
         T.StructField("max_fare", T.DoubleType()),
+        T.StructField("min_fare", T.DoubleType()),
     ]
 )

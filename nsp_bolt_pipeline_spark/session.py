@@ -24,6 +24,9 @@ _SCALE_CONF = {
     "spark.sql.files.maxPartitionBytes": "134217728",  # 128 MiB scan splits
     "spark.sql.parquet.filterPushdown": "true",
     "spark.ui.showConsoleProgress": "false",
+    # The synthetic events table carries parquet TIMESTAMP(NANOS);
+    # read as long + convert (see sources.readers.read_table).
+    "spark.sql.legacy.parquet.nanosAsLong": "true",
 }
 
 

@@ -35,16 +35,21 @@ TABLES = (
 def read_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Read one synthetic parquet table.
 
-    The ``events`` table carries parquet TIMESTAMP(NANOS) which Spark's
-    vectorized reader rejects; read nanos as long (runtime-settable
-    legacy conf) and convert to a microsecond TimestampType column —
-    still a pure codegen projection on the scan, no extra pass.
+    **Session side effect (deliberate, documented):** pins
+    ``spark.sql.session.timeZone=UTC`` on the caller's session so date
+    extraction from naive parquet timestamps is wall-clock-stable (the
+    DuckDB oracle is TZ-naive), and — only when ``events`` is first
+    requested — enables ``spark.sql.legacy.parquet.nanosAsLong`` because
+    that table carries parquet TIMESTAMP(NANOS), which Spark's
+    vectorized reader rejects. Nanos-as-long is converted back to a
+    microsecond TimestampType column in a pure codegen projection on
+    the scan — no extra pass. Both confs are also set at session build
+    time by :func:`nsp_bolt_pipeline_spark.session.get_spark`; setting
+    them here keeps externally-built sessions (the driver's) correct.
     """
     path = f"{sf_dir}/{name}.parquet"
-    # Pin session TZ so date extraction from naive parquet timestamps is
-    # wall-clock-stable regardless of who built the session (oracle
-    # comparison against TZ-naive DuckDB).
-    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    if spark.conf.get("spark.sql.session.timeZone", "") != "UTC":
+        spark.conf.set("spark.sql.session.timeZone", "UTC")
     if name == "events":
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
         df = spark.read.parquet(path)
