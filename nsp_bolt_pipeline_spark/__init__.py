@@ -6,8 +6,7 @@ as an idiomatic Apache Spark engine:
 
 - ``sources``   : schema-enforced readers + partitioned sinks + DLQ split
 - ``functions`` : scalar function surface (datetime, validation, casts)
-- ``operators`` : dedup, completion join, KPI aggregation, similarity
-                  search, text analysis, multimodal plumbing
+- ``operators`` : dedup, completion join, KPI aggregation
 - ``streaming`` : Structured Streaming ingest / stateful dedup /
                   windowed KPI / stream-stream completion join
 - ``pipeline``  : end-to-end batch composition (bronze -> silver -> gold)

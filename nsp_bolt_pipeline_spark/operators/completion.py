@@ -5,8 +5,9 @@ equi-join of deduped start rows and end rows on ``trip_id``
 (glue_jobs/KPI-Aggregator.py:98); incomplete trips drop out of the
 join (README.md:414). The README *claims* the end-processor Lambda
 does streaming completion matching, but the code does not (SURVEY.md
-§1.4) — the streaming variant lives in
-``nsp_bolt_pipeline_spark.streaming.completion`` as an upgrade.
+§1.4) — the claimed behavior is implemented properly in
+``nsp_bolt_pipeline_spark.streaming.completion`` (watermarked
+stream-stream join with a time-range state bound).
 
 Scale notes: start/end sides are near-equal cardinality, so this is a
 shuffle (sort-merge) join on ``trip_id`` — correct choice at 100 TB.

@@ -604,3 +604,12 @@ def q_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rnk") <= 3)
         .select("event_type", "event_id", "value", "rnk")
     )
+
+
+# ---------------------------------------------------------------------------
+# Extension registries (streaming, text/dedup/similarity/multimodal)
+# register themselves into REGISTRY on import; keep these imports at
+# the bottom so the `query` decorator exists first.
+# ---------------------------------------------------------------------------
+
+from nsp_bolt_pipeline_spark import registry_streaming  # noqa: E402,F401

@@ -1,0 +1,268 @@
+"""Streaming oracle queries: each runs a real Structured Streaming
+query with ``trigger(availableNow=True)`` over a deterministic JSON
+dump of the ``events`` table, then returns the materialized sink for
+the driver's DuckDB hash compare. Streaming result ≡ batch result is
+the whole point (SURVEY.md §2.8): the same oracle that verifies the
+batch operator verifies its streaming form.
+
+Determinism: the dump is ordered by (ts, event_id) into range-
+partitioned files (streaming.replay), timestamps ride the wire as
+epoch-micros (bit-exact round-trip), and each availableNow run
+processes the dump as one micro-batch, so ``min_by`` dedup picks the
+same winners the batch oracle's ``row_number() = 1`` does.
+"""
+
+from __future__ import annotations
+
+import os
+import tempfile
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from nsp_bolt_pipeline_spark.pipeline import END_EVENT, START_EVENT
+from nsp_bolt_pipeline_spark.registry import _round2, _stable_avg, query
+from nsp_bolt_pipeline_spark.sources.readers import read_table
+from nsp_bolt_pipeline_spark.streaming.completion import (
+    run_completion_join,
+    streaming_completed_trips,
+)
+from nsp_bolt_pipeline_spark.streaming.ingest import read_wire_stream, run_ingest
+from nsp_bolt_pipeline_spark.streaming.kpi import (
+    run_windowed_kpis,
+    windowed_daily_kpis,
+)
+from nsp_bolt_pipeline_spark.streaming.replay import (
+    decode_event_times,
+    dump_json_batches,
+    encode_event_times,
+)
+
+#: events wire schema: ts travels as epoch-micros (see module docstring).
+EVENT_WIRE_SCHEMA = T.StructType(
+    [
+        T.StructField("event_id", T.LongType()),
+        T.StructField("ts", T.LongType()),
+        T.StructField("user_id", T.LongType()),
+        T.StructField("event_type", T.StringType()),
+        T.StructField("value", T.DoubleType()),
+        T.StructField("props", T.StringType()),
+    ]
+)
+
+#: variant for the DLQ demo: value arrives as a *string* wire field.
+EVENT_WIRE_SCHEMA_STR_VALUE = T.StructType(
+    [
+        T.StructField("event_id", T.LongType()),
+        T.StructField("ts", T.LongType()),
+        T.StructField("user_id", T.LongType()),
+        T.StructField("event_type", T.StringType()),
+        T.StructField("value", T.StringType()),
+        T.StructField("props", T.StringType()),
+    ]
+)
+
+
+def _workdir(tag: str) -> dict[str, str]:
+    base = tempfile.mkdtemp(prefix=f"nsp_{tag}_")
+    return {d: os.path.join(base, d) for d in ("src", "out", "dlq", "ckpt")}
+
+
+def _dump_events(spark: SparkSession, sf_dir: str, out_dir: str) -> None:
+    ev = read_table(spark, sf_dir, "events").select(
+        "event_id", "ts", "user_id", "event_type", "value", "props"
+    )
+    wire = encode_event_times(ev, ["ts"])
+    dump_json_batches(wire, out_dir, order_cols=["ts", "event_id"])
+
+
+def _event_stream(spark: SparkSession, src: str, schema=EVENT_WIRE_SCHEMA) -> DataFrame:
+    return decode_event_times(read_wire_stream(spark, src, schema), ["ts"])
+
+
+# ---------------------------------------------------------------------------
+# Streaming D1/D2 + S4: ingest -> validate -> dedup -> bronze, verified
+# against the same oracle as the batch d1_first_write_wins.
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "stream_d1_ingest_dedup",
+    """
+    SELECT user_id, event_type, event_id, ts, value
+    FROM (
+        SELECT user_id, event_type, event_id, ts, value,
+               row_number() OVER (PARTITION BY user_id, event_type
+                                  ORDER BY ts, event_id) AS rn
+        FROM events
+    ) WHERE rn = 1
+    """,
+)
+def q_stream_d1(spark: SparkSession, sf_dir: str) -> DataFrame:
+    dirs = _workdir("stream_d1")
+    _dump_events(spark, sf_dir, dirs["src"])
+    run_ingest(
+        _event_stream(spark, dirs["src"]),
+        bronze_dir=dirs["out"],
+        dlq_dir=dirs["dlq"],
+        checkpoint_dir=dirs["ckpt"],
+        required={"user_id": "long", "event_type": "string", "event_id": "long"},
+        optional={"value": "double"},
+        dedup_keys=["user_id", "event_type"],
+        order_cols=["ts", "event_id"],
+        partition_cols=["event_type"],
+    )
+    return spark.read.parquet(dirs["out"]).select(
+        "user_id", "event_type", "event_id", "ts", "value"
+    )
+
+
+# ---------------------------------------------------------------------------
+# Streaming S8: the DLQ side. Every ~97th event's wire value is
+# corrupted to a non-numeric string; the required-double coercion fails
+# and the row must land in the DLQ, not bronze.
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "stream_s8_dlq_split",
+    """
+    SELECT event_id, user_id, event_type
+    FROM events WHERE event_id % 97 = 0
+    """,
+)
+def q_stream_s8(spark: SparkSession, sf_dir: str) -> DataFrame:
+    dirs = _workdir("stream_s8")
+    ev = read_table(spark, sf_dir, "events").select(
+        "event_id",
+        "ts",
+        "user_id",
+        "event_type",
+        F.when(F.col("event_id") % 97 == 0, F.lit("not-a-number"))
+        .otherwise(F.col("value").cast("string"))
+        .alias("value"),
+        "props",
+    )
+    dump_json_batches(
+        encode_event_times(ev, ["ts"]), dirs["src"], order_cols=["ts", "event_id"]
+    )
+    run_ingest(
+        _event_stream(spark, dirs["src"], EVENT_WIRE_SCHEMA_STR_VALUE),
+        bronze_dir=dirs["out"],
+        dlq_dir=dirs["dlq"],
+        checkpoint_dir=dirs["ckpt"],
+        required={
+            "user_id": "long",
+            "event_type": "string",
+            "event_id": "long",
+            "value": "double",
+        },
+        dedup_keys=["user_id", "event_type"],
+        order_cols=["ts", "event_id"],
+    )
+    return spark.read.parquet(dirs["dlq"]).select("event_id", "user_id", "event_type")
+
+
+# ---------------------------------------------------------------------------
+# Streaming A1: tumbling 1-day window KPI — same oracle as the batch
+# a1_daily_kpi_agg (windows align to UTC midnight = the date grain).
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "stream_a1_windowed_kpi",
+    f"""
+    SELECT date, total_fare, count_trips,
+           FLOOR((total_fare / count_trips)*100 + 0.5)/100 AS average_fare,
+           max_fare, min_fare
+    FROM (
+        SELECT CAST(ts AS DATE) AS date,
+               FLOOR((SUM(value))*100 + 0.5)/100 AS total_fare,
+               COUNT(*) AS count_trips,
+               MAX(value) AS max_fare,
+               MIN(value) AS min_fare
+        FROM events WHERE event_type = '{END_EVENT}'
+        GROUP BY 1
+    )
+    """,
+)
+def q_stream_a1(spark: SparkSession, sf_dir: str) -> DataFrame:
+    dirs = _workdir("stream_a1")
+    _dump_events(spark, sf_dir, dirs["src"])
+    ends = (
+        _event_stream(spark, dirs["src"])
+        .filter(F.col("event_type") == END_EVENT)
+        .select(
+            F.col("ts").alias("dropoff_datetime"),
+            F.col("value").alias("fare_amount"),
+            F.col("event_id").alias("trip_id"),
+        )
+    )
+    kpis = windowed_daily_kpis(ends)
+    run_windowed_kpis(kpis, out_dir=dirs["out"], checkpoint_dir=dirs["ckpt"])
+    out = spark.read.parquet(dirs["out"])
+    return _stable_avg(_round2(out, ["total_fare"])).select(
+        "date", "total_fare", "count_trips", "average_fare", "max_fare", "min_fare"
+    )
+
+
+# ---------------------------------------------------------------------------
+# Streaming J1: stream-stream completion join with a 7-day time bound.
+# The oracle gains the bound as a WHERE clause (VERDICT.md item 2); no
+# dedup on either side — the join emits every (start, end) match.
+# ---------------------------------------------------------------------------
+
+_STREAM_J1_ORACLE = f"""
+WITH starts AS (
+    SELECT CAST(user_id AS VARCHAR) AS trip_id, ts AS pickup_datetime,
+           event_id AS start_event_id
+    FROM events WHERE event_type = '{START_EVENT}'
+), ends AS (
+    SELECT CAST(user_id AS VARCHAR) AS trip_id, ts AS dropoff_datetime,
+           value AS fare_amount, event_id AS end_event_id
+    FROM events WHERE event_type = '{END_EVENT}'
+)
+SELECT s.trip_id, s.pickup_datetime, s.start_event_id,
+       e.dropoff_datetime, e.fare_amount, e.end_event_id
+FROM starts s JOIN ends e ON s.trip_id = e.trip_id
+WHERE e.dropoff_datetime >= s.pickup_datetime
+  AND e.dropoff_datetime <= s.pickup_datetime + INTERVAL 7 DAY
+"""
+
+
+@query("stream_j1_completion_join", _STREAM_J1_ORACLE)
+def q_stream_j1(spark: SparkSession, sf_dir: str) -> DataFrame:
+    dirs = _workdir("stream_j1")
+    _dump_events(spark, sf_dir, dirs["src"])
+    starts = (
+        _event_stream(spark, dirs["src"])
+        .filter(F.col("event_type") == START_EVENT)
+        .select(
+            F.col("user_id").cast("string").alias("trip_id"),
+            F.col("ts").alias("pickup_datetime"),
+            F.col("event_id").alias("start_event_id"),
+        )
+    )
+    ends = (
+        _event_stream(spark, dirs["src"])
+        .filter(F.col("event_type") == END_EVENT)
+        .select(
+            F.col("user_id").cast("string").alias("trip_id"),
+            F.col("ts").alias("dropoff_datetime"),
+            F.col("value").alias("fare_amount"),
+            F.col("event_id").alias("end_event_id"),
+        )
+    )
+    joined = streaming_completed_trips(
+        starts, ends, within="7 days", watermark_delay="1 hour"
+    )
+    run_completion_join(joined, out_dir=dirs["out"], checkpoint_dir=dirs["ckpt"])
+    return spark.read.parquet(dirs["out"]).select(
+        "trip_id",
+        "pickup_datetime",
+        "start_event_id",
+        "dropoff_datetime",
+        "fare_amount",
+        "end_event_id",
+    )

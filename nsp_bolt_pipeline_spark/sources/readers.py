@@ -72,7 +72,10 @@ def read_json_events(
     mode lands unparseable payloads in ``_corrupt_record`` so the DLQ
     split (S8) can route them, mirroring Lambda's decode-failure path
     (TripStartProcessor.py:128-134)."""
-    full = schema.add("_corrupt_record", T.StringType())
+    # copy: StructType.add mutates in place, and callers share schemas
+    full = T.StructType(
+        list(schema.fields) + [T.StructField("_corrupt_record", T.StringType())]
+    )
     return (
         spark.read.schema(full)
         .option("mode", "PERMISSIVE")

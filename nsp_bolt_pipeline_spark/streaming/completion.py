@@ -1,0 +1,76 @@
+"""Stream-stream completion join — the README-claimed behavior.
+
+The reference README says the end-processor "matches with start events
+to detect trip completion" (README.md:79,92) but the Lambda never does
+(SURVEY.md §1.4); completion actually happens in the nightly batch
+join. This module implements the *claimed* semantics properly: a
+watermarked stream-stream inner join on the trip key with a time-range
+bound, emitting a completed trip the moment both events have arrived.
+
+Scale notes (100 TB): the time-range condition is what makes this safe
+— without it, join state for unmatched starts grows forever (exactly
+the unbounded-DynamoDB problem the reference concedes at
+README.md:413-414). With watermarks on both sides plus
+``dropoff BETWEEN pickup AND pickup + within``, Spark evicts a start
+row once the watermark passes ``pickup + within``: state is bounded by
+(ingest rate x (within + delay)), independent of table history. Hot
+trip keys cannot occur upstream of dedup; AQE skew handling covers the
+batch variant.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def streaming_completed_trips(
+    starts: DataFrame,
+    ends: DataFrame,
+    *,
+    key: str = "trip_id",
+    start_ts: str = "pickup_datetime",
+    end_ts: str = "dropoff_datetime",
+    within: str = "4 hours",
+    watermark_delay: str = "1 hour",
+) -> DataFrame:
+    """Watermarked stream-stream inner join: a trip completes when its
+    end event arrives within ``within`` of its start event. Matches are
+    emitted as they occur (append mode); the watermark + range bound
+    exist to evict state, not to delay output."""
+    s = starts.withWatermark(start_ts, watermark_delay).alias("s")
+    e = ends.withWatermark(end_ts, watermark_delay).alias("e")
+    cond = (
+        (F.col(f"s.{key}") == F.col(f"e.{key}"))
+        & (F.col(f"e.{end_ts}") >= F.col(f"s.{start_ts}"))
+        & (
+            F.col(f"e.{end_ts}")
+            <= F.col(f"s.{start_ts}") + F.expr(f"INTERVAL {within}")
+        )
+    )
+    joined = s.join(e, cond, "inner")
+    return joined.select(
+        F.col(f"s.{key}").alias(key),
+        *[F.col(f"s.{c}") for c in starts.columns if c != key],
+        *[F.col(f"e.{c}") for c in ends.columns if c != key],
+    )
+
+
+def run_completion_join(
+    completed: DataFrame,
+    *,
+    out_dir: str,
+    checkpoint_dir: str,
+) -> None:
+    """Run the join to completion (availableNow), appending matches to
+    ``out_dir``. The emitted match set is order-independent, so the
+    result is deterministic and oracle-comparable."""
+    query = (
+        completed.writeStream.format("parquet")
+        .option("path", out_dir)
+        .option("checkpointLocation", checkpoint_dir)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    query.awaitTermination()

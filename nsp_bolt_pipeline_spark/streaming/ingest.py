@@ -1,0 +1,154 @@
+"""Streaming ingest: validate -> DLQ split -> dedup -> bronze append
+(operators S3, S4, S8 + D1/D2 in their native streaming form).
+
+Reference semantics, per event (lambdas/TripStartProcessor/
+TripStartProcessor.py:74-134, lambdas/TripEndProcessor/
+TripEndProcessor.py:94-155):
+
+1. decode the Kinesis payload (base64 + JSON),
+2. validate/coerce fields, skipping bad records (-> DLQ, README.md:84),
+3. first-write-wins dedup per (trip_id, event kind) via a DynamoDB
+   point query (check-then-put),
+4. store the validated item.
+
+Spark-first: one streaming query. The per-event O(1) dedup lookup
+becomes per-micro-batch set logic — ``first_write_wins`` inside the
+batch plus an anti-join against the bronze key set across batches.
+That pair is the idempotent-sink pattern (what Delta's
+``MERGE WHEN NOT MATCHED`` does natively); unlike the reference's
+non-atomic check-then-put (which can double-insert under concurrent
+Lambda invocations, SURVEY.md §2.8) it is atomic per micro-batch.
+
+Scale notes (100 TB):
+- The anti-join re-reads bronze *keys* each micro-batch — a column-
+  pruned parquet scan (only the key columns), but still O(bronze) per
+  batch. At large scale swap the sink for Delta/Iceberg MERGE (file-
+  skipping on the key) or use :func:`stream_first_write_wins`
+  (``dropDuplicatesWithinWatermark``) whose state is bounded by the
+  watermark horizon instead of table history. Both are provided.
+- State-store / shuffle partition count is fixed at the first
+  checkpoint write; size ``spark.sql.shuffle.partitions`` for the
+  target throughput *before* the first run (session.py).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Mapping, Sequence
+
+from pyspark.errors.exceptions.captured import AnalysisException
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from nsp_bolt_pipeline_spark.functions.validation import (
+    coerce_typed,
+    split_valid_rejects,
+)
+from nsp_bolt_pipeline_spark.operators.dedup import first_write_wins
+
+
+def read_wire_stream(
+    spark: SparkSession,
+    source_dir: str,
+    schema: T.StructType,
+    *,
+    max_files_per_trigger: int | None = None,
+) -> DataFrame:
+    """S3: file-source JSON readStream with a declared schema — the
+    Kinesis/Kafka consumer stand-in (swap ``format("json")`` for
+    ``format("kafka")`` + ``from_json`` in production; semantics
+    downstream are identical). PERMISSIVE mode lands undecodable
+    payloads in ``_corrupt_record`` for the DLQ split, mirroring the
+    Lambda decode-failure path (TripStartProcessor.py:128-134)."""
+    # copy: StructType.add mutates in place, and callers share schemas
+    full = T.StructType(
+        list(schema.fields) + [T.StructField("_corrupt_record", T.StringType())]
+    )
+    reader = (
+        spark.readStream.schema(full)
+        .option("mode", "PERMISSIVE")
+        .option("columnNameOfCorruptRecord", "_corrupt_record")
+    )
+    if max_files_per_trigger is not None:
+        reader = reader.option("maxFilesPerTrigger", str(max_files_per_trigger))
+    return reader.json(source_dir)
+
+
+def stream_first_write_wins(
+    stream: DataFrame,
+    keys: Sequence[str],
+    *,
+    ts_col: str,
+    delay: str = "1 hour",
+) -> DataFrame:
+    """D1/D2, pure streaming API: watermark-bounded first-write-wins.
+
+    ``dropDuplicatesWithinWatermark`` keeps the first *arrival* per key
+    and evicts key state once the watermark passes — the reference's
+    semantics with bounded memory (the reference's DynamoDB state grows
+    forever; README.md:413-414 concedes a cleanup process is needed).
+    Within a micro-batch the surviving row is arrival-order
+    nondeterministic under shuffle, so oracle-verified pipelines use
+    :func:`run_ingest` (min_by + anti-join) instead; this operator is
+    the scale path where per-key arrival order is already the producer
+    guarantee.
+    """
+    return stream.withWatermark(ts_col, delay).dropDuplicatesWithinWatermark(
+        list(keys)
+    )
+
+
+def run_ingest(
+    stream: DataFrame,
+    *,
+    bronze_dir: str,
+    dlq_dir: str,
+    checkpoint_dir: str,
+    required: Mapping[str, str],
+    optional: Mapping[str, str] | None = None,
+    dedup_keys: Sequence[str],
+    order_cols: Sequence[str],
+    partition_cols: Sequence[str] = (),
+) -> None:
+    """The full ingest query, run to completion with
+    ``trigger(availableNow=True)`` (the reference's daily-batch cadence,
+    O1, without giving up streaming semantics — restart with the same
+    checkpoint and it resumes incrementally).
+
+    Per micro-batch: coerce/validate (P2/P3) -> rejects to the DLQ
+    (S8) -> first-write-wins within the batch (D1/D2, deterministic
+    ``min_by`` on ``order_cols``) -> anti-join against bronze keys
+    (cross-batch dedup) -> append to partitioned bronze (S4).
+    """
+
+    def process_batch(batch: DataFrame, _batch_id: int) -> None:
+        spark = batch.sparkSession
+        batch = batch.persist()
+        try:
+            coerced = coerce_typed(batch, required, optional)
+            valid, rejects = split_valid_rejects(coerced)
+            rejects.write.mode("append").parquet(dlq_dir)
+            winners = first_write_wins(valid, dedup_keys, order_cols)
+            try:
+                seen = (
+                    spark.read.parquet(bronze_dir)
+                    .select(*dedup_keys)
+                    .dropDuplicates()
+                )
+                winners = winners.join(seen, list(dedup_keys), "left_anti")
+            except AnalysisException:
+                pass  # first batch: bronze does not exist yet
+            writer = winners.write.mode("append")
+            if partition_cols:
+                writer = writer.partitionBy(*partition_cols)
+            writer.parquet(bronze_dir)
+        finally:
+            batch.unpersist()
+
+    query = (
+        stream.writeStream.foreachBatch(process_batch)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    query.awaitTermination()

@@ -1,0 +1,78 @@
+"""Streaming daily KPI aggregate (A1/A2/P12 in tumbling-window form).
+
+Reference: the daily KPI is a midnight-cron batch job that rescans the
+whole table every run (glue_jobs/KPI-Aggregator.py:28-45,101-110;
+README.md:245-259) — late events are only counted because *everything*
+is recounted. Structured Streaming gives incrementality instead: a
+tumbling 1-day event-time window holds running aggregates in the state
+store and updates exactly the affected date when a late event arrives.
+
+Output mode: the daily grain has tiny group cardinality (one state row
+per date), so ``complete`` mode + ``foreachBatch`` overwrite is the
+right call — the full KPI table is re-emitted per trigger at
+negligible cost, and the sink is trivially idempotent. At an
+unbounded-key grain you would switch to ``update`` mode with a
+watermark and MERGE on the date key; :func:`windowed_daily_kpis`
+already applies the watermark so the swap is one line.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def windowed_daily_kpis(
+    stream: DataFrame,
+    *,
+    ts_col: str = "dropoff_datetime",
+    fare_col: str = "fare_amount",
+    id_col: str = "trip_id",
+    watermark_delay: str = "1 day",
+) -> DataFrame:
+    """Tumbling 1-day event-time window over the fare stream, emitting
+    the same five measures as the batch ``daily_kpis``
+    (KPI-Aggregator.py:104-110). The window start *is* the date grain,
+    so ``date`` comes straight off the window struct."""
+    windowed = stream.withWatermark(ts_col, watermark_delay).groupBy(
+        F.window(F.col(ts_col), "1 day").alias("w")
+    )
+    return windowed.agg(
+        F.sum(fare_col).alias("total_fare"),
+        F.count(id_col).alias("count_trips"),
+        F.avg(fare_col).alias("average_fare"),
+        F.max(fare_col).alias("max_fare"),
+        F.min(fare_col).alias("min_fare"),
+    ).select(
+        F.to_date("w.start").alias("date"),
+        "total_fare",
+        "count_trips",
+        "average_fare",
+        "max_fare",
+        "min_fare",
+    )
+
+
+def run_windowed_kpis(
+    kpis: DataFrame,
+    *,
+    out_dir: str,
+    checkpoint_dir: str,
+) -> None:
+    """Run the windowed aggregate to completion (availableNow) in
+    complete mode; each trigger overwrites ``out_dir`` with the current
+    full KPI table, so after the final batch the sink holds exactly the
+    batch-equivalent answer (late rows included — verified by the
+    ``a1`` oracle)."""
+
+    def overwrite(batch: DataFrame, _batch_id: int) -> None:
+        batch.write.mode("overwrite").parquet(out_dir)
+
+    query = (
+        kpis.writeStream.foreachBatch(overwrite)
+        .outputMode("complete")
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    query.awaitTermination()

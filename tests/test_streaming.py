@@ -1,0 +1,278 @@
+"""Streaming-semantics tests (SURVEY.md §2.8): late data, duplicate
+arrival, restart-with-checkpoint incrementality, DLQ routing, and
+stream-stream join state bounds — the cases the availableNow oracle
+runs can't isolate."""
+
+from __future__ import annotations
+
+import json
+import os
+
+import pytest
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from nsp_bolt_pipeline_spark.streaming.completion import (
+    run_completion_join,
+    streaming_completed_trips,
+)
+from nsp_bolt_pipeline_spark.streaming.ingest import (
+    read_wire_stream,
+    run_ingest,
+    stream_first_write_wins,
+)
+from nsp_bolt_pipeline_spark.streaming.kpi import (
+    run_windowed_kpis,
+    windowed_daily_kpis,
+)
+from nsp_bolt_pipeline_spark.streaming.replay import (
+    decode_event_times,
+    to_wire,
+)
+
+WIRE = T.StructType(
+    [
+        T.StructField("key", T.StringType()),
+        T.StructField("ts", T.LongType()),
+        T.StructField("fare", T.DoubleType()),
+    ]
+)
+
+US_PER_HOUR = 3_600_000_000
+T0 = 1_700_000_000_000_000  # fixed epoch-micros anchor
+
+
+def _write_batch(src_dir: str, name: str, rows: list[dict]) -> None:
+    os.makedirs(src_dir, exist_ok=True)
+    with open(os.path.join(src_dir, name), "w") as f:
+        for r in rows:
+            f.write(json.dumps(r) + "\n")
+
+
+def _dirs(tmp_path, *names):
+    return [str(tmp_path / n) for n in names]
+
+
+def _ingest(spark, src, bronze, dlq, ckpt, **kw):
+    stream = decode_event_times(read_wire_stream(spark, src, WIRE), ["ts"])
+    run_ingest(
+        stream,
+        bronze_dir=bronze,
+        dlq_dir=dlq,
+        checkpoint_dir=ckpt,
+        required={"key": "string", "fare": "double"},
+        dedup_keys=["key"],
+        order_cols=["ts"],
+        **kw,
+    )
+
+
+class TestIngestDedup:
+    def test_within_batch_min_wins_and_late_duplicate_is_dropped(
+        self, spark, tmp_path
+    ):
+        src, bronze, dlq, ckpt = _dirs(tmp_path, "src", "bronze", "dlq", "ckpt")
+        # batch 1: k1 twice (later ts first in file — min_by must win),
+        # plus k2 once.
+        _write_batch(
+            src,
+            "b0.json",
+            [
+                {"key": "k1", "ts": T0 + 3 * US_PER_HOUR, "fare": 30.0},
+                {"key": "k1", "ts": T0 + 2 * US_PER_HOUR, "fare": 20.0},
+                {"key": "k2", "ts": T0 + 5 * US_PER_HOUR, "fare": 50.0},
+            ],
+        )
+        _ingest(spark, src, bronze, dlq, ckpt)
+        got = {r["key"]: r["fare"] for r in spark.read.parquet(bronze).collect()}
+        assert got == {"k1": 20.0, "k2": 50.0}
+
+        # batch 2 (restart, same checkpoint): a LATE duplicate of k1
+        # with an *earlier* event time, plus new key k3. First-write-
+        # wins is arrival-order (the reference's check-then-put,
+        # TripStartProcessor.py:100-103): k1 must NOT be replaced.
+        _write_batch(
+            src,
+            "b1.json",
+            [
+                {"key": "k1", "ts": T0 + 1 * US_PER_HOUR, "fare": 10.0},
+                {"key": "k3", "ts": T0 + 4 * US_PER_HOUR, "fare": 40.0},
+            ],
+        )
+        _ingest(spark, src, bronze, dlq, ckpt)
+        got = {r["key"]: r["fare"] for r in spark.read.parquet(bronze).collect()}
+        assert got == {"k1": 20.0, "k2": 50.0, "k3": 40.0}
+
+    def test_restart_without_new_files_is_a_noop(self, spark, tmp_path):
+        src, bronze, dlq, ckpt = _dirs(tmp_path, "src", "bronze", "dlq", "ckpt")
+        _write_batch(src, "b0.json", [{"key": "k1", "ts": T0, "fare": 1.0}])
+        _ingest(spark, src, bronze, dlq, ckpt)
+        _ingest(spark, src, bronze, dlq, ckpt)  # checkpoint replay: no dupes
+        assert spark.read.parquet(bronze).count() == 1
+
+
+class TestDLQ:
+    def test_corrupt_json_and_failed_cast_route_to_dlq(self, spark, tmp_path):
+        src, bronze, dlq, ckpt = _dirs(tmp_path, "src", "bronze", "dlq", "ckpt")
+        os.makedirs(src)
+        with open(os.path.join(src, "b0.json"), "w") as f:
+            f.write(json.dumps({"key": "ok", "ts": T0, "fare": 9.5}) + "\n")
+            f.write("{this is not json\n")
+            f.write(json.dumps({"key": "bad", "ts": T0, "fare": "NaNope"}) + "\n")
+        _ingest(spark, src, bronze, dlq, ckpt)
+        assert spark.read.parquet(bronze).count() == 1
+        rejects = spark.read.parquet(dlq)
+        assert rejects.count() == 2
+        # raw payloads are preserved for forensic replay (S8):
+        # PERMISSIVE captures both the undecodable line and the
+        # type-mismatched record in _corrupt_record.
+        raws = {r["_corrupt_record"] for r in rejects.collect()}
+        assert any(raw and "not json" in raw for raw in raws)
+        assert any(raw and "NaNope" in raw for raw in raws)
+
+
+class TestWatermarkDedup:
+    def test_drop_duplicates_within_watermark_keeps_one_per_key(
+        self, spark, tmp_path
+    ):
+        src, ckpt = _dirs(tmp_path, "src", "ckpt")
+        _write_batch(
+            src,
+            "b0.json",
+            [
+                {"key": "k1", "ts": T0, "fare": 1.0},
+                {"key": "k1", "ts": T0 + 1, "fare": 2.0},
+                {"key": "k2", "ts": T0, "fare": 3.0},
+            ],
+        )
+        stream = decode_event_times(read_wire_stream(spark, src, WIRE), ["ts"])
+        deduped = stream_first_write_wins(stream, ["key"], ts_col="ts")
+        q = (
+            deduped.writeStream.format("memory")
+            .queryName("wm_dedup")
+            .outputMode("append")
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        out = spark.sql("SELECT key FROM wm_dedup").collect()
+        assert sorted(r["key"] for r in out) == ["k1", "k2"]
+
+
+class TestWindowedKPI:
+    def test_late_row_updates_its_day(self, spark, tmp_path):
+        src, out, ckpt = _dirs(tmp_path, "src", "out", "ckpt")
+        day_us = 24 * US_PER_HOUR
+        d0 = (T0 // day_us) * day_us  # midnight-aligned anchor
+        _write_batch(
+            src,
+            "b0.json",
+            [
+                {"key": "a", "ts": d0 + 1 * US_PER_HOUR, "fare": 10.0},
+                {"key": "b", "ts": d0 + day_us + US_PER_HOUR, "fare": 30.0},
+            ],
+        )
+
+        def run():
+            stream = decode_event_times(read_wire_stream(spark, src, WIRE), ["ts"])
+            kpis = windowed_daily_kpis(
+                stream, ts_col="ts", fare_col="fare", id_col="key"
+            )
+            run_windowed_kpis(kpis, out_dir=out, checkpoint_dir=ckpt)
+
+        run()
+        first = {str(r["date"]): r for r in spark.read.parquet(out).collect()}
+        assert len(first) == 2
+
+        # a LATE row for day 0 arrives in a later batch: its window
+        # state updates incrementally (no rescan of day 1).
+        _write_batch(
+            src, "b1.json", [{"key": "c", "ts": d0 + 2 * US_PER_HOUR, "fare": 20.0}]
+        )
+        run()
+        final = {str(r["date"]): r for r in spark.read.parquet(out).collect()}
+        day0 = min(final)
+        assert final[day0]["total_fare"] == 30.0
+        assert final[day0]["count_trips"] == 2
+        assert final[day0]["average_fare"] == 15.0
+        assert final[max(final)]["total_fare"] == 30.0
+
+
+class TestStreamStreamJoin:
+    def test_join_respects_time_bound_and_requires_both_sides(
+        self, spark, tmp_path
+    ):
+        s_src, e_src, out, ckpt = _dirs(tmp_path, "s_src", "e_src", "out", "ckpt")
+        start_schema = T.StructType(
+            [
+                T.StructField("trip_id", T.StringType()),
+                T.StructField("pickup_datetime", T.LongType()),
+            ]
+        )
+        end_schema = T.StructType(
+            [
+                T.StructField("trip_id", T.StringType()),
+                T.StructField("dropoff_datetime", T.LongType()),
+                T.StructField("fare_amount", T.DoubleType()),
+            ]
+        )
+        _write_batch(
+            s_src,
+            "b0.json",
+            [
+                {"trip_id": "in_bound", "pickup_datetime": T0},
+                {"trip_id": "out_of_bound", "pickup_datetime": T0},
+                {"trip_id": "never_ends", "pickup_datetime": T0},
+            ],
+        )
+        _write_batch(
+            e_src,
+            "b0.json",
+            [
+                {
+                    "trip_id": "in_bound",
+                    "dropoff_datetime": T0 + 1 * US_PER_HOUR,
+                    "fare_amount": 12.0,
+                },
+                {
+                    "trip_id": "out_of_bound",
+                    "dropoff_datetime": T0 + 9 * US_PER_HOUR,
+                    "fare_amount": 99.0,
+                },
+                {
+                    "trip_id": "never_started",
+                    "dropoff_datetime": T0 + 1 * US_PER_HOUR,
+                    "fare_amount": 7.0,
+                },
+            ],
+        )
+        starts = decode_event_times(
+            read_wire_stream(spark, s_src, start_schema), ["pickup_datetime"]
+        ).drop("_corrupt_record")
+        ends = decode_event_times(
+            read_wire_stream(spark, e_src, end_schema), ["dropoff_datetime"]
+        ).drop("_corrupt_record")
+        joined = streaming_completed_trips(starts, ends, within="4 hours")
+        run_completion_join(joined, out_dir=out, checkpoint_dir=ckpt)
+        rows = spark.read.parquet(out).collect()
+        assert [(r["trip_id"], r["fare_amount"]) for r in rows] == [
+            ("in_bound", 12.0)
+        ]
+
+
+class TestProducerWire:
+    def test_to_wire_round_trips_through_from_json(self, spark):
+        df = spark.createDataFrame(
+            [("t1", 10.5), ("t2", 20.0)], ["trip_id", "fare"]
+        )
+        wire = to_wire(df, "trip_id")
+        assert wire.columns == ["key", "value"]
+        back = wire.select(
+            F.from_json(
+                "value", T.StructType().add("trip_id", T.StringType()).add(
+                    "fare", T.DoubleType()
+                )
+            ).alias("p")
+        ).select("p.*")
+        assert sorted(back.collect()) == sorted(df.collect())
