@@ -1,0 +1,154 @@
+"""Text analysis over document corpora (scale-extension operators).
+
+The reference pipeline has no text analytics; these are the
+training-data-pipeline operators the engine adds on top of its surface
+(build brief + SURVEY.md §7 item 6): token counting, quality scoring,
+language identification, document fingerprinting, and TF-IDF term
+weighting — all as pure Catalyst expressions (zero Python UDFs), so
+they run inside whole-stage codegen and scale linearly with the scan.
+
+Scale notes (100 TB): everything here except TF-IDF is a stateless
+projection — no shuffle at all; it streams through the corpus at scan
+speed. TF-IDF shuffles twice (term aggregation + doc-frequency join);
+the DF side is |vocabulary| rows, which is broadcast-sized for any
+natural-language vocabulary, so the join is a broadcast hash join and
+the heavy side never re-shuffles.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Mapping, Sequence
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+#: Tiny function-word profiles for language ID. Deliberately minimal —
+#: the operator is the n-gram/stopword *heuristic* (a real deployment
+#: swaps in fastText/CLD3 profiles); the shape (score per language ->
+#: argmax with deterministic tie-break) is what matters.
+LANGUAGE_PROFILES: dict[str, tuple[str, ...]] = {
+    "en": ("the", "a", "an", "of", "to", "in", "and", "is", "it", "that"),
+    "de": ("der", "die", "das", "und", "ist", "ein", "zu", "mit", "von", "nicht"),
+    "es": ("el", "la", "de", "y", "es", "un", "una", "en", "que", "no"),
+}
+
+#: Characters counted as punctuation for the quality score (explicit
+#: class so the Spark regex and the DuckDB oracle regex agree exactly).
+PUNCT_CLASS = r"[.,;:!?'\"()\[\]{}-]"
+
+
+def tokens(col: Column | str) -> Column:
+    """Whitespace tokenization: trim then split on runs of whitespace.
+    BPE-ish subword splitting is a tokenizer concern, not an engine
+    one; whitespace tokens are the standard corpus-statistics grain."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.split(F.trim(c), r"\s+")
+
+
+def token_count(col: Column | str) -> Column:
+    return F.size(tokens(col)).cast("long")
+
+
+def punct_count(col: Column | str) -> Column:
+    c = F.col(col) if isinstance(col, str) else col
+    return (F.length(c) - F.length(F.regexp_replace(c, PUNCT_CLASS, ""))).cast(
+        "long"
+    )
+
+
+def stopword_ratio(col: Column | str, stopwords: Sequence[str]) -> Column:
+    """Fraction of tokens that are function words — high for natural
+    prose, low for boilerplate/code/gibberish."""
+    toks = tokens(col)
+    hits = F.size(F.filter(toks, lambda t: t.isin(*stopwords)))
+    return hits.cast("double") / F.size(toks).cast("double")
+
+
+def quality_score(col: Column | str, *, stopwords: Sequence[str]) -> Column:
+    """Composite [0, 1] quality heuristic: mean token length in a sane
+    band, some function words, not punctuation-soup. The exact weights
+    are conventional (length/punct/stopword mix used by C4-style
+    corpus filters); each term is a pure arithmetic expression so the
+    score is reproducible anywhere.
+    """
+    c = F.col(col) if isinstance(col, str) else col
+    n_tok = F.size(tokens(col)).cast("double")
+    mean_tok_len = F.length(F.trim(c)).cast("double") / n_tok
+    len_term = F.when((mean_tok_len >= 3.0) & (mean_tok_len <= 10.0), 1.0).otherwise(
+        0.5
+    )
+    punct_ratio = punct_count(col).cast("double") / F.length(c).cast("double")
+    punct_term = F.when(punct_ratio <= 0.1, 1.0).otherwise(0.0)
+    stop_term = F.least(stopword_ratio(col, stopwords) * 4.0, F.lit(1.0))
+    return 0.4 * len_term + 0.3 * punct_term + 0.3 * stop_term
+
+
+def fingerprint(col: Column | str) -> Column:
+    """Deterministic document fingerprint: md5 over the
+    whitespace-normalized, lower-cased text. Identical content modulo
+    spacing/case collides — exactly what exact-dedup wants as its key."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.md5(F.regexp_replace(F.lower(F.trim(c)), r"\s+", " "))
+
+
+def language_scores(
+    col: Column | str,
+    profiles: Mapping[str, Sequence[str]] = LANGUAGE_PROFILES,
+) -> dict[str, Column]:
+    return {lang: stopword_ratio(col, words) for lang, words in profiles.items()}
+
+
+def detect_language(
+    col: Column | str,
+    profiles: Mapping[str, Sequence[str]] = LANGUAGE_PROFILES,
+    *,
+    min_score: float = 0.0,
+) -> Column:
+    """Argmax of the per-language stopword scores, ties broken by
+    profile order (insertion order of ``profiles``), 'und'
+    (undetermined) when every score is <= ``min_score``."""
+    scores = language_scores(col, profiles)
+    best = F.greatest(*scores.values()) if len(scores) > 1 else next(
+        iter(scores.values())
+    )
+    expr = F.lit("und")
+    for lang in reversed(list(profiles)):
+        expr = F.when(
+            (scores[lang] == best) & (best > min_score), F.lit(lang)
+        ).otherwise(expr)
+    # earlier profiles win ties: later whens overwrite, so build reversed
+    return expr
+
+
+def term_frequencies(
+    df: DataFrame, *, id_col: str, text_col: str
+) -> DataFrame:
+    """Explode to (doc, term, tf). The explode is map-side only; the
+    per-(doc, term) count is a partial-agg-friendly hash aggregate."""
+    return (
+        df.select(F.col(id_col), F.explode(tokens(text_col)).alias("term"))
+        .groupBy(id_col, "term")
+        .agg(F.count("*").alias("tf"))
+    )
+
+
+def tf_idf(df: DataFrame, *, id_col: str, text_col: str) -> DataFrame:
+    """Corpus TF-IDF: tf x ln(N / df) per (doc, term).
+
+    The document-frequency side has |vocabulary| rows — broadcast it
+    so the (doc, term) side joins map-side without a second shuffle.
+    N is computed once on the driver (a count over the corpus; cheap
+    and exact) rather than via a cross-join with an agg.
+    """
+    n_docs = df.count()
+    tf = term_frequencies(df, id_col=id_col, text_col=text_col)
+    dfreq = tf.groupBy("term").agg(F.count("*").alias("df"))
+    return (
+        tf.join(F.broadcast(dfreq), "term")
+        .withColumn(
+            "tfidf",
+            F.col("tf").cast("double")
+            * F.log(F.lit(float(n_docs)) / F.col("df").cast("double")),
+        )
+        .select(id_col, "term", "tf", "df", "tfidf")
+    )

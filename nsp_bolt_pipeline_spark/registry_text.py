@@ -1,0 +1,204 @@
+"""Oracle-backed registry entries for the text-analysis operators
+(operators.text) over the ``documents`` table.
+
+The oracle SQL is *generated* from the same constants
+(LANGUAGE_PROFILES, PUNCT_CLASS) the Spark expressions use, so the two
+sides cannot drift. All scores are arithmetic over exact integer
+inputs (token counts, char counts) — bit-identical across engines
+without rounding; only TF-IDF multiplies by a ``ln`` (verified
+bit-stable, both engines use correctly-rounded libm logs).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import Window as W
+
+from nsp_bolt_pipeline_spark.operators.text import (
+    LANGUAGE_PROFILES,
+    PUNCT_CLASS,
+    detect_language,
+    fingerprint,
+    language_scores,
+    punct_count,
+    quality_score,
+    term_frequencies,
+    tf_idf,
+    token_count,
+    tokens,
+)
+from nsp_bolt_pipeline_spark.registry import query
+from nsp_bolt_pipeline_spark.sources.readers import read_table
+
+_TOKENS_SQL = r"regexp_split_to_array(trim(text), '\s+')"
+_PUNCT_SQL = PUNCT_CLASS.replace("'", "''")
+
+
+def _sql_list(words) -> str:
+    return ", ".join(f"'{w}'" for w in words)
+
+
+def _stop_ratio_sql(words) -> str:
+    return (
+        f"CAST(len(list_filter({_TOKENS_SQL}, t -> t IN ({_sql_list(words)}))) "
+        f"AS DOUBLE) / CAST(len({_TOKENS_SQL}) AS DOUBLE)"
+    )
+
+
+# ---------------------------------------------------------------------------
+# Token / char statistics + fingerprint: pure projection, no shuffle.
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "text_token_stats",
+    f"""
+    SELECT doc_id,
+           CAST(len({_TOKENS_SQL}) AS BIGINT) AS n_tokens,
+           CAST(length(text) - length(regexp_replace(text, '{_PUNCT_SQL}', '', 'g'))
+                AS BIGINT) AS n_punct,
+           CAST(length(trim(text)) AS DOUBLE) / CAST(len({_TOKENS_SQL}) AS DOUBLE)
+               AS mean_token_len,
+           md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')) AS fp
+    FROM documents
+    """,
+)
+def q_text_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = read_table(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        token_count("text").alias("n_tokens"),
+        punct_count("text").alias("n_punct"),
+        (
+            F.length(F.trim("text")).cast("double")
+            / F.size(tokens("text")).cast("double")
+        ).alias("mean_token_len"),
+        fingerprint("text").alias("fp"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Language ID + quality score: per-language stopword ratios, argmax
+# with deterministic tie-break (profile order), composite quality.
+# ---------------------------------------------------------------------------
+
+
+def _lang_case_sql() -> str:
+    langs = list(LANGUAGE_PROFILES)
+    best = "greatest(" + ", ".join(f"score_{lg}" for lg in langs) + ")"
+    whens = "\n           ".join(
+        f"WHEN score_{lg} = {best} AND {best} > 0.0 THEN '{lg}'" for lg in langs
+    )
+    return f"CASE {whens} ELSE 'und' END"
+
+
+_QUALITY_SQL = f"""
+  0.4 * (CASE WHEN mean_tok_len >= 3.0 AND mean_tok_len <= 10.0
+              THEN 1.0 ELSE 0.5 END)
++ 0.3 * (CASE WHEN CAST(n_punct AS DOUBLE) / CAST(length(text) AS DOUBLE) <= 0.1
+              THEN 1.0 ELSE 0.0 END)
++ 0.3 * least(score_en * 4.0, 1.0)
+"""
+
+_TEXT_LANG_ORACLE = f"""
+WITH scored AS (
+    SELECT doc_id, text,
+           CAST(length(trim(text)) AS DOUBLE) / CAST(len({_TOKENS_SQL}) AS DOUBLE)
+               AS mean_tok_len,
+           CAST(length(text) - length(regexp_replace(text, '{_PUNCT_SQL}', '', 'g'))
+                AS BIGINT) AS n_punct,
+           {", ".join(f"{_stop_ratio_sql(w)} AS score_{lg}" for lg, w in LANGUAGE_PROFILES.items())}
+    FROM documents
+)
+SELECT doc_id,
+       {", ".join(f"score_{lg}" for lg in LANGUAGE_PROFILES)},
+       {_lang_case_sql()} AS lang_guess,
+       {_QUALITY_SQL} AS quality
+FROM scored
+"""
+
+
+@query("text_quality_language", _TEXT_LANG_ORACLE)
+def q_text_quality_language(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = read_table(spark, sf_dir, "documents")
+    scores = language_scores("text")
+    return docs.select(
+        "doc_id",
+        *[c.alias(f"score_{lg}") for lg, c in scores.items()],
+        detect_language("text").alias("lang_guess"),
+        quality_score("text", stopwords=LANGUAGE_PROFILES["en"]).alias("quality"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Top-5 terms per source-language label: explode + hash agg + top-k
+# window (counts are exact ints -> fully deterministic ordering).
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "text_top_terms_per_lang",
+    f"""
+    SELECT lang, term, cnt, rnk FROM (
+        SELECT lang, term, cnt,
+               row_number() OVER (PARTITION BY lang
+                                  ORDER BY cnt DESC, term ASC) AS rnk
+        FROM (
+            SELECT lang, term, COUNT(*) AS cnt
+            FROM (SELECT lang, unnest({_TOKENS_SQL}) AS term FROM documents)
+            GROUP BY 1, 2
+        )
+    ) WHERE rnk <= 5
+    """,
+)
+def q_text_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = read_table(spark, sf_dir, "documents")
+    counts = (
+        docs.select("lang", F.explode(tokens("text")).alias("term"))
+        .groupBy("lang", "term")
+        .agg(F.count("*").alias("cnt"))
+    )
+    w = W.partitionBy("lang").orderBy(F.col("cnt").desc(), F.col("term").asc())
+    return (
+        counts.withColumn("rnk", F.row_number().over(w).cast("long"))
+        .filter(F.col("rnk") <= 5)
+        .select("lang", "term", "cnt", "rnk")
+    )
+
+
+# ---------------------------------------------------------------------------
+# TF-IDF over the corpus (broadcast DF join; see operators.text).
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "text_tfidf",
+    f"""
+    WITH tf AS (
+        SELECT doc_id, term, COUNT(*) AS tf
+        FROM (SELECT doc_id, unnest({_TOKENS_SQL}) AS term FROM documents)
+        GROUP BY 1, 2
+    ), dfreq AS (
+        SELECT term, COUNT(*) AS df FROM tf GROUP BY 1
+    )
+    -- ln() differs from the JVM's Math.log by 1 ULP on some inputs;
+    -- 6-dp floor-rounding on BOTH sides absorbs it.
+    SELECT tf.doc_id, tf.term, tf.tf, dfreq.df,
+           FLOOR((CAST(tf.tf AS DOUBLE)
+               * ln(CAST((SELECT COUNT(*) FROM documents) AS DOUBLE)
+                    / CAST(dfreq.df AS DOUBLE))) * 1000000 + 0.5) / 1000000
+               AS tfidf
+    FROM tf JOIN dfreq USING (term)
+    """,
+)
+def q_text_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = read_table(spark, sf_dir, "documents")
+    out = tf_idf(docs, id_col="doc_id", text_col="text")
+    return out.withColumn(
+        "tfidf", F.floor(F.col("tfidf") * 1000000 + F.lit(0.5)) / 1000000
+    )
+
+
+#: referenced so linters see term_frequencies as public surface
+__all__ = ["term_frequencies"]

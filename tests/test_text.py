@@ -1,0 +1,95 @@
+"""Unit tests for operators.text on hand-built fixtures (edge cases
+the corpus oracle queries can't isolate)."""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import functions as F
+
+from nsp_bolt_pipeline_spark.operators.text import (
+    LANGUAGE_PROFILES,
+    detect_language,
+    fingerprint,
+    quality_score,
+    tf_idf,
+    token_count,
+)
+
+
+def test_token_count_handles_runs_of_whitespace(spark):
+    df = spark.createDataFrame([("a  b\t c ",), ("single",)], ["text"])
+    got = [r[0] for r in df.select(token_count("text")).collect()]
+    assert got == [3, 1]
+
+
+def test_fingerprint_normalizes_case_and_spacing(spark):
+    df = spark.createDataFrame(
+        [(1, "Hello   World"), (2, "hello world"), (3, "hello worlds")],
+        ["id", "text"],
+    )
+    fps = {r["id"]: r["fp"] for r in df.select("id", fingerprint("text").alias("fp")).collect()}
+    assert fps[1] == fps[2]
+    assert fps[1] != fps[3]
+
+
+def test_detect_language_picks_profile_and_falls_back_to_und(spark):
+    df = spark.createDataFrame(
+        [
+            (1, "the cat sat on the mat and it was happy"),
+            (2, "der hund und die katze ist ein tier"),
+            (3, "el perro y la casa es una cosa"),
+            (4, "xyzzy plugh qwerty"),
+        ],
+        ["id", "text"],
+    )
+    got = {
+        r["id"]: r["lang"]
+        for r in df.select("id", detect_language("text").alias("lang")).collect()
+    }
+    assert got == {1: "en", 2: "de", 3: "es", 4: "und"}
+
+
+def test_quality_score_rewards_prose_and_penalizes_noise(spark):
+    prose = "the quick brown fox jumps over the lazy dog and it is fine"
+    noise = '!!! ??? ,,, ... ;;; ::: "!!!" (...) !!!'
+    df = spark.createDataFrame([(1, prose), (2, noise)], ["id", "text"])
+    got = {
+        r["id"]: r["q"]
+        for r in df.select(
+            "id", quality_score("text", stopwords=LANGUAGE_PROFILES["en"]).alias("q")
+        ).collect()
+    }
+    assert got[1] == 1.0  # sane token length, no punct, plenty of stopwords
+    assert got[2] < 0.5
+
+
+def test_tf_idf_zero_for_ubiquitous_terms_and_ordering(spark):
+    df = spark.createDataFrame(
+        [
+            (1, "common rare1 common"),
+            (2, "common rare2"),
+            (3, "common rare2"),
+        ],
+        ["doc_id", "text"],
+    )
+    out = tf_idf(df, id_col="doc_id", text_col="text")
+    rows = {(r["doc_id"], r["term"]): r for r in out.collect()}
+    # 'common' appears in every doc -> idf = ln(1) = 0
+    assert rows[(1, "common")]["tfidf"] == 0.0
+    # doc 1: tf=2 for common, df=3; rare1 df=1 -> tfidf = ln(3)
+    assert math.isclose(rows[(1, "rare1")]["tfidf"], math.log(3.0))
+    # rare2 in 2 of 3 docs -> ln(3/2)
+    assert math.isclose(rows[(2, "rare2")]["tfidf"], math.log(1.5))
+
+
+def test_text_plan_is_udf_free(spark):
+    # the whole text surface must stay inside codegen: no BatchEvalPython
+    df = spark.createDataFrame([(1, "a b c")], ["doc_id", "text"])
+    plan = df.select(
+        token_count("text"),
+        fingerprint("text"),
+        detect_language("text"),
+        quality_score("text", stopwords=LANGUAGE_PROFILES["en"]),
+    )._jdf.queryExecution().executedPlan().toString()
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
