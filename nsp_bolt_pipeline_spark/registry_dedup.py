@@ -1,0 +1,151 @@
+"""Oracle-backed registry entries for the dedup family
+(operators.neardup) over the ``documents`` table.
+
+Every stage of every operator — shingles, md5 min-hashes, band hashes,
+candidate pairs, exact Jaccard — is engine-portable arithmetic, so the
+DuckDB oracle re-runs the *entire* algorithm (not a relaxed check) and
+the driver's exact hash compare must agree bit-for-bit. The SQL is
+generated from the same constants the Spark operators default to.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from nsp_bolt_pipeline_spark.operators.neardup import (
+    HEX,
+    exact_dedup_docs,
+    minhash_lsh_pairs,
+    ngram_jaccard_pairs,
+    simhash_hex,
+)
+from nsp_bolt_pipeline_spark.registry import query
+from nsp_bolt_pipeline_spark.sources.readers import read_table
+
+N = 3  # shingle width (word 3-grams)
+NUM_HASHES = 16
+BANDS = 8  # -> rows per band = 2; S-curve center (1/8)^(1/2) ~ 0.35
+ROWS = NUM_HASHES // BANDS
+THRESHOLD = 0.5
+
+#: distinct word n-gram shingles per doc (docs shorter than N tokens drop)
+_GRAMS_CTE = f"""
+grams AS (
+    SELECT doc_id,
+           list_distinct(list_transform(
+               range(1, len(t) - {N - 2}),
+               i -> array_to_string(t[i:i + {N - 1}], ' ')
+           )) AS g
+    FROM (SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS t
+          FROM documents)
+    WHERE len(t) >= {N}
+)
+"""
+
+_JACCARD_VERIFY = f"""
+SELECT p.d1, p.d2,
+       CAST(len(list_intersect(ga.g, gb.g)) AS DOUBLE)
+           / CAST(len(ga.g) + len(gb.g) - len(list_intersect(ga.g, gb.g))
+                  AS DOUBLE) AS jaccard
+FROM pairs p
+JOIN grams ga ON p.d1 = ga.doc_id
+JOIN grams gb ON p.d2 = gb.doc_id
+WHERE CAST(len(list_intersect(ga.g, gb.g)) AS DOUBLE)
+          / CAST(len(ga.g) + len(gb.g) - len(list_intersect(ga.g, gb.g))
+                 AS DOUBLE) >= {THRESHOLD}
+"""
+
+
+@query(
+    "exact_dedup_documents",
+    r"""
+    SELECT MIN(doc_id) AS doc_id, fp
+    FROM (SELECT doc_id,
+                 md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS fp
+          FROM documents)
+    GROUP BY fp
+    """,
+)
+def q_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return exact_dedup_docs(read_table(spark, sf_dir, "documents"))
+
+
+@query(
+    "neardup_ngram_jaccard",
+    f"""
+    WITH {_GRAMS_CTE},
+    inv AS (SELECT doc_id AS d, unnest(g) AS gram FROM grams),
+    pairs AS (
+        SELECT a.d AS d1, b.d AS d2
+        FROM inv a JOIN inv b ON a.gram = b.gram AND a.d < b.d
+        GROUP BY 1, 2
+    )
+    {_JACCARD_VERIFY}
+    """,
+)
+def q_neardup_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = read_table(spark, sf_dir, "documents")
+    return ngram_jaccard_pairs(docs, n=N, threshold=THRESHOLD)
+
+
+@query(
+    "neardup_minhash_lsh",
+    f"""
+    WITH {_GRAMS_CTE},
+    sigs AS (
+        SELECT doc_id, g,
+               list_transform(range(0, {NUM_HASHES}), i ->
+                   list_min(list_transform(g, x ->
+                       md5(CAST(i AS VARCHAR) || '#' || x)))) AS sig
+        FROM grams
+    ),
+    banded AS (
+        SELECT doc_id AS d, j.j AS band_idx,
+               md5(array_to_string(sig[j.j * {ROWS} + 1 : j.j * {ROWS} + {ROWS}],
+                                   '|')) AS band_hash
+        FROM sigs, range(0, {BANDS}) AS j(j)
+    ),
+    pairs AS (
+        SELECT DISTINCT a.d AS d1, b.d AS d2
+        FROM banded a
+        JOIN banded b ON a.band_idx = b.band_idx
+                     AND a.band_hash = b.band_hash
+                     AND a.d < b.d
+    )
+    {_JACCARD_VERIFY}
+    """,
+)
+def q_neardup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = read_table(spark, sf_dir, "documents")
+    return minhash_lsh_pairs(
+        docs, n=N, num_hashes=NUM_HASHES, bands=BANDS, threshold=THRESHOLD
+    )
+
+
+def _simhash_sql(nibbles: int = 16) -> str:
+    """Generate the DuckDB twin of operators.neardup.simhash_hex."""
+    nib_exprs = []
+    for p in range(nibbles):
+        bits = []
+        for b in range(4):
+            vote = (
+                "CAST(list_sum(list_transform(t, tok -> "
+                f"(CAST(FLOOR((strpos('{HEX}', substr(md5(tok), {p + 1}, 1)) - 1)"
+                f" / {2**b}) AS BIGINT) % 2) * 2 - 1)) AS BIGINT)"
+            )
+            bits.append(f"(CASE WHEN {vote} > 0 THEN {2**b} ELSE 0 END)")
+        nib = " + ".join(bits)
+        nib_exprs.append(f"substr('{HEX}', ({nib}) + 1, 1)")
+    hexcat = " || ".join(nib_exprs)
+    return f"""
+    SELECT doc_id, {hexcat} AS simhash
+    FROM (SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS t
+          FROM documents)
+    """
+
+
+@query("simhash_documents", _simhash_sql())
+def q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = read_table(spark, sf_dir, "documents")
+    return docs.select("doc_id", simhash_hex("text").alias("simhash"))

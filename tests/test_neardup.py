@@ -1,0 +1,88 @@
+"""Planted-duplicate tests for the dedup family (operators.neardup)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from nsp_bolt_pipeline_spark.operators.neardup import (
+    exact_dedup_docs,
+    minhash_lsh_pairs,
+    ngram_jaccard_pairs,
+    simhash_hex,
+    word_ngrams,
+)
+
+BASE = (
+    "the quick brown fox jumps over the lazy dog while the cat watches "
+    "from the warm windowsill and the birds sing in the old oak tree"
+)
+NEAR = BASE.replace("lazy dog", "sleepy dog")  # one-shingle-neighborhood edit
+OTHER = (
+    "completely different content about spark query engines and columnar "
+    "storage formats with vectorized execution and adaptive planning"
+)
+
+
+def _docs(spark):
+    return spark.createDataFrame(
+        [(1, BASE), (2, NEAR), (3, OTHER)], ["doc_id", "text"]
+    )
+
+
+def test_word_ngrams_short_doc_yields_empty(spark):
+    df = spark.createDataFrame([("a b",), ("a b c d",)], ["text"])
+    got = [r[0] for r in df.select(F.size(word_ngrams("text", 3))).collect()]
+    assert got == [0, 2]
+
+
+def test_exact_dedup_keeps_lowest_id_per_normalized_text(spark):
+    df = spark.createDataFrame(
+        [(5, "Hello  World"), (2, "hello world"), (9, OTHER)],
+        ["doc_id", "text"],
+    )
+    got = sorted(r["doc_id"] for r in exact_dedup_docs(df).collect())
+    assert got == [2, 9]
+
+
+def test_ngram_jaccard_finds_planted_pair_only(spark):
+    pairs = ngram_jaccard_pairs(_docs(spark), threshold=0.5).collect()
+    assert [(r["d1"], r["d2"]) for r in pairs] == [(1, 2)]
+    assert 0.5 <= pairs[0]["jaccard"] < 1.0
+
+
+def test_minhash_lsh_agrees_with_exact_on_planted_pair(spark):
+    pairs = minhash_lsh_pairs(_docs(spark), threshold=0.5).collect()
+    assert [(r["d1"], r["d2"]) for r in pairs] == [(1, 2)]
+
+
+def test_minhash_lsh_never_reports_below_threshold(spark):
+    # even if banding produced a false candidate, the exact verify
+    # must filter it: OTHER shares no shingles with BASE
+    out = minhash_lsh_pairs(_docs(spark), threshold=0.01).collect()
+    assert all({r["d1"], r["d2"]} == {1, 2} for r in out)
+
+
+def _hamming(a: str, b: str) -> int:
+    return sum(
+        bin(int(x, 16) ^ int(y, 16)).count("1") for x, y in zip(a, b)
+    )
+
+
+def test_simhash_near_dups_have_small_hamming_distance(spark):
+    sh = {
+        r["doc_id"]: r["sh"]
+        for r in _docs(spark).select("doc_id", simhash_hex("text").alias("sh")).collect()
+    }
+    assert len(sh[1]) == 16
+    assert _hamming(sh[1], sh[2]) <= 8
+    assert _hamming(sh[1], sh[3]) > 12
+
+
+def test_dedup_plans_are_udf_free(spark):
+    plan = (
+        minhash_lsh_pairs(_docs(spark))
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
