@@ -1,0 +1,165 @@
+"""Similarity search over embedding columns (scale-extension
+operators): exact brute-force cosine top-k as the verifiable baseline,
+IVF (inverted-file) partitioned search as the scale path.
+
+All vector math is native Catalyst array arithmetic — ``zip_with`` for
+the elementwise product, ``aggregate`` for the fold — in double
+precision. The left-fold sum is the same op sequence DuckDB's
+``list_sum`` performs, so similarities are bit-identical across
+engines and the oracle can verify rankings exactly (no rounding, no
+tolerance). Zero UDFs anywhere.
+
+Scale design (100 TB / billions of vectors):
+
+- ``exact_topk``: queries are broadcast (the query set is small by
+  definition); the corpus is scanned once, scored map-side, and only
+  (|queries| x k)-bounded output survives the per-query top-k window.
+  The window shuffles scored rows on query_id — acceptable for
+  benchmark-sized query sets; batch very large query sets instead.
+- ``ivf_topk``: classic IVF — assign every vector to its nearest
+  coarse centroid (one broadcast join at build time, materialized once
+  and reused), probe only the ``nprobe`` nearest lists per query:
+  scanned fraction ~= nprobe / n_centroids, recall rises with
+  ``nprobe``. Centroids here are a deterministic corpus subset rather
+  than k-means output (same plumbing, exactly reproducible — a real
+  deployment trains them offline; recall improves, determinism is
+  what the correctness gate needs).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import Window as W
+
+
+def dot(a: Column, b: Column) -> Column:
+    """Elementwise product + left-fold sum, all in double."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+
+
+def l2_norm(a: Column) -> Column:
+    return F.sqrt(dot(a, a))
+
+
+def cosine(a: Column, b: Column) -> Column:
+    return dot(a, b) / (l2_norm(a) * l2_norm(b))
+
+
+def _topk_per_query(scored: DataFrame, k: int) -> DataFrame:
+    w = W.partitionBy("query_id").orderBy(
+        F.col("sim").desc(), F.col("vec_id").asc()
+    )
+    return (
+        scored.withColumn("rnk", F.row_number().over(w).cast("long"))
+        .filter(F.col("rnk") <= k)
+        .select("query_id", "vec_id", "sim", "rnk")
+    )
+
+
+def exact_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    *,
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Brute-force cosine top-k: the exact baseline every ANN variant
+    is measured against. Self-matches are excluded."""
+    q = queries.select(
+        F.col(id_col).alias("query_id"), F.col(vec_col).alias("qv")
+    )
+    c = corpus.select(F.col(id_col).alias("vec_id"), F.col(vec_col).alias("cv"))
+    scored = (
+        c.join(F.broadcast(q), F.col("vec_id") != F.col("query_id"))
+        .withColumn("sim", cosine(F.col("qv"), F.col("cv")))
+        .select("query_id", "vec_id", "sim")
+    )
+    return _topk_per_query(scored, k)
+
+
+def cosine_neardup_pairs(
+    df: DataFrame,
+    *,
+    threshold: float,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs (id1 < id2, sim >=
+    threshold). All-pairs — correct and verifiable; at corpus scale,
+    feed IVF/LSH candidates through the same scoring instead."""
+    a = df.select(F.col(id_col).alias("d1"), F.col(vec_col).alias("v1"))
+    b = df.select(F.col(id_col).alias("d2"), F.col(vec_col).alias("v2"))
+    return (
+        a.join(b, F.col("d1") < F.col("d2"))
+        .withColumn("sim", cosine(F.col("v1"), F.col("v2")))
+        .filter(F.col("sim") >= threshold)
+        .select("d1", "d2", "sim")
+    )
+
+
+def ivf_assignments(
+    corpus: DataFrame,
+    centroids: DataFrame,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Assign each vector to its highest-cosine centroid (ties broken
+    by lowest centroid id). One broadcast join + partial-agg max_by:
+    the corpus never shuffles, only (vec_id, cid) pairs do."""
+    c = centroids.select(F.col(id_col).alias("cid"), F.col(vec_col).alias("cv"))
+    scored = corpus.select(
+        F.col(id_col), F.col(vec_col).alias("v")
+    ).crossJoin(F.broadcast(c))
+    best = F.max_by(
+        F.col("cid"), F.struct(cosine(F.col("v"), F.col("cv")), -F.col("cid"))
+    )
+    return scored.groupBy(id_col).agg(best.alias("cid"))
+
+
+def ivf_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    *,
+    k: int = 10,
+    n_centroids: int = 16,
+    nprobe: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """IVF approximate top-k: probe the ``nprobe`` nearest centroid
+    lists per query, score only those candidates, rank exactly like
+    :func:`exact_topk`. Scanned fraction ~= nprobe / n_centroids."""
+    centroids = corpus.filter(F.col(id_col) < n_centroids)
+    assign = ivf_assignments(corpus, centroids, id_col=id_col, vec_col=vec_col)
+
+    c = centroids.select(F.col(id_col).alias("cid"), F.col(vec_col).alias("cv"))
+    q = queries.select(
+        F.col(id_col).alias("query_id"), F.col(vec_col).alias("qv")
+    )
+    probe_w = W.partitionBy("query_id").orderBy(
+        F.col("csim").desc(), F.col("cid").asc()
+    )
+    probes = (
+        q.crossJoin(F.broadcast(c))
+        .withColumn("csim", cosine(F.col("qv"), F.col("cv")))
+        .withColumn("prb", F.row_number().over(probe_w))
+        .filter(F.col("prb") <= nprobe)
+        .select("query_id", "qv", "cid")
+    )
+    cands = probes.join(assign, "cid").filter(
+        F.col(id_col) != F.col("query_id")
+    )
+    vecs = corpus.select(F.col(id_col), F.col(vec_col).alias("cv"))
+    scored = (
+        cands.join(vecs, id_col)
+        .withColumn("sim", cosine(F.col("qv"), F.col("cv")))
+        .select("query_id", F.col(id_col).alias("vec_id"), "sim")
+    )
+    return _topk_per_query(scored, k)

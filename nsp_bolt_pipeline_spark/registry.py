@@ -615,3 +615,4 @@ def q_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 from nsp_bolt_pipeline_spark import registry_streaming  # noqa: E402,F401
 from nsp_bolt_pipeline_spark import registry_text  # noqa: E402,F401
 from nsp_bolt_pipeline_spark import registry_dedup  # noqa: E402,F401
+from nsp_bolt_pipeline_spark import registry_similarity  # noqa: E402,F401

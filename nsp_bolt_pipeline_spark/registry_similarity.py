@@ -1,0 +1,130 @@
+"""Oracle-backed registry entries for similarity search
+(operators.similarity) over the ``embeddings`` table.
+
+The Spark fold (``aggregate`` over ``zip_with``) and DuckDB's
+``list_sum`` perform the same left-to-right IEEE double op sequence,
+so cosine similarities are bit-identical across engines (verified) and
+the oracles check exact values and exact rankings — including for the
+IVF approximate search, whose *algorithm* (deterministic centroids,
+nearest-list assignment, nprobe probing) the SQL replays in full.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+from nsp_bolt_pipeline_spark.operators.similarity import (
+    cosine_neardup_pairs,
+    exact_topk,
+    ivf_topk,
+)
+from nsp_bolt_pipeline_spark.registry import query
+from nsp_bolt_pipeline_spark.sources.readers import read_table
+
+N_QUERIES = 10
+K = 10
+N_CENTROIDS = 16
+NPROBE = 4
+NEARDUP_THRESHOLD = 0.35
+
+
+def _dot_sql(a: str, b: str) -> str:
+    return (
+        f"list_sum(list_transform(range(1, len({a}) + 1), "
+        f"i -> CAST({a}[i] AS DOUBLE) * CAST({b}[i] AS DOUBLE)))"
+    )
+
+
+def _cos_sql(a: str, b: str) -> str:
+    return (
+        f"{_dot_sql(a, b)} / (sqrt({_dot_sql(a, a)}) * sqrt({_dot_sql(b, b)}))"
+    )
+
+
+@query(
+    "ann_exact_topk",
+    f"""
+    WITH q AS (SELECT vec_id AS query_id, embedding AS qv
+               FROM embeddings WHERE vec_id < {N_QUERIES}),
+    c AS (SELECT vec_id, embedding AS cv FROM embeddings),
+    scored AS (
+        SELECT query_id, vec_id, {_cos_sql("qv", "cv")} AS sim
+        FROM q, c WHERE vec_id <> query_id
+    )
+    SELECT query_id, vec_id, sim, rnk FROM (
+        SELECT query_id, vec_id, sim,
+               row_number() OVER (PARTITION BY query_id
+                                  ORDER BY sim DESC, vec_id ASC) AS rnk
+        FROM scored
+    ) WHERE rnk <= {K}
+    """,
+)
+def q_ann_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = read_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(emb.vec_id < N_QUERIES)
+    return exact_topk(emb, queries, k=K)
+
+
+@query(
+    "cosine_neardup_pairs",
+    f"""
+    WITH a AS (SELECT vec_id AS d1, embedding AS v1 FROM embeddings),
+    b AS (SELECT vec_id AS d2, embedding AS v2 FROM embeddings)
+    SELECT d1, d2, sim FROM (
+        SELECT d1, d2, {_cos_sql("v1", "v2")} AS sim
+        FROM a, b WHERE d1 < d2
+    ) WHERE sim >= {NEARDUP_THRESHOLD}
+    """,
+)
+def q_cosine_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = read_table(spark, sf_dir, "embeddings")
+    return cosine_neardup_pairs(emb, threshold=NEARDUP_THRESHOLD)
+
+
+@query(
+    "ann_ivf_topk",
+    f"""
+    WITH cent AS (SELECT vec_id AS cid, embedding AS cv
+                  FROM embeddings WHERE vec_id < {N_CENTROIDS}),
+    vecs AS (SELECT vec_id, embedding AS v FROM embeddings),
+    assign AS (
+        SELECT vec_id, cid FROM (
+            SELECT v.vec_id, cent.cid,
+                   row_number() OVER (
+                       PARTITION BY v.vec_id
+                       ORDER BY {_cos_sql("v.v", "cent.cv")} DESC, cent.cid ASC
+                   ) AS rn
+            FROM vecs v, cent
+        ) WHERE rn = 1
+    ),
+    q AS (SELECT vec_id AS query_id, embedding AS qv
+          FROM embeddings WHERE vec_id < {N_QUERIES}),
+    probes AS (
+        SELECT query_id, qv, cid FROM (
+            SELECT q.query_id, q.qv, cent.cid,
+                   row_number() OVER (
+                       PARTITION BY q.query_id
+                       ORDER BY {_cos_sql("q.qv", "cent.cv")} DESC, cent.cid ASC
+                   ) AS prb
+            FROM q, cent
+        ) WHERE prb <= {NPROBE}
+    ),
+    scored AS (
+        SELECT p.query_id, a.vec_id, {_cos_sql("p.qv", "vecs.v")} AS sim
+        FROM probes p
+        JOIN assign a USING (cid)
+        JOIN vecs ON vecs.vec_id = a.vec_id
+        WHERE a.vec_id <> p.query_id
+    )
+    SELECT query_id, vec_id, sim, rnk FROM (
+        SELECT query_id, vec_id, sim,
+               row_number() OVER (PARTITION BY query_id
+                                  ORDER BY sim DESC, vec_id ASC) AS rnk
+        FROM scored
+    ) WHERE rnk <= {K}
+    """,
+)
+def q_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = read_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(emb.vec_id < N_QUERIES)
+    return ivf_topk(emb, queries, k=K, n_centroids=N_CENTROIDS, nprobe=NPROBE)

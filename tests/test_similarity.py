@@ -1,0 +1,90 @@
+"""Tests for operators.similarity: numerical agreement with numpy,
+IVF recall against the exact baseline, plan hygiene."""
+
+from __future__ import annotations
+
+import math
+
+import numpy as np
+from pyspark.sql import functions as F
+
+from nsp_bolt_pipeline_spark.operators.similarity import (
+    cosine,
+    cosine_neardup_pairs,
+    exact_topk,
+    ivf_topk,
+)
+from nsp_bolt_pipeline_spark.sources.readers import read_table
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+def test_cosine_matches_numpy(spark):
+    rng = np.random.default_rng(7)
+    a, b = rng.normal(size=16).tolist(), rng.normal(size=16).tolist()
+    df = spark.createDataFrame([(a, b)], ["a", "b"])
+    got = df.select(cosine(F.col("a"), F.col("b")).alias("c")).first()["c"]
+    want = float(np.dot(a, b) / (np.linalg.norm(a) * np.linalg.norm(b)))
+    assert math.isclose(got, want, rel_tol=1e-12)
+
+
+def test_exact_topk_orders_by_similarity_and_excludes_self(spark):
+    emb = read_table(spark, SF_DIR, "embeddings")
+    out = exact_topk(emb, emb.filter(emb.vec_id < 3), k=5).collect()
+    by_q: dict[int, list] = {}
+    for r in out:
+        by_q.setdefault(r["query_id"], []).append(r)
+    for qid, rows in by_q.items():
+        assert len(rows) == 5
+        sims = [r["sim"] for r in sorted(rows, key=lambda r: r["rnk"])]
+        assert sims == sorted(sims, reverse=True)
+        assert all(r["vec_id"] != qid for r in rows)
+
+
+def test_ivf_recall_against_exact(spark):
+    emb = read_table(spark, SF_DIR, "embeddings")
+    queries = emb.filter(emb.vec_id < 10)
+    exact = exact_topk(emb, queries, k=10).collect()
+    approx = ivf_topk(emb, queries, k=10, n_centroids=8, nprobe=4).collect()
+    exact_set = {(r["query_id"], r["vec_id"]) for r in exact}
+    approx_set = {(r["query_id"], r["vec_id"]) for r in approx}
+    recall = len(exact_set & approx_set) / len(exact_set)
+    # nprobe/n_centroids = half the corpus scanned -> decent recall
+    # even on near-orthogonal synthetic vectors; and every reported
+    # similarity must be exact (IVF approximates the candidate set,
+    # never the score).
+    assert recall >= 0.4
+    exact_sims = {(r["query_id"], r["vec_id"]): r["sim"] for r in exact}
+    for r in approx:
+        key = (r["query_id"], r["vec_id"])
+        if key in exact_sims:
+            assert r["sim"] == exact_sims[key]
+
+
+def test_ivf_scans_fewer_candidates_than_exact(spark):
+    emb = read_table(spark, SF_DIR, "embeddings")
+    n = emb.count()
+    queries = emb.filter(emb.vec_id < 2)
+    approx = ivf_topk(emb, queries, k=n, n_centroids=8, nprobe=2)
+    # with k unbounded, the result size IS the candidate-set size:
+    # must be well under the full corpus per query
+    per_q = approx.groupBy("query_id").count().collect()
+    assert all(r["count"] < 0.7 * n for r in per_q)
+
+
+def test_neardup_pairs_symmetric_free_and_thresholded(spark):
+    emb = read_table(spark, SF_DIR, "embeddings").limit(60)
+    out = cosine_neardup_pairs(emb, threshold=0.2).collect()
+    assert all(r["d1"] < r["d2"] for r in out)
+    assert all(r["sim"] >= 0.2 for r in out)
+
+
+def test_similarity_plans_are_udf_free(spark):
+    emb = read_table(spark, SF_DIR, "embeddings")
+    plan = (
+        exact_topk(emb, emb.filter(emb.vec_id < 2), k=3)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
