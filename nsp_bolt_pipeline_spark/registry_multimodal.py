@@ -1,0 +1,89 @@
+"""Oracle-backed registry entries for the multimodal plumbing
+(operators.multimodal). The documents table's text stands in as the
+binary payload (cast to ``binary``) — the engine-side handling
+(binary columns, Arrow-batched mapInPandas, typed decode contract) is
+exactly what real media would exercise; only the codec is fake, and
+the fake is md5 arithmetic the DuckDB oracle replays, so even the
+Python decode stage is hash-verified end to end.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from nsp_bolt_pipeline_spark.operators.multimodal import (
+    N_FAKE_FEATURES,
+    decode_media,
+    frame_offsets,
+    payload_metadata,
+)
+from nsp_bolt_pipeline_spark.operators.neardup import HEX
+from nsp_bolt_pipeline_spark.registry import query
+from nsp_bolt_pipeline_spark.sources.readers import read_table
+
+FRAME_EVERY_MS = 1000
+MS_PER_CHAR = 100  # synthetic duration: n_chars x 100 ms
+
+
+def _media_view(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """documents -> media table shape: (doc_id, kind, payload binary,
+    duration_ms)."""
+    docs = read_table(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        F.lit("text").alias("kind"),
+        F.col("text").cast("binary").alias("payload"),
+        (F.col("n_chars") * MS_PER_CHAR).cast("long").alias("duration_ms"),
+    )
+
+
+@query(
+    "mm_binary_metadata",
+    f"""
+    SELECT doc_id,
+           CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+           md5(text) AS payload_md5,
+           CAST(FLOOR((n_chars * {MS_PER_CHAR}) / {FRAME_EVERY_MS}) AS BIGINT) + 1
+               AS n_frames
+    FROM documents
+    """,
+)
+def q_mm_binary_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
+    media = _media_view(spark, sf_dir)
+    meta = payload_metadata("payload")
+    return media.select(
+        "doc_id",
+        meta["n_bytes"].alias("n_bytes"),
+        meta["payload_md5"].alias("payload_md5"),
+        F.size(frame_offsets("duration_ms", FRAME_EVERY_MS))
+        .cast("long")
+        .alias("n_frames"),
+    )
+
+
+def _hexpair_sql(m: str, pos: int) -> str:
+    """int value of md5 hex chars [pos, pos+1] (1-based), 0..255."""
+    return (
+        f"((strpos('{HEX}', substr({m}, {pos}, 1)) - 1) * 16"
+        f" + (strpos('{HEX}', substr({m}, {pos + 1}, 1)) - 1))"
+    )
+
+
+def _decode_oracle() -> str:
+    feats = ", ".join(
+        f"CAST({_hexpair_sql('m', 2 * i + 1)} AS DOUBLE) / 255.0 AS feat_{i}"
+        for i in range(N_FAKE_FEATURES)
+    )
+    return f"""
+    SELECT doc_id, 'text' AS kind,
+           CAST({_hexpair_sql("m", 17)} + 1 AS INTEGER) AS width,
+           CAST({_hexpair_sql("m", 19)} + 1 AS INTEGER) AS height,
+           {feats}
+    FROM (SELECT doc_id, md5(text) AS m FROM documents)
+    """
+
+
+@query("mm_decode_features", _decode_oracle())
+def q_mm_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return decode_media(_media_view(spark, sf_dir))

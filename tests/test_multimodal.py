@@ -1,0 +1,76 @@
+"""Tests for operators.multimodal: decode contract, Arrow batch path,
+frame sampling, and the real-decoder import gate."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from nsp_bolt_pipeline_spark.operators.multimodal import (
+    DECODE_SCHEMA,
+    N_FAKE_FEATURES,
+    decode_media,
+    default_decoder,
+    frame_offsets,
+    payload_metadata,
+    real_decoder,
+)
+
+
+def _media(spark):
+    rows = [
+        (1, "image", bytearray(b"fake-png-bytes")),
+        (2, "audio", bytearray(b"fake-wav-bytes-longer")),
+        (3, "image", bytearray(b"")),  # empty payload must not crash
+    ]
+    return spark.createDataFrame(rows, "doc_id long, kind string, payload binary")
+
+
+def test_payload_metadata_is_native_and_correct(spark):
+    media = _media(spark)
+    meta = payload_metadata("payload")
+    got = {
+        r["doc_id"]: (r["n_bytes"], r["payload_md5"])
+        for r in media.select("doc_id", meta["n_bytes"].alias("n_bytes"),
+                              meta["payload_md5"].alias("payload_md5")).collect()
+    }
+    import hashlib
+
+    assert got[1] == (14, hashlib.md5(b"fake-png-bytes").hexdigest())
+    assert got[3][0] == 0
+
+
+def test_decode_media_matches_schema_and_decoder(spark):
+    out = decode_media(_media(spark))
+    assert out.schema == DECODE_SCHEMA
+    rows = {r["doc_id"]: r.asDict() for r in out.collect()}
+    want = default_decoder(2, "audio", b"fake-wav-bytes-longer")
+    assert rows[2] == want
+    assert all(0.0 <= rows[1][f"feat_{i}"] <= 1.0 for i in range(N_FAKE_FEATURES))
+    assert rows[1]["width"] >= 1 and rows[1]["height"] >= 1
+
+
+def test_decode_media_prunes_to_three_columns(spark):
+    media = _media(spark).withColumn("huge_sibling", F.lit("x"))
+    plan = (
+        decode_media(media)._jdf.queryExecution().optimizedPlan().toString()
+    )
+    assert "huge_sibling" not in plan.split("MapInPandas")[-1]
+
+
+def test_frame_offsets_sampling(spark):
+    df = spark.createDataFrame([(3500,), (0,)], ["duration_ms"])
+    got = [r[0] for r in df.select(frame_offsets("duration_ms", 1000)).collect()]
+    assert got[0] == [0, 1000, 2000, 3000]
+    assert got[1] == [0]
+
+
+def test_real_decoder_gate_raises_without_pil():
+    try:
+        import PIL  # noqa: F401
+
+        pytest.skip("PIL present in this environment")
+    except ImportError:
+        pass
+    with pytest.raises(NotImplementedError, match="pillow"):
+        real_decoder(1, "image", b"\x89PNG")
