@@ -1,0 +1,144 @@
+"""Oracle-backed registry entries for the validation pipeline
+(operators P2/P3 + S8 + the S3 base64 decode step).
+
+The wire projection derives *string* fields from the events table and
+plants deterministic corruptions (blank required string, unparseable
+datetime, non-numeric int/double) on fixed event_id residues; the
+coerce/split pipeline (functions.validation — the exact code the
+streaming ingest runs per micro-batch) must route every planted
+corruption to the DLQ side and nothing else. The DuckDB oracle mirrors
+the corruption rules and the TRY_CAST coercions.
+
+The intermediate double->string wire values never appear in the
+output — both engines round-trip their own shortest-repr formatting
+back to the identical original bits, so the coerced doubles compare
+bit-exact even though the wire strings differ.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from nsp_bolt_pipeline_spark.functions.validation import (
+    coerce_typed,
+    split_valid_rejects,
+)
+from nsp_bolt_pipeline_spark.registry import query
+from nsp_bolt_pipeline_spark.sources.readers import (
+    decode_base64_payload,
+    read_table,
+)
+
+#: required wire schema for the start-event stand-in (P2 shape).
+_REQUIRED = {
+    "trip_id": "string",
+    "pickup_datetime": "timestamp",
+    "vendor_id": "int",
+    "estimated_fare_amount": "double",
+}
+
+#: planted corruption residues (event_id % R == 0 -> corrupt field).
+_R_BLANK, _R_BADTS, _R_BADINT, _R_BADNUM = 101, 89, 53, 97
+
+
+def _wire(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = read_table(spark, sf_dir, "events")
+    eid = F.col("event_id")
+    return ev.select(
+        "event_id",
+        F.when(eid % _R_BLANK == 0, F.lit("  "))
+        .otherwise(F.col("user_id").cast("string"))
+        .alias("trip_id"),
+        F.when(eid % _R_BADTS == 0, F.lit("31/02/2024 99:99"))
+        .when(eid % 2 == 0, F.date_format("ts", "dd/MM/yyyy HH:mm"))
+        .otherwise(F.date_format("ts", "yyyy-MM-dd HH:mm:ss"))
+        .alias("pickup_datetime"),
+        F.when(eid % _R_BADINT == 0, F.lit("not-int"))
+        .otherwise((eid % 100).cast("string"))
+        .alias("vendor_id"),
+        F.when(eid % _R_BADNUM == 0, F.lit("bogus"))
+        .otherwise(F.col("value").cast("string"))
+        .alias("estimated_fare_amount"),
+    )
+
+
+_WIRE_SQL = f"""
+wire AS (
+    SELECT event_id,
+        CASE WHEN event_id % {_R_BLANK} = 0 THEN '  '
+             ELSE CAST(user_id AS VARCHAR) END AS trip_id_w,
+        CASE WHEN event_id % {_R_BADTS} = 0 THEN '31/02/2024 99:99'
+             WHEN event_id % 2 = 0 THEN strftime(ts, '%d/%m/%Y %H:%M')
+             ELSE strftime(ts, '%Y-%m-%d %H:%M:%S') END AS pickup_w,
+        CASE WHEN event_id % {_R_BADINT} = 0 THEN 'not-int'
+             ELSE CAST(event_id % 100 AS VARCHAR) END AS vendor_w,
+        CASE WHEN event_id % {_R_BADNUM} = 0 THEN 'bogus'
+             ELSE CAST(value AS VARCHAR) END AS fare_w
+    FROM events
+),
+coerced AS (
+    SELECT event_id,
+        CASE WHEN trim(trip_id_w) = '' THEN NULL ELSE trip_id_w END AS trip_id,
+        COALESCE(try_strptime(pickup_w, '%d/%m/%Y %H:%M'),
+                 try_strptime(pickup_w, '%Y-%m-%d %H:%M:%S'))
+            AS pickup_datetime,
+        TRY_CAST(TRY_CAST(vendor_w AS DOUBLE) AS INTEGER) AS vendor_id,
+        TRY_CAST(fare_w AS DOUBLE) AS estimated_fare_amount
+    FROM wire
+)
+"""
+
+_VALID_PRED = (
+    "trip_id IS NOT NULL AND pickup_datetime IS NOT NULL "
+    "AND vendor_id IS NOT NULL AND estimated_fare_amount IS NOT NULL"
+)
+
+_COLS = (
+    "event_id, trip_id, pickup_datetime, vendor_id, estimated_fare_amount"
+)
+
+
+@query(
+    "p2_p3_coerce_valid",
+    f"WITH {_WIRE_SQL} SELECT {_COLS} FROM coerced WHERE {_VALID_PRED}",
+)
+def q_p2_p3_valid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    coerced = coerce_typed(_wire(spark, sf_dir), _REQUIRED)
+    valid, _ = split_valid_rejects(coerced)
+    return valid.select(*(c.strip() for c in _COLS.split(",")))
+
+
+@query(
+    "s8_dlq_rejects",
+    f"WITH {_WIRE_SQL} SELECT {_COLS} FROM coerced WHERE NOT ({_VALID_PRED})",
+)
+def q_s8_rejects(spark: SparkSession, sf_dir: str) -> DataFrame:
+    coerced = coerce_typed(_wire(spark, sf_dir), _REQUIRED)
+    _, rejects = split_valid_rejects(coerced)
+    return rejects.select(*(c.strip() for c in _COLS.split(",")))
+
+
+@query(
+    "s3_base64_decode",
+    """
+    SELECT event_id,
+           decode(from_base64(to_base64(encode(props)))) AS payload,
+           TRY_CAST(json_extract_string(
+               decode(from_base64(to_base64(encode(props)))), '$.k')
+               AS DOUBLE) AS k
+    FROM events
+    """,
+)
+def q_s3_base64(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The Kinesis payload decode path (S3 + §2.7 base64): encode the
+    props JSON to base64 (what the wire actually carries), decode with
+    native unbase64, extract a field from the recovered JSON."""
+    ev = read_table(spark, sf_dir, "events")
+    wired = ev.select("event_id", F.base64(F.col("props").cast("binary")).alias("payload"))
+    decoded = decode_base64_payload(wired, "payload")
+    return decoded.select(
+        "event_id",
+        "payload",
+        F.get_json_object("payload", "$.k").try_cast("double").alias("k"),
+    )

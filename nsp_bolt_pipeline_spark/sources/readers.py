@@ -84,6 +84,15 @@ def read_json_events(
     )
 
 
+def decode_base64_payload(df: DataFrame, col: str, *, out: str | None = None) -> DataFrame:
+    """S3 decode step: Kinesis delivers base64-encoded payloads which
+    the Lambda decodes before json.loads (reference:
+    lambdas/TripStartProcessor/TripStartProcessor.py:81). Native
+    ``unbase64`` -> utf-8 string; feed the result to
+    :func:`parse_json_column`."""
+    return df.withColumn(out or col, F.unbase64(F.col(col)).cast("string"))
+
+
 def parse_json_column(df: DataFrame, col: str, schema: T.StructType) -> DataFrame:
     """S3 (stream shape): ``from_json`` over a string payload column —
     the Kafka/Kinesis ``value`` decode path. Parse failure yields a
