@@ -27,6 +27,12 @@ HEADLINE = [
     "q3_shipping_priority",
     "q5_region_revenue",
     "top_k_per_group",
+    # scale-extension operators (round 2)
+    "neardup_minhash_lsh",
+    "ann_exact_topk",
+    "ann_ivf_topk",
+    "text_tfidf",
+    "mm_decode_features",
 ]
 
 

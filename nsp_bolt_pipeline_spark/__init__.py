@@ -6,10 +6,15 @@ as an idiomatic Apache Spark engine:
 
 - ``sources``   : schema-enforced readers + partitioned sinks + DLQ split
 - ``functions`` : scalar function surface (datetime, validation, casts)
-- ``operators`` : dedup, completion join, KPI aggregation
+- ``operators`` : dedup (exact / n-gram Jaccard / MinHash-LSH /
+                  SimHash), completion join, KPI aggregation, text
+                  analysis (tokens, quality, language ID, TF-IDF),
+                  similarity search (exact cosine top-k, IVF ANN),
+                  multimodal binary-column plumbing
 - ``streaming`` : Structured Streaming ingest / stateful dedup /
                   windowed KPI / stream-stream completion join
 - ``pipeline``  : end-to-end batch composition (bronze -> silver -> gold)
+- ``orchestration`` : Step-Function-style retry shim around batch jobs
 
 Everything is a pure ``DataFrame -> DataFrame`` function so the same
 transform runs in batch tests, the DuckDB-oracle harness, and streaming

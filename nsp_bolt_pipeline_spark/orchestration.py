@@ -1,0 +1,90 @@
+"""Orchestration shim (SURVEY.md §2.9, O1-O3).
+
+The reference drives its daily batch through a Step Function
+(stepfunction/stepfn.json): run the Glue job synchronously, retry
+timeout/concurrency errors 3x with exponential backoff (60 s base,
+rate 2.0), one catch-all retry after 30 s, then notify success or
+failure (stepfn.json:5-66). O1 (the midnight trigger) is any external
+scheduler invoking :func:`run_job`; Structured Streaming queries
+restart from their checkpoint and need none of this.
+
+This is deliberately plain Python around a callable — orchestration
+sits outside the data plane, and the engine's jobs are idempotent
+(overwrite/MERGE-style sinks), so a retry is always safe.
+"""
+
+from __future__ import annotations
+
+import logging
+import time
+from collections.abc import Callable
+from typing import TypeVar
+
+logger = logging.getLogger(__name__)
+
+T = TypeVar("T")
+
+
+class RetryBudgetExceeded(RuntimeError):
+    """All retry attempts exhausted; carries the last error as cause."""
+
+
+def run_job(
+    job: Callable[[], T],
+    *,
+    retryable: tuple[type[BaseException], ...] = (TimeoutError,),
+    max_attempts: int = 3,
+    interval_seconds: float = 60.0,
+    backoff_rate: float = 2.0,
+    catchall_attempts: int = 1,
+    catchall_interval_seconds: float = 30.0,
+    on_success: Callable[[T], None] | None = None,
+    on_failure: Callable[[BaseException], None] | None = None,
+    sleep: Callable[[float], None] = time.sleep,
+) -> T:
+    """Run ``job`` with the Step Function's retry semantics
+    (stepfn.json:11-27): ``max_attempts`` tries for ``retryable``
+    errors with exponential backoff, plus ``catchall_attempts`` for
+    anything else at a flat interval; then the O3 notification hooks
+    (stepfn.json:29-66 success/failure branches).
+
+    ``sleep`` is injectable for tests and for schedulers that want
+    async waits.
+    """
+    retry_left = max_attempts - 1
+    catchall_left = catchall_attempts
+    delay = interval_seconds
+    while True:
+        try:
+            result = job()
+        except retryable as exc:
+            if retry_left > 0:
+                logger.warning(
+                    "retryable failure (%s); %d attempts left, backoff %.0fs",
+                    exc,
+                    retry_left,
+                    delay,
+                )
+                retry_left -= 1
+                sleep(delay)
+                delay *= backoff_rate
+                continue
+            if on_failure is not None:
+                on_failure(exc)
+            raise RetryBudgetExceeded("retryable budget exhausted") from exc
+        except BaseException as exc:
+            if catchall_left > 0:
+                logger.warning(
+                    "non-retryable failure (%s); catch-all retry in %.0fs",
+                    exc,
+                    catchall_interval_seconds,
+                )
+                catchall_left -= 1
+                sleep(catchall_interval_seconds)
+                continue
+            if on_failure is not None:
+                on_failure(exc)
+            raise
+        if on_success is not None:
+            on_success(result)
+        return result

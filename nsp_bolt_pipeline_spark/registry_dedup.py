@@ -24,8 +24,8 @@ from nsp_bolt_pipeline_spark.registry import query
 from nsp_bolt_pipeline_spark.sources.readers import read_table
 
 N = 3  # shingle width (word 3-grams)
-NUM_HASHES = 16
-BANDS = 8  # -> rows per band = 2; S-curve center (1/8)^(1/2) ~ 0.35
+NUM_HASHES = 15
+BANDS = 5  # -> rows per band = 3; S-curve center (1/5)^(1/3) ~ 0.58
 ROWS = NUM_HASHES // BANDS
 THRESHOLD = 0.5
 

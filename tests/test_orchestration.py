@@ -1,0 +1,56 @@
+"""Tests for the O2 retry shim — semantics mirror stepfn.json:11-27."""
+
+from __future__ import annotations
+
+import pytest
+
+from nsp_bolt_pipeline_spark.orchestration import RetryBudgetExceeded, run_job
+
+
+class Flaky:
+    def __init__(self, failures: list[BaseException]):
+        self.failures = list(failures)
+        self.calls = 0
+
+    def __call__(self) -> str:
+        self.calls += 1
+        if self.failures:
+            raise self.failures.pop(0)
+        return "ok"
+
+
+def test_retryable_errors_back_off_exponentially():
+    sleeps: list[float] = []
+    job = Flaky([TimeoutError(), TimeoutError()])
+    out = run_job(job, sleep=sleeps.append)
+    assert out == "ok" and job.calls == 3
+    assert sleeps == [60.0, 120.0]
+
+
+def test_retry_budget_exhausts_after_max_attempts():
+    notified: list[BaseException] = []
+    job = Flaky([TimeoutError()] * 5)
+    with pytest.raises(RetryBudgetExceeded):
+        run_job(job, sleep=lambda _: None, on_failure=notified.append)
+    assert job.calls == 3  # max_attempts, like the ASL definition
+    assert isinstance(notified[0], TimeoutError)
+
+
+def test_catchall_retries_once_at_flat_interval():
+    sleeps: list[float] = []
+    job = Flaky([ValueError("boom")])
+    assert run_job(job, sleep=sleeps.append) == "ok"
+    assert sleeps == [30.0]
+
+
+def test_catchall_budget_is_one_then_reraises():
+    job = Flaky([ValueError("a"), ValueError("b")])
+    with pytest.raises(ValueError, match="b"):
+        run_job(job, sleep=lambda _: None)
+    assert job.calls == 2
+
+
+def test_success_notification_fires():
+    got: list[str] = []
+    assert run_job(lambda: "done", on_success=got.append) == "done"
+    assert got == ["done"]
