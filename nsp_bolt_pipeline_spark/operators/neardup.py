@@ -184,7 +184,9 @@ def ngram_jaccard_pairs(
     before pairing (stop-shingle guard); at 100 TB run this only on
     LSH candidates (:func:`minhash_lsh_pairs`) instead.
     """
-    grams = _grams_df(df, id_col=id_col, text_col=text_col, n=n)
+    # persist: grams feeds the inverted index twice (self-join) and the
+    # verify stage twice — five re-derivations without a cache point
+    grams = _grams_df(df, id_col=id_col, text_col=text_col, n=n).persist()
     inv = grams.select(F.col(id_col).alias("d"), F.explode("g").alias("gram"))
     if max_gram_df is not None:
         hot = (

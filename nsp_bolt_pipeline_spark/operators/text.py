@@ -141,7 +141,10 @@ def tf_idf(df: DataFrame, *, id_col: str, text_col: str) -> DataFrame:
     and exact) rather than via a cross-join with an agg.
     """
     n_docs = df.count()
-    tf = term_frequencies(df, id_col=id_col, text_col=text_col)
+    # persist: tf feeds both the output and the document-frequency
+    # aggregate — without a cache point the corpus explode+agg runs
+    # twice. (doc, term, tf) is far smaller than the corpus itself.
+    tf = term_frequencies(df, id_col=id_col, text_col=text_col).persist()
     dfreq = tf.groupBy("term").agg(F.count("*").alias("df"))
     return (
         tf.join(F.broadcast(dfreq), "term")

@@ -38,3 +38,34 @@ def write_daily_kpis(df: DataFrame, path: str, *, single_file: bool = False) -> 
 def write_rejects(df: DataFrame, path: str) -> None:
     """S8: dead-letter sink — keep the full raw row for replay."""
     df.write.mode("append").parquet(path)
+
+
+def write_bronze_bucketed(
+    df: DataFrame,
+    table_name: str,
+    *,
+    buckets: int,
+    key: str = "trip_id",
+    path: str | None = None,
+    mode: str = "overwrite",
+) -> None:
+    """S4 variant for the 100 TB path: bucket the bronze table by the
+    join key so the completion join (J1) is shuffle-free.
+
+    Two tables bucketed by ``trip_id`` with the same bucket count
+    sort-merge-join without any Exchange — at scale that removes the
+    single largest data movement in the pipeline (both full event
+    tables). The bucket count is a table property fixed at write time;
+    size it to the target corpus (buckets ~ table_bytes / 1 GiB), not
+    to the test machine. Requires a catalog table (bucketing metadata
+    lives in the metastore), hence ``saveAsTable``.
+    """
+    writer = (
+        df.write.mode(mode)
+        .format("parquet")
+        .bucketBy(buckets, key)
+        .sortBy(key)
+    )
+    if path is not None:
+        writer = writer.option("path", path)
+    writer.saveAsTable(table_name)

@@ -1,0 +1,85 @@
+"""Reader-side tests (S1 CSV scan, S3 JSON/base64 decode) and the
+bucketed-bronze shuffle-free join (the J1 scale path)."""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from nsp_bolt_pipeline_spark.operators.completion import completed_trips
+from nsp_bolt_pipeline_spark.sources.readers import (
+    decode_base64_payload,
+    parse_json_column,
+    read_csv_events,
+)
+from nsp_bolt_pipeline_spark.sources.sinks import write_bronze_bucketed
+
+CSV_SCHEMA = T.StructType(
+    [
+        T.StructField("trip_id", T.StringType()),
+        T.StructField("pickup_datetime", T.StringType()),
+        T.StructField("fare_amount", T.StringType()),
+    ]
+)
+
+
+def test_csv_scan_with_declared_schema(spark, tmp_path):
+    p = tmp_path / "events.csv"
+    p.write_text(
+        "trip_id,pickup_datetime,fare_amount\n"
+        "t1,11/07/2024 14:00,12.5\n"
+        "t2,2024-07-11 15:30:00,20.0\n"
+    )
+    df = read_csv_events(spark, str(p), CSV_SCHEMA)
+    assert df.schema == CSV_SCHEMA  # declared, never inferred
+    rows = sorted(df.collect())
+    assert rows[0]["trip_id"] == "t1" and rows[1]["fare_amount"] == "20.0"
+
+
+def test_base64_then_json_decode_path(spark):
+    df = spark.createDataFrame([('{"trip_id": "t9", "fare": 3.5}',)], ["raw"])
+    wired = df.select(F.base64(F.col("raw").cast("binary")).alias("payload"))
+    decoded = decode_base64_payload(wired, "payload")
+    schema = T.StructType(
+        [
+            T.StructField("trip_id", T.StringType()),
+            T.StructField("fare", T.DoubleType()),
+        ]
+    )
+    parsed = parse_json_column(decoded, "payload", schema)
+    row = parsed.select("_parsed.*").first()
+    assert (row["trip_id"], row["fare"]) == ("t9", 3.5)
+
+
+def test_bucketed_bronze_joins_without_shuffle(spark, tmp_path):
+    starts = spark.createDataFrame(
+        [(f"t{i}", float(i)) for i in range(50)], ["trip_id", "est_fare"]
+    )
+    ends = spark.createDataFrame(
+        [(f"t{i}", float(i) * 2) for i in range(0, 50, 2)],
+        ["trip_id", "fare_amount"],
+    )
+    write_bronze_bucketed(
+        starts, "bronze_starts", buckets=4, path=str(tmp_path / "s")
+    )
+    write_bronze_bucketed(
+        ends, "bronze_ends", buckets=4, path=str(tmp_path / "e")
+    )
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try:
+        # forbid broadcast so the test proves bucketing (not a tiny-
+        # table broadcast) is what removes the shuffle
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        joined = completed_trips(
+            spark.table("bronze_starts"), spark.table("bronze_ends")
+        )
+        plan = joined._jdf.queryExecution().executedPlan().toString()
+        assert "SortMergeJoin" in plan
+        assert "Exchange" not in plan
+        assert joined.count() == 25
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+        spark.sql("DROP TABLE IF EXISTS bronze_starts")
+        spark.sql("DROP TABLE IF EXISTS bronze_ends")
