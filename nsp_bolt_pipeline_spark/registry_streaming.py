@@ -21,8 +21,18 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
-from nsp_bolt_pipeline_spark.pipeline import END_EVENT, START_EVENT
-from nsp_bolt_pipeline_spark.registry import _round2, _stable_avg, query
+from nsp_bolt_pipeline_spark.pipeline import (
+    END_EVENT,
+    START_EVENT,
+    events_as_trip_streams,
+    trip_daily_kpis,
+)
+from nsp_bolt_pipeline_spark.registry import (
+    _TRIP_KPI_ORACLE,
+    _round2,
+    _stable_avg,
+    query,
+)
 from nsp_bolt_pipeline_spark.sources.readers import read_table
 from nsp_bolt_pipeline_spark.streaming.completion import (
     run_completion_join,
@@ -205,6 +215,41 @@ def q_stream_a1(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _stable_avg(_round2(out, ["total_fare"])).select(
         "date", "total_fare", "count_trips", "average_fare", "max_fare", "min_fare"
     )
+
+
+# ---------------------------------------------------------------------------
+# The full reference architecture, end to end: streaming ingest
+# (validate -> dedup -> bronze) followed by the batch gold job
+# (completion join -> daily KPIs) over the bronze table — verified
+# against the same oracle as the all-batch flagship. This is the
+# deployment shape the reference actually runs (Lambdas feed DynamoDB
+# continuously; Glue aggregates nightly), with Spark in both roles.
+# ---------------------------------------------------------------------------
+
+
+@query("stream_flagship_pipeline", _TRIP_KPI_ORACLE)
+def q_stream_flagship(spark: SparkSession, sf_dir: str) -> DataFrame:
+    dirs = _workdir("stream_flagship")
+    _dump_events(spark, sf_dir, dirs["src"])
+    run_ingest(
+        _event_stream(spark, dirs["src"]),
+        bronze_dir=dirs["out"],
+        dlq_dir=dirs["dlq"],
+        checkpoint_dir=dirs["ckpt"],
+        required={"user_id": "long", "event_type": "string", "event_id": "long"},
+        optional={"value": "double"},
+        dedup_keys=["user_id", "event_type"],
+        order_cols=["ts", "event_id"],
+        partition_cols=["event_type"],
+    )
+    bronze = spark.read.parquet(dirs["out"]).select(
+        "event_id", "ts", "user_id", "event_type", "value"
+    )
+    starts, ends = events_as_trip_streams(bronze)
+    # bronze is already first-write-wins-deduped by the ingest;
+    # trip_daily_kpis' own dedup is then a no-op pass-through, reused
+    # for exact code parity with the batch flagship.
+    return _stable_avg(_round2(trip_daily_kpis(starts, ends), ["total_fare"]))
 
 
 # ---------------------------------------------------------------------------

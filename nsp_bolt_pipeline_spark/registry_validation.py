@@ -120,6 +120,28 @@ def q_s8_rejects(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "p8_decimal_conversion",
+    """
+    SELECT event_id,
+           CAST(CAST(value AS DECIMAL(12,2)) AS VARCHAR) AS fare_decimal
+    FROM events
+    """,
+)
+def q_p8_decimal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P8: the reference converts every float to Decimal before
+    storage because DynamoDB rejects floats (TripStartProcessor.py:
+    47-58). Spark-side that is one cast to DECIMAL(12,2); rendered as
+    string because pandas' Decimal round-trip drops trailing zeros —
+    the engines' rounding (half-up on the double's exact expansion)
+    and formatting agree exactly."""
+    ev = read_table(spark, sf_dir, "events")
+    return ev.select(
+        "event_id",
+        F.col("value").cast("decimal(12,2)").cast("string").alias("fare_decimal"),
+    )
+
+
+@query(
     "s3_base64_decode",
     """
     SELECT event_id,
