@@ -43,11 +43,13 @@ from nsp_bolt_pipeline_spark.streaming.kpi import (
     run_windowed_kpis,
     windowed_daily_kpis,
 )
+from nsp_bolt_pipeline_spark.operators.dedup import first_write_wins
 from nsp_bolt_pipeline_spark.streaming.replay import (
     decode_event_times,
     dump_json_batches,
     encode_event_times,
 )
+from nsp_bolt_pipeline_spark.streaming.trip_state import track_trip_lifecycle
 
 #: events wire schema: ts travels as epoch-micros (see module docstring).
 EVENT_WIRE_SCHEMA = T.StructType(
@@ -250,6 +252,101 @@ def q_stream_flagship(spark: SparkSession, sf_dir: str) -> DataFrame:
     # trip_daily_kpis' own dedup is then a no-op pass-through, reused
     # for exact code parity with the batch flagship.
     return _stable_avg(_round2(trip_daily_kpis(starts, ends), ["total_fare"]))
+
+
+# ---------------------------------------------------------------------------
+# Custom stateful operator (applyInPandasWithState): per-trip
+# lifecycle with timeout emission. Input is pre-deduped to one
+# start/end per trip so each trip runs a single state cycle, which
+# makes the machine's output SQL-expressible; the oracle replicates
+# the horizon check in exact microseconds and the event-time timeout
+# rule (fires when watermark_ms = max_event_ms - delay_ms strictly
+# exceeds start_ms + timeout_ms). Trips still open at end-of-stream
+# are, correctly, absent from both sides.
+# ---------------------------------------------------------------------------
+
+_LIFECYCLE_TIMEOUT_MS = 48 * 3600 * 1000
+_LIFECYCLE_DELAY_MS = 3600 * 1000
+
+_LIFECYCLE_ORACLE = f"""
+WITH starts AS (
+    SELECT CAST(user_id AS VARCHAR) AS trip_id, ts,
+           row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn
+    FROM events WHERE event_type = '{START_EVENT}'
+), ends AS (
+    SELECT CAST(user_id AS VARCHAR) AS trip_id, ts, value,
+           row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn
+    FROM events WHERE event_type = '{END_EVENT}'
+), s AS (SELECT trip_id, ts FROM starts WHERE rn = 1),
+e AS (SELECT trip_id, ts, value FROM ends WHERE rn = 1),
+wm AS (
+    SELECT CAST(FLOOR(epoch_us(max(ts)) / 1000) AS BIGINT)
+               - {_LIFECYCLE_DELAY_MS} AS wm_ms
+    FROM (SELECT ts FROM s UNION ALL SELECT ts FROM e)
+),
+completed AS (
+    SELECT s.trip_id, 'completed' AS status, s.ts AS pickup_datetime,
+           e.ts AS dropoff_datetime, e.value AS fare_amount
+    FROM s JOIN e USING (trip_id)
+    WHERE epoch_us(e.ts) >= epoch_us(s.ts)
+      AND epoch_us(e.ts) <= epoch_us(s.ts)
+              + CAST({_LIFECYCLE_TIMEOUT_MS} AS BIGINT) * 1000
+),
+expired AS (
+    SELECT s.trip_id, 'expired' AS status, s.ts AS pickup_datetime,
+           CAST(NULL AS TIMESTAMP) AS dropoff_datetime,
+           CAST(NULL AS DOUBLE) AS fare_amount
+    FROM s, wm
+    WHERE s.trip_id NOT IN (SELECT trip_id FROM completed)
+      AND wm.wm_ms > CAST(FLOOR(epoch_us(s.ts) / 1000) AS BIGINT)
+                         + {_LIFECYCLE_TIMEOUT_MS}
+)
+SELECT * FROM completed UNION ALL SELECT * FROM expired
+"""
+
+
+@query("stream_trip_lifecycle", _LIFECYCLE_ORACLE)
+def q_stream_lifecycle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    dirs = _workdir("stream_lifecycle")
+    ev = read_table(spark, sf_dir, "events").filter(
+        F.col("event_type").isin(START_EVENT, END_EVENT)
+    )
+    deduped = first_write_wins(
+        ev, keys=["user_id", "event_type"], order_cols=["ts", "event_id"]
+    )
+    wire = deduped.select(
+        F.col("user_id").cast("string").alias("trip_id"),
+        F.when(F.col("event_type") == START_EVENT, "start")
+        .otherwise("end")
+        .alias("event_type"),
+        "ts",
+        F.col("value").alias("fare"),
+    )
+    dump_json_batches(
+        encode_event_times(wire, ["ts"]), dirs["src"], order_cols=["ts"]
+    )
+    schema = T.StructType(
+        [
+            T.StructField("trip_id", T.StringType()),
+            T.StructField("event_type", T.StringType()),
+            T.StructField("ts", T.LongType()),
+            T.StructField("fare", T.DoubleType()),
+        ]
+    )
+    stream = decode_event_times(spark.readStream.schema(schema).json(dirs["src"]), ["ts"])
+    out = track_trip_lifecycle(stream, timeout_ms=_LIFECYCLE_TIMEOUT_MS)
+    q = (
+        out.writeStream.format("parquet")
+        .option("path", dirs["out"])
+        .option("checkpointLocation", dirs["ckpt"])
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.read.parquet(dirs["out"]).select(
+        "trip_id", "status", "pickup_datetime", "dropoff_datetime", "fare_amount"
+    )
 
 
 # ---------------------------------------------------------------------------

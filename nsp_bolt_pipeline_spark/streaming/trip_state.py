@@ -1,0 +1,129 @@
+"""Custom stateful streaming operator: a per-trip state machine via
+``applyInPandasWithState`` — the escape hatch for semantics the
+built-in stateful operators can't express.
+
+The built-in stream-stream join (streaming.completion) emits completed
+trips but *silently drops* trips whose end never arrives — the same
+blind spot the reference has (README.md:413-414 admits stale
+incomplete records just accumulate in DynamoDB, cleaned up by some
+external process). This operator implements the full lifecycle:
+
+- first start event per trip opens the state (first-write-wins, D1),
+- first end event at/after the start closes it -> emit a ``completed``
+  row with both timestamps and the fare,
+- no end within ``timeout`` of the start -> when the event-time
+  watermark passes start + timeout, emit an ``expired`` row and drop
+  the state — the "cleanup process" the reference never built, as a
+  first-class, bounded-state streaming output.
+
+Scale notes (100 TB): state is one small row per *open* trip, keyed
+and shuffled by trip_id; completed/expired keys are removed
+immediately, and the GroupStateTimeout.EventTimeTimeout mechanism
+bounds the tail at (open-trip rate x timeout horizon) regardless of
+table history. Python executes per key-group over Arrow batches;
+state values are plain tuples — no per-row serialization.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+from typing import TYPE_CHECKING
+
+from pyspark.sql import DataFrame
+from pyspark.sql import types as T
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+if TYPE_CHECKING:
+    import pandas as pd
+
+#: output contract: one row per resolved trip.
+TRIP_OUTCOME_SCHEMA = T.StructType(
+    [
+        T.StructField("trip_id", T.StringType()),
+        T.StructField("status", T.StringType()),  # completed | expired
+        T.StructField("pickup_datetime", T.TimestampType()),
+        T.StructField("dropoff_datetime", T.TimestampType()),
+        T.StructField("fare_amount", T.DoubleType()),
+    ]
+)
+
+#: state: (pickup_epoch_us,) for an open trip.
+_STATE_SCHEMA = T.StructType([T.StructField("pickup_us", T.LongType())])
+
+
+def track_trip_lifecycle(
+    events: DataFrame,
+    *,
+    timeout_ms: int,
+    ts_col: str = "ts",
+    watermark_delay: str = "1 hour",
+) -> DataFrame:
+    """Wire the state machine over a unified (trip_id, event_type, ts,
+    fare) stream. ``event_type`` is 'start' or 'end'; out-of-order
+    arrival within the watermark is handled by the event-time logic
+    (an end before any start waits in no state — the reference's
+    semantics: completion requires a stored start)."""
+
+    def update(
+        key: tuple,
+        batches: Iterator["pd.DataFrame"],
+        state: GroupState,
+    ) -> Iterator["pd.DataFrame"]:
+        import pandas as pd  # noqa: PLC0415
+
+        trip_id = key[0]
+        if state.hasTimedOut:
+            (pickup_us,) = state.get
+            state.remove()
+            yield pd.DataFrame(
+                [
+                    {
+                        "trip_id": trip_id,
+                        "status": "expired",
+                        "pickup_datetime": pd.Timestamp(pickup_us, unit="us"),
+                        "dropoff_datetime": pd.NaT,
+                        "fare_amount": None,
+                    }
+                ]
+            )
+            return
+
+        rows = pd.concat(list(batches)).sort_values(["ts", "event_type"])
+        pickup_us = state.get[0] if state.exists else None
+        out = []
+        for r in rows.itertuples(index=False):
+            ts_us = int(pd.Timestamp(r.ts).value // 1000)
+            if r.event_type == "start" and pickup_us is None:
+                pickup_us = ts_us  # first-write-wins (D1)
+            elif (
+                r.event_type == "end"
+                and pickup_us is not None
+                and ts_us >= pickup_us
+                and ts_us <= pickup_us + timeout_ms * 1000
+            ):
+                out.append(
+                    {
+                        "trip_id": trip_id,
+                        "status": "completed",
+                        "pickup_datetime": pd.Timestamp(pickup_us, unit="us"),
+                        "dropoff_datetime": pd.Timestamp(ts_us, unit="us"),
+                        "fare_amount": float(r.fare),
+                    }
+                )
+                pickup_us = None  # trip resolved; state closes
+                state.remove()
+        if pickup_us is not None:
+            state.update((pickup_us,))
+            # expire once the event-time watermark passes the horizon
+            state.setTimeoutTimestamp(pickup_us // 1000 + timeout_ms)
+        if out:
+            yield pd.DataFrame(out)
+
+    keyed = events.withWatermark(ts_col, watermark_delay).groupBy("trip_id")
+    return keyed.applyInPandasWithState(
+        update,
+        outputStructType=TRIP_OUTCOME_SCHEMA,
+        stateStructType=_STATE_SCHEMA,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.EventTimeTimeout,
+    )

@@ -1,0 +1,87 @@
+"""Tests for the applyInPandasWithState trip lifecycle operator."""
+
+from __future__ import annotations
+
+import json
+import os
+
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from nsp_bolt_pipeline_spark.streaming.replay import decode_event_times
+from nsp_bolt_pipeline_spark.streaming.trip_state import track_trip_lifecycle
+
+WIRE = T.StructType(
+    [
+        T.StructField("trip_id", T.StringType()),
+        T.StructField("event_type", T.StringType()),
+        T.StructField("ts", T.LongType()),
+        T.StructField("fare", T.DoubleType()),
+    ]
+)
+
+US_PER_HOUR = 3_600_000_000
+T0 = 1_700_000_000_000_000
+
+
+def _run(spark, tmp_path, rows, name):
+    src = str(tmp_path / "src")
+    os.makedirs(src, exist_ok=True)
+    with open(os.path.join(src, "b0.json"), "w") as f:
+        for r in rows:
+            f.write(json.dumps(r) + "\n")
+    stream = decode_event_times(
+        spark.readStream.schema(WIRE).json(src), ["ts"]
+    )
+    out = track_trip_lifecycle(stream, timeout_ms=2 * 3600 * 1000)
+    q = (
+        out.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return {
+        r["trip_id"]: r
+        for r in spark.sql(f"SELECT * FROM {name}").collect()
+    }
+
+
+def test_lifecycle_completed_expired_and_orphans(spark, tmp_path):
+    rows = [
+        # completes: end 1h after start (inside the 2h horizon)
+        {"trip_id": "done", "event_type": "start", "ts": T0, "fare": None},
+        {"trip_id": "done", "event_type": "end", "ts": T0 + US_PER_HOUR, "fare": 12.5},
+        # duplicate start must not reopen/shift the trip (D1 semantics)
+        {"trip_id": "done", "event_type": "start", "ts": T0 + 2, "fare": None},
+        # expires: start with no end; the late tick below pushes the
+        # watermark past start + timeout
+        {"trip_id": "lost", "event_type": "start", "ts": T0, "fare": None},
+        # orphan end (no start ever): silently dropped, like the
+        # reference's join-based completion
+        {"trip_id": "orphan", "event_type": "end", "ts": T0 + US_PER_HOUR, "fare": 9.0},
+        # watermark tick: event time T0+10h, delay 1h -> wm = T0+9h
+        {"trip_id": "tick", "event_type": "start", "ts": T0 + 10 * US_PER_HOUR, "fare": None},
+    ]
+    got = _run(spark, tmp_path, rows, "trip_state_t1")
+    assert got["done"]["status"] == "completed"
+    assert got["done"]["fare_amount"] == 12.5
+    assert str(got["done"]["pickup_datetime"].time()) != ""  # first start kept
+    assert got["lost"]["status"] == "expired"
+    assert got["lost"]["dropoff_datetime"] is None
+    assert "orphan" not in got
+    # 'tick' is still open (no end, wm has not passed its horizon)
+    assert "tick" not in got
+
+
+def test_end_outside_timeout_does_not_complete(spark, tmp_path):
+    rows = [
+        {"trip_id": "slow", "event_type": "start", "ts": T0, "fare": None},
+        # end 3h after start: outside the 2h horizon
+        {"trip_id": "slow", "event_type": "end", "ts": T0 + 3 * US_PER_HOUR, "fare": 7.0},
+        {"trip_id": "tick", "event_type": "start", "ts": T0 + 12 * US_PER_HOUR, "fare": None},
+    ]
+    got = _run(spark, tmp_path, rows, "trip_state_t2")
+    assert got["slow"]["status"] == "expired"
