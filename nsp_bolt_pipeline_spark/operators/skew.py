@@ -1,0 +1,105 @@
+"""Skew-resistant aggregation (scale technique, SURVEY.md §7).
+
+A hash aggregate on a skewed key (a handful of event types over
+billions of rows, one viral trip id, one dominant language) funnels
+the hot key's entire volume through a single reducer. AQE's skew-join
+splitting covers joins; for *aggregations* the classic fix is salting:
+
+    phase 1: groupBy(key, salt) — the hot key fans out over
+             ``salt_buckets`` reducers, each combining its shard;
+    phase 2: groupBy(key) over the per-salt partials — at most
+             ``salt_buckets`` rows per key, trivially cheap.
+
+Every algebraic measure (sum, count, min, max) re-combines exactly,
+and avg = recombined sum / recombined count, so the result is
+*identical* to the direct aggregate — the oracle enforces that, not
+just row counts. The salt is derived from a uniform hash of the full
+row (not random), keeping runs deterministic.
+
+Note Spark's partial (map-side) aggregation already handles skew when
+partitions are key-diverse; salting matters when a single key's volume
+exceeds what one final reducer should hold — size ``salt_buckets`` to
+hot-key volume / target-partition size.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Mapping, Sequence
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+#: measure name -> (phase-1 partial over raw col, phase-2 recombine)
+_ALGEBRAIC = {
+    "sum": (F.sum, F.sum),
+    "count": (F.count, F.sum),
+    "min": (F.min, F.min),
+    "max": (F.max, F.max),
+}
+
+
+def salted_agg(
+    df: DataFrame,
+    keys: Sequence[str],
+    measures: Mapping[str, tuple[str, str]],
+    *,
+    salt_buckets: int = 32,
+    salt_from: Sequence[str] | None = None,
+) -> DataFrame:
+    """Two-phase salted aggregation.
+
+    ``measures`` maps output column -> (op, input column) with op in
+    {sum, count, min, max, avg}. ``salt_from`` columns feed the salt
+    hash (default: all non-key columns), spreading the hot key
+    uniformly.
+    """
+    salt_cols = list(salt_from or [c for c in df.columns if c not in keys])
+    salt = (F.abs(F.xxhash64(*[F.col(c) for c in salt_cols])) % salt_buckets).alias(
+        "_salt"
+    )
+
+    partials: list[Column] = []
+    finals: list[Column] = []
+    for out, (op, col) in measures.items():
+        if op == "avg":
+            partials += [
+                F.sum(col).alias(f"_{out}_sum"),
+                F.count(col).alias(f"_{out}_cnt"),
+            ]
+            finals.append(
+                (F.sum(f"_{out}_sum") / F.sum(f"_{out}_cnt")).alias(out)
+            )
+            continue
+        partial_fn, final_fn = _ALGEBRAIC[op]
+        partials.append(partial_fn(col).alias(f"_{out}_p"))
+        finals.append(final_fn(f"_{out}_p").alias(out))
+
+    phase1 = df.withColumn("_salt", salt).groupBy(*keys, "_salt").agg(*partials)
+    return phase1.groupBy(*keys).agg(*finals)
+
+
+def distinct_count(
+    df: DataFrame, keys: Sequence[str], col: str, *, out: str = "n_distinct"
+) -> DataFrame:
+    """Exact distinct count per key — expands to a two-phase plan
+    (dedup shuffle on (keys, col), then count) in Spark; the verifiable
+    baseline for the approximate variant."""
+    return df.groupBy(*keys).agg(F.count_distinct(F.col(col)).alias(out))
+
+
+def approx_distinct_count(
+    df: DataFrame,
+    keys: Sequence[str],
+    col: str,
+    *,
+    rsd: float = 0.05,
+    out: str = "n_distinct_approx",
+) -> DataFrame:
+    """HyperLogLog++ distinct count per key: one pass, no dedup
+    shuffle, fixed sketch memory per key — the 100 TB path when ±rsd
+    relative error is acceptable (e.g. cardinality monitoring). Sketch
+    internals are engine-specific, so this is pytest-verified against
+    the exact baseline (error bound), not hash-matched."""
+    return df.groupBy(*keys).agg(
+        F.approx_count_distinct(F.col(col), rsd=rsd).alias(out)
+    )

@@ -1,0 +1,71 @@
+"""Oracle entries for skew-resistant aggregation (operators.skew).
+
+The salted two-phase aggregate must equal the direct aggregate — the
+oracle IS the direct aggregate, so the equivalence claim in the
+operator docstring is hash-enforced, not asserted. The fare measures
+go through the shared floor-rounding because re-combining per-salt
+partial sums changes double addition order vs DuckDB's single pass.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from nsp_bolt_pipeline_spark.operators.skew import distinct_count, salted_agg
+from nsp_bolt_pipeline_spark.registry import _r2, query
+from nsp_bolt_pipeline_spark.sources.readers import read_table
+
+
+@query(
+    "skew_salted_agg",
+    """
+    SELECT event_type,
+           FLOOR((SUM(value))*100 + 0.5)/100 AS total_value,
+           COUNT(value) AS n_events,
+           MIN(value) AS min_value,
+           MAX(value) AS max_value,
+           FLOOR(((FLOOR((SUM(value))*100 + 0.5)/100) / COUNT(value))*100 + 0.5)/100
+               AS avg_value
+    FROM events
+    GROUP BY event_type
+    """,
+)
+def q_skew_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """events has few event_type values over many rows — exactly the
+    skewed-key shape. The salted plan fans each type over 32 salt
+    buckets before the final 32-rows-per-type recombine."""
+    ev = read_table(spark, sf_dir, "events")
+    out = salted_agg(
+        ev,
+        keys=["event_type"],
+        measures={
+            "total_value": ("sum", "value"),
+            "n_events": ("count", "value"),
+            "min_value": ("min", "value"),
+            "max_value": ("max", "value"),
+            "avg_value": ("avg", "value"),
+        },
+        salt_buckets=32,
+    )
+    # recompute avg from the rounded sum so both engines divide
+    # bit-identical inputs (same convention as the KPI queries)
+    out = out.withColumn("total_value", _r2(F.col("total_value")))
+    return out.withColumn(
+        "avg_value", _r2(F.col("total_value") / F.col("n_events"))
+    ).select(
+        "event_type", "total_value", "n_events", "min_value", "max_value", "avg_value"
+    )
+
+
+@query(
+    "agg_distinct_users",
+    """
+    SELECT event_type, COUNT(DISTINCT user_id) AS n_distinct
+    FROM events
+    GROUP BY event_type
+    """,
+)
+def q_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = read_table(spark, sf_dir, "events")
+    return distinct_count(ev, ["event_type"], "user_id")

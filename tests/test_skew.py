@@ -1,0 +1,88 @@
+"""Tests for skew-resistant aggregation (operators.skew)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from nsp_bolt_pipeline_spark.operators.skew import (
+    approx_distinct_count,
+    distinct_count,
+    salted_agg,
+)
+
+
+def _skewed(spark):
+    # 'hot' carries 2000 rows, 'cold' 10 — the skewed-key shape
+    hot = spark.range(2000).select(
+        F.lit("hot").alias("k"), (F.col("id") % 97).cast("double").alias("v")
+    )
+    cold = spark.range(10).select(
+        F.lit("cold").alias("k"), F.col("id").cast("double").alias("v")
+    )
+    return hot.union(cold)
+
+
+def test_salted_agg_equals_direct_agg(spark):
+    df = _skewed(spark)
+    got = {
+        r["k"]: r.asDict()
+        for r in salted_agg(
+            df,
+            keys=["k"],
+            measures={
+                "s": ("sum", "v"),
+                "c": ("count", "v"),
+                "lo": ("min", "v"),
+                "hi": ("max", "v"),
+                "m": ("avg", "v"),
+            },
+            salt_buckets=8,
+        ).collect()
+    }
+    want = {
+        r["k"]: r.asDict()
+        for r in df.groupBy("k")
+        .agg(
+            F.sum("v").alias("s"),
+            F.count("v").alias("c"),
+            F.min("v").alias("lo"),
+            F.max("v").alias("hi"),
+            F.avg("v").alias("m"),
+        )
+        .collect()
+    }
+    for k in want:
+        assert got[k]["c"] == want[k]["c"]
+        assert got[k]["lo"] == want[k]["lo"]
+        assert got[k]["hi"] == want[k]["hi"]
+        assert abs(got[k]["s"] - want[k]["s"]) < 1e-9
+        assert abs(got[k]["m"] - want[k]["m"]) < 1e-9
+
+
+def test_salted_agg_fans_hot_key_across_buckets(spark):
+    df = _skewed(spark)
+    salt = (F.abs(F.xxhash64("v")) % 8).alias("_salt")
+    n_buckets = (
+        df.filter(F.col("k") == "hot")
+        .select(salt)
+        .distinct()
+        .count()
+    )
+    assert n_buckets == 8  # the hot key really spreads over all buckets
+
+
+def test_approx_distinct_within_rsd_of_exact(spark):
+    df = spark.range(5000).select(
+        (F.col("id") % 3).cast("string").alias("k"),
+        (F.col("id") % 1237).alias("u"),
+    )
+    exact = {
+        r["k"]: r["n_distinct"]
+        for r in distinct_count(df, ["k"], "u").collect()
+    }
+    approx = {
+        r["k"]: r["n_distinct_approx"]
+        for r in approx_distinct_count(df, ["k"], "u", rsd=0.05).collect()
+    }
+    for k, n in exact.items():
+        assert abs(approx[k] - n) <= 3 * 0.05 * n  # 3-sigma bound
