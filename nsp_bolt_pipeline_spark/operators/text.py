@@ -22,6 +22,8 @@ from collections.abc import Mapping, Sequence
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+from nsp_bolt_pipeline_spark.functions.expr import bind_once
+
 #: Tiny function-word profiles for language ID. Deliberately minimal —
 #: the operator is the n-gram/stopword *heuristic* (a real deployment
 #: swaps in fastText/CLD3 profiles); the shape (score per language ->
@@ -56,12 +58,16 @@ def punct_count(col: Column | str) -> Column:
     )
 
 
-def stopword_ratio(col: Column | str, stopwords: Sequence[str]) -> Column:
-    """Fraction of tokens that are function words — high for natural
-    prose, low for boilerplate/code/gibberish."""
-    toks = tokens(col)
+def _stop_ratio_from(toks: Column, stopwords: Sequence[str]) -> Column:
     hits = F.size(F.filter(toks, lambda t: t.isin(*stopwords)))
     return hits.cast("double") / F.size(toks).cast("double")
+
+
+def stopword_ratio(col: Column | str, stopwords: Sequence[str]) -> Column:
+    """Fraction of tokens that are function words — high for natural
+    prose, low for boilerplate/code/gibberish. Tokenization is
+    let-bound (one evaluation per row, functions.expr.bind_once)."""
+    return bind_once(tokens(col), lambda t: _stop_ratio_from(t, stopwords))
 
 
 def quality_score(col: Column | str, *, stopwords: Sequence[str]) -> Column:
@@ -72,15 +78,20 @@ def quality_score(col: Column | str, *, stopwords: Sequence[str]) -> Column:
     score is reproducible anywhere.
     """
     c = F.col(col) if isinstance(col, str) else col
-    n_tok = F.size(tokens(col)).cast("double")
-    mean_tok_len = F.length(F.trim(c)).cast("double") / n_tok
-    len_term = F.when((mean_tok_len >= 3.0) & (mean_tok_len <= 10.0), 1.0).otherwise(
-        0.5
-    )
-    punct_ratio = punct_count(col).cast("double") / F.length(c).cast("double")
-    punct_term = F.when(punct_ratio <= 0.1, 1.0).otherwise(0.0)
-    stop_term = F.least(stopword_ratio(col, stopwords) * 4.0, F.lit(1.0))
-    return 0.4 * len_term + 0.3 * punct_term + 0.3 * stop_term
+
+    def from_tokens(toks: Column) -> Column:
+        mean_tok_len = F.length(F.trim(c)).cast("double") / F.size(toks).cast(
+            "double"
+        )
+        len_term = F.when(
+            (mean_tok_len >= 3.0) & (mean_tok_len <= 10.0), 1.0
+        ).otherwise(0.5)
+        punct_ratio = punct_count(col).cast("double") / F.length(c).cast("double")
+        punct_term = F.when(punct_ratio <= 0.1, 1.0).otherwise(0.0)
+        stop_term = F.least(_stop_ratio_from(toks, stopwords) * 4.0, F.lit(1.0))
+        return 0.4 * len_term + 0.3 * punct_term + 0.3 * stop_term
+
+    return bind_once(tokens(col), from_tokens)
 
 
 def fingerprint(col: Column | str) -> Column:
@@ -106,18 +117,29 @@ def detect_language(
 ) -> Column:
     """Argmax of the per-language stopword scores, ties broken by
     profile order (insertion order of ``profiles``), 'und'
-    (undetermined) when every score is <= ``min_score``."""
-    scores = language_scores(col, profiles)
-    best = F.greatest(*scores.values()) if len(scores) > 1 else next(
-        iter(scores.values())
-    )
-    expr = F.lit("und")
-    for lang in reversed(list(profiles)):
-        expr = F.when(
-            (scores[lang] == best) & (best > min_score), F.lit(lang)
-        ).otherwise(expr)
-    # earlier profiles win ties: later whens overwrite, so build reversed
-    return expr
+    (undetermined) when every score is <= ``min_score``. All scores
+    compute from one let-bound token array."""
+
+    def from_tokens(toks: Column) -> Column:
+        scores = {
+            lang: _stop_ratio_from(toks, words)
+            for lang, words in profiles.items()
+        }
+        best = (
+            F.greatest(*scores.values())
+            if len(scores) > 1
+            else next(iter(scores.values()))
+        )
+        expr = F.lit("und")
+        # earlier profiles win ties: later whens overwrite, so build
+        # the chain reversed
+        for lang in reversed(list(profiles)):
+            expr = F.when(
+                (scores[lang] == best) & (best > min_score), F.lit(lang)
+            ).otherwise(expr)
+        return expr
+
+    return bind_once(tokens(col), from_tokens)
 
 
 def term_frequencies(
