@@ -1,0 +1,123 @@
+"""Property-based tests (hypothesis): Spark operators vs plain-Python
+models on randomized small inputs. Catches edge shapes (ties, empty
+groups, boundary formats) that fixed fixtures miss."""
+
+from __future__ import annotations
+
+from datetime import datetime
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+from pyspark.sql import functions as F
+
+from nsp_bolt_pipeline_spark.functions.datetime import parse_wire_timestamp
+from nsp_bolt_pipeline_spark.functions.validation import (
+    coerce_typed,
+    split_valid_rejects,
+)
+from nsp_bolt_pipeline_spark.operators.dedup import first_write_wins
+from nsp_bolt_pipeline_spark.operators.neardup import word_ngrams
+
+SLOW = settings(
+    max_examples=8,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+
+# (key, ts, uid, val) events with deliberate key/ts collisions
+EVENTS = st.lists(
+    st.tuples(
+        st.sampled_from(["k1", "k2", "k3"]),
+        st.integers(min_value=0, max_value=5),
+        st.integers(min_value=0, max_value=10_000),
+        st.floats(min_value=-1e6, max_value=1e6, allow_nan=False),
+    ),
+    min_size=1,
+    max_size=30,
+    unique_by=lambda t: t[2],  # uid is the unique tiebreaker
+)
+
+
+@SLOW
+@given(EVENTS)
+def test_first_write_wins_matches_python_model(spark, rows):
+    df = spark.createDataFrame(rows, "key string, ts long, uid long, val double")
+    got = {
+        r["key"]: (r["ts"], r["uid"], r["val"])
+        for r in first_write_wins(df, ["key"], ["ts", "uid"]).collect()
+    }
+    want = {}
+    for key, ts, uid, val in rows:
+        if key not in want or (ts, uid) < want[key][:2]:
+            want[key] = (ts, uid, val)
+    assert got == want
+
+
+WIRE_DT = st.datetimes(
+    min_value=datetime(1990, 1, 1), max_value=datetime(2100, 1, 1)
+).map(lambda d: d.replace(second=0, microsecond=0))
+
+
+@SLOW
+@given(st.lists(st.tuples(WIRE_DT, st.booleans()), min_size=1, max_size=20))
+def test_wire_timestamp_round_trips_both_formats(spark, items):
+    rows = [
+        (
+            dt.strftime("%d/%m/%Y %H:%M") if ddmm else dt.strftime("%Y-%m-%d %H:%M:%S"),
+            dt,
+        )
+        for dt, ddmm in items
+    ]
+    df = spark.createDataFrame(rows, "wire string, expected timestamp")
+    out = df.withColumn("parsed", parse_wire_timestamp("wire"))
+    assert out.filter(F.col("parsed") != F.col("expected")).count() == 0
+
+
+MAYBE_NUM = st.one_of(
+    st.integers(min_value=-100, max_value=100).map(str),
+    st.sampled_from(["", "  ", "nope", "1.5", "-3"]),
+    st.none(),
+)
+
+
+@SLOW
+@given(st.lists(st.tuples(st.integers(0, 10**6), MAYBE_NUM), min_size=1, max_size=25, unique_by=lambda t: t[0]))
+def test_coerce_split_partitions_exactly(spark, rows):
+    df = spark.createDataFrame(rows, "rid long, amount string")
+    valid, rejects = split_valid_rejects(
+        coerce_typed(df, required={"amount": "double"})
+    )
+    v, r = valid.collect(), rejects.collect()
+    # a partition: every input row lands on exactly one side
+    assert len(v) + len(r) == len(rows)
+    assert all(row["amount"] is not None for row in v)
+    assert all(row["amount"] is None for row in r)
+    # and the valid side's values equal python float() of the wire
+    want_valid = {
+        rid: float(a)
+        for rid, a in rows
+        if a is not None and a.strip() not in ("", "nope")
+    }
+    assert {row["rid"]: row["amount"] for row in v} == want_valid
+
+
+TOKENS = st.lists(st.sampled_from("abcdef"), min_size=0, max_size=12)
+
+
+@SLOW
+@given(TOKENS)
+def test_word_ngrams_matches_python_model(spark, toks):
+    text = " ".join(toks)
+    df = spark.createDataFrame([(text,)], ["text"])
+    got = df.select(word_ngrams("text", 3).alias("g")).first()["g"]
+    # model: Spark's split on '\s+' of a trimmed string; empty text -> ['']
+    src = text.strip().split(" ") if text.strip() else [""]
+    want = []
+    if len(src) >= 3:
+        seen = set()
+        for i in range(len(src) - 2):
+            g = " ".join(src[i : i + 3])
+            if g not in seen:
+                seen.add(g)
+                want.append(g)
+    assert got == want
