@@ -33,6 +33,10 @@ HEADLINE = [
     "ann_ivf_topk",
     "text_tfidf",
     "mm_decode_features",
+    # full streaming ingest (dump -> validate -> dedup -> bronze):
+    # ~100k events at sf0.1; wall time here ~= ingest throughput
+    # (BASELINE.md target: sustain >= 1,000 events/s/stream)
+    "stream_d1_ingest_dedup",
 ]
 
 
