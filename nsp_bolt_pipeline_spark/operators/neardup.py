@@ -78,7 +78,7 @@ def exact_dedup_docs(
     )
 
 
-def minhash_signature(grams: Column, *, num_hashes: int = 16) -> Column:
+def minhash_signature(grams: Column, *, num_hashes: int = 15) -> Column:
     """MinHash signature as an array of ``num_hashes`` hex strings:
     element i = min over shingles of md5(i || '#' || shingle).
 
@@ -209,9 +209,24 @@ def ngram_jaccard_pairs(
         )
         .groupBy(F.col("a.d").alias("d1"), F.col("b.d").alias("d2"))
         .agg(F.count("*").alias("common"))
-        .select("d1", "d2")
     )
-    return _pair_jaccard(pairs, grams, id_col=id_col, threshold=threshold)
+    # the gram-join already counted |A∩B| per pair; joining the two
+    # per-doc set sizes (a tiny (id, size) projection, broadcastable)
+    # gives Jaccard without re-shipping or re-intersecting the arrays
+    sizes = grams.select(F.col(id_col), F.size("g").alias("sz"))
+    s1 = sizes.select(F.col(id_col).alias("d1"), F.col("sz").alias("sz1"))
+    s2 = sizes.select(F.col(id_col).alias("d2"), F.col("sz").alias("sz2"))
+    return (
+        pairs.join(s1, "d1")
+        .join(s2, "d2")
+        .withColumn(
+            "jaccard",
+            F.col("common").cast("double")
+            / (F.col("sz1") + F.col("sz2") - F.col("common")).cast("double"),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("d1", "d2", "jaccard")
+    )
 
 
 def minhash_lsh_pairs(

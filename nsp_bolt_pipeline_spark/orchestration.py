@@ -72,7 +72,7 @@ def run_job(
             if on_failure is not None:
                 on_failure(exc)
             raise RetryBudgetExceeded("retryable budget exhausted") from exc
-        except BaseException as exc:
+        except Exception as exc:  # KeyboardInterrupt/SystemExit propagate
             if catchall_left > 0:
                 logger.warning(
                     "non-retryable failure (%s); catch-all retry in %.0fs",

@@ -65,6 +65,15 @@ def read_csv_events(spark: SparkSession, path: str, schema: T.StructType) -> Dat
     return spark.read.option("header", True).schema(schema).csv(path)
 
 
+def with_corrupt_record(schema: T.StructType) -> T.StructType:
+    """Schema + ``_corrupt_record`` capture column (PERMISSIVE mode)
+    for both the batch and streaming JSON readers. Returns a copy —
+    ``StructType.add`` mutates in place and callers share schemas."""
+    return T.StructType(
+        list(schema.fields) + [T.StructField("_corrupt_record", T.StringType())]
+    )
+
+
 def read_json_events(
     spark: SparkSession, path: str, schema: T.StructType
 ) -> DataFrame:
@@ -72,12 +81,8 @@ def read_json_events(
     mode lands unparseable payloads in ``_corrupt_record`` so the DLQ
     split (S8) can route them, mirroring Lambda's decode-failure path
     (TripStartProcessor.py:128-134)."""
-    # copy: StructType.add mutates in place, and callers share schemas
-    full = T.StructType(
-        list(schema.fields) + [T.StructField("_corrupt_record", T.StringType())]
-    )
     return (
-        spark.read.schema(full)
+        spark.read.schema(with_corrupt_record(schema))
         .option("mode", "PERMISSIVE")
         .option("columnNameOfCorruptRecord", "_corrupt_record")
         .json(path)

@@ -49,10 +49,19 @@ def streaming_completed_trips(
         )
     )
     joined = s.join(e, cond, "inner")
+    start_cols = [c for c in starts.columns if c != key]
+    # a column present on both sides (e.g. _corrupt_record from the
+    # wire reader) would yield a duplicate output name and break any
+    # later name-based reference; disambiguate the end side
+    end_alias = {
+        c: f"end_{c}" if c in start_cols else c
+        for c in ends.columns
+        if c != key
+    }
     return joined.select(
         F.col(f"s.{key}").alias(key),
-        *[F.col(f"s.{c}") for c in starts.columns if c != key],
-        *[F.col(f"e.{c}") for c in ends.columns if c != key],
+        *[F.col(f"s.{c}") for c in start_cols],
+        *[F.col(f"e.{c}").alias(out) for c, out in end_alias.items()],
     )
 
 

@@ -45,6 +45,7 @@ from nsp_bolt_pipeline_spark.functions.validation import (
     split_valid_rejects,
 )
 from nsp_bolt_pipeline_spark.operators.dedup import first_write_wins
+from nsp_bolt_pipeline_spark.sources.readers import with_corrupt_record
 
 
 def read_wire_stream(
@@ -60,12 +61,8 @@ def read_wire_stream(
     downstream are identical). PERMISSIVE mode lands undecodable
     payloads in ``_corrupt_record`` for the DLQ split, mirroring the
     Lambda decode-failure path (TripStartProcessor.py:128-134)."""
-    # copy: StructType.add mutates in place, and callers share schemas
-    full = T.StructType(
-        list(schema.fields) + [T.StructField("_corrupt_record", T.StringType())]
-    )
     reader = (
-        spark.readStream.schema(full)
+        spark.readStream.schema(with_corrupt_record(schema))
         .option("mode", "PERMISSIVE")
         .option("columnNameOfCorruptRecord", "_corrupt_record")
     )
@@ -121,13 +118,18 @@ def run_ingest(
     (cross-batch dedup) -> append to partitioned bronze (S4).
     """
 
-    def process_batch(batch: DataFrame, _batch_id: int) -> None:
+    def process_batch(batch: DataFrame, batch_id: int) -> None:
         spark = batch.sparkSession
         batch = batch.persist()
         try:
             coerced = coerce_typed(batch, required, optional)
             valid, rejects = split_valid_rejects(coerced)
-            rejects.write.mode("append").parquet(dlq_dir)
+            # overwrite a per-batch partition, not blind append:
+            # foreachBatch is at-least-once, so a retried batch must
+            # replace its own rejects, never duplicate them
+            rejects.write.mode("overwrite").parquet(
+                f"{dlq_dir}/batch={batch_id}"
+            )
             winners = first_write_wins(valid, dedup_keys, order_cols)
             try:
                 seen = (
@@ -136,8 +138,13 @@ def run_ingest(
                     .dropDuplicates()
                 )
                 winners = winners.join(seen, list(dedup_keys), "left_anti")
-            except AnalysisException:
-                pass  # first batch: bronze does not exist yet
+            except AnalysisException as exc:
+                # only the expected first-batch case may pass; any
+                # other analysis error (schema drift, corrupt bronze)
+                # must fail loudly rather than silently disable the
+                # cross-batch dedup
+                if "PATH_NOT_FOUND" not in str(exc):
+                    raise
             writer = winners.write.mode("append")
             if partition_cols:
                 writer = writer.partitionBy(*partition_cols)

@@ -88,7 +88,12 @@ def track_trip_lifecycle(
             )
             return
 
-        rows = pd.concat(list(batches)).sort_values(["ts", "event_type"])
+        # event_type descending so 'start' precedes 'end' on equal
+        # timestamps — a zero-duration trip in one batch must complete
+        # (the oracle's horizon check is inclusive: end >= start)
+        rows = pd.concat(list(batches)).sort_values(
+            ["ts", "event_type"], ascending=[True, False]
+        )
         pickup_us = state.get[0] if state.exists else None
         out = []
         for r in rows.itertuples(index=False):

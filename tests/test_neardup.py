@@ -78,6 +78,36 @@ def test_simhash_near_dups_have_small_hamming_distance(spark):
     assert _hamming(sh[1], sh[3]) > 12
 
 
+def test_band_structs_consistent_with_signature(spark):
+    # lsh_band_structs computes each band from its own hash families;
+    # it must equal md5('|'-joined slices) of the full signature
+    from pyspark.sql import functions as F2
+
+    from nsp_bolt_pipeline_spark.operators.neardup import (
+        lsh_band_hash,
+        lsh_band_structs,
+        minhash_signature,
+        word_ngrams,
+    )
+
+    df = spark.createDataFrame([(1, BASE)], ["doc_id", "text"]).select(
+        "doc_id", word_ngrams("text", 3).alias("g")
+    )
+    sig = df.withColumn("sig", minhash_signature(F2.col("g"), num_hashes=15))
+    via_sig = [
+        r[0]
+        for j in range(5)
+        for r in sig.select(lsh_band_hash(F2.col("sig"), j, 3)).collect()
+    ]
+    via_structs = [
+        r["bh"]["band_hash"]
+        for r in df.select(
+            F2.explode(lsh_band_structs(F2.col("g"), bands=5, rows=3)).alias("bh")
+        ).collect()
+    ]
+    assert via_sig == via_structs
+
+
 def test_dedup_plans_are_udf_free(spark):
     plan = (
         minhash_lsh_pairs(_docs(spark))

@@ -131,6 +131,26 @@ class TestDLQ:
         assert any(raw and "NaNope" in raw for raw in raws)
 
 
+class TestDLQIdempotence:
+    def test_rejects_land_in_per_batch_partitions(self, spark, tmp_path):
+        src, bronze, dlq, ckpt = _dirs(tmp_path, "src", "bronze", "dlq", "ckpt")
+        _write_batch(
+            src, "b0.json", [{"key": "bad", "ts": T0, "fare": "nope"}]
+        )
+        _ingest(spark, src, bronze, dlq, ckpt)
+        _write_batch(
+            src, "b1.json", [{"key": "bad2", "ts": T0, "fare": "nope"}]
+        )
+        _ingest(spark, src, bronze, dlq, ckpt)
+        # each micro-batch owns a batch=N partition it can overwrite on
+        # retry, so replays can never duplicate reject rows
+        parts = sorted(
+            d for d in os.listdir(dlq) if d.startswith("batch=")
+        )
+        assert len(parts) == 2
+        assert spark.read.parquet(dlq).count() == 2
+
+
 class TestWatermarkDedup:
     def test_drop_duplicates_within_watermark_keeps_one_per_key(
         self, spark, tmp_path
@@ -259,6 +279,20 @@ class TestStreamStreamJoin:
         assert [(r["trip_id"], r["fare_amount"]) for r in rows] == [
             ("in_bound", 12.0)
         ]
+
+    def test_join_disambiguates_colliding_columns(self, spark):
+        # both sides carrying a same-named non-key column (the wire
+        # reader's _corrupt_record, a shared ts, ...) must not produce
+        # duplicate output names
+        starts = spark.createDataFrame(
+            [("t1", None)], "trip_id string, note string"
+        ).withColumn("pickup_datetime", F.current_timestamp())
+        ends = spark.createDataFrame(
+            [("t1", None)], "trip_id string, note string"
+        ).withColumn("dropoff_datetime", F.current_timestamp())
+        out = streaming_completed_trips(starts, ends, within="1 hour")
+        assert len(set(out.columns)) == len(out.columns)
+        assert "note" in out.columns and "end_note" in out.columns
 
 
 class TestProducerWire:

@@ -76,6 +76,19 @@ def test_lifecycle_completed_expired_and_orphans(spark, tmp_path):
     assert "tick" not in got
 
 
+def test_zero_duration_trip_completes(spark, tmp_path):
+    # start and end share a timestamp in the same batch: the inclusive
+    # horizon (end >= start) must complete it, which requires start to
+    # be processed first on the tie
+    rows = [
+        {"trip_id": "instant", "event_type": "end", "ts": T0, "fare": 5.0},
+        {"trip_id": "instant", "event_type": "start", "ts": T0, "fare": None},
+    ]
+    got = _run(spark, tmp_path, rows, "trip_state_t0")
+    assert got["instant"]["status"] == "completed"
+    assert got["instant"]["fare_amount"] == 5.0
+
+
 def test_end_outside_timeout_does_not_complete(spark, tmp_path):
     rows = [
         {"trip_id": "slow", "event_type": "start", "ts": T0, "fare": None},
