@@ -35,6 +35,7 @@ from nsp_bolt_pipeline_spark.registry import (
 )
 from nsp_bolt_pipeline_spark.sources.readers import read_table
 from nsp_bolt_pipeline_spark.streaming.completion import (
+    deduped_completion_stream,
     run_completion_join,
     streaming_completed_trips,
 )
@@ -81,12 +82,15 @@ def _workdir(tag: str) -> dict[str, str]:
     return {d: os.path.join(base, d) for d in ("src", "out", "dlq", "ckpt")}
 
 
+def _dump_events_df(ev: DataFrame, out_dir: str) -> None:
+    cols = [c for c in ("event_id", "ts", "user_id", "event_type", "value", "props") if c in ev.columns]
+    wire = encode_event_times(ev.select(*cols), ["ts"])
+    order = [c for c in ("ts", "event_id") if c in cols]
+    dump_json_batches(wire, out_dir, order_cols=order)
+
+
 def _dump_events(spark: SparkSession, sf_dir: str, out_dir: str) -> None:
-    ev = read_table(spark, sf_dir, "events").select(
-        "event_id", "ts", "user_id", "event_type", "value", "props"
-    )
-    wire = encode_event_times(ev, ["ts"])
-    dump_json_batches(wire, out_dir, order_cols=["ts", "event_id"])
+    _dump_events_df(read_table(spark, sf_dir, "events"), out_dir)
 
 
 def _event_stream(spark: SparkSession, src: str, schema=EVENT_WIRE_SCHEMA) -> DataFrame:
@@ -252,6 +256,69 @@ def q_stream_flagship(spark: SparkSession, sf_dir: str) -> DataFrame:
     # trip_daily_kpis' own dedup is then a no-op pass-through, reused
     # for exact code parity with the batch flagship.
     return _stable_avg(_round2(trip_daily_kpis(starts, ends), ["total_fare"]))
+
+
+# ---------------------------------------------------------------------------
+# Chained stateful operators in ONE streaming query: watermarked
+# dedup on both sides feeding the stream-stream completion join.
+# The dump is pre-deduped (rn = 1 per side) so the within-batch
+# survivor choice is immaterial and the chained result is exactly the
+# deduped bounded join — the oracle d1+j1 semantics in one query.
+# ---------------------------------------------------------------------------
+
+_CHAINED_ORACLE = f"""
+WITH starts AS (
+    SELECT CAST(user_id AS VARCHAR) AS trip_id, ts AS pickup_datetime,
+           row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn
+    FROM events WHERE event_type = '{START_EVENT}'
+), ends AS (
+    SELECT CAST(user_id AS VARCHAR) AS trip_id, ts AS dropoff_datetime,
+           value AS fare_amount,
+           row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn
+    FROM events WHERE event_type = '{END_EVENT}'
+)
+SELECT s.trip_id, s.pickup_datetime, e.dropoff_datetime, e.fare_amount
+FROM starts s JOIN ends e ON s.trip_id = e.trip_id
+WHERE s.rn = 1 AND e.rn = 1
+  AND e.dropoff_datetime >= s.pickup_datetime
+  AND e.dropoff_datetime <= s.pickup_datetime + INTERVAL 7 DAY
+"""
+
+
+@query("stream_chained_dedup_join", _CHAINED_ORACLE)
+def q_stream_chained(spark: SparkSession, sf_dir: str) -> DataFrame:
+    dirs = _workdir("stream_chained")
+    ev = read_table(spark, sf_dir, "events").filter(
+        F.col("event_type").isin(START_EVENT, END_EVENT)
+    )
+    deduped = first_write_wins(
+        ev, keys=["user_id", "event_type"], order_cols=["ts", "event_id"]
+    )
+    _dump_events_df(deduped, dirs["src"])
+    starts = (
+        _event_stream(spark, dirs["src"])
+        .filter(F.col("event_type") == START_EVENT)
+        .select(
+            F.col("user_id").cast("string").alias("trip_id"),
+            F.col("ts").alias("pickup_datetime"),
+        )
+    )
+    ends = (
+        _event_stream(spark, dirs["src"])
+        .filter(F.col("event_type") == END_EVENT)
+        .select(
+            F.col("user_id").cast("string").alias("trip_id"),
+            F.col("ts").alias("dropoff_datetime"),
+            F.col("value").alias("fare_amount"),
+        )
+    )
+    joined = deduped_completion_stream(
+        starts, ends, within="7 days", watermark_delay="1 hour"
+    )
+    run_completion_join(joined, out_dir=dirs["out"], checkpoint_dir=dirs["ckpt"])
+    return spark.read.parquet(dirs["out"]).select(
+        "trip_id", "pickup_datetime", "dropoff_datetime", "fare_amount"
+    )
 
 
 # ---------------------------------------------------------------------------

@@ -33,13 +33,22 @@ def streaming_completed_trips(
     end_ts: str = "dropoff_datetime",
     within: str = "4 hours",
     watermark_delay: str = "1 hour",
+    assume_watermarked: bool = False,
 ) -> DataFrame:
     """Watermarked stream-stream inner join: a trip completes when its
     end event arrives within ``within`` of its start event. Matches are
     emitted as they occur (append mode); the watermark + range bound
-    exist to evict state, not to delay output."""
-    s = starts.withWatermark(start_ts, watermark_delay).alias("s")
-    e = ends.withWatermark(end_ts, watermark_delay).alias("e")
+    exist to evict state, not to delay output.
+
+    ``assume_watermarked=True`` skips the withWatermark calls — for
+    inputs that already carry one (e.g. downstream of a watermarked
+    dedup), where redefining the watermark is disallowed under
+    multi-stateful chaining."""
+    if assume_watermarked:
+        s, e = starts.alias("s"), ends.alias("e")
+    else:
+        s = starts.withWatermark(start_ts, watermark_delay).alias("s")
+        e = ends.withWatermark(end_ts, watermark_delay).alias("e")
     cond = (
         (F.col(f"s.{key}") == F.col(f"e.{key}"))
         & (F.col(f"e.{end_ts}") >= F.col(f"s.{start_ts}"))
@@ -62,6 +71,51 @@ def streaming_completed_trips(
         F.col(f"s.{key}").alias(key),
         *[F.col(f"s.{c}") for c in start_cols],
         *[F.col(f"e.{c}").alias(out) for c, out in end_alias.items()],
+    )
+
+
+def deduped_completion_stream(
+    starts: DataFrame,
+    ends: DataFrame,
+    *,
+    key: str = "trip_id",
+    start_ts: str = "pickup_datetime",
+    end_ts: str = "dropoff_datetime",
+    within: str = "4 hours",
+    watermark_delay: str = "1 hour",
+) -> DataFrame:
+    """Chained stateful operators in one streaming query: watermarked
+    first-write-wins dedup on each side, then the stream-stream
+    completion join — the full Lambda-pipeline semantics (D1/D2 + the
+    claimed completion matching) as a single incremental query. Spark
+    supports this multi-stateful chaining natively (two dedup state
+    stores feeding the join's two sides); each operator's state stays
+    individually watermark-bounded.
+
+    Within-batch survivor choice in ``dropDuplicatesWithinWatermark``
+    is arrival-order (nondeterministic under shuffle), so
+    oracle-verified runs feed pre-deduped or identical-payload
+    duplicates; the cross-batch drop behavior is deterministic.
+    """
+    from nsp_bolt_pipeline_spark.streaming.ingest import (  # noqa: PLC0415
+        stream_first_write_wins,
+    )
+
+    s = stream_first_write_wins(
+        starts, [key], ts_col=start_ts, delay=watermark_delay
+    )
+    e = stream_first_write_wins(
+        ends, [key], ts_col=end_ts, delay=watermark_delay
+    )
+    return streaming_completed_trips(
+        s,
+        e,
+        key=key,
+        start_ts=start_ts,
+        end_ts=end_ts,
+        within=within,
+        watermark_delay=watermark_delay,
+        assume_watermarked=True,  # the dedup stage already set them
     )
 
 

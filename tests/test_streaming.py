@@ -13,6 +13,7 @@ from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 from nsp_bolt_pipeline_spark.streaming.completion import (
+    deduped_completion_stream,
     run_completion_join,
     streaming_completed_trips,
 )
@@ -293,6 +294,48 @@ class TestStreamStreamJoin:
         out = streaming_completed_trips(starts, ends, within="1 hour")
         assert len(set(out.columns)) == len(out.columns)
         assert "note" in out.columns and "end_note" in out.columns
+
+
+class TestChainedStatefulOps:
+    def test_dedup_then_join_in_one_query_drops_duplicates(
+        self, spark, tmp_path
+    ):
+        s_src, e_src, out, ckpt = _dirs(tmp_path, "s", "e", "out", "ckpt")
+        s_schema = T.StructType(
+            [
+                T.StructField("trip_id", T.StringType()),
+                T.StructField("pickup_datetime", T.LongType()),
+            ]
+        )
+        e_schema = T.StructType(
+            [
+                T.StructField("trip_id", T.StringType()),
+                T.StructField("dropoff_datetime", T.LongType()),
+                T.StructField("fare_amount", T.DoubleType()),
+            ]
+        )
+        # identical-payload duplicates: survivor choice is immaterial,
+        # so the chained result is deterministic
+        start_row = {"trip_id": "t1", "pickup_datetime": T0}
+        end_row = {
+            "trip_id": "t1",
+            "dropoff_datetime": T0 + US_PER_HOUR,
+            "fare_amount": 8.0,
+        }
+        _write_batch(s_src, "b.json", [start_row, dict(start_row)])
+        _write_batch(e_src, "b.json", [end_row, dict(end_row)])
+        starts = decode_event_times(
+            read_wire_stream(spark, s_src, s_schema), ["pickup_datetime"]
+        ).drop("_corrupt_record")
+        ends = decode_event_times(
+            read_wire_stream(spark, e_src, e_schema), ["dropoff_datetime"]
+        ).drop("_corrupt_record")
+        joined = deduped_completion_stream(starts, ends, within="4 hours")
+        run_completion_join(joined, out_dir=out, checkpoint_dir=ckpt)
+        rows = spark.read.parquet(out).collect()
+        # without the dedup stage this join would emit 2x2 = 4 matches
+        assert len(rows) == 1
+        assert rows[0]["trip_id"] == "t1" and rows[0]["fare_amount"] == 8.0
 
 
 class TestProducerWire:
