@@ -1,0 +1,107 @@
+"""Temporal join operators (scale extensions named in the build
+brief): as-of join and bounded range join.
+
+Spark has no native ASOF JOIN; the naive formulation (equi-join on the
+key + inequality filter + argmax) materializes every (probe, candidate)
+pair — quadratic per hot key. :func:`as_of_join` uses the union-tag
+construction instead: tag both sides, sort each key's events once, and
+carry the most recent reference row forward with a running
+``last(ignorenulls)`` window. Cost is one shuffle + one sort of
+|probe| + |reference| — the same bound as a sort-merge join,
+independent of match fan-out. This is the standard scalable shape for
+"latest value at or before t" (quote-at-trade, feature-at-event).
+
+The bounded range join (:func:`range_join_agg`) is the aggregation
+form of the completion join's time-bound: per anchor row, aggregate
+matching rows within [anchor_ts, anchor_ts + within]. The equi-key
+condition keeps it a hash/sort-merge join (the range is a residual
+predicate); AQE handles key skew.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import Window as W
+
+
+def as_of_join(
+    probe: DataFrame,
+    reference: DataFrame,
+    *,
+    key: str,
+    probe_ts: str,
+    ref_ts: str,
+    tiebreak: str,
+    ref_prefix: str = "asof_",
+) -> DataFrame:
+    """For every probe row, attach the latest reference row of the same
+    key with ``ref_ts <= probe_ts`` (inclusive: a reference at the
+    exact probe instant matches). Probe rows with no earlier reference
+    keep nulls. Deterministic: ties on the timestamp are broken by
+    ``tiebreak`` (larger wins, being 'last written at t').
+    """
+    ref_payload = [c for c in reference.columns if c != key]
+    probe_cols = probe.columns
+
+    tagged_ref = reference.select(
+        F.col(key),
+        F.col(ref_ts).alias("_ts"),
+        F.lit(0).alias("_side"),  # reference sorts before probe at equal ts
+        F.col(tiebreak).alias("_tb") if tiebreak in reference.columns else F.lit(0).alias("_tb"),
+        F.struct(*[F.col(c) for c in ref_payload]).alias("_ref"),
+        *[F.lit(None).cast(probe.schema[c].dataType).alias(f"_p_{c}") for c in probe_cols],
+    )
+    tagged_probe = probe.select(
+        F.col(key),
+        F.col(probe_ts).alias("_ts"),
+        F.lit(1).alias("_side"),
+        F.col(tiebreak).alias("_tb"),
+        F.lit(None).cast(
+            tagged_ref.schema["_ref"].dataType
+        ).alias("_ref"),
+        *[F.col(c).alias(f"_p_{c}") for c in probe_cols],
+    )
+    w = (
+        W.partitionBy(key)
+        .orderBy("_ts", "_side", "_tb")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    carried = tagged_ref.unionByName(tagged_probe).withColumn(
+        "_asof", F.last("_ref", ignorenulls=True).over(w)
+    )
+    out = carried.filter(F.col("_side") == 1).select(
+        *[F.col(f"_p_{c}").alias(c) for c in probe_cols],
+        *[F.col(f"_asof.{c}").alias(f"{ref_prefix}{c}") for c in ref_payload],
+    )
+    return out
+
+
+def range_join_agg(
+    anchors: DataFrame,
+    events: DataFrame,
+    *,
+    key: str,
+    anchor_ts: str,
+    event_ts: str,
+    within: str,
+    measures: dict[str, Column],
+) -> DataFrame:
+    """Per anchor row, aggregate events of the same key whose timestamp
+    falls in [anchor_ts, anchor_ts + within]. Left join: anchors with
+    zero matches survive with empty aggregates (count 0 / null sums —
+    caller decides the fill)."""
+    a, e = anchors.alias("a"), events.alias("e")
+    cond = (
+        (F.col(f"a.{key}") == F.col(f"e.{key}"))
+        & (F.col(f"e.{event_ts}") >= F.col(f"a.{anchor_ts}"))
+        & (
+            F.col(f"e.{event_ts}")
+            <= F.col(f"a.{anchor_ts}") + F.expr(f"INTERVAL {within}")
+        )
+    )
+    joined = a.join(e, cond, "left")
+    anchor_cols = [F.col(f"a.{c}") for c in anchors.columns]
+    return joined.groupBy(*anchor_cols).agg(
+        *[m.alias(name) for name, m in measures.items()]
+    )

@@ -1,0 +1,44 @@
+"""Sessionization (scale extension): native session windows.
+
+Groups each key's events into sessions separated by inactivity gaps —
+the standard unit for user-behavior and training-log analysis. Spark's
+``session_window`` is a first-class stateful window: in batch it
+compiles to a sort + merge per key (no pair-wise self-join), and the
+identical expression runs in Structured Streaming with watermarked
+state, where sessions close once the watermark passes last_event +
+gap.
+
+Semantics (and what the oracle replays as a gaps-and-islands window):
+an event extends the current session if its timestamp is at most
+``gap`` after the previous event — the merge is INCLUSIVE, an event
+landing exactly on the previous session's end still merges (verified
+against Spark's behavior); a session's window is
+[first_event, last_event + gap).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Mapping
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def session_agg(
+    df: DataFrame,
+    *,
+    key: str,
+    ts_col: str,
+    gap: str,
+    measures: Mapping[str, Column],
+) -> DataFrame:
+    """Aggregate per (key, session) with sessions split on ``gap``
+    inactivity. Emits ``session_start`` (first event) and
+    ``session_end`` (last event + gap, Spark's session_window end)."""
+    grouped = df.groupBy(key, F.session_window(F.col(ts_col), gap).alias("w"))
+    return grouped.agg(*[m.alias(name) for name, m in measures.items()]).select(
+        key,
+        F.col("w.start").alias("session_start"),
+        F.col("w.end").alias("session_end"),
+        *measures.keys(),
+    )

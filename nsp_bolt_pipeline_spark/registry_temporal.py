@@ -1,0 +1,220 @@
+"""Oracle entries for the temporal operators: as-of join, bounded
+range-join aggregation, session windows, and multi-grain rollup.
+
+The as-of and session oracles replay the exact same window
+formulations (running last-non-null; gaps-and-islands) so every tie
+and boundary rule is pinned on both engines.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from nsp_bolt_pipeline_spark.operators.dedup import first_write_wins
+from nsp_bolt_pipeline_spark.operators.joins import as_of_join, range_join_agg
+from nsp_bolt_pipeline_spark.operators.sessions import session_agg
+from nsp_bolt_pipeline_spark.pipeline import END_EVENT, START_EVENT
+from nsp_bolt_pipeline_spark.registry import _r2, query
+from nsp_bolt_pipeline_spark.sources.readers import read_table
+
+SESSION_GAP = "48 hours"
+RANGE_WITHIN = "7 days"
+
+
+# ---------------------------------------------------------------------------
+# As-of join: every purchase gets the latest signup at or before it.
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "asof_latest_signup",
+    f"""
+    WITH l AS (SELECT user_id, ts, event_id, value FROM events
+               WHERE event_type = '{END_EVENT}'),
+    r AS (SELECT user_id, ts, event_id FROM events
+          WHERE event_type = '{START_EVENT}'),
+    tagged AS (
+        SELECT user_id, ts AS _ts, 1 AS _side, event_id AS _tb,
+               event_id, ts, value,
+               CAST(NULL AS TIMESTAMP) AS r_ts, CAST(NULL AS BIGINT) AS r_eid
+        FROM l
+        UNION ALL
+        SELECT user_id, ts AS _ts, 0 AS _side, event_id AS _tb,
+               NULL, NULL, NULL, ts AS r_ts, event_id AS r_eid
+        FROM r
+    ),
+    carried AS (
+        SELECT *,
+               last_value(r_ts IGNORE NULLS) OVER win AS asof_ts,
+               last_value(r_eid IGNORE NULLS) OVER win AS asof_event_id
+        FROM tagged
+        WINDOW win AS (PARTITION BY user_id ORDER BY _ts, _side, _tb
+                       ROWS UNBOUNDED PRECEDING)
+    )
+    SELECT event_id, ts, user_id, value, asof_ts, asof_event_id
+    FROM carried WHERE _side = 1
+    """,
+)
+def q_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = read_table(spark, sf_dir, "events")
+    purchases = ev.filter(F.col("event_type") == END_EVENT).select(
+        "event_id", "ts", "user_id", "value"
+    )
+    signups = ev.filter(F.col("event_type") == START_EVENT).select(
+        "user_id", "ts", "event_id"
+    )
+    out = as_of_join(
+        purchases,
+        signups,
+        key="user_id",
+        probe_ts="ts",
+        ref_ts="ts",
+        tiebreak="event_id",
+    )
+    return out.select(
+        "event_id", "ts", "user_id", "value", "asof_ts", "asof_event_id"
+    )
+
+
+# ---------------------------------------------------------------------------
+# Bounded range-join aggregation: per first-signup, purchase activity
+# within the following 7 days.
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "j2_range_join_agg",
+    f"""
+    WITH anchors AS (
+        SELECT user_id, ts AS signup_ts, event_id AS signup_event_id
+        FROM (
+            SELECT user_id, ts, event_id,
+                   row_number() OVER (PARTITION BY user_id
+                                      ORDER BY ts, event_id) AS rn
+            FROM events WHERE event_type = '{START_EVENT}'
+        ) WHERE rn = 1
+    ),
+    purchases AS (
+        SELECT user_id, ts, value FROM events WHERE event_type = '{END_EVENT}'
+    )
+    SELECT a.user_id, a.signup_ts, a.signup_event_id,
+           COUNT(p.ts) AS n_purchases,
+           FLOOR((SUM(p.value))*100 + 0.5)/100 AS total_fare
+    FROM anchors a
+    LEFT JOIN purchases p
+      ON a.user_id = p.user_id
+     AND p.ts >= a.signup_ts
+     AND p.ts <= a.signup_ts + INTERVAL 7 DAY
+    GROUP BY 1, 2, 3
+    """,
+)
+def q_range_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = read_table(spark, sf_dir, "events")
+    signups = ev.filter(F.col("event_type") == START_EVENT).select(
+        "user_id", "ts", "event_id"
+    )
+    anchors = first_write_wins(
+        signups, keys=["user_id"], order_cols=["ts", "event_id"]
+    ).select(
+        "user_id",
+        F.col("ts").alias("signup_ts"),
+        F.col("event_id").alias("signup_event_id"),
+    )
+    purchases = ev.filter(F.col("event_type") == END_EVENT).select(
+        "user_id", "ts", "value"
+    )
+    out = range_join_agg(
+        anchors,
+        purchases,
+        key="user_id",
+        anchor_ts="signup_ts",
+        event_ts="ts",
+        within=RANGE_WITHIN,
+        measures={
+            "n_purchases": F.count(F.col("e.ts")),
+            "total_fare": _r2(F.sum(F.col("e.value"))),
+        },
+    )
+    return out.select(
+        "user_id", "signup_ts", "signup_event_id", "n_purchases", "total_fare"
+    )
+
+
+# ---------------------------------------------------------------------------
+# Session windows: per-user activity sessions at a 48 h inactivity gap.
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "session_window_agg",
+    f"""
+    WITH e AS (SELECT user_id, ts, event_id, value FROM events),
+    flagged AS (
+        -- Spark's merge rule is INCLUSIVE (an event exactly at the
+        -- previous session's end still merges), so a session splits
+        -- only on a STRICTLY greater gap
+        SELECT *, CASE WHEN lag(ts) OVER w IS NULL
+                         OR ts - lag(ts) OVER w > INTERVAL 48 HOUR
+                       THEN 1 ELSE 0 END AS new_s
+        FROM e
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ),
+    sessions AS (
+        SELECT *, SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                   ROWS UNBOUNDED PRECEDING) AS sid
+        FROM flagged
+    )
+    SELECT user_id, MIN(ts) AS session_start,
+           MAX(ts) + INTERVAL 48 HOUR AS session_end,
+           COUNT(*) AS n_events,
+           FLOOR((SUM(value))*100 + 0.5)/100 AS total_value
+    FROM sessions GROUP BY user_id, sid
+    """,
+)
+def q_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = read_table(spark, sf_dir, "events")
+    out = session_agg(
+        ev,
+        key="user_id",
+        ts_col="ts",
+        gap=SESSION_GAP,
+        measures={
+            "n_events": F.count("*"),
+            "total_value": _r2(F.sum("value")),
+        },
+    )
+    return out.select(
+        "user_id", "session_start", "session_end", "n_events", "total_value"
+    )
+
+
+# ---------------------------------------------------------------------------
+# Multi-grain rollup: one pass computing (year, month), (year), ()
+# totals — the hypertable-rollup / continuous-aggregate shape.
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "a3_rollup_multi_grain",
+    """
+    SELECT CAST(year(ts) AS INTEGER) AS year,
+           CAST(month(ts) AS INTEGER) AS month,
+           COUNT(*) AS n_events,
+           FLOOR((SUM(value))*100 + 0.5)/100 AS total_value
+    FROM events
+    GROUP BY ROLLUP (1, 2)
+    """,
+)
+def q_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = read_table(spark, sf_dir, "events").select(
+        F.year("ts").alias("year"), F.month("ts").alias("month"), "value"
+    )
+    return (
+        ev.rollup("year", "month")
+        .agg(
+            F.count("*").alias("n_events"),
+            _r2(F.sum("value")).alias("total_value"),
+        )
+        .select("year", "month", "n_events", "total_value")
+    )

@@ -1,0 +1,106 @@
+"""Edge-case tests for the temporal operators (joins, sessions)."""
+
+from __future__ import annotations
+
+from datetime import datetime
+
+from pyspark.sql import functions as F
+
+from nsp_bolt_pipeline_spark.operators.joins import as_of_join, range_join_agg
+from nsp_bolt_pipeline_spark.operators.sessions import session_agg
+
+
+def _ts(h, m=0):
+    return datetime(2024, 7, 1, h, m)
+
+
+def test_as_of_join_boundaries_and_ties(spark):
+    probe = spark.createDataFrame(
+        [
+            (1, "u1", _ts(10)),  # ref at exactly 10:00 must match (inclusive)
+            (2, "u1", _ts(9)),   # before any ref -> nulls
+            (3, "u2", _ts(12)),  # two refs at the same ts -> larger id wins
+        ],
+        "pid long, user string, ts timestamp",
+    )
+    ref = spark.createDataFrame(
+        [
+            ("u1", _ts(10), 100),
+            ("u2", _ts(11), 200),
+            ("u2", _ts(11), 201),
+        ],
+        "user string, ts timestamp, rid long",
+    )
+    out = {
+        r["pid"]: r
+        for r in as_of_join(
+            probe, ref, key="user", probe_ts="ts", ref_ts="ts", tiebreak="pid"
+        ).collect()
+    }
+    assert out[1]["asof_rid"] == 100
+    assert out[2]["asof_rid"] is None and out[2]["asof_ts"] is None
+    assert out[3]["asof_rid"] == 201
+
+
+def test_as_of_join_keeps_all_probe_rows_once(spark):
+    # many matching refs must not duplicate probe rows (the naive
+    # join+filter shape would need dedup; union-tag never fans out)
+    probe = spark.createDataFrame(
+        [(1, "u", _ts(23))], "pid long, user string, ts timestamp"
+    )
+    ref = spark.createDataFrame(
+        [("u", _ts(h), h) for h in range(1, 23)],
+        "user string, ts timestamp, rid long",
+    )
+    rows = as_of_join(
+        probe, ref, key="user", probe_ts="ts", ref_ts="ts", tiebreak="pid"
+    ).collect()
+    assert len(rows) == 1 and rows[0]["asof_rid"] == 22
+
+
+def test_range_join_agg_zero_match_anchor_survives(spark):
+    anchors = spark.createDataFrame(
+        [("u1", _ts(1)), ("u2", _ts(1))], "user string, ats timestamp"
+    )
+    events = spark.createDataFrame(
+        [("u1", _ts(2), 5.0), ("u1", _ts(23), 7.0)],
+        "user string, ts timestamp, v double",
+    )
+    out = {
+        r["user"]: r
+        for r in range_join_agg(
+            anchors,
+            events,
+            key="user",
+            anchor_ts="ats",
+            event_ts="ts",
+            within="4 hours",
+            measures={"n": F.count(F.col("e.ts")), "s": F.sum(F.col("e.v"))},
+        ).collect()
+    }
+    assert out["u1"]["n"] == 1 and out["u1"]["s"] == 5.0  # 23:00 outside
+    assert out["u2"]["n"] == 0 and out["u2"]["s"] is None
+
+
+def test_session_agg_gap_boundary_is_inclusive(spark):
+    df = spark.createDataFrame(
+        [
+            ("u", _ts(10, 0), 1.0),
+            ("u", _ts(10, 30), 2.0),  # exactly gap later: still MERGES
+            ("u", _ts(11, 1), 3.0),   # 31 min after prev: new session
+        ],
+        "user string, ts timestamp, v double",
+    )
+    out = session_agg(
+        df,
+        key="user",
+        ts_col="ts",
+        gap="30 minutes",
+        measures={"n": F.count("*"), "s": F.sum("v")},
+    ).collect()
+    by_start = {r["session_start"]: r for r in out}
+    assert len(out) == 2
+    first = by_start[_ts(10, 0)]
+    assert first["n"] == 2 and first["s"] == 3.0
+    assert first["session_end"] == _ts(11, 0)  # last event 10:30 + 30 min
+    assert by_start[_ts(11, 1)]["n"] == 1
