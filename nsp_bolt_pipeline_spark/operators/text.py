@@ -38,6 +38,14 @@ LANGUAGE_PROFILES: dict[str, tuple[str, ...]] = {
 #: class so the Spark regex and the DuckDB oracle regex agree exactly).
 PUNCT_CLASS = r"[.,;:!?'\"()\[\]{}-]"
 
+#: GPT-2-style pre-tokenizer split: contraction suffixes, space-glued
+#: letter runs, digit runs, punctuation runs. Valid in both Java regex
+#: and RE2 (verified tokenizing identically), so the count is
+#: oracle-checkable. A real BPE then merges within these pieces —
+#: this pattern is the piece boundary, which is what token *counting*
+#: needs.
+BPE_SPLIT_PATTERN = r"'(?:[sdmt]|ll|ve|re)| ?\p{L}+| ?\p{N}+| ?[^\s\p{L}\p{N}]+"
+
 
 def tokens(col: Column | str) -> Column:
     """Whitespace tokenization: trim then split on runs of whitespace.
@@ -49,6 +57,43 @@ def tokens(col: Column | str) -> Column:
 
 def token_count(col: Column | str) -> Column:
     return F.size(tokens(col)).cast("long")
+
+
+def bpe_tokens(col: Column | str) -> Column:
+    """BPE-ish subword pieces via the GPT-2 pre-tokenizer split —
+    the standard way to estimate LLM token counts without a merges
+    table."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.regexp_extract_all(c, F.lit(BPE_SPLIT_PATTERN), 0)
+
+
+def bpe_token_count(col: Column | str) -> Column:
+    return F.size(bpe_tokens(col)).cast("long")
+
+
+def rolling_hash(
+    col: Column | str, *, base: int = 131, mod: int = 1_000_000_007
+) -> Column:
+    """Polynomial (Rabin-Karp) rolling hash over the normalized text:
+    h = fold(chars, h*base + code mod m). The modulus keeps every
+    intermediate below 2^63 so the identical integer sequence runs on
+    any engine; the same recurrence extended with the subtract-term
+    gives windowed substring hashes for winnowing-style fingerprints.
+    """
+    def from_text(s: Column) -> Column:
+        codes = F.transform(
+            F.sequence(F.lit(1), F.length(s)),
+            lambda i: F.ascii(s.substr(i, F.lit(1))).cast("long"),
+        )
+        return F.aggregate(
+            codes,
+            F.lit(0).cast("long"),
+            lambda h, c: (h * base + c) % mod,
+        )
+
+    c = F.col(col) if isinstance(col, str) else col
+    normalized = F.regexp_replace(F.lower(F.trim(c)), r"\s+", " ")
+    return bind_once(normalized, from_text)
 
 
 def punct_count(col: Column | str) -> Column:

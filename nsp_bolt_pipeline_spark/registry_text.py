@@ -16,13 +16,16 @@ from pyspark.sql import functions as F
 from pyspark.sql import Window as W
 
 from nsp_bolt_pipeline_spark.operators.text import (
+    BPE_SPLIT_PATTERN,
     LANGUAGE_PROFILES,
     PUNCT_CLASS,
+    bpe_token_count,
     detect_language,
     fingerprint,
     language_scores,
     punct_count,
     quality_score,
+    rolling_hash,
     term_frequencies,
     tf_idf,
     token_count,
@@ -197,6 +200,42 @@ def q_text_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
     out = tf_idf(docs, id_col="doc_id", text_col="text")
     return out.withColumn(
         "tfidf", F.floor(F.col("tfidf") * 1000000 + F.lit(0.5)) / 1000000
+    )
+
+
+# ---------------------------------------------------------------------------
+# LLM-token counting (BPE-ish pre-tokenizer split) and Rabin-Karp
+# rolling-hash fingerprinting — both pure expressions replayed exactly
+# by the oracle.
+# ---------------------------------------------------------------------------
+
+_BPE_SQL = BPE_SPLIT_PATTERN.replace("'", "''")
+
+
+@query(
+    "text_bpe_rolling_hash",
+    f"""
+    SELECT doc_id,
+           CAST(len(regexp_extract_all(text, '{_BPE_SQL}')) AS BIGINT)
+               AS n_bpe_tokens,
+           CAST(len({_TOKENS_SQL}) AS BIGINT) AS n_ws_tokens,
+           list_reduce(
+               list_prepend(CAST(0 AS BIGINT),
+                   list_transform(range(1, length(n) + 1),
+                                  i -> CAST(ascii(n[i]) AS BIGINT))),
+               (h, c) -> (h * 131 + c) % 1000000007) AS rhash
+    FROM (SELECT doc_id, text,
+                 regexp_replace(lower(trim(text)), '\\s+', ' ', 'g') AS n
+          FROM documents)
+    """,
+)
+def q_text_bpe_rhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = read_table(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        bpe_token_count("text").alias("n_bpe_tokens"),
+        token_count("text").alias("n_ws_tokens"),
+        rolling_hash("text").alias("rhash"),
     )
 
 

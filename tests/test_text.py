@@ -83,6 +83,35 @@ def test_tf_idf_zero_for_ubiquitous_terms_and_ordering(spark):
     assert math.isclose(rows[(2, "rare2")]["tfidf"], math.log(1.5))
 
 
+def test_bpe_token_count_splits_subword_pieces(spark):
+    from nsp_bolt_pipeline_spark.operators.text import bpe_token_count
+
+    df = spark.createDataFrame(
+        [("Don't stop! 42 times",), ("hello",)], ["text"]
+    )
+    got = [r[0] for r in df.select(bpe_token_count("text")).collect()]
+    # Don | 't | _stop | ! | _42 | _times = 6 pieces; hello = 1
+    assert got == [6, 1]
+
+
+def test_rolling_hash_matches_python_model_and_normalizes(spark):
+    from nsp_bolt_pipeline_spark.operators.text import rolling_hash
+
+    df = spark.createDataFrame(
+        [(1, "Hello   World"), (2, "hello world"), (3, "hello worle")],
+        ["id", "text"],
+    )
+    got = {
+        r["id"]: r["h"]
+        for r in df.select("id", rolling_hash("text").alias("h")).collect()
+    }
+    h = 0
+    for ch in "hello world":
+        h = (h * 131 + ord(ch)) % 1_000_000_007
+    assert got[1] == got[2] == h  # case/spacing normalized
+    assert got[3] != h
+
+
 def test_text_plan_is_udf_free(spark):
     # the whole text surface must stay inside codegen: no BatchEvalPython
     df = spark.createDataFrame([(1, "a b c")], ["doc_id", "text"])
