@@ -1,0 +1,69 @@
+"""Deterministic sampling and split assignment (scale extension).
+
+``df.sample()`` is seed-dependent *and* partitioning-dependent — rerun
+the job with different parallelism and a row's fate changes, which is
+poison for reproducible training splits. Content-addressed sampling
+fixes that: a row is kept iff a hash of its stable key falls under the
+rate threshold, so membership is a pure function of the data. Adding
+rows never flips existing rows' assignment (the property that makes
+train/test splits stable as a corpus grows).
+
+md5 is the hash so the decision is engine-portable (the oracle
+replays it); the first 8 hex chars give 32 uniform bits — plenty for
+rate resolution of ~2e-10.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+_DENOM = 16**8  # first 8 md5 hex chars as an integer
+
+
+def hash_bucket(key: Column | str, *, salt: str = "") -> Column:
+    """Uniform value in [0, 1) derived from md5(salt || key) — the
+    content-addressed randomness source for sampling/splitting."""
+    c = F.col(key) if isinstance(key, str) else key
+    nibble = F.conv(
+        F.substring(F.md5(F.concat(F.lit(salt), c.cast("string"))), 1, 8),
+        16,
+        10,
+    ).cast("long")
+    return nibble.cast("double") / F.lit(float(_DENOM))
+
+
+def deterministic_sample(
+    df: DataFrame, *, key: str, rate: float, salt: str = ""
+) -> DataFrame:
+    """Keep rows whose hash bucket < rate. Same inputs -> same sample,
+    on any cluster at any parallelism; distinct salts give independent
+    samples from the same corpus."""
+    return df.filter(hash_bucket(key, salt=salt) < rate)
+
+
+def assign_split(
+    df: DataFrame,
+    *,
+    key: str,
+    weights: dict[str, float],
+    salt: str = "",
+    out: str = "split",
+) -> DataFrame:
+    """Assign each row to a named split with the given weights (must
+    sum to ~1). Assignment is by cumulative thresholds over the hash
+    bucket, so it is stable under corpus growth and reshuffling —
+    the train/validation/test split that never leaks."""
+    bucket = hash_bucket(key, salt=salt)
+    expr = None
+    cum = 0.0
+    names = list(weights)
+    for name in names[:-1]:
+        cum += weights[name]
+        expr = (
+            F.when(bucket < cum, name)
+            if expr is None
+            else expr.when(bucket < cum, name)
+        )
+    expr = F.lit(names[0]) if expr is None else expr.otherwise(names[-1])
+    return df.withColumn(out, expr)

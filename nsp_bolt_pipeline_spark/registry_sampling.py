@@ -1,0 +1,51 @@
+"""Oracle entries for deterministic sampling / split assignment
+(operators.sampling). The md5-bucket computation is replayed digit by
+digit in DuckDB (strpos nibble decode), so sample membership and
+split assignment are hash-verified row-exact.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from nsp_bolt_pipeline_spark.operators.neardup import HEX
+from nsp_bolt_pipeline_spark.operators.sampling import (
+    assign_split,
+    deterministic_sample,
+)
+from nsp_bolt_pipeline_spark.registry import query
+from nsp_bolt_pipeline_spark.sources.readers import read_table
+
+SAMPLE_RATE = 0.1
+SPLIT_WEIGHTS = {"train": 0.8, "validation": 0.1, "test": 0.1}
+
+
+def _bucket_sql(key_sql: str, salt: str = "") -> str:
+    """DuckDB twin of sampling.hash_bucket: first 8 md5 hex nibbles as
+    a 32-bit integer, scaled to [0, 1)."""
+    m = f"md5('{salt}' || CAST({key_sql} AS VARCHAR))"
+    terms = " + ".join(
+        f"(strpos('{HEX}', substr({m}, {i + 1}, 1)) - 1) * {16 ** (7 - i)}"
+        for i in range(8)
+    )
+    return f"(CAST({terms} AS DOUBLE) / 4294967296.0)"
+
+
+@query(
+    "l3_deterministic_sample_split",
+    f"""
+    SELECT event_id, user_id,
+           CASE WHEN {_bucket_sql("event_id", "split")} < 0.8 THEN 'train'
+                WHEN {_bucket_sql("event_id", "split")} < 0.9 THEN 'validation'
+                ELSE 'test' END AS split
+    FROM events
+    WHERE {_bucket_sql("event_id")} < {SAMPLE_RATE}
+    """,
+)
+def q_sample_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = read_table(spark, sf_dir, "events").select("event_id", "user_id")
+    sampled = deterministic_sample(ev, key="event_id", rate=SAMPLE_RATE)
+    return assign_split(
+        sampled, key="event_id", weights=SPLIT_WEIGHTS, salt="split"
+    ).select("event_id", "user_id", "split")

@@ -1,0 +1,58 @@
+"""Tests for deterministic sampling / split assignment."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from nsp_bolt_pipeline_spark.operators.sampling import (
+    assign_split,
+    deterministic_sample,
+)
+
+
+def _ids(spark, n=2000):
+    return spark.range(n).select(F.col("id").alias("k"))
+
+
+def test_sample_rate_is_approximately_honored(spark):
+    n = deterministic_sample(_ids(spark), key="k", rate=0.2).count()
+    assert 300 <= n <= 500  # 0.2 * 2000 = 400 expected
+
+
+def test_sample_is_stable_under_repartitioning(spark):
+    df = _ids(spark)
+    a = {r["k"] for r in deterministic_sample(df, key="k", rate=0.3).collect()}
+    b = {
+        r["k"]
+        for r in deterministic_sample(
+            df.repartition(13), key="k", rate=0.3
+        ).collect()
+    }
+    assert a == b
+
+
+def test_sample_membership_is_monotone_in_rate(spark):
+    df = _ids(spark)
+    small = {r["k"] for r in deterministic_sample(df, key="k", rate=0.1).collect()}
+    large = {r["k"] for r in deterministic_sample(df, key="k", rate=0.5).collect()}
+    assert small <= large  # raising the rate only adds rows
+
+
+def test_distinct_salts_give_independent_samples(spark):
+    df = _ids(spark)
+    a = {r["k"] for r in deterministic_sample(df, key="k", rate=0.3, salt="a").collect()}
+    b = {r["k"] for r in deterministic_sample(df, key="k", rate=0.3, salt="b").collect()}
+    overlap = len(a & b) / max(len(a), 1)
+    assert 0.1 < overlap < 0.5  # ~rate if independent, 1.0 if not
+
+
+def test_split_partitions_and_respects_weights(spark):
+    df = _ids(spark, 5000)
+    out = assign_split(
+        df, key="k", weights={"train": 0.8, "validation": 0.1, "test": 0.1}
+    )
+    counts = {r["split"]: r["count"] for r in out.groupBy("split").count().collect()}
+    assert sum(counts.values()) == 5000  # a partition: every row assigned
+    assert 3800 <= counts["train"] <= 4200
+    assert 350 <= counts["validation"] <= 650
+    assert 350 <= counts["test"] <= 650
