@@ -1,0 +1,97 @@
+"""Oracle entries widening the relational SQL surface: pivot,
+exact percentiles, and set operations.
+
+Spark's exact ``percentile`` and DuckDB's ``quantile_cont`` use the
+same linear-interpolation definition (idx = p*(n-1) over the sorted
+values) and were probed bit-equal on this corpus — no rounding needed.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from nsp_bolt_pipeline_spark.registry import query
+from nsp_bolt_pipeline_spark.sources.readers import read_table
+
+#: fixed pivot columns — explicit list keeps the output schema stable
+#: (and is the scale-correct form: an unlisted pivot triggers an extra
+#: distinct-collect job over the full input).
+EVENT_TYPES = ("click", "error", "purchase", "signup", "view")
+
+
+@query(
+    "a4_pivot_event_counts",
+    f"""
+    SELECT user_id,
+           {", ".join(f"COUNT(CASE WHEN event_type = '{t}' THEN 1 END) AS n_{t}" for t in EVENT_TYPES)}
+    FROM events
+    GROUP BY user_id
+    """,
+)
+def q_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pivot = groupBy + pivot + count; Catalyst compiles it to the
+    same conditional aggregation the oracle spells out (one hash agg,
+    no extra shuffle per column)."""
+    ev = read_table(spark, sf_dir, "events")
+    out = (
+        ev.groupBy("user_id")
+        .pivot("event_type", list(EVENT_TYPES))
+        .count()
+        .na.fill(0)
+    )
+    return out.select(
+        "user_id", *[F.col(t).alias(f"n_{t}") for t in EVENT_TYPES]
+    )
+
+
+@query(
+    "a5_exact_percentiles",
+    """
+    SELECT event_type,
+           quantile_cont(value, 0.25) AS p25,
+           quantile_cont(value, 0.5) AS p50,
+           quantile_cont(value, 0.95) AS p95
+    FROM events
+    GROUP BY event_type
+    """,
+)
+def q_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact interpolated percentiles. Scale note: exact percentile
+    sorts each group's values — fine for bounded groups; switch to
+    approx_percentile (t-digest sketch, one pass, fixed memory) when
+    a group's values exceed executor memory."""
+    ev = read_table(spark, sf_dir, "events")
+    return ev.groupBy("event_type").agg(
+        F.expr("percentile(value, 0.25)").alias("p25"),
+        F.expr("percentile(value, 0.5)").alias("p50"),
+        F.expr("percentile(value, 0.95)").alias("p95"),
+    )
+
+
+@query(
+    "set_ops_users",
+    """
+    SELECT user_id, 'signup_only' AS cohort FROM (
+        SELECT user_id FROM events WHERE event_type = 'signup'
+        EXCEPT
+        SELECT user_id FROM events WHERE event_type = 'purchase'
+    )
+    UNION ALL
+    SELECT user_id, 'both' AS cohort FROM (
+        SELECT user_id FROM events WHERE event_type = 'signup'
+        INTERSECT
+        SELECT user_id FROM events WHERE event_type = 'purchase'
+    )
+    """,
+)
+def q_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXCEPT / INTERSECT (distinct set semantics — Spark's subtract /
+    intersect, not the *All multiset variants). Both compile to
+    left-anti / left-semi joins over deduped inputs."""
+    ev = read_table(spark, sf_dir, "events")
+    signups = ev.filter(F.col("event_type") == "signup").select("user_id")
+    purchases = ev.filter(F.col("event_type") == "purchase").select("user_id")
+    only = signups.subtract(purchases).withColumn("cohort", F.lit("signup_only"))
+    both = signups.intersect(purchases).withColumn("cohort", F.lit("both"))
+    return only.unionByName(both)
