@@ -277,6 +277,48 @@ def minhash_lsh_pairs(
     return _pair_jaccard(cands, grams, id_col=id_col, threshold=threshold)
 
 
+def winnow_fingerprints(
+    col: Column | str, *, k: int = 12, window: int = 4
+) -> Column:
+    """Winnowing fingerprints over the normalized character stream:
+    hash every k-char substring, then keep the minimum hash of each
+    sliding window of ``window`` consecutive hashes (distinct).
+
+    Guarantees of the scheme (Schleimer/Wilkerson/Aiken): any shared
+    substring of length >= k + window - 1 between two documents yields
+    at least one shared fingerprint, while storing ~2/(window+1) of
+    all substring hashes. This is the substring-level (plagiarism /
+    exact-passage) complement to the word-shingle MinHash path; at
+    scale, explode the fingerprints and band-join exactly like the
+    gram index. Pure expressions on md5, so the oracle replays it.
+    """
+
+    def from_text(s: Column) -> Column:
+        n_sub = F.length(s) - (k - 1)
+        subs = F.transform(
+            F.sequence(F.lit(1), n_sub),
+            lambda i: F.md5(s.substr(i, F.lit(k))),
+        )
+        return bind_once(
+            subs,
+            lambda h: F.when(
+                F.size(h) >= window,
+                F.array_distinct(
+                    F.transform(
+                        F.sequence(F.lit(1), F.size(h) - (window - 1)),
+                        lambda i: F.array_min(F.slice(h, i, window)),
+                    )
+                ),
+            ).otherwise(F.array_distinct(F.array(F.array_min(h)))),
+        )
+
+    c = F.col(col) if isinstance(col, str) else col
+    normalized = F.regexp_replace(F.lower(F.trim(c)), r"\s+", " ")
+    return F.when(F.length(normalized) >= k, bind_once(normalized, from_text)).otherwise(
+        F.array().cast("array<string>")
+    )
+
+
 def simhash_hex(col: Column | str, *, nibbles: int = 16) -> Column:
     """SimHash signature as a ``nibbles``-character hex string (64-bit
     for the default 16).

@@ -19,6 +19,7 @@ from nsp_bolt_pipeline_spark.operators.neardup import (
     minhash_lsh_pairs,
     ngram_jaccard_pairs,
     simhash_hex,
+    winnow_fingerprints,
 )
 from nsp_bolt_pipeline_spark.registry import query
 from nsp_bolt_pipeline_spark.sources.readers import read_table
@@ -143,6 +144,43 @@ def _simhash_sql(nibbles: int = 16) -> str:
     FROM (SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS t
           FROM documents)
     """
+
+
+_WINNOW_K, _WINNOW_W = 12, 4
+
+
+@query(
+    "winnow_fingerprints_docs",
+    f"""
+    WITH norm AS (
+        SELECT doc_id, regexp_replace(lower(trim(text)), '\\s+', ' ', 'g') AS n
+        FROM documents
+    ),
+    hashes AS (
+        SELECT doc_id,
+               list_transform(range(1, length(n) - {_WINNOW_K - 2}),
+                              i -> md5(substr(n, i, {_WINNOW_K}))) AS h
+        FROM norm WHERE length(n) >= {_WINNOW_K}
+    ),
+    fps AS (
+        SELECT doc_id,
+               CASE WHEN len(h) >= {_WINNOW_W}
+                    THEN list_distinct(list_transform(
+                        range(1, len(h) - {_WINNOW_W - 2}),
+                        i -> list_min(h[i:i + {_WINNOW_W - 1}])))
+                    ELSE list_distinct([list_min(h)]) END AS fp
+        FROM hashes
+    )
+    SELECT doc_id, unnest(fp) AS fingerprint FROM fps
+    """,
+)
+def q_winnow(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = read_table(spark, sf_dir, "documents")
+    fps = docs.select(
+        "doc_id",
+        winnow_fingerprints("text", k=_WINNOW_K, window=_WINNOW_W).alias("fp"),
+    )
+    return fps.select("doc_id", F.explode("fp").alias("fingerprint"))
 
 
 @query("simhash_documents", _simhash_sql())

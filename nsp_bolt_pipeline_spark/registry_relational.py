@@ -70,6 +70,45 @@ def q_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "w1_window_functions",
+    """
+    SELECT user_id, event_id, ts, value,
+           lag(value) OVER w AS prev_value,
+           FLOOR((SUM(value) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                   ROWS UNBOUNDED PRECEDING))*100 + 0.5)/100
+               AS running_total,
+           CAST(rank() OVER (PARTITION BY user_id ORDER BY value DESC, event_id)
+                AS BIGINT) AS value_rank
+    FROM events WHERE event_type = 'purchase'
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    """,
+)
+def q_window_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """General window-function surface: lag, running sum (explicit ROWS
+    frame so both engines fold the same prefix), rank with a total
+    order. One shuffle + sort per user partition."""
+    from pyspark.sql import Window as W
+
+    ev = read_table(spark, sf_dir, "events").filter(
+        F.col("event_type") == "purchase"
+    )
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    run = w.rowsBetween(W.unboundedPreceding, W.currentRow)
+    rnk = W.partitionBy("user_id").orderBy(F.col("value").desc(), "event_id")
+    return ev.select(
+        "user_id",
+        "event_id",
+        "ts",
+        "value",
+        F.lag("value").over(w).alias("prev_value"),
+        (F.floor(F.sum("value").over(run) * 100 + F.lit(0.5)) / 100).alias(
+            "running_total"
+        ),
+        F.rank().over(rnk).cast("long").alias("value_rank"),
+    )
+
+
+@query(
     "set_ops_users",
     """
     SELECT user_id, 'signup_only' AS cohort FROM (

@@ -78,6 +78,32 @@ def test_simhash_near_dups_have_small_hamming_distance(spark):
     assert _hamming(sh[1], sh[3]) > 12
 
 
+def test_winnowing_guarantee_shared_passage_shares_fingerprint(spark):
+    from nsp_bolt_pipeline_spark.operators.neardup import winnow_fingerprints
+
+    passage = "the exact same stolen passage of text appears here"
+    df = spark.createDataFrame(
+        [
+            (1, "intro words before " + passage + " and trailing content"),
+            (2, "totally different framing yet " + passage + " again"),
+            (3, OTHER),
+            (4, "short"),  # below k chars -> no fingerprints
+        ],
+        ["doc_id", "text"],
+    )
+    fps = {
+        r["doc_id"]: set(r["fp"])
+        for r in df.select(
+            "doc_id", winnow_fingerprints("text", k=12, window=4).alias("fp")
+        ).collect()
+    }
+    # guarantee: a shared substring of length >= k + window - 1 yields
+    # at least one shared fingerprint
+    assert fps[1] & fps[2]
+    assert not (fps[1] & fps[3])
+    assert fps[4] == set()
+
+
 def test_band_structs_consistent_with_signature(spark):
     # lsh_band_structs computes each band from its own hash families;
     # it must equal md5('|'-joined slices) of the full signature
