@@ -40,6 +40,31 @@ def write_rejects(df: DataFrame, path: str) -> None:
     df.write.mode("append").parquet(path)
 
 
+def compact_to(
+    spark,
+    src_path: str,
+    dst_path: str,
+    *,
+    partition_cols: tuple[str, ...] = (),
+    max_records_per_file: int = 1_000_000,
+) -> None:
+    """Small-files compaction: rewrite a (partitioned) parquet dataset
+    into few large files per partition. Streaming appends produce one
+    file per micro-batch per partition; at 100 TB that degrades every
+    downstream scan (listing + open overhead dominates). Compact into
+    a NEW location and swap at the catalog/manifest level — rewriting
+    in place is not atomic without a table format (Delta/Iceberg
+    OPTIMIZE is this operation natively)."""
+    df = spark.read.parquet(src_path)
+    compacted = df.repartition(*partition_cols) if partition_cols else df.coalesce(1)
+    out = compacted.write.mode("overwrite").option(
+        "maxRecordsPerFile", str(max_records_per_file)
+    )
+    if partition_cols:
+        out = out.partitionBy(*partition_cols)
+    out.parquet(dst_path)
+
+
 def write_bronze_bucketed(
     df: DataFrame,
     table_name: str,

@@ -53,6 +53,39 @@ def windowed_daily_kpis(
     )
 
 
+def run_windowed_kpis_update(
+    kpis: DataFrame,
+    *,
+    out_dir: str,
+    checkpoint_dir: str,
+) -> None:
+    """The at-scale variant: ``update`` output mode + per-date
+    partition upsert. Each trigger emits only the dates whose
+    aggregates changed; the batch hook overwrites exactly those
+    ``date=`` partitions (a MERGE-on-date without a table format —
+    with Delta/Iceberg this becomes a real MERGE). A late event
+    rewrites one day's partition, not the whole KPI table — the
+    incremental answer to the reference's nightly full rescans."""
+
+    def upsert(batch: DataFrame, _batch_id: int) -> None:
+        spark = batch.sparkSession
+        prev = spark.conf.get("spark.sql.sources.partitionOverwriteMode", "static")
+        spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+        try:
+            batch.write.mode("overwrite").partitionBy("date").parquet(out_dir)
+        finally:
+            spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
+
+    query = (
+        kpis.writeStream.foreachBatch(upsert)
+        .outputMode("update")
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    query.awaitTermination()
+
+
 def run_windowed_kpis(
     kpis: DataFrame,
     *,

@@ -220,6 +220,80 @@ class TestWindowedKPI:
         assert final[max(final)]["total_fare"] == 30.0
 
 
+class TestUpdateModeKPI:
+    def test_late_row_rewrites_only_its_date_partition(self, spark, tmp_path):
+        from nsp_bolt_pipeline_spark.streaming.kpi import (
+            run_windowed_kpis_update,
+            windowed_daily_kpis,
+        )
+
+        src, out, ckpt = _dirs(tmp_path, "src", "out", "ckpt")
+        day_us = 24 * US_PER_HOUR
+        d0 = (T0 // day_us) * day_us
+        _write_batch(
+            src,
+            "b0.json",
+            [
+                {"key": "a", "ts": d0 + 1 * US_PER_HOUR, "fare": 10.0},
+                {"key": "b", "ts": d0 + day_us + US_PER_HOUR, "fare": 30.0},
+            ],
+        )
+
+        def run():
+            stream = decode_event_times(read_wire_stream(spark, src, WIRE), ["ts"])
+            kpis = windowed_daily_kpis(
+                stream, ts_col="ts", fare_col="fare", id_col="key"
+            )
+            run_windowed_kpis_update(kpis, out_dir=out, checkpoint_dir=ckpt)
+
+        run()
+        dirs = sorted(d for d in os.listdir(out) if d.startswith("date="))
+        assert len(dirs) == 2
+        d1_files = set(os.listdir(os.path.join(out, dirs[1])))
+
+        # late day-0 row (within the 1-day watermark): only the day-0
+        # partition is rewritten; day-1's files stay untouched
+        _write_batch(
+            src, "b1.json", [{"key": "c", "ts": d0 + 2 * US_PER_HOUR, "fare": 20.0}]
+        )
+        run()
+        assert set(os.listdir(os.path.join(out, dirs[1]))) == d1_files
+        final = {str(r["date"]): r for r in spark.read.parquet(out).collect()}
+        assert final[min(final)]["total_fare"] == 30.0
+        assert final[min(final)]["count_trips"] == 2
+        assert final[max(final)]["total_fare"] == 30.0
+
+
+class TestCompaction:
+    def test_compact_to_reduces_file_count_preserving_data(self, spark, tmp_path):
+        from nsp_bolt_pipeline_spark.sources.sinks import compact_to
+
+        src, dst = str(tmp_path / "src"), str(tmp_path / "dst")
+        # simulate streaming appends: many single-row files per partition
+        for i in range(12):
+            spark.createDataFrame(
+                [(i, "d1" if i % 2 else "d2", float(i))], "id long, p string, v double"
+            ).write.mode("append").partitionBy("p").parquet(src)
+        n_small = sum(
+            f.endswith(".parquet")
+            for d in os.listdir(src)
+            if d.startswith("p=")
+            for f in os.listdir(os.path.join(src, d))
+        )
+        assert n_small >= 12
+        compact_to(spark, src, dst, partition_cols=("p",))
+        n_big = sum(
+            f.endswith(".parquet")
+            for d in os.listdir(dst)
+            if d.startswith("p=")
+            for f in os.listdir(os.path.join(dst, d))
+        )
+        assert n_big < n_small / 2
+        a = sorted(map(tuple, spark.read.parquet(src).select("id", "v").collect()))
+        b = sorted(map(tuple, spark.read.parquet(dst).select("id", "v").collect()))
+        assert a == b
+
+
 class TestStreamStreamJoin:
     def test_join_respects_time_bound_and_requires_both_sides(
         self, spark, tmp_path
