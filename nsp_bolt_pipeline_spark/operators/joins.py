@@ -39,8 +39,17 @@ def as_of_join(
     key with ``ref_ts <= probe_ts`` (inclusive: a reference at the
     exact probe instant matches). Probe rows with no earlier reference
     keep nulls. Deterministic: ties on the timestamp are broken by
-    ``tiebreak`` (larger wins, being 'last written at t').
+    ``tiebreak`` — a *reference-side* column (larger wins, being 'last
+    written at t'). Probe-side ordering at equal timestamps never
+    affects the result (each probe row independently reads the carried
+    reference), so no probe tiebreak is needed.
     """
+    if tiebreak not in reference.columns:
+        raise ValueError(
+            f"tiebreak column {tiebreak!r} must exist on the reference side; "
+            "without it, equal-timestamp reference rows would resolve in "
+            "shuffle order and the result would be nondeterministic"
+        )
     ref_payload = [c for c in reference.columns if c != key]
     probe_cols = probe.columns
 
@@ -48,7 +57,7 @@ def as_of_join(
         F.col(key),
         F.col(ref_ts).alias("_ts"),
         F.lit(0).alias("_side"),  # reference sorts before probe at equal ts
-        F.col(tiebreak).alias("_tb") if tiebreak in reference.columns else F.lit(0).alias("_tb"),
+        F.col(tiebreak).alias("_tb"),
         F.struct(*[F.col(c) for c in ref_payload]).alias("_ref"),
         *[F.lit(None).cast(probe.schema[c].dataType).alias(f"_p_{c}") for c in probe_cols],
     )
@@ -56,7 +65,7 @@ def as_of_join(
         F.col(key),
         F.col(probe_ts).alias("_ts"),
         F.lit(1).alias("_side"),
-        F.col(tiebreak).alias("_tb"),
+        F.lit(None).cast(tagged_ref.schema["_tb"].dataType).alias("_tb"),
         F.lit(None).cast(
             tagged_ref.schema["_ref"].dataType
         ).alias("_ref"),
@@ -90,8 +99,20 @@ def range_join_agg(
     """Per anchor row, aggregate events of the same key whose timestamp
     falls in [anchor_ts, anchor_ts + within]. Left join: anchors with
     zero matches survive with empty aggregates (count 0 / null sums —
-    caller decides the fill)."""
-    a, e = anchors.alias("a"), events.alias("e")
+    caller decides the fill).
+
+    ``measures`` expressions must reference event columns through the
+    ``e`` alias (e.g. ``F.count(F.col("e.ts"))``) — the events side is
+    joined under that alias so event columns never collide with anchor
+    columns of the same name.
+
+    One output row per anchor *row*, not per distinct anchor tuple: an
+    internal unique id keeps duplicate anchors (same key + timestamp)
+    as separate groups instead of collapsing them with doubled
+    aggregates.
+    """
+    a = anchors.withColumn("_anchor_id", F.monotonically_increasing_id()).alias("a")
+    e = events.alias("e")
     cond = (
         (F.col(f"a.{key}") == F.col(f"e.{key}"))
         & (F.col(f"e.{event_ts}") >= F.col(f"a.{anchor_ts}"))
@@ -102,6 +123,8 @@ def range_join_agg(
     )
     joined = a.join(e, cond, "left")
     anchor_cols = [F.col(f"a.{c}") for c in anchors.columns]
-    return joined.groupBy(*anchor_cols).agg(
-        *[m.alias(name) for name, m in measures.items()]
+    return (
+        joined.groupBy(F.col("a._anchor_id"), *anchor_cols)
+        .agg(*[m.alias(name) for name, m in measures.items()])
+        .drop("_anchor_id")
     )

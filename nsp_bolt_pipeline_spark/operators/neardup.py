@@ -314,8 +314,13 @@ def winnow_fingerprints(
 
     c = F.col(col) if isinstance(col, str) else col
     normalized = F.regexp_replace(F.lower(F.trim(c)), r"\s+", " ")
-    return F.when(F.length(normalized) >= k, bind_once(normalized, from_text)).otherwise(
-        F.array().cast("array<string>")
+    # bind_once around the *whole* expression: the length guard would
+    # otherwise re-evaluate the normalization once more per row.
+    return bind_once(
+        normalized,
+        lambda n: F.when(F.length(n) >= k, from_text(n)).otherwise(
+            F.array().cast("array<string>")
+        ),
     )
 
 

@@ -38,7 +38,10 @@ def q_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
         ev.groupBy("user_id")
         .pivot("event_type", list(EVENT_TYPES))
         .count()
-        .na.fill(0)
+        # Scope the fill to the pivoted counts: an unscoped fill would
+        # also rewrite a NULL user_id group key to 0, fabricating a key
+        # the oracle keeps as NULL.
+        .na.fill(0, subset=list(EVENT_TYPES))
     )
     return out.select(
         "user_id", *[F.col(t).alias(f"n_{t}") for t in EVENT_TYPES]

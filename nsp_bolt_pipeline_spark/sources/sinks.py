@@ -40,6 +40,15 @@ def write_rejects(df: DataFrame, path: str) -> None:
     df.write.mode("append").parquet(path)
 
 
+def _dataset_bytes(spark, path: str) -> int:
+    """Total on-disk bytes of a dataset via the Hadoop FileSystem API —
+    works on any Hadoop-compatible store (local, HDFS, S3A)."""
+    jvm = spark._jvm
+    jpath = jvm.org.apache.hadoop.fs.Path(path)
+    fs = jpath.getFileSystem(spark._jsc.hadoopConfiguration())
+    return int(fs.getContentSummary(jpath).getLength())
+
+
 def compact_to(
     spark,
     src_path: str,
@@ -54,9 +63,18 @@ def compact_to(
     downstream scan (listing + open overhead dominates). Compact into
     a NEW location and swap at the catalog/manifest level — rewriting
     in place is not atomic without a table format (Delta/Iceberg
-    OPTIMIZE is this operation natively)."""
+    OPTIMIZE is this operation natively).
+
+    The unpartitioned branch stays parallel: target partition count is
+    sized from input bytes (~1 GiB per output file), never
+    ``coalesce(1)`` — a single task funneling the whole dataset is the
+    one shape that cannot survive 100 TB."""
     df = spark.read.parquet(src_path)
-    compacted = df.repartition(*partition_cols) if partition_cols else df.coalesce(1)
+    if partition_cols:
+        compacted = df.repartition(*partition_cols)
+    else:
+        target = max(1, _dataset_bytes(spark, src_path) // (1 << 30))
+        compacted = df.repartition(int(target))
     out = compacted.write.mode("overwrite").option(
         "maxRecordsPerFile", str(max_records_per_file)
     )

@@ -68,13 +68,15 @@ def run_windowed_kpis_update(
     incremental answer to the reference's nightly full rescans."""
 
     def upsert(batch: DataFrame, _batch_id: int) -> None:
-        spark = batch.sparkSession
-        prev = spark.conf.get("spark.sql.sources.partitionOverwriteMode", "static")
-        spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
-        try:
-            batch.write.mode("overwrite").partitionBy("date").parquet(out_dir)
-        finally:
-            spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
+        # Per-writer option (Spark 2.3+): only the touched date=
+        # partitions are replaced, and no session-global conf is
+        # mutated under concurrent writers on the same session.
+        (
+            batch.write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("date")
+            .parquet(out_dir)
+        )
 
     query = (
         kpis.writeStream.foreachBatch(upsert)

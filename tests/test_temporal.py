@@ -4,6 +4,7 @@ from __future__ import annotations
 
 from datetime import datetime
 
+import pytest
 from pyspark.sql import functions as F
 
 from nsp_bolt_pipeline_spark.operators.joins import as_of_join, range_join_agg
@@ -34,7 +35,7 @@ def test_as_of_join_boundaries_and_ties(spark):
     out = {
         r["pid"]: r
         for r in as_of_join(
-            probe, ref, key="user", probe_ts="ts", ref_ts="ts", tiebreak="pid"
+            probe, ref, key="user", probe_ts="ts", ref_ts="ts", tiebreak="rid"
         ).collect()
     }
     assert out[1]["asof_rid"] == 100
@@ -53,9 +54,44 @@ def test_as_of_join_keeps_all_probe_rows_once(spark):
         "user string, ts timestamp, rid long",
     )
     rows = as_of_join(
-        probe, ref, key="user", probe_ts="ts", ref_ts="ts", tiebreak="pid"
+        probe, ref, key="user", probe_ts="ts", ref_ts="ts", tiebreak="rid"
     ).collect()
     assert len(rows) == 1 and rows[0]["asof_rid"] == 22
+
+
+def test_as_of_join_rejects_probe_only_tiebreak(spark):
+    probe = spark.createDataFrame(
+        [(1, "u", _ts(1))], "pid long, user string, ts timestamp"
+    )
+    ref = spark.createDataFrame(
+        [("u", _ts(1), 1)], "user string, ts timestamp, rid long"
+    )
+    with pytest.raises(ValueError, match="tiebreak"):
+        as_of_join(
+            probe, ref, key="user", probe_ts="ts", ref_ts="ts", tiebreak="pid"
+        )
+
+
+def test_range_join_agg_duplicate_anchor_rows_stay_separate(spark):
+    # two identical anchor rows must yield two output rows with
+    # per-anchor (not doubled) aggregates
+    anchors = spark.createDataFrame(
+        [("u1", _ts(1)), ("u1", _ts(1))], "user string, ats timestamp"
+    )
+    events = spark.createDataFrame(
+        [("u1", _ts(2), 5.0)], "user string, ts timestamp, v double"
+    )
+    rows = range_join_agg(
+        anchors,
+        events,
+        key="user",
+        anchor_ts="ats",
+        event_ts="ts",
+        within="1 day",
+        measures={"n": F.count(F.col("e.ts")), "total": F.sum(F.col("e.v"))},
+    ).collect()
+    assert len(rows) == 2
+    assert all(r["n"] == 1 and r["total"] == 5.0 for r in rows)
 
 
 def test_range_join_agg_zero_match_anchor_survives(spark):
