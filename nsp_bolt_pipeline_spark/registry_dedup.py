@@ -15,7 +15,9 @@ from pyspark.sql import functions as F
 
 from nsp_bolt_pipeline_spark.operators.neardup import (
     HEX,
+    P_MOD,
     exact_dedup_docs,
+    minhash_family_consts,
     minhash_lsh_pairs,
     ngram_jaccard_pairs,
     simhash_hex,
@@ -90,33 +92,51 @@ def q_neardup_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ngram_jaccard_pairs(docs, n=N, threshold=THRESHOLD)
 
 
-@query(
-    "neardup_minhash_lsh",
-    f"""
+def _minhash_lsh_sql() -> str:
+    """DuckDB twin of the integer-family LSH path: one md5 per
+    shingle (48-bit prefix decoded by nibble arithmetic), affine
+    families (a_i*h + b_i) mod P_MOD from the same module constants,
+    band key = '|'-joined ints."""
+    a_consts, b_consts = minhash_family_consts(NUM_HASHES)
+    a_sql = "[" + ", ".join(str(v) for v in a_consts) + "]"
+    b_sql = "[" + ", ".join(str(v) for v in b_consts) + "]"
+    return f"""
     WITH {_GRAMS_CTE},
-    sigs AS (
+    hs AS (
         SELECT doc_id, g,
-               list_transform(range(0, {NUM_HASHES}), i ->
-                   list_min(list_transform(g, x ->
-                       md5(CAST(i AS VARCHAR) || '#' || x)))) AS sig
+               list_transform(g, x ->
+                   CAST(list_sum(list_transform(range(0, 12), k ->
+                       (strpos('{HEX}', substr(md5(x), k + 1, 1)) - 1)
+                           * (1::BIGINT << (4 * (11 - k)))
+                   )) AS BIGINT)) AS h
         FROM grams
+    ),
+    sigs AS (
+        SELECT doc_id,
+               list_transform(range(0, {NUM_HASHES}), i ->
+                   list_min(list_transform(h, v ->
+                       (v * ({a_sql}::BIGINT[])[i + 1]
+                        + ({b_sql}::BIGINT[])[i + 1]) % {P_MOD}))) AS sig
+        FROM hs
     ),
     banded AS (
         SELECT doc_id AS d, j.j AS band_idx,
-               md5(array_to_string(sig[j.j * {ROWS} + 1 : j.j * {ROWS} + {ROWS}],
-                                   '|')) AS band_hash
+               array_to_string(sig[j.j * {ROWS} + 1 : j.j * {ROWS} + {ROWS}],
+                               '|') AS band_key
         FROM sigs, range(0, {BANDS}) AS j(j)
     ),
     pairs AS (
         SELECT DISTINCT a.d AS d1, b.d AS d2
         FROM banded a
         JOIN banded b ON a.band_idx = b.band_idx
-                     AND a.band_hash = b.band_hash
+                     AND a.band_key = b.band_key
                      AND a.d < b.d
     )
     {_JACCARD_VERIFY}
-    """,
-)
+    """
+
+
+@query("neardup_minhash_lsh", _minhash_lsh_sql())
 def q_neardup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = read_table(spark, sf_dir, "documents")
     return minhash_lsh_pairs(

@@ -134,6 +134,44 @@ def test_band_structs_consistent_with_signature(spark):
     assert via_sig == via_structs
 
 
+def test_int_band_structs_consistent_with_python_model(spark):
+    # the integer-family fast path must equal a pure-Python replay of
+    # the same construction (one md5 per shingle, affine families)
+    import hashlib
+
+    from pyspark.sql import functions as F2
+
+    from nsp_bolt_pipeline_spark.operators.neardup import (
+        P_MOD,
+        lsh_int_band_structs,
+        minhash_family_consts,
+        word_ngrams,
+    )
+
+    df = spark.createDataFrame([(1, BASE)], ["doc_id", "text"]).select(
+        "doc_id", word_ngrams("text", 3).alias("g")
+    )
+    grams = df.select(F2.explode("g").alias("g")).toPandas()["g"].tolist()
+    a_consts, b_consts = minhash_family_consts(15)
+    hs = [int(hashlib.md5(g.encode()).hexdigest()[:12], 16) for g in grams]
+    sig = [
+        min((a * h + b) % P_MOD for h in hs)
+        for a, b in zip(a_consts, b_consts)
+    ]
+    expect = [
+        (j, "|".join(str(sig[j * 3 + k]) for k in range(3))) for j in range(5)
+    ]
+    got = [
+        (r["bh"]["band_idx"], r["bh"]["band_key"])
+        for r in df.select(
+            F2.explode(
+                lsh_int_band_structs(F2.col("g"), bands=5, rows=3)
+            ).alias("bh")
+        ).collect()
+    ]
+    assert got == expect
+
+
 def test_dedup_plans_are_udf_free(spark):
     plan = (
         minhash_lsh_pairs(_docs(spark))
