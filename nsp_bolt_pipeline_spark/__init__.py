@@ -10,7 +10,9 @@ as an idiomatic Apache Spark engine:
                   SimHash), completion join, KPI aggregation, text
                   analysis (tokens, quality, language ID, TF-IDF),
                   similarity search (exact cosine top-k, IVF ANN),
-                  multimodal binary-column plumbing
+                  multimodal binary-column plumbing, corpus prep
+                  (decontamination, repetition filters, PII
+                  redaction, chunking)
 - ``streaming`` : Structured Streaming ingest / stateful dedup /
                   windowed KPI / stream-stream completion join
 - ``pipeline``  : end-to-end batch composition (bronze -> silver -> gold)

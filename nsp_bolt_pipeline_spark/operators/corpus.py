@@ -1,0 +1,202 @@
+"""Corpus-preparation operators for LLM training data (scale
+extensions; no counterpart in the reference, which processes events —
+these are the document-side operations the build brief names as
+first-class: decontamination, repetition/quality filtering, PII
+redaction, chunking).
+
+Scale design (100 TB):
+
+- Decontamination (:func:`contamination_hits`): the eval/test side is
+  tiny (thousands of docs) next to the train corpus; its exploded
+  shingle set is broadcast, so the scan over the train side stays
+  shuffle-free — each train partition probes the broadcast hash set
+  and emits hits. The train side's shingles are never materialized
+  corpus-wide.
+- Repetition stats (:func:`repetition_stats`): stateless projection,
+  pure expressions per row — scan-speed, no shuffle.
+- PII redaction (:func:`redact_pii`): stateless projection. The regex
+  set is deliberately lookaround-free so the same patterns run on
+  Java regex, RE2, and every engine in between.
+- Chunking (:func:`chunk_documents`): map-side explode; output rows =
+  ceil(tokens/stride) per doc. No shuffle; writers should partition
+  the chunk table by a hash of doc id to keep files balanced.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from nsp_bolt_pipeline_spark.functions.expr import bind_once
+from nsp_bolt_pipeline_spark.operators.neardup import word_ngrams
+from nsp_bolt_pipeline_spark.operators.text import tokens
+
+#: Lookaround-free PII patterns, valid and identical in Java regex and
+#: RE2 (DuckDB). Order matters: emails first so phone digits inside a
+#: redacted email are not double-counted.
+EMAIL_PATTERN = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+PHONE_PATTERN = r"\+?[0-9][0-9()\[\] .-]{6,}[0-9]"
+
+
+def contamination_hits(
+    train: DataFrame,
+    test: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 8,
+) -> DataFrame:
+    """Train<->eval overlap detection: a train document is contaminated
+    if it shares any word ``n``-gram with any test document (the
+    GPT-3/PaLM n-gram decontamination rule; n=8..13 in the published
+    recipes).
+
+    Returns one row per contaminated train doc:
+    (doc_id, n_shared_grams, n_test_docs) — how many distinct shingles
+    leak and how many eval docs they touch. The test-side shingle
+    table is broadcast (eval sets are small by construction), so the
+    train scan never shuffles.
+    """
+    tr = train.select(
+        F.col(id_col).alias("train_id"),
+        F.explode(word_ngrams(text_col, n)).alias("gram"),
+    )
+    te = test.select(
+        F.col(id_col).alias("test_id"),
+        F.explode(word_ngrams(text_col, n)).alias("gram"),
+    )
+    return (
+        tr.join(F.broadcast(te), "gram")
+        .groupBy("train_id")
+        .agg(
+            F.count_distinct("gram").alias("n_shared_grams"),
+            F.count_distinct("test_id").alias("n_test_docs"),
+        )
+    )
+
+
+def repetition_stats(
+    df: DataFrame, *, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Gopher-style repetition / shape statistics per document
+    (Rae et al. 2021 §A1.1): duplicate 2-gram and 3-gram fractions,
+    mean word length, and the fraction of tokens that start with a
+    non-alphanumeric character (symbol ratio). ``passes_repetition``
+    applies the Gopher-flavored thresholds; everything is integer
+    counts and single divisions, so the oracle reproduces the doubles
+    bit-for-bit.
+    """
+
+    def dup_frac(grams: Column) -> Column:
+        return bind_once(
+            grams,
+            lambda g: F.when(
+                F.size(g) > 0,
+                (F.size(g) - F.size(F.array_distinct(g))).cast("double")
+                / F.size(g).cast("double"),
+            ).otherwise(F.lit(0.0)),
+        )
+
+    def all_ngrams(toks: Column, n: int) -> Column:
+        # non-distinct n-grams (duplicate counting needs multiplicity)
+        return F.when(
+            F.size(toks) >= n,
+            F.transform(
+                F.sequence(F.lit(1), F.size(toks) - (n - 1)),
+                lambda i: F.concat_ws(" ", F.slice(toks, i, n)),
+            ),
+        ).otherwise(F.array().cast("array<string>"))
+
+    def from_tokens(toks: Column) -> Column:
+        n_tokens = F.size(toks)
+        total_chars = F.aggregate(
+            toks, F.lit(0).cast("long"), lambda acc, t: acc + F.length(t)
+        )
+        n_symbol = F.size(F.filter(toks, lambda t: t.rlike(r"^[^A-Za-z0-9]")))
+        return F.struct(
+            n_tokens.cast("long").alias("n_tokens"),
+            dup_frac(all_ngrams(toks, 2)).alias("dup_2gram_frac"),
+            dup_frac(all_ngrams(toks, 3)).alias("dup_3gram_frac"),
+            (total_chars.cast("double") / n_tokens.cast("double")).alias(
+                "mean_word_len"
+            ),
+            (n_symbol.cast("double") / n_tokens.cast("double")).alias(
+                "symbol_ratio"
+            ),
+        )
+
+    stats = df.select(
+        F.col(id_col), bind_once(tokens(text_col), from_tokens).alias("s")
+    ).select(id_col, "s.*")
+    return stats.withColumn(
+        "passes_repetition",
+        (F.col("n_tokens") >= 10)
+        & (F.col("dup_2gram_frac") < 0.2)
+        & (F.col("dup_3gram_frac") < 0.18)
+        & (F.col("mean_word_len") >= 2.0)
+        & (F.col("mean_word_len") <= 12.0)
+        & (F.col("symbol_ratio") < 0.1),
+    )
+
+
+def redact_pii(col: Column | str) -> Column:
+    """Replace emails then phone-like digit runs with typed tags.
+    Email first: a redacted address leaves no digit run for the phone
+    pattern to double-redact."""
+    c = F.col(col) if isinstance(col, str) else col
+    no_email = F.regexp_replace(c, EMAIL_PATTERN, "[EMAIL]")
+    return F.regexp_replace(no_email, PHONE_PATTERN, "[PHONE]")
+
+
+def pii_counts(col: Column | str) -> tuple[Column, Column]:
+    """(n_emails, n_phones) found by the same patterns redact_pii
+    removes — phones counted after email removal, mirroring the
+    redaction order."""
+    c = F.col(col) if isinstance(col, str) else col
+    n_email = F.size(F.regexp_extract_all(c, F.lit(EMAIL_PATTERN), 0))
+    no_email = F.regexp_replace(c, EMAIL_PATTERN, "[EMAIL]")
+    n_phone = F.size(F.regexp_extract_all(no_email, F.lit(PHONE_PATTERN), 0))
+    return n_email.cast("long"), n_phone.cast("long")
+
+
+def chunk_documents(
+    df: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    chunk_tokens: int = 64,
+    stride: int = 48,
+) -> DataFrame:
+    """Split each document into token-window chunks of
+    ``chunk_tokens`` tokens starting every ``stride`` tokens
+    (overlapping when stride < chunk_tokens — the standard LM context
+    packing shape). The final chunk may be shorter; chunks whose start
+    lies beyond the text produce nothing. One output row per chunk:
+    (id, chunk_idx, chunk_text, n_chunk_tokens).
+
+    Pure map-side explode — fan-out ~ n_tokens/stride per doc, no
+    shuffle.
+    """
+
+    def from_tokens(toks: Column) -> Column:
+        starts = F.sequence(
+            F.lit(1), F.greatest(F.size(toks), F.lit(1)), F.lit(stride)
+        )
+        return F.transform(
+            starts,
+            lambda s, i: F.struct(
+                i.cast("int").alias("chunk_idx"),
+                F.concat_ws(" ", F.slice(toks, s, chunk_tokens)).alias(
+                    "chunk_text"
+                ),
+                F.least(
+                    F.lit(chunk_tokens), F.size(toks) - s + 1
+                ).cast("long").alias("n_chunk_tokens"),
+            ),
+        )
+
+    chunks = df.select(
+        F.col(id_col),
+        F.explode(bind_once(tokens(text_col), from_tokens)).alias("c"),
+    )
+    return chunks.select(id_col, "c.chunk_idx", "c.chunk_text", "c.n_chunk_tokens")

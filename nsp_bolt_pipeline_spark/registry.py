@@ -622,3 +622,4 @@ from nsp_bolt_pipeline_spark import registry_skew  # noqa: E402,F401
 from nsp_bolt_pipeline_spark import registry_temporal  # noqa: E402,F401
 from nsp_bolt_pipeline_spark import registry_sampling  # noqa: E402,F401
 from nsp_bolt_pipeline_spark import registry_relational  # noqa: E402,F401
+from nsp_bolt_pipeline_spark import registry_corpus  # noqa: E402,F401

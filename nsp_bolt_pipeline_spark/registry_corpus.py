@@ -1,0 +1,222 @@
+"""Oracle-backed registry entries for the corpus-preparation family
+(operators.corpus): decontamination, Gopher-style repetition stats,
+PII redaction, token-window chunking — all over ``documents``.
+
+Every operator is pure Catalyst expressions, so each DuckDB oracle
+replays the *entire* computation (tokenize, shingle, hash-split,
+regex, window slice) and the driver's exact hash compare must agree
+bit-for-bit.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from nsp_bolt_pipeline_spark.operators.corpus import (
+    EMAIL_PATTERN,
+    PHONE_PATTERN,
+    chunk_documents,
+    contamination_hits,
+    pii_counts,
+    redact_pii,
+    repetition_stats,
+)
+from nsp_bolt_pipeline_spark.operators.sampling import assign_split
+from nsp_bolt_pipeline_spark.registry import query
+from nsp_bolt_pipeline_spark.registry_sampling import _bucket_sql
+from nsp_bolt_pipeline_spark.sources.readers import read_table
+
+DECON_N = 8  # word n-gram width for decontamination
+DECON_SALT = "decon"
+TRAIN_FRAC = 0.9
+CHUNK_TOKENS = 64
+CHUNK_STRIDE = 48
+
+#: whitespace token array per doc (shared CTE head)
+_TOKS_CTE = r"""
+t AS (SELECT doc_id, text,
+             regexp_split_to_array(trim(text), '\s+') AS toks
+      FROM documents)
+"""
+
+
+def _grams_sql(n: int) -> str:
+    """Distinct word n-grams of ``toks`` (empty below n tokens) —
+    DuckDB twin of operators.neardup.word_ngrams."""
+    return (
+        f"CASE WHEN len(toks) >= {n} THEN "
+        f"list_distinct(list_transform(range(1, len(toks) - {n - 2}), "
+        f"i -> array_to_string(toks[i:i + {n - 1}], ' '))) "
+        f"ELSE [] END"
+    )
+
+
+@query(
+    "corpus_decontamination",
+    f"""
+    WITH {_TOKS_CTE},
+    split AS (
+        SELECT doc_id, toks,
+               {_bucket_sql("doc_id", DECON_SALT)} AS b
+        FROM t
+    ),
+    trg AS (
+        SELECT doc_id AS train_id, unnest({_grams_sql(DECON_N)}) AS gram
+        FROM split WHERE b < {TRAIN_FRAC}
+    ),
+    teg AS (
+        SELECT doc_id AS test_id, unnest({_grams_sql(DECON_N)}) AS gram
+        FROM split WHERE b >= {TRAIN_FRAC}
+    )
+    SELECT train_id,
+           COUNT(DISTINCT gram) AS n_shared_grams,
+           COUNT(DISTINCT test_id) AS n_test_docs
+    FROM trg JOIN teg USING (gram)
+    GROUP BY train_id
+    """,
+)
+def q_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hash-split the corpus 90/10 into train/eval, then flag train
+    docs sharing any 8-gram with the eval side. The eval shingle set
+    is broadcast — the train scan is shuffle-free."""
+    docs = read_table(spark, sf_dir, "documents").select("doc_id", "text")
+    split = assign_split(
+        docs,
+        key="doc_id",
+        weights={"train": TRAIN_FRAC, "test": 1 - TRAIN_FRAC},
+        salt=DECON_SALT,
+    )
+    train = split.filter(F.col("split") == "train")
+    test = split.filter(F.col("split") == "test")
+    return contamination_hits(train, test, n=DECON_N)
+
+
+@query(
+    "corpus_repetition_stats",
+    f"""
+    WITH {_TOKS_CTE},
+    g AS (
+        SELECT doc_id, toks,
+               CASE WHEN len(toks) >= 2 THEN
+                   list_transform(range(1, len(toks)),
+                                  i -> array_to_string(toks[i:i + 1], ' '))
+               ELSE [] END AS g2,
+               CASE WHEN len(toks) >= 3 THEN
+                   list_transform(range(1, len(toks) - 1),
+                                  i -> array_to_string(toks[i:i + 2], ' '))
+               ELSE [] END AS g3
+        FROM t
+    ),
+    s AS (
+        SELECT doc_id,
+               CAST(len(toks) AS BIGINT) AS n_tokens,
+               CASE WHEN len(g2) > 0 THEN
+                   CAST(len(g2) - len(list_distinct(g2)) AS DOUBLE)
+                       / CAST(len(g2) AS DOUBLE)
+               ELSE 0.0 END AS dup_2gram_frac,
+               CASE WHEN len(g3) > 0 THEN
+                   CAST(len(g3) - len(list_distinct(g3)) AS DOUBLE)
+                       / CAST(len(g3) AS DOUBLE)
+               ELSE 0.0 END AS dup_3gram_frac,
+               CAST(list_sum(list_transform(toks, x -> length(x)))
+                    AS DOUBLE) / CAST(len(toks) AS DOUBLE) AS mean_word_len,
+               CAST(len(list_filter(toks,
+                        x -> regexp_matches(x, '^[^A-Za-z0-9]')))
+                    AS DOUBLE) / CAST(len(toks) AS DOUBLE) AS symbol_ratio
+        FROM g
+    )
+    SELECT *,
+           (n_tokens >= 10 AND dup_2gram_frac < 0.2 AND dup_3gram_frac < 0.18
+            AND mean_word_len >= 2.0 AND mean_word_len <= 12.0
+            AND symbol_ratio < 0.1) AS passes_repetition
+    FROM s
+    """,
+)
+def q_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return repetition_stats(read_table(spark, sf_dir, "documents"))
+
+
+@query(
+    "corpus_pii_redaction",
+    f"""
+    WITH synth AS (
+        SELECT doc_id,
+               text || ' Contact user' || CAST(doc_id AS VARCHAR)
+                    || '@example.com or +1-555-'
+                    || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') AS s
+        FROM documents
+    ),
+    stage AS (
+        SELECT doc_id, s,
+               regexp_replace(s, '{EMAIL_PATTERN}', '[EMAIL]', 'g') AS no_email
+        FROM synth
+    )
+    SELECT doc_id,
+           regexp_replace(no_email, '{PHONE_PATTERN}', '[PHONE]', 'g')
+               AS redacted,
+           CAST(len(regexp_extract_all(s, '{EMAIL_PATTERN}')) AS BIGINT)
+               AS n_emails,
+           CAST(len(regexp_extract_all(no_email, '{PHONE_PATTERN}'))
+                AS BIGINT) AS n_phones
+    FROM stage
+    """,
+)
+def q_pii_redaction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII redaction over a deterministic contact-line injection (the
+    corpus itself carries no planted PII, so the query appends one
+    email + one phone per doc from doc_id — both engines synthesize
+    the same string, then redact with the same lookaround-free
+    patterns)."""
+    docs = read_table(spark, sf_dir, "documents")
+    synth = docs.select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.lit(" Contact user"),
+            F.col("doc_id").cast("string"),
+            F.lit("@example.com or +1-555-"),
+            F.lpad((F.col("doc_id") % 10000).cast("string"), 4, "0"),
+        ).alias("s"),
+    )
+    n_emails, n_phones = pii_counts("s")
+    return synth.select(
+        "doc_id",
+        redact_pii("s").alias("redacted"),
+        n_emails.alias("n_emails"),
+        n_phones.alias("n_phones"),
+    )
+
+
+@query(
+    "corpus_chunking",
+    f"""
+    WITH {_TOKS_CTE},
+    st AS (
+        SELECT doc_id, toks,
+               range(1, greatest(len(toks), 1) + 1, {CHUNK_STRIDE}) AS starts
+        FROM t
+    ),
+    c AS (
+        SELECT doc_id,
+               unnest(list_transform(range(len(starts)), j -> struct_pack(
+                   chunk_idx := CAST(j AS INT),
+                   chunk_text := array_to_string(
+                       toks[starts[j + 1] : starts[j + 1] + {CHUNK_TOKENS - 1}],
+                       ' '),
+                   n_chunk_tokens := CAST(least({CHUNK_TOKENS},
+                       len(toks) - starts[j + 1] + 1) AS BIGINT)
+               ))) AS ch
+        FROM st
+    )
+    SELECT doc_id, ch.chunk_idx AS chunk_idx, ch.chunk_text AS chunk_text,
+           ch.n_chunk_tokens AS n_chunk_tokens
+    FROM c
+    """,
+)
+def q_chunking(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return chunk_documents(
+        read_table(spark, sf_dir, "documents"),
+        chunk_tokens=CHUNK_TOKENS,
+        stride=CHUNK_STRIDE,
+    )

@@ -1,0 +1,106 @@
+"""Unit tests for corpus-preparation operators (operators.corpus):
+decontamination, repetition stats, PII redaction, chunking."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from nsp_bolt_pipeline_spark.operators.corpus import (
+    chunk_documents,
+    contamination_hits,
+    pii_counts,
+    redact_pii,
+    repetition_stats,
+)
+
+
+def test_contamination_flags_shared_ngram_only(spark):
+    shared = "alpha beta gamma delta epsilon zeta eta theta"  # 8 tokens
+    train = spark.createDataFrame(
+        [
+            (1, f"prefix words {shared} suffix words"),
+            (2, "totally different content with no overlap at all here"),
+        ],
+        ["doc_id", "text"],
+    )
+    test = spark.createDataFrame(
+        [(100, f"an eval doc containing {shared} verbatim")],
+        ["doc_id", "text"],
+    )
+    rows = {r["train_id"]: r for r in contamination_hits(train, test, n=8).collect()}
+    assert 1 in rows and 2 not in rows
+    assert rows[1]["n_shared_grams"] >= 1 and rows[1]["n_test_docs"] == 1
+
+
+def test_repetition_stats_separates_loops_from_prose(spark):
+    clean = "the quick brown fox jumps over the lazy dog near riverbank today"
+    loops = "buy now " * 30  # 60 tokens, almost all duplicate 2-grams
+    df = spark.createDataFrame(
+        [(1, clean), (2, loops.strip())], ["doc_id", "text"]
+    )
+    rows = {r["doc_id"]: r for r in repetition_stats(df).collect()}
+    assert rows[1]["passes_repetition"] is True
+    assert rows[2]["passes_repetition"] is False
+    assert rows[2]["dup_2gram_frac"] > 0.9
+    assert rows[1]["dup_3gram_frac"] == 0.0
+
+
+def test_redact_pii_emails_and_phones(spark):
+    df = spark.createDataFrame(
+        [(1, "mail jane.doe+x@sub.example.org or call +1-555-123-4567 now")],
+        ["doc_id", "text"],
+    )
+    n_emails, n_phones = pii_counts("text")
+    row = df.select(
+        redact_pii("text").alias("red"),
+        n_emails.alias("ne"),
+        n_phones.alias("np"),
+    ).first()
+    assert "[EMAIL]" in row["red"] and "[PHONE]" in row["red"]
+    assert "example.org" not in row["red"] and "4567" not in row["red"]
+    assert row["ne"] == 1 and row["np"] == 1
+
+
+def test_redact_pii_leaves_clean_text_alone(spark):
+    df = spark.createDataFrame(
+        [(1, "version 2.5 released in 2024 with 99 fixes")], ["doc_id", "text"]
+    )
+    row = df.select(redact_pii("text").alias("red")).first()
+    assert row["red"] == "version 2.5 released in 2024 with 99 fixes"
+
+
+def test_chunking_overlap_and_tail(spark):
+    toks = [f"w{i}" for i in range(100)]
+    df = spark.createDataFrame([(1, " ".join(toks))], ["doc_id", "text"])
+    chunks = sorted(
+        chunk_documents(df, chunk_tokens=64, stride=48).collect(),
+        key=lambda r: r["chunk_idx"],
+    )
+    # starts at tokens 0, 48, 96 (0-based) -> 3 chunks
+    assert [c["chunk_idx"] for c in chunks] == [0, 1, 2]
+    assert chunks[0]["chunk_text"].split() == toks[0:64]
+    assert chunks[1]["chunk_text"].split() == toks[48:100]  # truncated tail
+    assert chunks[2]["chunk_text"].split() == toks[96:100]
+    assert [c["n_chunk_tokens"] for c in chunks] == [64, 52, 4]
+    # overlap region present in both chunk 0 and 1
+    assert toks[50] in chunks[0]["chunk_text"].split()
+    assert toks[50] in chunks[1]["chunk_text"].split()
+
+
+def test_chunking_short_doc_single_chunk(spark):
+    df = spark.createDataFrame([(1, "just five little words here")], ["doc_id", "text"])
+    chunks = chunk_documents(df, chunk_tokens=64, stride=48).collect()
+    assert len(chunks) == 1
+    assert chunks[0]["n_chunk_tokens"] == 5
+    assert chunks[0]["chunk_text"] == "just five little words here"
+
+
+def test_corpus_plans_are_udf_free(spark):
+    df = spark.createDataFrame([(1, "a b c d e f g h i j")], ["doc_id", "text"])
+    for out in (
+        repetition_stats(df),
+        chunk_documents(df),
+        df.select(redact_pii("text")),
+    ):
+        plan = out._jdf.queryExecution().executedPlan().toString()
+        assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
