@@ -112,6 +112,76 @@ def q_window_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "q4_late_shipment_semi",
+    """
+    SELECT o_orderpriority, COUNT(*) AS order_count
+    FROM orders
+    WHERE o_orderdate >= TIMESTAMP '1996-01-01'
+      AND o_orderdate < TIMESTAMP '1997-01-01'
+      AND EXISTS (SELECT 1 FROM lineitem
+                  WHERE l_orderkey = o_orderkey
+                    AND l_shipdate > o_orderdate + INTERVAL 90 DAY)
+    GROUP BY o_orderpriority
+    """,
+)
+def q_semi_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H q4 shape: EXISTS as a left-semi join with a correlated
+    range condition. Semi joins never duplicate the probe side, so no
+    post-join dedup is needed; the date filter on orders is pushed to
+    the scan, and the correlated l_shipdate bound rides the join as a
+    residual predicate — at scale the semi join also short-circuits
+    per matching key instead of expanding the match fan-out."""
+    orders = read_table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= "1996-01-01")
+        & (F.col("o_orderdate") < "1997-01-01")
+    )
+    li = read_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_shipdate")
+    cond = (F.col("l_orderkey") == F.col("o_orderkey")) & (
+        F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 90 DAYS")
+    )
+    return (
+        orders.join(li, cond, "left_semi")
+        .groupBy("o_orderpriority")
+        .agg(F.count("*").alias("order_count"))
+    )
+
+
+@query(
+    "q13_order_count_histogram",
+    """
+    SELECT c_count, COUNT(*) AS custdist
+    FROM (
+        SELECT c.c_custkey, COUNT(o.o_orderkey) AS c_count
+        FROM customer c
+        LEFT OUTER JOIN orders o
+               ON c.c_custkey = o.o_custkey AND o.o_totalprice > 50000
+        GROUP BY c.c_custkey
+    )
+    GROUP BY c_count
+    """,
+)
+def q_outer_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H q13 shape: outer join with a filter in the ON clause
+    (customers with no qualifying orders survive with count 0 — a
+    WHERE-clause filter would wrongly drop them), then a histogram of
+    the per-customer counts. Two shuffles by construction: the big
+    join on custkey, then a tiny-cardinality count aggregation."""
+    cust = read_table(spark, sf_dir, "customer").select("c_custkey")
+    orders = read_table(spark, sf_dir, "orders").select(
+        "o_custkey", "o_orderkey", "o_totalprice"
+    )
+    cond = (F.col("c_custkey") == F.col("o_custkey")) & (
+        F.col("o_totalprice") > 50000
+    )
+    per_cust = (
+        cust.join(orders, cond, "left")
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("c_count"))
+    )
+    return per_cust.groupBy("c_count").agg(F.count("*").alias("custdist"))
+
+
+@query(
     "set_ops_users",
     """
     SELECT user_id, 'signup_only' AS cohort FROM (
