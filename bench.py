@@ -33,6 +33,8 @@ HEADLINE = [
     "ann_ivf_topk",
     "text_tfidf",
     "mm_decode_features",
+    # corpus prep: train/eval n-gram overlap with broadcast eval side
+    "corpus_decontamination",
     # full streaming ingest (dump -> validate -> dedup -> bronze):
     # ~100k events at sf0.1; wall time here ~= ingest throughput
     # (BASELINE.md target: sustain >= 1,000 events/s/stream)

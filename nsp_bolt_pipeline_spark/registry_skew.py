@@ -69,3 +69,23 @@ def q_skew_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = read_table(spark, sf_dir, "events")
     return distinct_count(ev, ["event_type"], "user_id")
+
+
+@query("agg_approx_sketches", None)
+def q_approx_sketches(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The 100 TB path for distincts and percentiles: HyperLogLog++
+    (`approx_count_distinct`, fixed-size sketch, map-side mergeable —
+    one small shuffle row per group instead of shuffling every
+    distinct value) and GK `percentile_approx` (bounded-memory
+    quantiles, no global sort). Sketch outputs are estimator- and
+    implementation-specific, so there is no cross-engine oracle:
+    registered rows-only; `tests/test_skew.py` bounds the relative
+    error against the exact answers (HLL++ rsd default 5%; the
+    percentile accuracy parameter 10000 gives ~0.01% rank error).
+    """
+    ev = read_table(spark, sf_dir, "events")
+    return ev.groupBy("event_type").agg(
+        F.approx_count_distinct("user_id").alias("approx_users"),
+        F.percentile_approx("value", 0.5, 10000).alias("p50_approx"),
+        F.percentile_approx("value", 0.95, 10000).alias("p95_approx"),
+    )

@@ -86,3 +86,39 @@ def test_approx_distinct_within_rsd_of_exact(spark):
     }
     for k, n in exact.items():
         assert abs(approx[k] - n) <= 3 * 0.05 * n  # 3-sigma bound
+
+
+def test_approx_sketches_query_bounds(spark):
+    from nsp_bolt_pipeline_spark.registry import REGISTRY
+
+    fn, oracle = REGISTRY["agg_approx_sketches"]
+    assert oracle is None  # sketches are estimator-specific: rows-only
+    sf_dir = "/root/testdata/sf0.001"
+    approx = {r["event_type"]: r for r in fn(spark, sf_dir).collect()}
+
+    from nsp_bolt_pipeline_spark.sources.readers import read_table
+
+    ev = read_table(spark, sf_dir, "events")
+    exact = {
+        r["event_type"]: r
+        for r in ev.groupBy("event_type")
+        .agg(
+            F.count_distinct("user_id").alias("users"),
+            F.expr("percentile(value, 0.5)").alias("p50"),
+            F.expr("percentile(value, 0.95)").alias("p95"),
+        )
+        .collect()
+    }
+    assert set(approx) == set(exact)
+    for k, ex in exact.items():
+        assert abs(approx[k]["approx_users"] - ex["users"]) <= 3 * 0.05 * ex["users"]
+
+    # percentile_approx guarantees RANK accuracy, not value accuracy
+    # (adjacent data values can be far apart in a thin tail): assert
+    # the fraction of values <= the estimate brackets the target rank.
+    for q, col in ((0.5, "p50_approx"), (0.95, "p95_approx")):
+        for k, row in approx.items():
+            grp = ev.filter(F.col("event_type") == k)
+            n = grp.count()
+            below = grp.filter(F.col("value") <= row[col]).count()
+            assert q - 0.01 <= below / n <= q + 0.01, (k, q, below / n)
