@@ -1,0 +1,64 @@
+"""Physical-plan invariants across the whole registry.
+
+These are the scale guardrails as executable checks: Python in the
+data plane and unkeyed join explosions are the two regressions that
+stay invisible at test scale and destroy a 100 TB run.
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from nsp_bolt_pipeline_spark.registry import REGISTRY
+
+SF_DIR = "/root/testdata/sf0.001"
+
+#: queries that run real streaming jobs (side effects; their batch
+#: twins cover the plan checks) — skipped here
+_STREAMING = {n for n in REGISTRY if n.startswith("stream_")}
+
+#: the one deliberate Python stage: Arrow-batched mapInPandas decode
+_PYTHON_OK = {"mm_decode_features"}
+
+
+def _plan(spark, name: str) -> str:
+    fn, _ = REGISTRY[name]
+    return fn(spark, SF_DIR)._jdf.queryExecution().executedPlan().toString()
+
+
+@pytest.fixture(scope="module")
+def plans(spark):
+    return {
+        name: _plan(spark, name)
+        for name in REGISTRY
+        if name not in _STREAMING
+    }
+
+
+def test_no_python_udfs_outside_whitelist(plans):
+    offenders = {
+        name
+        for name, plan in plans.items()
+        if name not in _PYTHON_OK
+        and ("BatchEvalPython" in plan or "ArrowEvalPython" in plan)
+    }
+    assert not offenders, f"Python in the data plane: {sorted(offenders)}"
+
+
+def test_no_cartesian_products(plans):
+    # broadcast nested-loop against a tiny side is legitimate (IVF
+    # centroid scoring); a shuffled CartesianProduct never is
+    offenders = {n for n, p in plans.items() if "CartesianProduct" in p}
+    assert not offenders, f"Cartesian products: {sorted(offenders)}"
+
+
+def test_multi_join_queries_broadcast_dimensions(plans):
+    for name in ("q5_region_revenue", "q3_shipping_priority"):
+        assert "BroadcastHashJoin" in plans[name], name
+
+
+def test_filtered_scans_push_predicates(plans):
+    # the flagship's event_type predicates must reach the parquet scan
+    plan = plans["trip_daily_kpi"]
+    assert "PushedFilters: [" in plan
+    assert "EqualTo(event_type" in plan
