@@ -1,0 +1,120 @@
+"""Connected components over candidate-pair edges — the final stage
+of a near-duplicate dedup pipeline (cluster the pair graph, keep one
+canonical document per cluster).
+
+MinHash/SimHash emit *pairs*; dedup needs *clusters* (A~B and B~C
+must collapse to one kept doc even when A~C was never emitted). The
+standard scalable answer is iterative minimum-label propagation:
+every node starts as its own label, and each round takes the min of
+its neighbors' labels, until fixpoint. Rounds = graph diameter, and
+near-dup clusters are small and dense, so 3-5 rounds cover real
+corpora.
+
+Scale design (100 TB): each round is one shuffle keyed by node id
+over the (still-changing part of the) edge list — no driver-side
+graph, no adjacency materialization. The loop checks convergence with
+a count on the *changed* labels only. For adversarial long-chain
+graphs, swap in the large-star/small-star contraction (Kiveris et
+al.), which bounds rounds at O(log^2 n); the label-propagation form
+is the right default for dedup-shaped graphs. The fixpoint itself is
+deterministic (min over a component) no matter the join order.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def connected_components(
+    nodes: DataFrame,
+    edges: DataFrame,
+    *,
+    id_col: str = "id",
+    src_col: str = "src",
+    dst_col: str = "dst",
+    max_iter: int = 25,
+) -> DataFrame:
+    """Label every node with the smallest node id reachable from it
+    (undirected). Returns (id_col, component). Nodes absent from the
+    edge list keep themselves as component — singletons survive.
+    Raises if the fixpoint is not reached within ``max_iter`` rounds
+    (diameter bound exceeded; see module docstring for the
+    star-contraction alternative before raising the bound).
+    """
+    # persist the (possibly expensive) edge source before mirroring:
+    # the union reads it twice, and every propagation round reads the
+    # mirrored list again
+    e = edges.select(F.col(src_col).alias("a"), F.col(dst_col).alias("b")).persist()
+    und = e.unionByName(e.select(F.col("b").alias("a"), F.col("a").alias("b"))).persist()
+
+    # propagate only over nodes that have at least one edge — isolated
+    # nodes are their own component by definition and never change, so
+    # they stay out of the loop entirely (in a dedup graph that is the
+    # overwhelming majority of the corpus)
+    labels = und.select("a").distinct().withColumn("comp", F.col("a")).persist()
+
+    for _ in range(max_iter):
+        msgs = (
+            und.join(labels.withColumnRenamed("a", "b_"), und.b == F.col("b_"))
+            .groupBy("a")
+            .agg(F.min("comp").alias("nbr_min"))
+        )
+        # fold the convergence flag into the same cached frame so each
+        # round is exactly ONE Spark job (the agg materializes the
+        # cache the next round reuses)
+        staged = (
+            labels.join(msgs, "a", "left")
+            .select(
+                "a",
+                F.least(
+                    F.col("comp"), F.coalesce(F.col("nbr_min"), F.col("comp"))
+                ).alias("comp"),
+                (F.col("nbr_min") < F.col("comp")).alias("chg"),
+            )
+            .persist()
+        )
+        n_changed = staged.agg(
+            F.sum(F.col("chg").cast("long")).alias("n")
+        ).first()["n"]
+        labels.unpersist()
+        labels = staged.drop("chg")
+        if not n_changed:
+            break
+    else:
+        raise RuntimeError(
+            f"connected_components: no fixpoint within {max_iter} rounds"
+        )
+    out = (
+        nodes.select(F.col(id_col).alias("a"))
+        .join(labels, "a", "left")
+        .select(
+            F.col("a").alias(id_col),
+            F.coalesce(F.col("comp"), F.col("a")).alias("component"),
+        )
+    )
+    und.unpersist()
+    e.unpersist()
+    return out
+
+
+def dedup_clusters(
+    docs: DataFrame,
+    pairs: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    d1_col: str = "d1",
+    d2_col: str = "d2",
+) -> DataFrame:
+    """Cluster near-dup pairs and mark the canonical (smallest-id)
+    document of each cluster as the keeper. Output one row per input
+    doc: (doc_id, cluster_id, keep)."""
+    nodes = docs.select(F.col(id_col).alias("id"))
+    cc = connected_components(
+        nodes, pairs, id_col="id", src_col=d1_col, dst_col=d2_col
+    )
+    return cc.select(
+        F.col("id").alias(id_col),
+        F.col("component").alias("cluster_id"),
+        (F.col("id") == F.col("component")).alias("keep"),
+    )

@@ -144,6 +144,42 @@ def q_neardup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "neardup_clusters",
+    f"""
+    WITH RECURSIVE
+    edges AS (SELECT d1, d2 FROM ({_minhash_lsh_sql()})),
+    und AS (SELECT d1 AS a, d2 AS b FROM edges
+            UNION ALL
+            SELECT d2 AS a, d1 AS b FROM edges),
+    walk(node, comp) AS (
+        SELECT doc_id, doc_id FROM documents
+        UNION
+        SELECT e.b, w.comp FROM walk w JOIN und e ON w.node = e.a
+    )
+    SELECT node AS doc_id,
+           MIN(comp) AS cluster_id,
+           node = MIN(comp) AS keep
+    FROM walk
+    GROUP BY node
+    """,
+)
+def q_neardup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end near-dup dedup: MinHash-LSH pairs -> connected
+    components -> canonical keeper per cluster. The Spark side runs
+    iterative min-label propagation to the fixpoint; the oracle walks
+    reachability with a recursive CTE and takes the per-node minimum —
+    different algorithms, provably the same answer (smallest id in
+    each component), so the hash compare pins both."""
+    from nsp_bolt_pipeline_spark.operators.graph import dedup_clusters
+
+    docs = read_table(spark, sf_dir, "documents")
+    pairs = minhash_lsh_pairs(
+        docs, n=N, num_hashes=NUM_HASHES, bands=BANDS, threshold=THRESHOLD
+    )
+    return dedup_clusters(docs, pairs)
+
+
 def _simhash_sql(nibbles: int = 16) -> str:
     """Generate the DuckDB twin of operators.neardup.simhash_hex."""
     nib_exprs = []

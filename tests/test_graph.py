@@ -1,0 +1,56 @@
+"""Unit tests for connected components / dedup clustering
+(operators.graph)."""
+
+from __future__ import annotations
+
+import pytest
+
+from nsp_bolt_pipeline_spark.operators.graph import (
+    connected_components,
+    dedup_clusters,
+)
+
+
+def _cc(spark, node_ids, edge_pairs, **kw):
+    nodes = spark.createDataFrame([(n,) for n in node_ids], ["id"])
+    edges = spark.createDataFrame(
+        [(a, b) for a, b in edge_pairs], ["src", "dst"]
+    )
+    rows = connected_components(nodes, edges, **kw).collect()
+    return {r["id"]: r["component"] for r in rows}
+
+
+def test_transitive_chain_collapses_to_one_component(spark):
+    # 1-2, 2-3, 3-4: no direct 1-4 edge, still one cluster
+    comp = _cc(spark, [1, 2, 3, 4], [(1, 2), (2, 3), (3, 4)])
+    assert comp == {1: 1, 2: 1, 3: 1, 4: 1}
+
+
+def test_singletons_and_separate_components(spark):
+    comp = _cc(spark, [1, 2, 3, 4, 5, 9], [(1, 2), (4, 5)])
+    assert comp == {1: 1, 2: 1, 3: 3, 4: 4, 5: 4, 9: 9}
+
+
+def test_component_label_is_global_min_not_edge_order(spark):
+    # edges written "backwards": min label must still win everywhere
+    comp = _cc(spark, [10, 20, 30], [(30, 20), (20, 10)])
+    assert comp == {10: 10, 20: 10, 30: 10}
+
+
+def test_max_iter_exceeded_raises(spark):
+    with pytest.raises(RuntimeError, match="fixpoint"):
+        # a 4-chain needs >1 propagation round; max_iter=1 cannot even
+        # confirm convergence
+        _cc(spark, [1, 2, 3, 4], [(1, 2), (2, 3), (3, 4)], max_iter=1)
+
+
+def test_dedup_clusters_keep_flags(spark):
+    docs = spark.createDataFrame(
+        [(i, f"doc {i}") for i in [1, 2, 3, 7]], ["doc_id", "text"]
+    )
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3)], ["d1", "d2"]
+    )
+    rows = {r["doc_id"]: r for r in dedup_clusters(docs, pairs).collect()}
+    assert [rows[i]["cluster_id"] for i in (1, 2, 3, 7)] == [1, 1, 1, 7]
+    assert [rows[i]["keep"] for i in (1, 2, 3, 7)] == [True, False, False, True]
