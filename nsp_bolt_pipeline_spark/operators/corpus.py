@@ -26,6 +26,7 @@ from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql import Window as W
 
 from nsp_bolt_pipeline_spark.functions.expr import bind_once
 from nsp_bolt_pipeline_spark.operators.neardup import word_ngrams
@@ -200,3 +201,78 @@ def chunk_documents(
         F.explode(bind_once(tokens(text_col), from_tokens)).alias("c"),
     )
     return chunks.select(id_col, "c.chunk_idx", "c.chunk_text", "c.n_chunk_tokens")
+
+
+def prefix_sum(
+    df: DataFrame,
+    *,
+    order_cols: list[str],
+    value_col: str,
+    bucket: Column,
+    out: str = "offset",
+) -> DataFrame:
+    """Exclusive prefix sum of ``value_col`` in ``order_cols`` order,
+    WITHOUT a global single-partition sort.
+
+    A bare ``Window.orderBy(...)`` with no partition key funnels every
+    row through one task — the classic hidden scale-killer. This is
+    the standard two-level decomposition instead: (1) cumsum within
+    each ``bucket`` (parallel, keyed window), (2) cumsum of the
+    per-bucket totals (a window over |buckets| rows — the only
+    sequential step, millions of times smaller than the data), (3)
+    broadcast the bucket prefixes back. ``bucket`` must be a coarse,
+    monotone function of ``order_cols``'s leading column (so bucket
+    order == row order across bucket boundaries).
+    """
+    b = df.withColumn("_bkt", bucket)
+    w_in = (
+        W.partitionBy("_bkt")
+        .orderBy(*order_cols)
+        .rowsBetween(W.unboundedPreceding, -1)
+    )
+    within = b.withColumn(
+        "_within", F.coalesce(F.sum(value_col).over(w_in), F.lit(0)).cast("long")
+    )
+    totals = b.groupBy("_bkt").agg(F.sum(value_col).alias("_tot"))
+    w_bkt = W.orderBy("_bkt").rowsBetween(W.unboundedPreceding, -1)
+    prefixes = totals.withColumn(
+        "_bprefix", F.coalesce(F.sum("_tot").over(w_bkt), F.lit(0)).cast("long")
+    ).select("_bkt", "_bprefix")
+    return (
+        within.join(F.broadcast(prefixes), "_bkt")
+        .withColumn(out, (F.col("_bprefix") + F.col("_within")).cast("long"))
+        .drop("_bkt", "_within", "_bprefix")
+    )
+
+
+def pack_sequences(
+    chunks: DataFrame,
+    *,
+    context_len: int = 2048,
+    id_col: str = "doc_id",
+    idx_col: str = "chunk_idx",
+    tokens_col: str = "n_chunk_tokens",
+    bucket_docs: int = 64,
+) -> DataFrame:
+    """Assign chunks to fixed-size training sequences ("packing"):
+    concatenate all chunks in (doc, chunk) order and give each chunk
+    its global token offset and the pack it starts in
+    (``floor(offset / context_len)``). This is concat-and-split
+    packing at the metadata level — the writer groups by ``pack_id``
+    to emit one training sequence per pack.
+
+    The offset is a corpus-wide running sum, computed with the
+    two-level :func:`prefix_sum` (buckets of ``bucket_docs``
+    documents), so packing scales to any corpus without a global
+    sort through one task.
+    """
+    with_offset = prefix_sum(
+        chunks,
+        order_cols=[id_col, idx_col],
+        value_col=tokens_col,
+        bucket=F.floor(F.col(id_col) / bucket_docs).cast("long"),
+        out="token_offset",
+    )
+    return with_offset.withColumn(
+        "pack_id", F.floor(F.col("token_offset") / context_len).cast("long")
+    )

@@ -15,6 +15,7 @@ from pyspark.sql import functions as F
 
 from nsp_bolt_pipeline_spark.operators.corpus import (
     EMAIL_PATTERN,
+    pack_sequences,
     PHONE_PATTERN,
     chunk_documents,
     contamination_hits,
@@ -32,6 +33,7 @@ DECON_SALT = "decon"
 TRAIN_FRAC = 0.9
 CHUNK_TOKENS = 64
 CHUNK_STRIDE = 48
+PACK_CONTEXT = 512
 
 #: whitespace token array per doc (shared CTE head)
 _TOKS_CTE = r"""
@@ -220,3 +222,55 @@ def q_chunking(spark: SparkSession, sf_dir: str) -> DataFrame:
         chunk_tokens=CHUNK_TOKENS,
         stride=CHUNK_STRIDE,
     )
+
+
+@query(
+    "corpus_pack_sequences",
+    f"""
+    WITH {_TOKS_CTE},
+    st AS (
+        SELECT doc_id, toks,
+               range(1, greatest(len(toks), 1) + 1, {CHUNK_STRIDE}) AS starts
+        FROM t
+    ),
+    c AS (
+        SELECT doc_id,
+               unnest(list_transform(range(len(starts)), j -> struct_pack(
+                   chunk_idx := CAST(j AS INT),
+                   n_chunk_tokens := CAST(least({CHUNK_TOKENS},
+                       len(toks) - starts[j + 1] + 1) AS BIGINT)
+               ))) AS ch
+        FROM st
+    ),
+    chunks AS (
+        SELECT doc_id, ch.chunk_idx AS chunk_idx,
+               ch.n_chunk_tokens AS n_chunk_tokens
+        FROM c
+    )
+    SELECT doc_id, chunk_idx, n_chunk_tokens,
+           CAST(COALESCE(SUM(n_chunk_tokens) OVER (
+                   ORDER BY doc_id, chunk_idx
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                AS BIGINT) AS token_offset,
+           CAST(FLOOR(CAST(COALESCE(SUM(n_chunk_tokens) OVER (
+                   ORDER BY doc_id, chunk_idx
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                AS DOUBLE) / {PACK_CONTEXT}) AS BIGINT) AS pack_id
+    FROM chunks
+    """,
+)
+def q_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Chunk, then pack into fixed 512-token training sequences. The
+    Spark side computes the corpus-wide token offset with the
+    two-level bucketed prefix sum (no global single-partition window);
+    the oracle uses the naive global window cumsum — same integers,
+    different decomposition, so the hash match proves the scalable
+    form exact."""
+    chunks = chunk_documents(
+        read_table(spark, sf_dir, "documents"),
+        chunk_tokens=CHUNK_TOKENS,
+        stride=CHUNK_STRIDE,
+    ).select("doc_id", "chunk_idx", "n_chunk_tokens")
+    return pack_sequences(
+        chunks, context_len=PACK_CONTEXT, bucket_docs=64
+    ).select("doc_id", "chunk_idx", "n_chunk_tokens", "token_offset", "pack_id")

@@ -104,3 +104,48 @@ def test_corpus_plans_are_udf_free(spark):
     ):
         plan = out._jdf.queryExecution().executedPlan().toString()
         assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_prefix_sum_matches_naive_global_cumsum(spark):
+    from pyspark.sql import Window as W
+
+    from nsp_bolt_pipeline_spark.operators.corpus import prefix_sum
+
+    df = spark.createDataFrame(
+        [(i, i % 7, (i * 13) % 10 + 1) for i in range(200)],
+        ["k", "sub", "v"],
+    )
+    fast = {
+        (r["k"], r["sub"]): r["offset"]
+        for r in prefix_sum(
+            df,
+            order_cols=["k", "sub"],
+            value_col="v",
+            bucket=(F.col("k") / 17).cast("long"),
+        ).collect()
+    }
+    naive_w = W.orderBy("k", "sub").rowsBetween(W.unboundedPreceding, -1)
+    naive = {
+        (r["k"], r["sub"]): r["offset"]
+        for r in df.withColumn(
+            "offset", F.coalesce(F.sum("v").over(naive_w), F.lit(0))
+        ).collect()
+    }
+    assert fast == naive
+
+
+def test_pack_sequences_boundaries(spark):
+    from nsp_bolt_pipeline_spark.operators.corpus import pack_sequences
+
+    chunks = spark.createDataFrame(
+        [(1, 0, 60), (1, 1, 60), (2, 0, 60), (3, 0, 60)],
+        ["doc_id", "chunk_idx", "n_chunk_tokens"],
+    )
+    rows = {
+        (r["doc_id"], r["chunk_idx"]): r
+        for r in pack_sequences(chunks, context_len=128).collect()
+    }
+    assert rows[(1, 0)]["token_offset"] == 0 and rows[(1, 0)]["pack_id"] == 0
+    assert rows[(1, 1)]["token_offset"] == 60 and rows[(1, 1)]["pack_id"] == 0
+    assert rows[(2, 0)]["token_offset"] == 120 and rows[(2, 0)]["pack_id"] == 0
+    assert rows[(3, 0)]["token_offset"] == 180 and rows[(3, 0)]["pack_id"] == 1
