@@ -67,3 +67,37 @@ def assign_split(
         )
     expr = F.lit(names[0]) if expr is None else expr.otherwise(names[-1])
     return df.withColumn(out, expr)
+
+
+def rebalance_by_group(
+    df: DataFrame,
+    *,
+    key: str,
+    group_col: str,
+    rates: dict[str, float],
+    default_rate: float = 1.0,
+    salt: str = "",
+) -> DataFrame:
+    """Deterministic per-group downsampling — the data-mixing step of
+    a training pipeline (keep 100% of one source, 10% of another).
+
+    Same content-addressed rule as :func:`deterministic_sample`, but
+    the keep-threshold is looked up per group: a row survives iff
+    hash_bucket(key) < rates[group]. Groups absent from ``rates`` use
+    ``default_rate``. Pure map-side filter — no shuffle, no count
+    pass, stable under corpus growth; reweighing a mix only flips
+    rows whose bucket falls between the old and new thresholds.
+    """
+    rate = None
+    for g, r in rates.items():
+        rate = (
+            F.when(F.col(group_col) == g, F.lit(float(r)))
+            if rate is None
+            else rate.when(F.col(group_col) == g, F.lit(float(r)))
+        )
+    rate = (
+        F.lit(float(default_rate))
+        if rate is None
+        else rate.otherwise(F.lit(float(default_rate)))
+    )
+    return df.filter(hash_bucket(key, salt=salt) < rate)

@@ -49,3 +49,41 @@ def q_sample_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     return assign_split(
         sampled, key="event_id", weights=SPLIT_WEIGHTS, salt="split"
     ).select("event_id", "user_id", "split")
+
+
+MIX_RATES = {"src0": 1.0, "src1": 0.5, "src2": 0.25}
+MIX_DEFAULT = 0.1
+MIX_SALT = "mix"
+
+
+def _rate_sql() -> str:
+    cases = " ".join(
+        f"WHEN source = '{g}' THEN {r}" for g, r in MIX_RATES.items()
+    )
+    return f"(CASE {cases} ELSE {MIX_DEFAULT} END)"
+
+
+@query(
+    "l4_rebalance_by_source",
+    f"""
+    SELECT doc_id, source
+    FROM documents
+    WHERE {_bucket_sql("doc_id", MIX_SALT)} < {_rate_sql()}
+    """,
+)
+def q_rebalance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Training-mix rebalancing over documents: keep all of src0,
+    half of src1, a quarter of src2, 10% of everything else —
+    content-addressed, so membership is reproducible on any cluster
+    at any parallelism."""
+    from nsp_bolt_pipeline_spark.operators.sampling import rebalance_by_group
+
+    docs = read_table(spark, sf_dir, "documents").select("doc_id", "source")
+    return rebalance_by_group(
+        docs,
+        key="doc_id",
+        group_col="source",
+        rates=MIX_RATES,
+        default_rate=MIX_DEFAULT,
+        salt=MIX_SALT,
+    )

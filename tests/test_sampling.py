@@ -56,3 +56,25 @@ def test_split_partitions_and_respects_weights(spark):
     assert 3800 <= counts["train"] <= 4200
     assert 350 <= counts["validation"] <= 650
     assert 350 <= counts["test"] <= 650
+
+
+def test_rebalance_rates_and_determinism(spark):
+    from nsp_bolt_pipeline_spark.operators.sampling import rebalance_by_group
+
+    df = spark.createDataFrame(
+        [(i, "a" if i % 2 == 0 else "b") for i in range(4000)],
+        ["k", "grp"],
+    )
+    kept = rebalance_by_group(
+        df, key="k", group_col="grp", rates={"a": 1.0, "b": 0.25}
+    )
+    counts = {r["grp"]: r["n"] for r in kept.groupBy("grp").agg(F.count("*").alias("n")).collect()}
+    assert counts["a"] == 2000  # rate 1.0 keeps everything
+    assert abs(counts["b"] - 500) < 120  # ~0.25 of 2000, binomial slack
+    # determinism: a rerun (different partitioning) keeps identical rows
+    again = rebalance_by_group(
+        df.repartition(7), key="k", group_col="grp", rates={"a": 1.0, "b": 0.25}
+    )
+    assert sorted(r["k"] for r in kept.collect()) == sorted(
+        r["k"] for r in again.collect()
+    )
