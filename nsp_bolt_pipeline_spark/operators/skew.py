@@ -103,3 +103,37 @@ def approx_distinct_count(
     return df.groupBy(*keys).agg(
         F.approx_count_distinct(F.col(col), rsd=rsd).alias(out)
     )
+
+
+def salted_join(
+    skewed: DataFrame,
+    small: DataFrame,
+    *,
+    key: str,
+    salt_buckets: int = 16,
+    how: str = "inner",
+) -> DataFrame:
+    """Skewed-key equi-join by salting: the skewed side gets a
+    deterministic salt in [0, salt_buckets), the small side is
+    replicated once per salt value, and the join runs on
+    (key, salt) — the hot key's rows spread over ``salt_buckets``
+    tasks instead of one straggler.
+
+    Result is row-identical to ``skewed.join(small, key, how)``: the
+    salt only splits the build of each key's output across tasks
+    (supported: inner / left). Use when AQE's skew-join splitting is
+    unavailable (it cannot split the *build* side of a broadcast, or
+    a non-AQE engine); replication multiplies the small side
+    ``salt_buckets``x, so size it small-side-bytes x buckets << 
+    executor memory.
+    """
+    if how not in ("inner", "left"):
+        raise ValueError(f"salted_join supports inner/left, got {how!r}")
+    s = skewed.withColumn(
+        "_salt",
+        (F.abs(F.xxhash64(*[F.col(c) for c in skewed.columns])) % salt_buckets),
+    )
+    exploded = small.withColumn(
+        "_salt", F.explode(F.sequence(F.lit(0), F.lit(salt_buckets - 1)))
+    ).withColumn("_salt", F.col("_salt").cast("bigint"))
+    return s.join(exploded, [key, "_salt"], how).drop("_salt")

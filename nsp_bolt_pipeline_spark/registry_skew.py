@@ -89,3 +89,38 @@ def q_approx_sketches(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.percentile_approx("value", 0.5, 10000).alias("p50_approx"),
         F.percentile_approx("value", 0.95, 10000).alias("p95_approx"),
     )
+
+
+@query(
+    "skew_salted_join",
+    """
+    WITH dim AS (
+        SELECT event_type,
+               FLOOR((SUM(value)) * 100 + 0.5) / 100 AS type_total
+        FROM events GROUP BY event_type
+    )
+    SELECT e.event_id, e.event_type, e.value, d.type_total
+    FROM events e JOIN dim d USING (event_type)
+    """,
+)
+def q_salted_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Salted join demo on the natural skew shape: all events join a
+    5-row per-type dimension, so every key is hot. The salted plan
+    spreads each type over 16 (key, salt) tasks; the oracle is the
+    UNSALTED join, so the hash match proves row-identical results.
+    (In production this dimension would be broadcast — salting is for
+    when the skewed join's build side is itself too big to broadcast;
+    the technique is what's under test, exactness is what's
+    verified.)"""
+    from nsp_bolt_pipeline_spark.operators.skew import salted_join
+
+    ev = read_table(spark, sf_dir, "events").select(
+        "event_id", "event_type", "value"
+    )
+    dim = (
+        ev.groupBy("event_type")
+        .agg(F.sum("value").alias("type_total"))
+        .withColumn("type_total", _r2(F.col("type_total")))
+    )
+    out = salted_join(ev, dim, key="event_type", salt_buckets=16)
+    return out.select("event_id", "event_type", "value", "type_total")

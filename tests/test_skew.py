@@ -122,3 +122,33 @@ def test_approx_sketches_query_bounds(spark):
             n = grp.count()
             below = grp.filter(F.col("value") <= row[col]).count()
             assert q - 0.01 <= below / n <= q + 0.01, (k, q, below / n)
+
+
+def test_salted_join_equals_plain_join(spark):
+    from nsp_bolt_pipeline_spark.operators.skew import salted_join
+
+    skewed = spark.createDataFrame(
+        [(i, "hot" if i % 10 else "cold", float(i)) for i in range(1000)],
+        ["rid", "k", "v"],
+    )
+    small = spark.createDataFrame(
+        [("hot", 1.0), ("cold", 2.0), ("absent", 3.0)], ["k", "w"]
+    )
+    plain = {(r["rid"], r["w"]) for r in skewed.join(small, "k").collect()}
+    salted = {
+        (r["rid"], r["w"])
+        for r in salted_join(skewed, small, key="k", salt_buckets=8).collect()
+    }
+    assert salted == plain and len(salted) == 1000
+
+
+def test_salted_left_join_keeps_unmatched(spark):
+    from nsp_bolt_pipeline_spark.operators.skew import salted_join
+
+    skewed = spark.createDataFrame([(1, "a"), (2, "zz")], ["rid", "k"])
+    small = spark.createDataFrame([("a", 10.0)], ["k", "w"])
+    rows = {
+        r["rid"]: r["w"]
+        for r in salted_join(skewed, small, key="k", how="left").collect()
+    }
+    assert rows == {1: 10.0, 2: None}
