@@ -11,7 +11,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from nsp_bolt_pipeline_spark.registry import query
+from nsp_bolt_pipeline_spark.registry import _r2, query
 from nsp_bolt_pipeline_spark.sources.readers import read_table
 
 #: fixed pivot columns — explicit list keeps the output schema stable
@@ -207,3 +207,51 @@ def q_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
     only = signups.subtract(purchases).withColumn("cohort", F.lit("signup_only"))
     both = signups.intersect(purchases).withColumn("cohort", F.lit("both"))
     return only.unionByName(both)
+
+
+@query(
+    "q18_large_volume_orders",
+    """
+    WITH big AS (
+        SELECT l_orderkey
+        FROM lineitem
+        GROUP BY l_orderkey
+        HAVING SUM(l_quantity) > 150
+    )
+    SELECT c.c_name, o.o_orderkey, o.o_orderdate, o.o_totalprice,
+           FLOOR((SUM(l.l_quantity)) * 100 + 0.5) / 100 AS sum_qty
+    FROM orders o
+    JOIN big ON o.o_orderkey = big.l_orderkey
+    JOIN customer c ON c.c_custkey = o.o_custkey
+    JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    GROUP BY c.c_name, o.o_orderkey, o.o_orderdate, o.o_totalprice
+    """,
+)
+def q_large_volume_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H q18 shape: a HAVING-filtered aggregate subquery drives a
+    semi-filter on the fact table. The `big` key set is aggregated
+    FIRST (one pass over lineitem, partial-agg friendly) and then
+    joined — at scale the selective key set also broadcast-joins, so
+    the expensive customer/orders joins only ever see qualifying
+    orders."""
+    li = read_table(spark, sf_dir, "lineitem")
+    big = (
+        li.groupBy("l_orderkey")
+        .agg(F.sum("l_quantity").alias("qty"))
+        .filter(F.col("qty") > 150)
+        .select(F.col("l_orderkey").alias("big_key"))
+    )
+    orders = read_table(spark, sf_dir, "orders")
+    cust = read_table(spark, sf_dir, "customer")
+    out = (
+        orders.join(
+            F.broadcast(big), F.col("o_orderkey") == F.col("big_key")
+        )
+        .join(cust, F.col("c_custkey") == F.col("o_custkey"))
+        .join(li.select("l_orderkey", "l_quantity"),
+              F.col("l_orderkey") == F.col("o_orderkey"))
+        .groupBy("c_name", "o_orderkey", "o_orderdate", "o_totalprice")
+        .agg(F.sum("l_quantity").alias("sum_qty"))
+        .withColumn("sum_qty", _r2(F.col("sum_qty")))
+    )
+    return out
