@@ -94,10 +94,12 @@ def q_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
     return contamination_hits(train, test, n=DECON_N)
 
 
-@query(
-    "corpus_repetition_stats",
-    f"""
-    WITH {_TOKS_CTE},
+#: The repetition-stats computation as reusable SQL CTEs (used here
+#: and by the streaming corpus-ingest oracle). Produces relation `s`
+#: with the five per-doc measures; `PASSES_SQL` is the threshold
+#: predicate twin of repetition_stats' passes_repetition.
+REPETITION_CTES = f"""
+    {_TOKS_CTE},
     g AS (
         SELECT doc_id, toks,
                CASE WHEN len(toks) >= 2 THEN
@@ -128,10 +130,20 @@ def q_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
                     AS DOUBLE) / CAST(len(toks) AS DOUBLE) AS symbol_ratio
         FROM g
     )
-    SELECT *,
-           (n_tokens >= 10 AND dup_2gram_frac < 0.2 AND dup_3gram_frac < 0.18
-            AND mean_word_len >= 2.0 AND mean_word_len <= 12.0
-            AND symbol_ratio < 0.1) AS passes_repetition
+"""
+
+PASSES_SQL = (
+    "(n_tokens >= 10 AND dup_2gram_frac < 0.2 AND dup_3gram_frac < 0.18 "
+    "AND mean_word_len >= 2.0 AND mean_word_len <= 12.0 "
+    "AND symbol_ratio < 0.1)"
+)
+
+
+@query(
+    "corpus_repetition_stats",
+    f"""
+    WITH {REPETITION_CTES}
+    SELECT *, {PASSES_SQL} AS passes_repetition
     FROM s
     """,
 )

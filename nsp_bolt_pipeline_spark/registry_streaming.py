@@ -475,3 +475,58 @@ def q_stream_j1(spark: SparkSession, sf_dir: str) -> DataFrame:
         "fare_amount",
         "end_event_id",
     )
+
+
+# ---------------------------------------------------------------------------
+# Streaming corpus intake: quality filter + content dedup over a
+# documents firehose — the training-data twin of the event ingest.
+# ---------------------------------------------------------------------------
+
+DOC_WIRE_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("text", T.StringType()),
+        T.StructField("lang", T.StringType()),
+        T.StructField("source", T.StringType()),
+    ]
+)
+
+
+def _corpus_ingest_sql() -> str:
+    from nsp_bolt_pipeline_spark.registry_corpus import (
+        PASSES_SQL,
+        REPETITION_CTES,
+    )
+
+    return f"""
+    WITH {REPETITION_CTES},
+    pass AS (SELECT doc_id FROM s WHERE {PASSES_SQL}),
+    fps AS (
+        SELECT d.doc_id,
+               md5(regexp_replace(lower(trim(d.text)), '\\s+', ' ', 'g')) AS fp
+        FROM documents d JOIN pass USING (doc_id)
+    )
+    SELECT MIN(doc_id) AS doc_id, fp
+    FROM fps
+    GROUP BY fp
+    """
+
+
+@query("stream_corpus_ingest", _corpus_ingest_sql())
+def q_stream_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """availableNow run of the streaming corpus intake (quality filter
+    -> fingerprint dedup -> bronze) over a JSON dump of ``documents``;
+    the bronze keepers must hash-match the batch filter+dedup
+    oracle."""
+    from nsp_bolt_pipeline_spark.streaming.ingest import run_corpus_ingest
+
+    dirs = _workdir("stream_corpus")
+    docs = read_table(spark, sf_dir, "documents").select(
+        "doc_id", "text", "lang", "source"
+    )
+    dump_json_batches(docs, dirs["src"], order_cols=["doc_id"])
+    stream = spark.readStream.schema(DOC_WIRE_SCHEMA).json(dirs["src"])
+    run_corpus_ingest(
+        stream, bronze_dir=dirs["out"], checkpoint_dir=dirs["ckpt"]
+    )
+    return spark.read.parquet(dirs["out"]).select("doc_id", "fp")

@@ -159,3 +159,56 @@ def run_ingest(
         .start()
     )
     query.awaitTermination()
+
+
+def run_corpus_ingest(
+    stream: DataFrame,
+    *,
+    bronze_dir: str,
+    checkpoint_dir: str,
+) -> None:
+    """Streaming corpus intake — the documents-firehose twin of
+    :func:`run_ingest`: per micro-batch, apply the Gopher-style
+    repetition/shape filter (operators.corpus.repetition_stats), drop
+    failing docs, exact-dedup by normalized-content fingerprint
+    (first-write-wins on the smallest doc_id — deterministic
+    ``min_by``), anti-join fingerprints already in bronze
+    (cross-batch dedup), and append the keepers.
+
+    Same scale structure as the event path: the filter is a stateless
+    projection, the per-batch dedup is one partial-agg shuffle on the
+    fingerprint, and the cross-batch state is the bronze fingerprint
+    column itself (no separate state store to size).
+    """
+    from nsp_bolt_pipeline_spark.operators.corpus import repetition_stats
+    from nsp_bolt_pipeline_spark.operators.text import fingerprint
+
+    def process_batch(batch: DataFrame, _batch_id: int) -> None:
+        spark = batch.sparkSession
+        stats = repetition_stats(batch).select("doc_id", "passes_repetition")
+        passing = (
+            batch.join(stats, "doc_id")
+            .filter(F.col("passes_repetition"))
+            .drop("passes_repetition")
+            .withColumn("fp", fingerprint("text"))
+        )
+        winners = (
+            passing.groupBy("fp")
+            .agg(F.min_by(F.struct(*passing.columns), F.col("doc_id")).alias("w"))
+            .select("w.*")
+        )
+        try:
+            seen = spark.read.parquet(bronze_dir).select("fp").dropDuplicates()
+            winners = winners.join(seen, "fp", "left_anti")
+        except AnalysisException as exc:
+            if "PATH_NOT_FOUND" not in str(exc):
+                raise
+        winners.write.mode("append").parquet(bronze_dir)
+
+    query = (
+        stream.writeStream.foreachBatch(process_batch)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    query.awaitTermination()

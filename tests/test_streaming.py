@@ -427,3 +427,36 @@ class TestProducerWire:
             ).alias("p")
         ).select("p.*")
         assert sorted(back.collect()) == sorted(df.collect())
+
+
+def test_corpus_ingest_filters_and_dedups_across_batches(spark, tmp_path):
+    from nsp_bolt_pipeline_spark.registry_streaming import DOC_WIRE_SCHEMA
+    from nsp_bolt_pipeline_spark.streaming.ingest import run_corpus_ingest
+    from nsp_bolt_pipeline_spark.streaming.replay import dump_json_batches
+
+    clean = "the quick brown fox jumps over the lazy dog near riverbank today"
+    loops = ("buy now " * 30).strip()  # fails the dup-2gram threshold
+    docs = spark.createDataFrame(
+        [
+            (1, clean, "en", "s"),
+            (2, loops, "en", "s"),          # filtered out
+            (3, clean.upper(), "en", "s"),  # dup of 1 after normalization
+            (4, clean + " extra words appended here make it different", "en", "s"),
+        ],
+        ["doc_id", "text", "lang", "source"],
+    )
+    src = str(tmp_path / "src")
+    # two range-partitioned files -> maxFilesPerTrigger=1 gives two
+    # micro-batches: doc 3 (dup of 1) arrives in a LATER batch and must
+    # be rejected by the bronze fingerprint anti-join, not within-batch
+    dump_json_batches(docs, src, order_cols=["doc_id"], n_files=2)
+    stream = (
+        spark.readStream.schema(DOC_WIRE_SCHEMA)
+        .option("maxFilesPerTrigger", 1)
+        .json(src)
+    )
+    out, ckpt = str(tmp_path / "out"), str(tmp_path / "ckpt")
+    run_corpus_ingest(stream, bronze_dir=out, checkpoint_dir=ckpt)
+
+    kept = sorted(r["doc_id"] for r in spark.read.parquet(out).collect())
+    assert kept == [1, 4]
