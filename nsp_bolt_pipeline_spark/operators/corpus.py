@@ -76,6 +76,73 @@ def contamination_hits(
     )
 
 
+def _dup_frac(grams: Column) -> Column:
+    return bind_once(
+        grams,
+        lambda g: F.when(
+            F.size(g) > 0,
+            (F.size(g) - F.size(F.array_distinct(g))).cast("double")
+            / F.size(g).cast("double"),
+        ).otherwise(F.lit(0.0)),
+    )
+
+
+def _all_ngrams(toks: Column, n: int) -> Column:
+    # non-distinct n-grams (duplicate counting needs multiplicity)
+    return F.when(
+        F.size(toks) >= n,
+        F.transform(
+            F.sequence(F.lit(1), F.size(toks) - (n - 1)),
+            lambda i: F.concat_ws(" ", F.slice(toks, i, n)),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+
+
+def repetition_struct(text_col: Column | str) -> Column:
+    """The five Gopher-style per-document measures as one struct
+    column (n_tokens, dup_2gram_frac, dup_3gram_frac, mean_word_len,
+    symbol_ratio) — a pure per-row expression, usable anywhere a
+    column fits (no join needed to attach it)."""
+
+    def from_tokens(toks: Column) -> Column:
+        n_tokens = F.size(toks)
+        total_chars = F.aggregate(
+            toks, F.lit(0).cast("long"), lambda acc, t: acc + F.length(t)
+        )
+        n_symbol = F.size(F.filter(toks, lambda t: t.rlike(r"^[^A-Za-z0-9]")))
+        return F.struct(
+            n_tokens.cast("long").alias("n_tokens"),
+            _dup_frac(_all_ngrams(toks, 2)).alias("dup_2gram_frac"),
+            _dup_frac(_all_ngrams(toks, 3)).alias("dup_3gram_frac"),
+            (total_chars.cast("double") / n_tokens.cast("double")).alias(
+                "mean_word_len"
+            ),
+            (n_symbol.cast("double") / n_tokens.cast("double")).alias(
+                "symbol_ratio"
+            ),
+        )
+
+    return bind_once(tokens(text_col), from_tokens)
+
+
+def _passes_thresholds(s: Column) -> Column:
+    return (
+        (s["n_tokens"] >= 10)
+        & (s["dup_2gram_frac"] < 0.2)
+        & (s["dup_3gram_frac"] < 0.18)
+        & (s["mean_word_len"] >= 2.0)
+        & (s["mean_word_len"] <= 12.0)
+        & (s["symbol_ratio"] < 0.1)
+    )
+
+
+def repetition_passes(text_col: Column | str) -> Column:
+    """Boolean per-row quality verdict — the thresholds of
+    :func:`repetition_stats` as a single column expression, for
+    shuffle-free filtering (e.g. inside a streaming micro-batch)."""
+    return bind_once(repetition_struct(text_col), _passes_thresholds)
+
+
 def repetition_stats(
     df: DataFrame, *, id_col: str = "doc_id", text_col: str = "text"
 ) -> DataFrame:
@@ -87,56 +154,16 @@ def repetition_stats(
     counts and single divisions, so the oracle reproduces the doubles
     bit-for-bit.
     """
-
-    def dup_frac(grams: Column) -> Column:
-        return bind_once(
-            grams,
-            lambda g: F.when(
-                F.size(g) > 0,
-                (F.size(g) - F.size(F.array_distinct(g))).cast("double")
-                / F.size(g).cast("double"),
-            ).otherwise(F.lit(0.0)),
-        )
-
-    def all_ngrams(toks: Column, n: int) -> Column:
-        # non-distinct n-grams (duplicate counting needs multiplicity)
-        return F.when(
-            F.size(toks) >= n,
-            F.transform(
-                F.sequence(F.lit(1), F.size(toks) - (n - 1)),
-                lambda i: F.concat_ws(" ", F.slice(toks, i, n)),
-            ),
-        ).otherwise(F.array().cast("array<string>"))
-
-    def from_tokens(toks: Column) -> Column:
-        n_tokens = F.size(toks)
-        total_chars = F.aggregate(
-            toks, F.lit(0).cast("long"), lambda acc, t: acc + F.length(t)
-        )
-        n_symbol = F.size(F.filter(toks, lambda t: t.rlike(r"^[^A-Za-z0-9]")))
-        return F.struct(
-            n_tokens.cast("long").alias("n_tokens"),
-            dup_frac(all_ngrams(toks, 2)).alias("dup_2gram_frac"),
-            dup_frac(all_ngrams(toks, 3)).alias("dup_3gram_frac"),
-            (total_chars.cast("double") / n_tokens.cast("double")).alias(
-                "mean_word_len"
-            ),
-            (n_symbol.cast("double") / n_tokens.cast("double")).alias(
-                "symbol_ratio"
-            ),
-        )
-
     stats = df.select(
-        F.col(id_col), bind_once(tokens(text_col), from_tokens).alias("s")
+        F.col(id_col), repetition_struct(text_col).alias("s")
     ).select(id_col, "s.*")
     return stats.withColumn(
-        "passes_repetition",
-        (F.col("n_tokens") >= 10)
-        & (F.col("dup_2gram_frac") < 0.2)
-        & (F.col("dup_3gram_frac") < 0.18)
-        & (F.col("mean_word_len") >= 2.0)
-        & (F.col("mean_word_len") <= 12.0)
-        & (F.col("symbol_ratio") < 0.1),
+        "passes_repetition", _passes_thresholds(F.struct(*[
+            F.col(c) for c in (
+                "n_tokens", "dup_2gram_frac", "dup_3gram_frac",
+                "mean_word_len", "symbol_ratio",
+            )
+        ]))
     )
 
 
@@ -196,10 +223,14 @@ def chunk_documents(
             ),
         )
 
-    chunks = df.select(
-        F.col(id_col),
-        F.explode(bind_once(tokens(text_col), from_tokens)).alias("c"),
-    )
+    c = F.col(text_col) if isinstance(text_col, str) else text_col
+    # empty/whitespace-only docs produce NO chunks (split('') yields
+    # [''], a phantom 1-token chunk that would corrupt every downstream
+    # packing offset); the empty array is dropped by the inner explode
+    windows = F.when(
+        F.length(F.trim(c)) > 0, bind_once(tokens(text_col), from_tokens)
+    ).otherwise(F.array().cast("array<struct<chunk_idx:int,chunk_text:string,n_chunk_tokens:bigint>>"))
+    chunks = df.select(F.col(id_col), F.explode(windows).alias("c"))
     return chunks.select(id_col, "c.chunk_idx", "c.chunk_text", "c.n_chunk_tokens")
 
 
@@ -222,7 +253,11 @@ def prefix_sum(
     sequential step, millions of times smaller than the data), (3)
     broadcast the bucket prefixes back. ``bucket`` must be a coarse,
     monotone function of ``order_cols``'s leading column (so bucket
-    order == row order across bucket boundaries).
+    order == row order across bucket boundaries). A null bucket (from
+    a null order key) is handled, not dropped: the re-join is
+    null-safe, and null sorts first in both the bucket sequence and
+    the window order, so null-key rows occupy the front of the global
+    order — consistent on both levels.
     """
     b = df.withColumn("_bkt", bucket)
     w_in = (
@@ -237,11 +272,14 @@ def prefix_sum(
     w_bkt = W.orderBy("_bkt").rowsBetween(W.unboundedPreceding, -1)
     prefixes = totals.withColumn(
         "_bprefix", F.coalesce(F.sum("_tot").over(w_bkt), F.lit(0)).cast("long")
-    ).select("_bkt", "_bprefix")
+    ).select(F.col("_bkt").alias("_bkt2"), F.col("_bprefix"))
     return (
-        within.join(F.broadcast(prefixes), "_bkt")
+        within.join(
+            F.broadcast(prefixes),
+            F.col("_bkt").eqNullSafe(F.col("_bkt2")),
+        )
         .withColumn(out, (F.col("_bprefix") + F.col("_within")).cast("long"))
-        .drop("_bkt", "_within", "_bprefix")
+        .drop("_bkt", "_bkt2", "_within", "_bprefix")
     )
 
 

@@ -54,48 +54,58 @@ def connected_components(
     # overwhelming majority of the corpus)
     labels = und.select("a").distinct().withColumn("comp", F.col("a")).persist()
 
-    for _ in range(max_iter):
-        msgs = (
-            und.join(labels.withColumnRenamed("a", "b_"), und.b == F.col("b_"))
-            .groupBy("a")
-            .agg(F.min("comp").alias("nbr_min"))
-        )
-        # fold the convergence flag into the same cached frame so each
-        # round is exactly ONE Spark job (the agg materializes the
-        # cache the next round reuses)
-        staged = (
-            labels.join(msgs, "a", "left")
-            .select(
-                "a",
-                F.least(
-                    F.col("comp"), F.coalesce(F.col("nbr_min"), F.col("comp"))
-                ).alias("comp"),
-                (F.col("nbr_min") < F.col("comp")).alias("chg"),
+    try:
+        for _ in range(max_iter):
+            msgs = (
+                und.join(labels.withColumnRenamed("a", "b_"), und.b == F.col("b_"))
+                .groupBy("a")
+                .agg(F.min("comp").alias("nbr_min"))
             )
-            .persist()
-        )
-        n_changed = staged.agg(
-            F.sum(F.col("chg").cast("long")).alias("n")
-        ).first()["n"]
+            # fold the convergence flag into the same cached frame so
+            # each round is exactly ONE Spark job (the agg materializes
+            # the cache the next round reuses)
+            staged = (
+                labels.join(msgs, "a", "left")
+                .select(
+                    "a",
+                    F.least(
+                        F.col("comp"), F.coalesce(F.col("nbr_min"), F.col("comp"))
+                    ).alias("comp"),
+                    (F.col("nbr_min") < F.col("comp")).alias("chg"),
+                )
+                .persist()
+            )
+            n_changed = staged.agg(
+                F.sum(F.col("chg").cast("long")).alias("n")
+            ).first()["n"]
+            labels.unpersist()
+            labels = staged.drop("chg")
+            if not n_changed:
+                break
+        else:
+            raise RuntimeError(
+                f"connected_components: no fixpoint within {max_iter} rounds"
+            )
+        # snapshot the fixpoint out of the iterative lineage: the
+        # localCheckpoint's blocks are released by the ContextCleaner
+        # when the result is garbage-collected, unlike a persist()
+        # entry which would pin cache memory until an explicit
+        # unpersist this function could never issue
+        final = labels.localCheckpoint(eager=True)
+    finally:
+        # release every cache this function created, on success AND on
+        # the no-fixpoint raise (labels points at the newest staged)
         labels.unpersist()
-        labels = staged.drop("chg")
-        if not n_changed:
-            break
-    else:
-        raise RuntimeError(
-            f"connected_components: no fixpoint within {max_iter} rounds"
-        )
-    out = (
+        und.unpersist()
+        e.unpersist()
+    return (
         nodes.select(F.col(id_col).alias("a"))
-        .join(labels, "a", "left")
+        .join(final, "a", "left")
         .select(
             F.col("a").alias(id_col),
             F.coalesce(F.col("comp"), F.col("a")).alias("component"),
         )
     )
-    und.unpersist()
-    e.unpersist()
-    return out
 
 
 def dedup_clusters(

@@ -129,9 +129,16 @@ def salted_join(
     """
     if how not in ("inner", "left"):
         raise ValueError(f"salted_join supports inner/left, got {how!r}")
+    # pmod, not abs(x) % n: abs(Long.MIN_VALUE) overflows back to
+    # negative and % keeps the dividend's sign, which would produce a
+    # salt outside [0, n) that matches no replicated row — a silently
+    # dropped row with probability 2^-64
     s = skewed.withColumn(
         "_salt",
-        (F.abs(F.xxhash64(*[F.col(c) for c in skewed.columns])) % salt_buckets),
+        F.pmod(
+            F.xxhash64(*[F.col(c) for c in skewed.columns]),
+            F.lit(salt_buckets),
+        ).cast("bigint"),
     )
     exploded = small.withColumn(
         "_salt", F.explode(F.sequence(F.lit(0), F.lit(salt_buckets - 1)))

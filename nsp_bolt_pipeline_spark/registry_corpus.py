@@ -209,7 +209,8 @@ def q_pii_redaction(spark: SparkSession, sf_dir: str) -> DataFrame:
     st AS (
         SELECT doc_id, toks,
                range(1, greatest(len(toks), 1) + 1, {CHUNK_STRIDE}) AS starts
-        FROM t
+        -- empty/whitespace-only docs produce no chunks (engine twin)
+        FROM t WHERE trim(text) <> ''
     ),
     c AS (
         SELECT doc_id,
@@ -243,7 +244,8 @@ def q_chunking(spark: SparkSession, sf_dir: str) -> DataFrame:
     st AS (
         SELECT doc_id, toks,
                range(1, greatest(len(toks), 1) + 1, {CHUNK_STRIDE}) AS starts
-        FROM t
+        -- empty/whitespace-only docs produce no chunks (engine twin)
+        FROM t WHERE trim(text) <> ''
     ),
     c AS (
         SELECT doc_id,

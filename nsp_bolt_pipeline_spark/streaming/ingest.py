@@ -169,28 +169,30 @@ def run_corpus_ingest(
 ) -> None:
     """Streaming corpus intake — the documents-firehose twin of
     :func:`run_ingest`: per micro-batch, apply the Gopher-style
-    repetition/shape filter (operators.corpus.repetition_stats), drop
-    failing docs, exact-dedup by normalized-content fingerprint
-    (first-write-wins on the smallest doc_id — deterministic
-    ``min_by``), anti-join fingerprints already in bronze
-    (cross-batch dedup), and append the keepers.
+    repetition/shape filter (operators.corpus.repetition_passes), drop
+    failing docs, exact-dedup by normalized-content fingerprint, and
+    append the keepers. Dedup semantics: WITHIN a micro-batch the
+    smallest doc_id wins (deterministic ``min_by``); ACROSS batches
+    the earliest-arriving batch wins (bronze fingerprint anti-join) —
+    arrival order, exactly like the reference's conditional put. A
+    corpus-wide smallest-id guarantee would need a global shuffle per
+    batch; run the batch ``exact_dedup_docs`` for that semantic.
 
     Same scale structure as the event path: the filter is a stateless
     projection, the per-batch dedup is one partial-agg shuffle on the
     fingerprint, and the cross-batch state is the bronze fingerprint
     column itself (no separate state store to size).
     """
-    from nsp_bolt_pipeline_spark.operators.corpus import repetition_stats
+    from nsp_bolt_pipeline_spark.operators.corpus import repetition_passes
     from nsp_bolt_pipeline_spark.operators.text import fingerprint
 
     def process_batch(batch: DataFrame, _batch_id: int) -> None:
         spark = batch.sparkSession
-        stats = repetition_stats(batch).select("doc_id", "passes_repetition")
-        passing = (
-            batch.join(stats, "doc_id")
-            .filter(F.col("passes_repetition"))
-            .drop("passes_repetition")
-            .withColumn("fp", fingerprint("text"))
+        # per-row column expression, not repetition_stats + re-join:
+        # the filter stays a stateless shuffle-free projection, and a
+        # replayed batch with a repeated doc_id cannot fan out
+        passing = batch.filter(repetition_passes("text")).withColumn(
+            "fp", fingerprint("text")
         )
         winners = (
             passing.groupBy("fp")

@@ -149,3 +149,12 @@ def test_pack_sequences_boundaries(spark):
     assert rows[(1, 1)]["token_offset"] == 60 and rows[(1, 1)]["pack_id"] == 0
     assert rows[(2, 0)]["token_offset"] == 120 and rows[(2, 0)]["pack_id"] == 0
     assert rows[(3, 0)]["token_offset"] == 180 and rows[(3, 0)]["pack_id"] == 1
+
+
+def test_chunking_empty_docs_produce_no_chunks(spark):
+    df = spark.createDataFrame(
+        [(1, ""), (2, "   "), (3, "real words here")], ["doc_id", "text"]
+    )
+    rows = chunk_documents(df).collect()
+    assert [r["doc_id"] for r in rows] == [3]
+    assert rows[0]["n_chunk_tokens"] == 3

@@ -446,17 +446,36 @@ def test_corpus_ingest_filters_and_dedups_across_batches(spark, tmp_path):
         ["doc_id", "text", "lang", "source"],
     )
     src = str(tmp_path / "src")
-    # two range-partitioned files -> maxFilesPerTrigger=1 gives two
-    # micro-batches: doc 3 (dup of 1) arrives in a LATER batch and must
-    # be rejected by the bronze fingerprint anti-join, not within-batch
-    dump_json_batches(docs, src, order_cols=["doc_id"], n_files=2)
-    stream = (
-        spark.readStream.schema(DOC_WIRE_SCHEMA)
-        .option("maxFilesPerTrigger", 1)
-        .json(src)
-    )
     out, ckpt = str(tmp_path / "out"), str(tmp_path / "ckpt")
-    run_corpus_ingest(stream, bronze_dir=out, checkpoint_dir=ckpt)
 
+    # two SEQUENTIAL availableNow runs sharing one checkpoint — the
+    # deterministic way to force batch order (FileStreamSource orders
+    # concurrent files by mtime, which is racy): docs 1,2 land first;
+    # docs 3,4 arrive in a genuinely later batch, so doc 3 (dup of 1)
+    # must be rejected by the bronze fingerprint anti-join
+    batch1 = tmp_path / "src" / "b1.json"
+    batch1.parent.mkdir()
+    dump_json_batches(
+        docs.filter(F.col("doc_id") <= 2), str(tmp_path / "d1"), order_cols=["doc_id"]
+    )
+    import glob
+    import shutil
+
+    shutil.copy(glob.glob(str(tmp_path / "d1" / "part-*.json"))[0], batch1)
+
+    def run():
+        stream = spark.readStream.schema(DOC_WIRE_SCHEMA).json(src)
+        run_corpus_ingest(stream, bronze_dir=out, checkpoint_dir=ckpt)
+
+    run()
+    assert sorted(r["doc_id"] for r in spark.read.parquet(out).collect()) == [1]
+
+    dump_json_batches(
+        docs.filter(F.col("doc_id") >= 3), str(tmp_path / "d2"), order_cols=["doc_id"]
+    )
+    shutil.copy(
+        glob.glob(str(tmp_path / "d2" / "part-*.json"))[0], tmp_path / "src" / "b2.json"
+    )
+    run()
     kept = sorted(r["doc_id"] for r in spark.read.parquet(out).collect())
     assert kept == [1, 4]
