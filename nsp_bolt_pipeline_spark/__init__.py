@@ -7,12 +7,15 @@ as an idiomatic Apache Spark engine:
 - ``sources``   : schema-enforced readers + partitioned sinks + DLQ split
 - ``functions`` : scalar function surface (datetime, validation, casts)
 - ``operators`` : dedup (exact / n-gram Jaccard / MinHash-LSH /
-                  SimHash), completion join, KPI aggregation, text
-                  analysis (tokens, quality, language ID, TF-IDF),
-                  similarity search (exact cosine top-k, IVF ANN),
-                  multimodal binary-column plumbing, corpus prep
+                  SimHash / connected-component cluster resolution),
+                  completion join, KPI aggregation, text analysis
+                  (tokens, quality, language ID, TF-IDF), similarity
+                  search (exact cosine top-k, IVF ANN), multimodal
+                  binary-column plumbing, corpus prep
                   (decontamination, repetition filters, PII
-                  redaction, chunking)
+                  redaction, chunking, sequence packing,
+                  training-mix rebalancing), skew tools (salted
+                  agg/join, sketches)
 - ``streaming`` : Structured Streaming ingest / stateful dedup /
                   windowed KPI / stream-stream completion join
 - ``pipeline``  : end-to-end batch composition (bronze -> silver -> gold)
