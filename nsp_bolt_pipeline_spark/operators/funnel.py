@@ -1,0 +1,98 @@
+"""Funnel analysis: ordered stage progression per entity.
+
+The classic event-analytics question — of the users who did stage 1,
+how many went on to do stage 2 *after* it, then stage 3 after that —
+expressed as a cascade of conditional aggregates: stage k's timestamp
+is the earliest event of stage-k type strictly after the entity's
+stage-(k-1) timestamp.
+
+Scale design (100 TB): one shuffle per stage on the entity key, each
+over an input pre-filtered to that stage's event type (predicate
+reaches the scan). The per-stage frames carry one row per entity —
+broadcast-sized relative to the event table for any real funnel — so
+the stage joins after the first aggregate are cheap. An alternative
+single-shuffle formulation (collect each entity's sorted events and
+walk them) moves the whole event payload through one shuffle instead
+of K entity-row joins; prefer the cascade unless K is large and
+entities are few.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def funnel_stages(
+    events: DataFrame,
+    *,
+    entity_col: str,
+    type_col: str,
+    ts_col: str,
+    stages: Sequence[str],
+) -> DataFrame:
+    """One row per entity that completed stage 1, with the timestamp
+    of each stage reached (nulls from the first missed stage on) and
+    ``n_stages`` = how deep the entity got. Stage k counts only if it
+    happens strictly after stage k-1 (ties do not advance the funnel,
+    so a single event cannot satisfy two stages).
+    """
+    if not stages:
+        raise ValueError("funnel_stages: need at least one stage")
+    ent = F.col(entity_col)
+
+    first = (
+        events.filter(F.col(type_col) == stages[0])
+        .groupBy(entity_col)
+        .agg(F.min(ts_col).alias("stage_1_ts"))
+    )
+    out = first
+    for k, stage in enumerate(stages[1:], start=2):
+        prev = f"stage_{k - 1}_ts"
+        cur = f"stage_{k}_ts"
+        stage_events = events.filter(F.col(type_col) == stage).select(
+            ent.alias("_e"), F.col(ts_col).alias("_ts")
+        )
+        # earliest stage-k event strictly after the entity's stage-(k-1)
+        # time; entities that never reached k-1 keep null automatically
+        out = (
+            out.join(stage_events, out[entity_col] == F.col("_e"), "left")
+            .withColumn(
+                "_ok", F.when(F.col("_ts") > F.col(prev), F.col("_ts"))
+            )
+            .groupBy(*[F.col(c) for c in out.columns])
+            .agg(F.min("_ok").alias(cur))
+        )
+    n_stages = F.lit(1)
+    for k in range(2, len(stages) + 1):
+        n_stages = n_stages + F.when(
+            F.col(f"stage_{k}_ts").isNotNull(), 1
+        ).otherwise(0)
+    return out.withColumn("n_stages", n_stages.cast("long"))
+
+
+def funnel_counts(funnel: DataFrame, n_stages: int) -> DataFrame:
+    """Collapse a :func:`funnel_stages` result to the classic funnel
+    report: one row per stage with the number of entities that reached
+    at least that stage (monotone non-increasing by construction)."""
+    aggs = [
+        F.sum(
+            F.when(F.col("n_stages") >= k, 1).otherwise(0)
+        ).cast("long").alias(f"reached_{k}")
+        for k in range(1, n_stages + 1)
+    ]
+    wide = funnel.agg(*aggs)
+    stages_expr = F.array(
+        *[
+            F.struct(
+                F.lit(k).cast("int").alias("stage"),
+                F.col(f"reached_{k}").alias("n_entities"),
+            )
+            for k in range(1, n_stages + 1)
+        ]
+    )
+    return wide.select(F.explode(stages_expr).alias("s")).select(
+        "s.stage", "s.n_entities"
+    )

@@ -218,3 +218,54 @@ def q_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select("year", "month", "n_events", "total_value")
     )
+
+
+# ---------------------------------------------------------------------------
+# Funnel: signup -> click -> purchase ordered progression per user.
+# ---------------------------------------------------------------------------
+
+FUNNEL_STAGES = ("signup", "click", "purchase")
+
+
+@query(
+    "funnel_signup_click_purchase",
+    f"""
+    WITH s1 AS (
+        SELECT user_id, MIN(ts) AS stage_1_ts
+        FROM events WHERE event_type = '{FUNNEL_STAGES[0]}'
+        GROUP BY user_id
+    ),
+    s2 AS (
+        SELECT s1.user_id, s1.stage_1_ts,
+               MIN(CASE WHEN e.ts > s1.stage_1_ts THEN e.ts END) AS stage_2_ts
+        FROM s1 LEFT JOIN events e
+               ON e.user_id = s1.user_id AND e.event_type = '{FUNNEL_STAGES[1]}'
+        GROUP BY s1.user_id, s1.stage_1_ts
+    ),
+    s3 AS (
+        SELECT s2.user_id, s2.stage_1_ts, s2.stage_2_ts,
+               MIN(CASE WHEN e.ts > s2.stage_2_ts THEN e.ts END) AS stage_3_ts
+        FROM s2 LEFT JOIN events e
+               ON e.user_id = s2.user_id AND e.event_type = '{FUNNEL_STAGES[2]}'
+        GROUP BY s2.user_id, s2.stage_1_ts, s2.stage_2_ts
+    )
+    SELECT user_id, stage_1_ts, stage_2_ts, stage_3_ts,
+           CAST(1 + CAST(stage_2_ts IS NOT NULL AS INT)
+                  + CAST(stage_3_ts IS NOT NULL AS INT) AS BIGINT) AS n_stages
+    FROM s3
+    """,
+)
+def q_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Classic event funnel as a cascade of conditional aggregates:
+    stage k = earliest stage-k event strictly after stage k-1. One
+    entity-keyed shuffle per stage, each over a type-filtered scan."""
+    from nsp_bolt_pipeline_spark.operators.funnel import funnel_stages
+
+    ev = read_table(spark, sf_dir, "events").select("user_id", "event_type", "ts")
+    return funnel_stages(
+        ev,
+        entity_col="user_id",
+        type_col="event_type",
+        ts_col="ts",
+        stages=list(FUNNEL_STAGES),
+    )

@@ -1,0 +1,78 @@
+"""Unit tests for funnel analysis (operators.funnel)."""
+
+from __future__ import annotations
+
+from datetime import datetime
+
+from nsp_bolt_pipeline_spark.operators.funnel import funnel_counts, funnel_stages
+
+
+def _ts(h):
+    return datetime(2024, 7, 1, h)
+
+
+def _events(spark, rows):
+    return spark.createDataFrame(rows, "user string, event_type string, ts timestamp")
+
+
+STAGES = ["signup", "click", "purchase"]
+
+
+def _run(spark, rows):
+    return {
+        r["user"]: r
+        for r in funnel_stages(
+            _events(spark, rows),
+            entity_col="user",
+            type_col="event_type",
+            ts_col="ts",
+            stages=STAGES,
+        ).collect()
+    }
+
+
+def test_funnel_requires_strict_order(spark):
+    rows = [
+        # u1 completes in order
+        ("u1", "signup", _ts(1)), ("u1", "click", _ts(2)), ("u1", "purchase", _ts(3)),
+        # u2 purchased BEFORE clicking -> stops at stage 2
+        ("u2", "signup", _ts(1)), ("u2", "purchase", _ts(2)), ("u2", "click", _ts(3)),
+        # u3 never signed up -> not in funnel at all
+        ("u3", "click", _ts(1)), ("u3", "purchase", _ts(2)),
+    ]
+    out = _run(spark, rows)
+    assert out["u1"]["n_stages"] == 3
+    assert out["u2"]["n_stages"] == 2 and out["u2"]["stage_3_ts"] is None
+    assert "u3" not in out
+
+
+def test_funnel_tie_does_not_advance(spark):
+    # click at the exact signup instant does not count (strictly after)
+    rows = [("u", "signup", _ts(1)), ("u", "click", _ts(1))]
+    out = _run(spark, rows)
+    assert out["u"]["n_stages"] == 1 and out["u"]["stage_2_ts"] is None
+
+
+def test_funnel_picks_earliest_qualifying_event(spark):
+    rows = [
+        ("u", "signup", _ts(1)),
+        ("u", "click", _ts(0)),  # before signup: ignored
+        ("u", "click", _ts(5)),
+        ("u", "click", _ts(3)),  # earliest qualifying
+    ]
+    out = _run(spark, rows)
+    assert out["u"]["stage_2_ts"] == _ts(3)
+
+
+def test_funnel_counts_monotone(spark):
+    rows = [
+        ("u1", "signup", _ts(1)), ("u1", "click", _ts(2)), ("u1", "purchase", _ts(3)),
+        ("u2", "signup", _ts(1)), ("u2", "click", _ts(2)),
+        ("u3", "signup", _ts(1)),
+    ]
+    funnel = funnel_stages(
+        _events(spark, rows),
+        entity_col="user", type_col="event_type", ts_col="ts", stages=STAGES,
+    )
+    counts = {r["stage"]: r["n_entities"] for r in funnel_counts(funnel, 3).collect()}
+    assert counts == {1: 3, 2: 2, 3: 1}
