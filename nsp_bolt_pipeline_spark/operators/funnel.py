@@ -96,3 +96,41 @@ def funnel_counts(funnel: DataFrame, n_stages: int) -> DataFrame:
     return wide.select(F.explode(stages_expr).alias("s")).select(
         "s.stage", "s.n_entities"
     )
+
+
+def cohort_retention(
+    events: DataFrame,
+    *,
+    entity_col: str,
+    ts_col: str,
+) -> DataFrame:
+    """Cohort retention matrix: entities are cohorted by the date of
+    their first event; for every (cohort_date, day_offset) the output
+    counts distinct entities active that many days after joining,
+    plus the cohort's size (day_offset 0 row carries n_active ==
+    n_cohort by construction).
+
+    Two shuffles: the first-seen aggregate (one row per entity — the
+    compact side), and the (cohort, offset) count-distinct. The
+    entity->cohort attach is a join against the compact per-entity
+    frame, which AQE broadcasts whenever entities << events.
+    """
+    ent = F.col(entity_col)
+    first_seen = (
+        events.groupBy(entity_col)
+        .agg(F.to_date(F.min(ts_col)).alias("cohort_date"))
+    )
+    sized = first_seen.groupBy("cohort_date").agg(
+        F.count("*").alias("n_cohort")
+    )
+    activity = (
+        events.select(ent.alias("_e"), F.to_date(ts_col).alias("_d"))
+        .distinct()
+        .join(first_seen, F.col("_e") == ent)
+        .withColumn("day_offset", F.datediff(F.col("_d"), F.col("cohort_date")))
+        .groupBy("cohort_date", "day_offset")
+        .agg(F.count_distinct("_e").alias("n_active"))
+    )
+    return activity.join(F.broadcast(sized), "cohort_date").select(
+        "cohort_date", "day_offset", "n_active", "n_cohort"
+    )

@@ -269,3 +269,36 @@ def q_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
         ts_col="ts",
         stages=list(FUNNEL_STAGES),
     )
+
+
+@query(
+    "cohort_retention_daily",
+    """
+    WITH first_seen AS (
+        SELECT user_id, CAST(MIN(ts) AS DATE) AS cohort_date
+        FROM events GROUP BY user_id
+    ),
+    sized AS (
+        SELECT cohort_date, COUNT(*) AS n_cohort
+        FROM first_seen GROUP BY cohort_date
+    ),
+    activity AS (
+        SELECT f.cohort_date,
+               datediff('day', f.cohort_date, CAST(e.ts AS DATE)) AS day_offset,
+               COUNT(DISTINCT e.user_id) AS n_active
+        FROM (SELECT DISTINCT user_id, CAST(ts AS DATE) AS ts FROM events) e
+        JOIN first_seen f ON e.user_id = f.user_id
+        GROUP BY 1, 2
+    )
+    SELECT a.cohort_date, a.day_offset, a.n_active, s.n_cohort
+    FROM activity a JOIN sized s USING (cohort_date)
+    """,
+)
+def q_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Daily cohort retention over events: cohort = date of a user's
+    first event; each row = distinct users from that cohort active
+    day_offset days later, with the cohort size attached."""
+    from nsp_bolt_pipeline_spark.operators.funnel import cohort_retention
+
+    ev = read_table(spark, sf_dir, "events").select("user_id", "ts")
+    return cohort_retention(ev, entity_col="user_id", ts_col="ts")

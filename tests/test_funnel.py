@@ -76,3 +76,27 @@ def test_funnel_counts_monotone(spark):
     )
     counts = {r["stage"]: r["n_entities"] for r in funnel_counts(funnel, 3).collect()}
     assert counts == {1: 3, 2: 2, 3: 1}
+
+
+def test_cohort_retention_matrix(spark):
+    from nsp_bolt_pipeline_spark.operators.funnel import cohort_retention
+
+    rows = [
+        # cohort day1: u1 (active d1, d2), u2 (active d1 only)
+        ("u1", "x", datetime(2024, 7, 1, 9)),
+        ("u1", "x", datetime(2024, 7, 2, 9)),
+        ("u2", "x", datetime(2024, 7, 1, 15)),
+        # cohort day2: u3 active d2 and d4
+        ("u3", "x", datetime(2024, 7, 2, 9)),
+        ("u3", "x", datetime(2024, 7, 4, 9)),
+    ]
+    ev = _events(spark, rows)
+    out = {
+        (str(r["cohort_date"]), r["day_offset"]): (r["n_active"], r["n_cohort"])
+        for r in cohort_retention(ev, entity_col="user", ts_col="ts").collect()
+    }
+    assert out[("2024-07-01", 0)] == (2, 2)
+    assert out[("2024-07-01", 1)] == (1, 2)
+    assert out[("2024-07-02", 0)] == (1, 1)
+    assert out[("2024-07-02", 2)] == (1, 1)
+    assert ("2024-07-02", 1) not in out  # no activity that day -> no row
