@@ -42,17 +42,17 @@ def connected_components(
     (diameter bound exceeded; see module docstring for the
     star-contraction alternative before raising the bound).
     """
-    # persist the (possibly expensive) edge source before mirroring:
-    # the union reads it twice, and every propagation round reads the
-    # mirrored list again
-    e = edges.select(F.col(src_col).alias("a"), F.col(dst_col).alias("b")).persist()
+    # the mirrored edge list is re-read every propagation round — cache
+    # it once (the union reads the projected source twice on the first
+    # materialization, which is fine)
+    e = edges.select(F.col(src_col).alias("a"), F.col(dst_col).alias("b"))
     und = e.unionByName(e.select(F.col("b").alias("a"), F.col("a").alias("b"))).persist()
 
     # propagate only over nodes that have at least one edge — isolated
     # nodes are their own component by definition and never change, so
     # they stay out of the loop entirely (in a dedup graph that is the
     # overwhelming majority of the corpus)
-    labels = und.select("a").distinct().withColumn("comp", F.col("a")).persist()
+    labels = und.select("a").distinct().withColumn("comp", F.col("a"))
 
     try:
         for _ in range(max_iter):
@@ -61,9 +61,15 @@ def connected_components(
                 .groupBy("a")
                 .agg(F.min("comp").alias("nbr_min"))
             )
-            # fold the convergence flag into the same cached frame so
-            # each round is exactly ONE Spark job (the agg materializes
-            # the cache the next round reuses)
+            # localCheckpoint (NOT persist) each round: persist caches
+            # the *data* but leaves the logical plan intact, so after k
+            # rounds Catalyst re-analyzes a plan that has doubled k
+            # times — exponential driver work that OOMs the heap on a
+            # graph of any real diameter. The eager checkpoint cuts the
+            # lineage, keeping every round's plan constant-size (the
+            # same reason GraphFrames checkpoints its iterative algos).
+            # On a cluster swap in df.checkpoint() for fault tolerance;
+            # locally the block-manager-backed variant is right.
             staged = (
                 labels.join(msgs, "a", "left")
                 .select(
@@ -73,12 +79,11 @@ def connected_components(
                     ).alias("comp"),
                     (F.col("nbr_min") < F.col("comp")).alias("chg"),
                 )
-                .persist()
+                .localCheckpoint(eager=True)
             )
             n_changed = staged.agg(
                 F.sum(F.col("chg").cast("long")).alias("n")
             ).first()["n"]
-            labels.unpersist()
             labels = staged.drop("chg")
             if not n_changed:
                 break
@@ -86,18 +91,12 @@ def connected_components(
             raise RuntimeError(
                 f"connected_components: no fixpoint within {max_iter} rounds"
             )
-        # snapshot the fixpoint out of the iterative lineage: the
-        # localCheckpoint's blocks are released by the ContextCleaner
-        # when the result is garbage-collected, unlike a persist()
-        # entry which would pin cache memory until an explicit
-        # unpersist this function could never issue
-        final = labels.localCheckpoint(eager=True)
+        # labels is already a checkpoint snapshot with no iterative
+        # lineage; superseded rounds' blocks are released by the
+        # ContextCleaner once their RDDs are garbage-collected
+        final = labels
     finally:
-        # release every cache this function created, on success AND on
-        # the no-fixpoint raise (labels points at the newest staged)
-        labels.unpersist()
         und.unpersist()
-        e.unpersist()
     return (
         nodes.select(F.col(id_col).alias("a"))
         .join(final, "a", "left")

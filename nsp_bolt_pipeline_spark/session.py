@@ -19,6 +19,16 @@ _SCALE_CONF = {
     "spark.sql.adaptive.enabled": "true",
     "spark.sql.adaptive.coalescePartitions.enabled": "true",
     "spark.sql.adaptive.skewJoin.enabled": "true",
+    # runtime Bloom-filter pushdown: a selective join's build side
+    # injects a Bloom filter into the probe side's scan, cutting the
+    # shuffled volume before the join — free row-group skipping for
+    # the q3/q5/q18-shape selective fact joins at 100 TB
+    "spark.sql.optimizer.runtime.bloomFilter.enabled": "true",
+    # bound how long superseded localCheckpoint/broadcast blocks from
+    # iterative operators (connected_components) linger before the
+    # ContextCleaner reclaims them — the 30 min default lets them pile
+    # up in a long-lived driver
+    "spark.cleaner.periodicGC.interval": "5min",
     "spark.sql.session.timeZone": "UTC",
     "spark.sql.execution.arrow.pyspark.enabled": "true",
     "spark.sql.files.maxPartitionBytes": "134217728",  # 128 MiB scan splits

@@ -121,3 +121,86 @@ def test_word_ngrams_matches_python_model(spark, toks):
                 seen.add(g)
                 want.append(g)
     assert got == want
+
+
+EDGE_SETS = st.lists(
+    st.tuples(
+        st.integers(min_value=0, max_value=15),
+        st.integers(min_value=0, max_value=15),
+    ).filter(lambda e: e[0] != e[1]),
+    min_size=0,
+    max_size=12,
+)
+
+
+@SLOW
+@given(EDGE_SETS)
+def test_connected_components_matches_union_find(spark, edge_list):
+    from nsp_bolt_pipeline_spark.operators.graph import connected_components
+
+    node_ids = list(range(16))
+    # pure-Python union-find reference
+    parent = {n: n for n in node_ids}
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in edge_list:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[ra] = rb
+    want = {}
+    for n in node_ids:
+        root = find(n)
+        members = [m for m in node_ids if find(m) == root]
+        want[n] = min(members)
+
+    nodes = spark.createDataFrame([(n,) for n in node_ids], ["id"])
+    edges = spark.createDataFrame(
+        edge_list or [(0, 0)], ["src", "dst"]
+    )
+    if not edge_list:
+        edges = edges.filter("src != src")  # empty frame, keeps schema
+    got = {
+        r["id"]: r["component"]
+        for r in connected_components(nodes, edges).collect()
+    }
+    assert got == want
+
+
+VALUE_ROWS = st.lists(
+    st.tuples(
+        st.integers(min_value=0, max_value=50),  # order key (dups allowed)
+        st.integers(min_value=0, max_value=9),   # value
+    ),
+    min_size=1,
+    max_size=40,
+)
+
+
+@SLOW
+@given(VALUE_ROWS)
+def test_prefix_sum_matches_python_running_total(spark, rows):
+    from nsp_bolt_pipeline_spark.operators.corpus import prefix_sum
+
+    # break order-key ties with a unique rid so the global order (and
+    # therefore the exclusive prefix) is well-defined
+    data = [(k, i, v) for i, (k, v) in enumerate(rows)]
+    df = spark.createDataFrame(data, ["k", "rid", "v"])
+    got = {
+        (r["k"], r["rid"]): r["offset"]
+        for r in prefix_sum(
+            df,
+            order_cols=["k", "rid"],
+            value_col="v",
+            bucket=(F.col("k") / 7).cast("long"),
+        ).collect()
+    }
+    run, want = 0, {}
+    for k, rid, v in sorted(data):
+        want[(k, rid)] = run
+        run += v
+    assert got == want
