@@ -210,6 +210,151 @@ def q_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "q17_small_quantity_revenue",
+    """
+    SELECT p.p_brand,
+           FLOOR((SUM(l.l_extendedprice))*100 + 0.5)/100 AS sum_extprice,
+           COUNT(*) AS n_small
+    FROM lineitem l
+    JOIN part p ON p.p_partkey = l.l_partkey
+    WHERE l.l_quantity < (SELECT 0.5 * AVG(l2.l_quantity)
+                          FROM lineitem l2
+                          WHERE l2.l_partkey = l.l_partkey)
+    GROUP BY p.p_brand
+    """,
+)
+def q_small_quantity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H q17 shape: a correlated scalar subquery (per-part average
+    quantity) gating the fact rows. The DataFrame form IS the
+    decorrelation Catalyst would do: aggregate the per-key threshold
+    once, then an equi-join back on the key. Both the threshold agg
+    and the join shuffle on l_partkey, so AQE plans the second as a
+    co-partitioned sort-merge with no extra exchange. The threshold
+    compare is exact: quantities are integer-valued doubles, so
+    SUM/AVG are order-independent (< 2^53) and both engines compute
+    the identical threshold bit-for-bit.
+    """
+    li = read_table(spark, sf_dir, "lineitem").select(
+        "l_partkey", "l_quantity", "l_extendedprice"
+    )
+    thr = li.groupBy("l_partkey").agg(
+        (F.avg("l_quantity") * 0.5).alias("qty_thr")
+    )
+    part = read_table(spark, sf_dir, "part").select("p_partkey", "p_brand")
+    return (
+        li.join(thr, "l_partkey")
+        .filter(F.col("l_quantity") < F.col("qty_thr"))
+        .join(F.broadcast(part), F.col("l_partkey") == F.col("p_partkey"))
+        .groupBy("p_brand")
+        .agg(
+            _r2(F.sum("l_extendedprice")).alias("sum_extprice"),
+            F.count("*").alias("n_small"),
+        )
+    )
+
+
+#: q19-shape disjunct table: (brand, max part size, quantity lo/hi).
+_Q19_DISJUNCTS = (
+    ("Brand#12", 15, 1, 11),
+    ("Brand#23", 25, 10, 20),
+    ("Brand#34", 35, 20, 30),
+)
+
+
+@query(
+    "q19_disjunctive_join",
+    f"""
+    SELECT p.p_brand,
+           FLOOR((SUM(l.l_extendedprice * (1 - l.l_discount)))*100 + 0.5)/100
+               AS revenue,
+           COUNT(*) AS n_lines
+    FROM lineitem l
+    JOIN part p ON p.p_partkey = l.l_partkey
+    WHERE {" OR ".join(
+        f"(p.p_brand = '{b}' AND p.p_size BETWEEN 1 AND {s} "
+        f"AND l.l_quantity BETWEEN {lo} AND {hi})"
+        for b, s, lo, hi in _Q19_DISJUNCTS
+    )}
+    GROUP BY p.p_brand
+    """,
+)
+def q_disjunctive_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H q19 shape: an OR-of-ANDs predicate spanning both join
+    sides. Catalyst keeps the single equi-join on partkey and extracts
+    each side's disjunction projection as a pushable filter (brand/size
+    union to the part scan, quantity union to the lineitem scan), so
+    the join never sees rows no disjunct could accept — the property
+    that matters at 100 TB, where the residual OR is evaluated only on
+    the small surviving set. part is a dimension: broadcast."""
+    pred = None
+    for brand, size_hi, qty_lo, qty_hi in _Q19_DISJUNCTS:
+        clause = (
+            (F.col("p_brand") == brand)
+            & F.col("p_size").between(1, size_hi)
+            & F.col("l_quantity").between(qty_lo, qty_hi)
+        )
+        pred = clause if pred is None else (pred | clause)
+    li = read_table(spark, sf_dir, "lineitem").select(
+        "l_partkey", "l_quantity", "l_extendedprice", "l_discount"
+    )
+    part = read_table(spark, sf_dir, "part").select(
+        "p_partkey", "p_brand", "p_size"
+    )
+    return (
+        li.join(F.broadcast(part), F.col("p_partkey") == F.col("l_partkey"))
+        .filter(pred)
+        .groupBy("p_brand")
+        .agg(
+            _r2(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount")))).alias(
+                "revenue"
+            ),
+            F.count("*").alias("n_lines"),
+        )
+    )
+
+
+@query(
+    "q22_dormant_customers_anti",
+    """
+    SELECT c.c_mktsegment,
+           COUNT(*) AS n_cust,
+           FLOOR((SUM(c.c_acctbal))*100 + 0.5)/100 AS sum_acctbal
+    FROM customer c
+    WHERE c.c_acctbal > 6000
+      AND NOT EXISTS (SELECT 1 FROM orders o
+                      WHERE o.o_custkey = c.c_custkey
+                        AND o.o_orderdate >= TIMESTAMP '1997-01-01'
+                        AND o.o_orderdate <  TIMESTAMP '1997-07-01')
+    GROUP BY c.c_mktsegment
+    """,
+)
+def q_dormant_anti(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H q22 shape: NOT EXISTS as a left-anti join — well-funded
+    customers with no orders in a window. The date filter lands on the
+    orders scan (partition-prunable on a date-partitioned lake), and
+    the anti join probes only the filtered key set; at scale that key
+    set is small enough to broadcast, making the anti join
+    shuffle-free on the customer side."""
+    cust = read_table(spark, sf_dir, "customer").filter(F.col("c_acctbal") > 6000)
+    active = (
+        read_table(spark, sf_dir, "orders")
+        .filter(
+            (F.col("o_orderdate") >= "1997-01-01")
+            & (F.col("o_orderdate") < "1997-07-01")
+        )
+        .select("o_custkey")
+    )
+    return (
+        cust.join(active, F.col("c_custkey") == F.col("o_custkey"), "left_anti")
+        .groupBy("c_mktsegment")
+        .agg(
+            F.count("*").alias("n_cust"),
+            _r2(F.sum("c_acctbal")).alias("sum_acctbal"),
+        )
+    )
+
+
+@query(
     "q18_large_volume_orders",
     """
     WITH big AS (
