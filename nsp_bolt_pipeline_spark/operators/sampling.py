@@ -69,6 +69,47 @@ def assign_split(
     return df.withColumn(out, expr)
 
 
+def shard_assignment(
+    df: DataFrame,
+    *,
+    key: str,
+    n_shards: int,
+    salt: str = "shard",
+    shard_col: str = "shard",
+    pos_col: str = "pos",
+) -> DataFrame:
+    """Deterministic global shuffle + shard layout for training export.
+
+    Training readers want the corpus decorrelated from its source
+    order (no topic runs, no crawl-order bias) and cut into N
+    equal-ish shards with a stable within-shard order. Both come from
+    the same content-addressed bucket: ``shard = floor(bucket * N)``
+    (range-slicing a uniform hash gives balanced shards), and ``pos``
+    ranks rows inside their shard by (bucket, key) — a total order,
+    since keys are unique, that is reproducible on any cluster at any
+    parallelism.
+
+    Scale shape: one shuffle keyed by shard, then one sort per shard —
+    exactly the ``repartition(N).sortWithinPartitions`` a sharded
+    writer performs anyway, so the layout is free at write time. Size
+    N so a shard fits an executor's sort spill comfortably (e.g.
+    100 TB / 4 GiB-target => ~25k shards). Keep ``n_shards`` a power
+    of two: bucket is k/2^32, so ``bucket * N`` stays exact and no
+    float boundary can flip a shard id between engines.
+    """
+    from pyspark.sql import Window as W
+
+    bucket = hash_bucket(key, salt=salt)
+    out = df.withColumn("_bucket", bucket).withColumn(
+        shard_col, F.floor(F.col("_bucket") * n_shards).cast("int")
+    )
+    w = W.partitionBy(shard_col).orderBy("_bucket", key)
+    return (
+        out.withColumn(pos_col, (F.row_number().over(w) - 1).cast("long"))
+        .drop("_bucket")
+    )
+
+
 def rebalance_by_group(
     df: DataFrame,
     *,

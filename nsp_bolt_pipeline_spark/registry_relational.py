@@ -210,6 +210,36 @@ def q_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "a6_cube_event_stats",
+    """
+    SELECT event_type, CAST(ts AS DATE) AS date,
+           COUNT(*) AS n_events,
+           FLOOR((SUM(value))*100 + 0.5)/100 AS sum_value,
+           CAST(GROUPING(event_type, CAST(ts AS DATE)) AS BIGINT) AS gid
+    FROM events
+    GROUP BY CUBE(event_type, CAST(ts AS DATE))
+    """,
+)
+def q_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUBE over (event_type, date): all four grouping sets — detail,
+    per-type, per-day, grand total — in ONE pass (a3's rollup covers
+    only the hierarchical prefix sets). Spark expands the sets with a
+    single Expand + hash agg, so the input is scanned once; gid
+    (grouping_id, same bit order as SQL GROUPING) distinguishes a
+    rolled-up NULL from a NULL group value."""
+    from nsp_bolt_pipeline_spark.functions.datetime import to_event_date
+
+    ev = read_table(spark, sf_dir, "events").withColumn(
+        "date", to_event_date("ts")
+    )
+    return ev.cube("event_type", "date").agg(
+        F.count("*").alias("n_events"),
+        _r2(F.sum("value")).alias("sum_value"),
+        F.grouping_id().cast("long").alias("gid"),
+    )
+
+
+@query(
     "q17_small_quantity_revenue",
     """
     SELECT p.p_brand,

@@ -87,3 +87,33 @@ def q_rebalance(spark: SparkSession, sf_dir: str) -> DataFrame:
         default_rate=MIX_DEFAULT,
         salt=MIX_SALT,
     )
+
+
+N_SHARDS = 8  # power of two: bucket*N stays float-exact (see operator)
+SHARD_SALT = "shard"
+
+
+@query(
+    "l5_global_shuffle_shards",
+    f"""
+    WITH b AS (
+        SELECT doc_id, source,
+               {_bucket_sql("doc_id", SHARD_SALT)} AS bucket
+        FROM documents
+    )
+    SELECT doc_id, source,
+           CAST(FLOOR(bucket * {N_SHARDS}) AS INTEGER) AS shard,
+           CAST(row_number() OVER (
+                    PARTITION BY CAST(FLOOR(bucket * {N_SHARDS}) AS INTEGER)
+                    ORDER BY bucket, doc_id) - 1 AS BIGINT) AS pos
+    FROM b
+    """,
+)
+def q_shard_assignment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic global shuffle + shard layout for training export:
+    shard membership and within-shard position are pure functions of
+    doc_id, hash-verified against a nibble-exact md5 replay."""
+    from nsp_bolt_pipeline_spark.operators.sampling import shard_assignment
+
+    docs = read_table(spark, sf_dir, "documents").select("doc_id", "source")
+    return shard_assignment(docs, key="doc_id", n_shards=N_SHARDS, salt=SHARD_SALT)

@@ -78,3 +78,32 @@ def test_rebalance_rates_and_determinism(spark):
     assert sorted(r["k"] for r in kept.collect()) == sorted(
         r["k"] for r in again.collect()
     )
+
+
+def test_shard_assignment_invariants(spark):
+    from nsp_bolt_pipeline_spark.operators.sampling import shard_assignment
+
+    df = _ids(spark, 1000)
+    out = shard_assignment(df, key="k", n_shards=8).collect()
+    by_shard = {}
+    for r in out:
+        by_shard.setdefault(r["shard"], []).append(r["pos"])
+    # every shard id in range, positions are exactly 0..len-1
+    assert set(by_shard) <= set(range(8))
+    for positions in by_shard.values():
+        assert sorted(positions) == list(range(len(positions)))
+    # uniform hash => no shard grossly over/under-filled (1000/8 = 125)
+    sizes = [len(v) for v in by_shard.values()]
+    assert min(sizes) > 60 and max(sizes) < 190
+
+
+def test_shard_assignment_stable_under_repartitioning(spark):
+    from nsp_bolt_pipeline_spark.operators.sampling import shard_assignment
+
+    df = _ids(spark, 500)
+    a = {(r["k"], r["shard"], r["pos"])
+         for r in shard_assignment(df, key="k", n_shards=4).collect()}
+    b = {(r["k"], r["shard"], r["pos"])
+         for r in shard_assignment(
+             df.repartition(17), key="k", n_shards=4).collect()}
+    assert a == b
