@@ -1,0 +1,666 @@
+"""Remaining TPC-H query shapes, completing the relational surface.
+
+The driver's synthetic star schema has no ``partsupp`` table, so the
+partsupp-based queries (q2/q9/q11/q16/q20) are re-anchored on
+``lineitem`` as the part<->supplier bridge with the *shape* preserved
+exactly: q2's correlated-min + rejoin, q9's multi-dim profit rollup,
+q11's HAVING-vs-global-scalar, q16's NOT-IN supplier exclusion, q20's
+nested-IN reduction. Metrics chosen for cross-engine exactness:
+quantity sums are integer-valued doubles (< 2^53, order-independent),
+so thresholds and correlated minima compare bit-identically; money
+aggregates follow the module convention (FLOOR(x*100+0.5)/100 on both
+sides).
+
+Scale stance (100 TB): dimensions (part/supplier/nation/region,
+per-key threshold sets) broadcast; fact-fact co-aggregations shuffle
+once on their join key and reuse that partitioning; q21's classic
+double-EXISTS self-join is decorrelated into a single per-order
+aggregate — one shuffle instead of two self-joins of the fact table.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from nsp_bolt_pipeline_spark.registry import _r2, query
+from nsp_bolt_pipeline_spark.sources.readers import read_table
+
+_REV = "FLOOR((SUM(l.l_extendedprice * (1 - l.l_discount)))*100 + 0.5)/100"
+
+
+def _rev_col() -> F.Column:
+    return _r2(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))))
+
+
+# ---------------------------------------------------------------------------
+# q7: volume shipping between two nations, by year.
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q7_nation_volume",
+    """
+    SELECT sn.n_name AS supp_nation, cn.n_name AS cust_nation,
+           CAST(year(l.l_shipdate) AS INTEGER) AS l_year,
+           FLOOR((SUM(l.l_extendedprice * (1 - l.l_discount)))*100 + 0.5)/100
+               AS revenue
+    FROM lineitem l
+    JOIN orders o ON o.o_orderkey = l.l_orderkey
+    JOIN customer c ON c.c_custkey = o.o_custkey
+    JOIN supplier s ON s.s_suppkey = l.l_suppkey
+    JOIN nation sn ON sn.n_nationkey = s.s_nationkey
+    JOIN nation cn ON cn.n_nationkey = c.c_nationkey
+    WHERE l.l_shipdate >= TIMESTAMP '1996-01-01'
+      AND l.l_shipdate <  TIMESTAMP '1998-01-01'
+      AND ((sn.n_name = 'NATION_1' AND cn.n_name = 'NATION_2')
+        OR (sn.n_name = 'NATION_2' AND cn.n_name = 'NATION_1'))
+    GROUP BY 1, 2, 3
+    """,
+)
+def q7_nation_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H q7 shape: two-nation trade volume by ship year
+    (KPI-Aggregator.py:98-110 is the 1-join/1-agg special case of this
+    multi-dim join tree). supplier/nation are dimensions -> broadcast;
+    the nation-pair disjunction is evaluated post-broadcast-join so the
+    only shuffles are the two fact joins (lineitem⋈orders on orderkey,
+    then ⋈customer on custkey); the date range prunes the lineitem
+    scan."""
+    li = read_table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= "1996-01-01") & (F.col("l_shipdate") < "1998-01-01")
+    ).select("l_orderkey", "l_suppkey", "l_shipdate", "l_extendedprice", "l_discount")
+    orders = read_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    cust = read_table(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    supp = read_table(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    nation = read_table(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    sn = nation.select(
+        F.col("n_nationkey").alias("sn_key"), F.col("n_name").alias("supp_nation")
+    )
+    cn = nation.select(
+        F.col("n_nationkey").alias("cn_key"), F.col("n_name").alias("cust_nation")
+    )
+    pair = (
+        (F.col("supp_nation") == "NATION_1") & (F.col("cust_nation") == "NATION_2")
+    ) | ((F.col("supp_nation") == "NATION_2") & (F.col("cust_nation") == "NATION_1"))
+    return (
+        li.join(orders, F.col("o_orderkey") == F.col("l_orderkey"))
+        .join(cust, F.col("c_custkey") == F.col("o_custkey"))
+        .join(F.broadcast(supp), F.col("s_suppkey") == F.col("l_suppkey"))
+        .join(F.broadcast(sn), F.col("sn_key") == F.col("s_nationkey"))
+        .join(F.broadcast(cn), F.col("cn_key") == F.col("c_nationkey"))
+        .filter(pair)
+        .groupBy(
+            "supp_nation",
+            "cust_nation",
+            F.year("l_shipdate").alias("l_year"),
+        )
+        .agg(_rev_col().alias("revenue"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# q8: market share of one supplier nation within a customer region.
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q8_market_share",
+    """
+    SELECT o_year,
+           FLOOR((share_num / share_den)*100 + 0.5)/100 AS mkt_share,
+           share_num, share_den
+    FROM (
+        SELECT CAST(year(o.o_orderdate) AS INTEGER) AS o_year,
+               FLOOR((SUM(CASE WHEN sn.n_name = 'NATION_1'
+                     THEN l.l_extendedprice * (1 - l.l_discount)
+                     ELSE 0 END))*100 + 0.5)/100 AS share_num,
+               FLOOR((SUM(l.l_extendedprice * (1 - l.l_discount)))*100 + 0.5)/100
+                   AS share_den
+        FROM lineitem l
+        JOIN part p ON p.p_partkey = l.l_partkey
+        JOIN orders o ON o.o_orderkey = l.l_orderkey
+        JOIN customer c ON c.c_custkey = o.o_custkey
+        JOIN nation cn ON cn.n_nationkey = c.c_nationkey
+        JOIN region r ON r.r_regionkey = cn.n_regionkey
+        JOIN supplier s ON s.s_suppkey = l.l_suppkey
+        JOIN nation sn ON sn.n_nationkey = s.s_nationkey
+        WHERE r.r_name = 'ASIA' AND p.p_type = 'PROMO'
+          AND o.o_orderdate >= TIMESTAMP '1996-01-01'
+          AND o.o_orderdate <  TIMESTAMP '1998-01-01'
+        GROUP BY 1
+    )
+    """,
+)
+def q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H q8 shape: one nation's share of a region's PROMO-part
+    revenue by order year. The share is a conditional-sum ratio; both
+    the numerator and denominator are rounded first and the division
+    runs on those bit-identical inputs, so the ratio is cross-engine
+    deterministic. All five dimension tables broadcast; the fact spine
+    (lineitem⋈orders⋈customer) carries the only shuffles."""
+    li = read_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_partkey", "l_suppkey", "l_extendedprice", "l_discount"
+    )
+    part = (
+        read_table(spark, sf_dir, "part")
+        .filter(F.col("p_type") == "PROMO")
+        .select("p_partkey")
+    )
+    orders = read_table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= "1996-01-01") & (F.col("o_orderdate") < "1998-01-01")
+    ).select("o_orderkey", "o_custkey", "o_orderdate")
+    cust = read_table(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    nation = read_table(spark, sf_dir, "nation")
+    region = read_table(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    cn = nation.join(
+        F.broadcast(region), F.col("n_regionkey") == F.col("r_regionkey")
+    ).select(F.col("n_nationkey").alias("cn_key"))
+    supp = read_table(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    sn = nation.select(
+        F.col("n_nationkey").alias("sn_key"), F.col("n_name").alias("supp_nation")
+    )
+    vol = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    agg = (
+        li.join(F.broadcast(part), F.col("p_partkey") == F.col("l_partkey"))
+        .join(orders, F.col("o_orderkey") == F.col("l_orderkey"))
+        .join(cust, F.col("c_custkey") == F.col("o_custkey"))
+        .join(F.broadcast(cn), F.col("cn_key") == F.col("c_nationkey"))
+        .join(F.broadcast(supp), F.col("s_suppkey") == F.col("l_suppkey"))
+        .join(F.broadcast(sn), F.col("sn_key") == F.col("s_nationkey"))
+        .groupBy(F.year("o_orderdate").alias("o_year"))
+        .agg(
+            _r2(
+                F.sum(F.when(F.col("supp_nation") == "NATION_1", vol).otherwise(0.0))
+            ).alias("share_num"),
+            _r2(F.sum(vol)).alias("share_den"),
+        )
+    )
+    return agg.select(
+        "o_year",
+        _r2(F.col("share_num") / F.col("share_den")).alias("mkt_share"),
+        "share_num",
+        "share_den",
+    )
+
+
+# ---------------------------------------------------------------------------
+# q9: profit by supplier nation and year (cost proxied via p_retailprice
+# because the schema has no partsupp.ps_supplycost).
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q9_nation_profit",
+    """
+    SELECT sn.n_name AS nation, CAST(year(o.o_orderdate) AS INTEGER) AS o_year,
+           FLOOR((SUM(l.l_extendedprice * (1 - l.l_discount)
+                      - 0.1 * p.p_retailprice * l.l_quantity))*100 + 0.5)/100
+               AS sum_profit
+    FROM lineitem l
+    JOIN part p ON p.p_partkey = l.l_partkey
+    JOIN supplier s ON s.s_suppkey = l.l_suppkey
+    JOIN nation sn ON sn.n_nationkey = s.s_nationkey
+    JOIN orders o ON o.o_orderkey = l.l_orderkey
+    WHERE p.p_name LIKE '%red%'
+    GROUP BY 1, 2
+    """,
+)
+def q9_nation_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H q9 shape: profit (revenue minus a per-part unit cost —
+    0.1*p_retailprice stands in for the absent ps_supplycost) rolled up
+    by supplier nation and order year, with a substring filter on part
+    names. part/supplier/nation broadcast; the p_name LIKE filter
+    shrinks the broadcast side before the join, so the fact spine only
+    sees matching parts' rows."""
+    li = read_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_partkey", "l_suppkey",
+        "l_quantity", "l_extendedprice", "l_discount",
+    )
+    part = (
+        read_table(spark, sf_dir, "part")
+        .filter(F.col("p_name").contains("red"))
+        .select("p_partkey", "p_retailprice")
+    )
+    supp = read_table(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    nation = read_table(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("sn_key"), F.col("n_name").alias("nation")
+    )
+    orders = read_table(spark, sf_dir, "orders").select("o_orderkey", "o_orderdate")
+    profit = (
+        F.col("l_extendedprice") * (1 - F.col("l_discount"))
+        - 0.1 * F.col("p_retailprice") * F.col("l_quantity")
+    )
+    return (
+        li.join(F.broadcast(part), F.col("p_partkey") == F.col("l_partkey"))
+        .join(F.broadcast(supp), F.col("s_suppkey") == F.col("l_suppkey"))
+        .join(F.broadcast(nation), F.col("sn_key") == F.col("s_nationkey"))
+        .join(orders, F.col("o_orderkey") == F.col("l_orderkey"))
+        .groupBy("nation", F.year("o_orderdate").alias("o_year"))
+        .agg(_r2(F.sum(profit)).alias("sum_profit"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# q10: top-20 customers by returned-item revenue in a quarter.
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q10_returned_items",
+    f"""
+    SELECT c.c_custkey, c.c_name, n.n_name, {_REV} AS revenue,
+           FLOOR((c.c_acctbal)*100 + 0.5)/100 AS c_acctbal
+    FROM customer c
+    JOIN orders o ON o.o_custkey = c.c_custkey
+    JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    JOIN nation n ON n.n_nationkey = c.c_nationkey
+    WHERE o.o_orderdate >= TIMESTAMP '1997-01-01'
+      AND o.o_orderdate <  TIMESTAMP '1997-04-01'
+      AND l.l_returnflag = 'R'
+    GROUP BY 1, 2, 3, c.c_acctbal
+    ORDER BY revenue DESC, c_custkey
+    LIMIT 20
+    """,
+)
+def q10_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H q10 shape: revenue lost to returns per customer, top 20.
+    The returnflag + quarter filters reach both fact scans; the final
+    top-20 compiles to TakeOrderedAndProject (per-partition heaps, no
+    global sort materialization). Ordering is made deterministic by a
+    c_custkey tiebreak on the *rounded* revenue, so both engines pick
+    the same 20 rows."""
+    cust = read_table(spark, sf_dir, "customer")
+    orders = read_table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= "1997-01-01") & (F.col("o_orderdate") < "1997-04-01")
+    ).select("o_orderkey", "o_custkey")
+    li = read_table(spark, sf_dir, "lineitem").filter(
+        F.col("l_returnflag") == "R"
+    ).select("l_orderkey", "l_extendedprice", "l_discount")
+    nation = read_table(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    return (
+        cust.join(orders, F.col("o_custkey") == F.col("c_custkey"))
+        .join(li, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(F.broadcast(nation), F.col("n_nationkey") == F.col("c_nationkey"))
+        .groupBy("c_custkey", "c_name", "n_name", "c_acctbal")
+        .agg(_rev_col().alias("revenue"))
+        .select(
+            "c_custkey", "c_name", "n_name", "revenue",
+            _r2(F.col("c_acctbal")).alias("c_acctbal"),
+        )
+        .orderBy(F.col("revenue").desc(), "c_custkey")
+        .limit(20)
+    )
+
+
+# ---------------------------------------------------------------------------
+# q14: promo revenue share for one month.
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q14_promo_revenue",
+    """
+    SELECT FLOOR((100.0 * promo_rev / total_rev)*100 + 0.5)/100 AS promo_share,
+           promo_rev, total_rev
+    FROM (
+        SELECT FLOOR((SUM(CASE WHEN p.p_type = 'PROMO'
+                      THEN l.l_extendedprice * (1 - l.l_discount)
+                      ELSE 0 END))*100 + 0.5)/100 AS promo_rev,
+               FLOOR((SUM(l.l_extendedprice * (1 - l.l_discount)))*100 + 0.5)/100
+                   AS total_rev
+        FROM lineitem l
+        JOIN part p ON p.p_partkey = l.l_partkey
+        WHERE l.l_shipdate >= TIMESTAMP '1997-03-01'
+          AND l.l_shipdate <  TIMESTAMP '1997-04-01'
+    )
+    """,
+)
+def q14_promo_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H q14 shape: PROMO-part revenue share of one ship month — a
+    conditional aggregate over a single broadcast join, no GROUP BY
+    (global agg = partial agg on every partition + one 1-row merge).
+    Ratio computed from the two rounded sums (same-op cross-engine
+    determinism, as q8)."""
+    li = read_table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= "1997-03-01") & (F.col("l_shipdate") < "1997-04-01")
+    ).select("l_partkey", "l_extendedprice", "l_discount")
+    part = read_table(spark, sf_dir, "part").select("p_partkey", "p_type")
+    vol = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    agg = (
+        li.join(F.broadcast(part), F.col("p_partkey") == F.col("l_partkey"))
+        .agg(
+            _r2(F.sum(F.when(F.col("p_type") == "PROMO", vol).otherwise(0.0))).alias(
+                "promo_rev"
+            ),
+            _r2(F.sum(vol)).alias("total_rev"),
+        )
+    )
+    return agg.select(
+        _r2(100.0 * F.col("promo_rev") / F.col("total_rev")).alias("promo_share"),
+        "promo_rev",
+        "total_rev",
+    )
+
+
+# ---------------------------------------------------------------------------
+# q15: top supplier(s) by quarterly revenue (max over an aggregated view).
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q15_top_supplier",
+    """
+    WITH revenue AS (
+        SELECT l_suppkey AS supplier_no,
+               FLOOR((SUM(l_extendedprice * (1 - l_discount)))*100 + 0.5)/100
+                   AS total_revenue
+        FROM lineitem
+        WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+          AND l_shipdate <  TIMESTAMP '1997-04-01'
+        GROUP BY 1
+    )
+    SELECT s.s_suppkey, s.s_name, r.total_revenue
+    FROM supplier s
+    JOIN revenue r ON s.s_suppkey = r.supplier_no
+    WHERE r.total_revenue = (SELECT MAX(total_revenue) FROM revenue)
+    """,
+)
+def q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H q15 shape: an aggregated revenue view consumed twice —
+    once for the global MAX scalar and once to select the argmax
+    row(s). The view is computed ONCE per branch off a shared plan; the
+    1-row max side is cross-joined (broadcast by construction), so the
+    second pass is a codegen filter, not a shuffle. Rounded revenues
+    make the equality compare engine-stable."""
+    li = read_table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= "1997-01-01") & (F.col("l_shipdate") < "1997-04-01")
+    )
+    revenue = (
+        li.groupBy(F.col("l_suppkey").alias("supplier_no"))
+        .agg(_rev_col().alias("total_revenue"))
+    )
+    best = revenue.agg(F.max("total_revenue").alias("best_rev"))
+    supp = read_table(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
+    return (
+        revenue.join(F.broadcast(best))
+        .filter(F.col("total_revenue") == F.col("best_rev"))
+        .join(F.broadcast(supp), F.col("s_suppkey") == F.col("supplier_no"))
+        .select("s_suppkey", "s_name", "total_revenue")
+    )
+
+
+# ---------------------------------------------------------------------------
+# q2: minimum-cost supplier per part (correlated min + rejoin), with
+# lineitem as the part<->supplier bridge (no partsupp in this schema).
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q2_min_supply_qty",
+    """
+    WITH supply AS (
+        SELECT l_partkey, l_suppkey,
+               FLOOR(SUM(l_quantity)) AS total_qty
+        FROM lineitem
+        GROUP BY 1, 2
+    )
+    SELECT p.p_partkey, p.p_brand, s.s_name, n.n_name, sp.total_qty
+    FROM supply sp
+    JOIN part p ON p.p_partkey = sp.l_partkey
+    JOIN supplier s ON s.s_suppkey = sp.l_suppkey
+    JOIN nation n ON n.n_nationkey = s.s_nationkey
+    WHERE p.p_size <= 5
+      AND sp.total_qty = (SELECT MIN(s2.total_qty) FROM supply s2
+                          WHERE s2.l_partkey = sp.l_partkey)
+    """,
+)
+def q2_min_supply_qty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H q2 shape: per-part correlated MIN over the supply
+    relation, then a rejoin to pick the argmin supplier(s) plus their
+    dimension attributes. The DataFrame form is the decorrelation
+    Catalyst performs: aggregate the per-part minimum once, equi-join
+    back on partkey. Both sides of that join come from the SAME
+    grouped child, so they share one shuffle on (l_partkey); quantity
+    sums are integer-exact (FLOOR pins the bigint/double seam), making
+    the min-equality compare deterministic across engines."""
+    li = read_table(spark, sf_dir, "lineitem").select(
+        "l_partkey", "l_suppkey", "l_quantity"
+    )
+    supply = li.groupBy("l_partkey", "l_suppkey").agg(
+        F.floor(F.sum("l_quantity")).alias("total_qty")
+    )
+    mins = supply.groupBy(F.col("l_partkey").alias("m_partkey")).agg(
+        F.min("total_qty").alias("min_qty")
+    )
+    part = (
+        read_table(spark, sf_dir, "part")
+        .filter(F.col("p_size") <= 5)
+        .select("p_partkey", "p_brand")
+    )
+    supp = read_table(spark, sf_dir, "supplier").select(
+        "s_suppkey", "s_name", "s_nationkey"
+    )
+    nation = read_table(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    return (
+        supply.join(
+            mins,
+            (F.col("m_partkey") == F.col("l_partkey"))
+            & (F.col("total_qty") == F.col("min_qty")),
+        )
+        .join(F.broadcast(part), F.col("p_partkey") == F.col("l_partkey"))
+        .join(F.broadcast(supp), F.col("s_suppkey") == F.col("l_suppkey"))
+        .join(F.broadcast(nation), F.col("n_nationkey") == F.col("s_nationkey"))
+        .select("p_partkey", "p_brand", "s_name", "n_name", "total_qty")
+    )
+
+
+# ---------------------------------------------------------------------------
+# q11: parts whose supplied volume exceeds a fraction of the global total
+# (HAVING against a global scalar subquery).
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q11_important_parts",
+    """
+    SELECT l_partkey, FLOOR(SUM(l_quantity)) AS part_qty
+    FROM lineitem
+    GROUP BY 1
+    HAVING SUM(l_quantity) > 0.0008 * (SELECT SUM(l_quantity) FROM lineitem)
+    """,
+)
+def q11_important_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H q11 shape: per-key volume filtered against a global-total
+    scalar. Spark computes the 1-row global sum as a separate branch
+    and broadcast-cross-joins it into the HAVING filter — no second
+    scan of the aggregated data, no driver collect. Integer-valued
+    quantity sums are order-independent, so the 0.0008*total threshold
+    is bit-identical in both engines."""
+    li = read_table(spark, sf_dir, "lineitem").select("l_partkey", "l_quantity")
+    per_part = li.groupBy("l_partkey").agg(F.sum("l_quantity").alias("qty_sum"))
+    total = li.agg(F.sum("l_quantity").alias("grand_total"))
+    return (
+        per_part.join(F.broadcast(total))
+        .filter(F.col("qty_sum") > 0.0008 * F.col("grand_total"))
+        .select("l_partkey", F.floor("qty_sum").alias("part_qty"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# q16: distinct supplier counts per part attribute, excluding a
+# supplier blocklist (NOT IN).
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q16_supplier_counts",
+    """
+    SELECT p.p_brand, p.p_size,
+           COUNT(DISTINCT l.l_suppkey) AS supplier_cnt
+    FROM lineitem l
+    JOIN part p ON p.p_partkey = l.l_partkey
+    WHERE p.p_size IN (1, 7, 14, 23)
+      AND p.p_brand <> 'Brand#1'
+      AND l.l_suppkey NOT IN (SELECT s_suppkey FROM supplier
+                              WHERE s_acctbal < 0)
+    GROUP BY 1, 2
+    """,
+)
+def q16_supplier_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H q16 shape: how many distinct suppliers serve each
+    (brand, size) bucket, excluding a blocklist. NOT IN over the
+    non-null key set compiles to a broadcast left-anti join (the
+    blocklist is tiny); the distinct count is the only full shuffle,
+    and Spark's partial-distinct pre-aggregation dedups
+    (brand,size,suppkey) map-side before it."""
+    part = (
+        read_table(spark, sf_dir, "part")
+        .filter(F.col("p_size").isin(1, 7, 14, 23) & (F.col("p_brand") != "Brand#1"))
+        .select("p_partkey", "p_brand", "p_size")
+    )
+    blocked = (
+        read_table(spark, sf_dir, "supplier")
+        .filter(F.col("s_acctbal") < 0)
+        .select("s_suppkey")
+    )
+    li = read_table(spark, sf_dir, "lineitem").select("l_partkey", "l_suppkey")
+    return (
+        li.join(F.broadcast(part), F.col("p_partkey") == F.col("l_partkey"))
+        .join(F.broadcast(blocked), F.col("s_suppkey") == F.col("l_suppkey"), "left_anti")
+        .groupBy("p_brand", "p_size")
+        .agg(F.count_distinct("l_suppkey").alias("supplier_cnt"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# q20: suppliers with excess supply of targeted parts (nested INs).
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q20_excess_suppliers",
+    """
+    SELECT s.s_suppkey, s.s_name
+    FROM supplier s
+    JOIN nation n ON n.n_nationkey = s.s_nationkey
+    WHERE n.n_name IN ('NATION_1', 'NATION_2', 'NATION_3')
+      AND s.s_suppkey IN (
+        SELECT l_suppkey FROM lineitem
+        WHERE l_partkey IN (SELECT p_partkey FROM part
+                            WHERE p_name LIKE '%bolt%')
+        GROUP BY l_suppkey, l_partkey
+        HAVING SUM(l_quantity) > 60
+      )
+    """,
+)
+def q20_excess_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H q20 shape: two nested IN reductions — parts by name
+    pattern, then suppliers whose per-part supplied quantity exceeds a
+    threshold — finally intersected with a nation filter. Each IN is a
+    semi join; the part set broadcasts into the lineitem aggregation,
+    and the qualifying supplier keys (tiny after HAVING) broadcast
+    into the supplier scan, so nothing large ever shuffles twice."""
+    parts = (
+        read_table(spark, sf_dir, "part")
+        .filter(F.col("p_name").contains("bolt"))
+        .select("p_partkey")
+    )
+    li = read_table(spark, sf_dir, "lineitem").select(
+        "l_partkey", "l_suppkey", "l_quantity"
+    )
+    qualified = (
+        li.join(F.broadcast(parts), F.col("p_partkey") == F.col("l_partkey"))
+        .groupBy("l_suppkey", "l_partkey")
+        .agg(F.sum("l_quantity").alias("qty"))
+        .filter(F.col("qty") > 60)
+        .select("l_suppkey")
+        .distinct()
+    )
+    nations = (
+        read_table(spark, sf_dir, "nation")
+        .filter(F.col("n_name").isin("NATION_1", "NATION_2", "NATION_3"))
+        .select("n_nationkey")
+    )
+    supp = read_table(spark, sf_dir, "supplier")
+    return (
+        supp.join(F.broadcast(nations), F.col("n_nationkey") == F.col("s_nationkey"))
+        .join(
+            F.broadcast(qualified),
+            F.col("l_suppkey") == F.col("s_suppkey"),
+            "left_semi",
+        )
+        .select("s_suppkey", "s_name")
+    )
+
+
+# ---------------------------------------------------------------------------
+# q21: suppliers who were the sole late shipper on multi-supplier orders
+# (EXISTS + NOT EXISTS, decorrelated to one per-order aggregate).
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q21_sole_late_supplier",
+    """
+    WITH late AS (
+        SELECT l.l_orderkey, l.l_suppkey,
+               MAX(CASE WHEN l.l_shipdate > o.o_orderdate + INTERVAL 90 DAY
+                        THEN 1 ELSE 0 END) AS is_late
+        FROM lineitem l
+        JOIN orders o ON o.o_orderkey = l.l_orderkey
+        WHERE o.o_orderstatus = 'F'
+        GROUP BY 1, 2
+    )
+    SELECT s.s_name, COUNT(*) AS numwait
+    FROM late l1
+    JOIN supplier s ON s.s_suppkey = l1.l_suppkey
+    WHERE l1.is_late = 1
+      AND EXISTS (SELECT 1 FROM late l2
+                  WHERE l2.l_orderkey = l1.l_orderkey
+                    AND l2.l_suppkey <> l1.l_suppkey)
+      AND NOT EXISTS (SELECT 1 FROM late l3
+                      WHERE l3.l_orderkey = l1.l_orderkey
+                        AND l3.l_suppkey <> l1.l_suppkey
+                        AND l3.is_late = 1)
+    GROUP BY 1
+    """,
+)
+def q21_sole_late_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H q21 shape: suppliers who alone missed the shipping window
+    on orders involving other suppliers. The classic form is two
+    correlated self-joins (EXISTS + NOT EXISTS) against the fact
+    table; here both are decorrelated into ONE per-order aggregate —
+    n_suppliers and n_late_suppliers per order — and the qualifying
+    row is `is_late AND n_suppliers >= 2 AND n_late = 1`. That is one
+    shuffle on orderkey instead of two fact-scale self-joins: the
+    rewrite that keeps this runnable at 100 TB. 'Late' proxies
+    l_receiptdate > l_commitdate (columns absent in this schema) with
+    shipdate > orderdate + 90 days, per q4's convention."""
+    orders = (
+        read_table(spark, sf_dir, "orders")
+        .filter(F.col("o_orderstatus") == "F")
+        .select("o_orderkey", "o_orderdate")
+    )
+    li = read_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_suppkey", "l_shipdate"
+    )
+    late_flag = F.when(
+        F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 90 DAYS"), 1
+    ).otherwise(0)
+    per_supp = (
+        li.join(orders, F.col("o_orderkey") == F.col("l_orderkey"))
+        .groupBy("l_orderkey", "l_suppkey")
+        .agg(F.max(late_flag).alias("is_late"))
+    )
+    per_order = per_supp.groupBy(F.col("l_orderkey").alias("po_key")).agg(
+        F.count("*").alias("n_supp"), F.sum("is_late").alias("n_late")
+    )
+    supp = read_table(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
+    return (
+        per_supp.filter(F.col("is_late") == 1)
+        .join(per_order, F.col("po_key") == F.col("l_orderkey"))
+        .filter((F.col("n_supp") >= 2) & (F.col("n_late") == 1))
+        .join(F.broadcast(supp), F.col("s_suppkey") == F.col("l_suppkey"))
+        .groupBy("s_name")
+        .agg(F.count("*").alias("numwait"))
+    )

@@ -53,7 +53,14 @@ def test_no_cartesian_products(plans):
 
 
 def test_multi_join_queries_broadcast_dimensions(plans):
-    for name in ("q5_region_revenue", "q3_shipping_priority"):
+    for name in (
+        "q5_region_revenue",
+        "q3_shipping_priority",
+        "q7_nation_volume",
+        "q8_market_share",
+        "q9_nation_profit",
+        "q16_supplier_counts",
+    ):
         assert "BroadcastHashJoin" in plans[name], name
 
 
