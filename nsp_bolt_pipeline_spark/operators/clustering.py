@@ -1,0 +1,175 @@
+"""Embedding k-means clustering (Lloyd's algorithm) and
+cluster-balanced sampling — the "semantic dedup / mix curation" layer
+of a training-data pipeline: cluster the corpus embedding space, then
+cap or rebalance per cluster.
+
+Design for 100 TB:
+
+- The *data* never leaves the executors. Per iteration the only things
+  moving are (a) the centroid model — k x dim doubles — collected to
+  the driver and re-broadcast as a tiny DataFrame (bounded model
+  state, the same loop MLlib's KMeans runs), and (b) one hash shuffle
+  of (cluster, per-dim partial sums) for the mean update, which
+  Spark's partial aggregation collapses map-side to k rows per
+  partition.
+- Assignment is a broadcast nested-loop join (corpus x k centroids)
+  collapsed map-side by a ``min_by`` partial aggregation — the corpus
+  never shuffles, codegen size is constant in k (one ``zip_with`` +
+  ``aggregate`` fold), so k can grow to real coarse-quantizer sizes
+  (thousands) without blowing up the plan. No UDFs.
+- Cross-engine determinism: the squared-L2 fold is the same
+  left-to-right IEEE double op sequence as DuckDB's ``list_sum`` (the
+  pairing bit-verified by operators/similarity.py), ties break to the
+  lowest centroid id on both sides, and updated centroid components
+  are rounded to 6 decimals on both sides (``floor(x*1e6+0.5)/1e6``,
+  round-half-up, negative-safe) so the order-dependent last ULP of
+  the mean cannot flip an assignment.
+- Empty clusters keep their previous centroid (both sides).
+
+Reference scope note: the reference pipeline has no clustering; this
+is a scale-extension operator (build brief: embedding-space curation)
+sharing the vector conventions of operators/similarity.py.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+from pyspark.sql import Window as W
+
+
+def _round6(c: Column) -> Column:
+    return F.floor(c * 1000000.0 + F.lit(0.5)) / 1000000.0
+
+
+def sq_dist(a: Column, b: Column) -> Column:
+    """Squared L2 distance: elementwise squared diff + left-fold sum,
+    all in double (same op order as DuckDB ``list_sum`` over
+    ``list_transform``)."""
+    diffs = F.zip_with(
+        a,
+        b,
+        lambda x, y: (x.cast("double") - y.cast("double"))
+        * (x.cast("double") - y.cast("double")),
+    )
+    return F.aggregate(diffs, F.lit(0.0), lambda acc, x: acc + x)
+
+
+def _centroids_df(df: DataFrame, centroids: dict[int, list[float]]) -> DataFrame:
+    schema = T.StructType(
+        [
+            T.StructField("cid", T.LongType()),
+            T.StructField("cv", T.ArrayType(T.DoubleType())),
+        ]
+    )
+    rows = [(int(cid), [float(x) for x in v]) for cid, v in sorted(centroids.items())]
+    return df.sparkSession.createDataFrame(rows, schema)
+
+
+def assign_clusters(
+    df: DataFrame,
+    centroids: dict[int, list[float]],
+    *,
+    dim: int,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Nearest-centroid assignment (squared L2, ties -> lowest cid).
+
+    Broadcast the k-row centroid table, expand each vector to k scored
+    pairs, collapse with ``min_by`` partial agg — map-side the k pairs
+    fold back to one row per vector, so the only shuffled payload is
+    (id, vector, cluster)."""
+    c = _centroids_df(df, centroids)
+    pairs = (
+        df.select(F.col(id_col), F.col(vec_col))
+        .crossJoin(F.broadcast(c))
+        .withColumn("d", sq_dist(F.col(vec_col), F.col("cv")))
+    )
+    best = F.min_by(F.col("cid"), F.struct(F.col("d"), F.col("cid")))
+    return (
+        pairs.groupBy(id_col)
+        .agg(
+            F.first(F.col(vec_col)).alias(vec_col),
+            best.cast("long").alias("cluster"),
+        )
+        .select(id_col, vec_col, "cluster")
+    )
+
+
+def _update_centroids(
+    assigned: DataFrame,
+    prev: dict[int, list[float]],
+    *,
+    dim: int,
+    vec_col: str = "embedding",
+) -> dict[int, list[float]]:
+    """Per-cluster elementwise mean, rounded to 6 decimals; empty
+    clusters keep their previous centroid. Collects k rows (model
+    state), never data."""
+    means = assigned.groupBy("cluster").agg(
+        *[
+            _round6(F.avg(F.col(vec_col)[d].cast("double"))).alias(f"c_{d}")
+            for d in range(dim)
+        ]
+    )
+    new = dict(prev)
+    for row in means.collect():
+        new[int(row["cluster"])] = [row[f"c_{d}"] for d in range(dim)]
+    return new
+
+
+def kmeans_lloyd(
+    df: DataFrame,
+    *,
+    k: int,
+    dim: int,
+    rounds: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Deterministic Lloyd k-means: init = the k vectors with the
+    lowest ids (reproducible, like ivf_topk's coarse centroids; a
+    production run would k-means++ seed offline), then ``rounds``
+    assignment passes with a mean update between each pair. Returns
+    the final (id, cluster) assignment for every vector."""
+    init_rows = (
+        df.filter(F.col(id_col) < k)
+        .select(id_col, vec_col)
+        .collect()
+    )
+    centroids = {
+        int(r[id_col]): [float(x) for x in r[vec_col]] for r in init_rows
+    }
+    for _ in range(rounds - 1):
+        assigned = assign_clusters(
+            df, centroids, dim=dim, id_col=id_col, vec_col=vec_col
+        )
+        centroids = _update_centroids(
+            assigned, centroids, dim=dim, vec_col=vec_col
+        )
+    return assign_clusters(
+        df, centroids, dim=dim, id_col=id_col, vec_col=vec_col
+    ).select(id_col, "cluster")
+
+
+def cluster_balanced_sample(
+    assigned: DataFrame,
+    *,
+    per_cluster: int,
+    salt: str = "kmeans",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Keep at most ``per_cluster`` members per cluster, chosen by a
+    deterministic content hash (md5 of salt||id — same convention as
+    operators/sampling.py) so the sample is reproducible across runs
+    and engines. One shuffle on cluster; the per-cluster window sees
+    only that cluster's rows."""
+    hx = F.md5(F.concat(F.lit(salt), F.col(id_col).cast("string")))
+    w = W.partitionBy("cluster").orderBy(hx, F.col(id_col))
+    return (
+        assigned.withColumn("rnk", F.row_number().over(w).cast("long"))
+        .filter(F.col("rnk") <= per_cluster)
+        .select(id_col, "cluster", "rnk")
+    )

@@ -624,3 +624,4 @@ from nsp_bolt_pipeline_spark import registry_sampling  # noqa: E402,F401
 from nsp_bolt_pipeline_spark import registry_relational  # noqa: E402,F401
 from nsp_bolt_pipeline_spark import registry_corpus  # noqa: E402,F401
 from nsp_bolt_pipeline_spark import registry_tpch  # noqa: E402,F401
+from nsp_bolt_pipeline_spark import registry_clustering  # noqa: E402,F401

@@ -1,0 +1,121 @@
+"""Oracle-backed registry entries for embedding k-means clustering
+(operators.clustering) over the ``embeddings`` table.
+
+The DuckDB oracle replays the *entire* Lloyd loop in SQL: the same
+deterministic lowest-id init, the same squared-L2 assignment (ties ->
+lowest centroid id), the same round-6 mean update with empty-cluster
+carry-over, and the final assignment.  Distances are the same
+left-to-right IEEE double fold on both sides (Spark's unrolled literal
+sum vs DuckDB ``list_sum``/``list_transform`` — the pairing already
+bit-verified by registry_similarity), and centroid components are
+rounded to 6 decimals on both sides before being re-used, so the
+assignments compare exactly.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+from nsp_bolt_pipeline_spark.operators.clustering import (
+    cluster_balanced_sample,
+    kmeans_lloyd,
+)
+from nsp_bolt_pipeline_spark.registry import query
+from nsp_bolt_pipeline_spark.sources.readers import read_table
+
+K = 8
+DIM = 64
+ROUNDS = 2
+PER_CLUSTER = 25
+SALT = "kmeans"
+
+
+def _sqdist_sql(v: str, c: str) -> str:
+    """Squared L2 via the verified list_sum left fold (same op order as
+    the Spark side's unrolled left-to-right sum)."""
+    return (
+        f"list_sum(list_transform(range(1, {DIM} + 1), "
+        f"j -> ({v}[j] - {c}[j]) * ({v}[j] - {c}[j])))"
+    )
+
+
+def _mean_list_sql() -> str:
+    """Per-dim cluster mean, round-half-up to 6 decimals (negative-safe
+    floor formula — the SQL twin of clustering._round6)."""
+    comps = ", ".join(
+        f"floor(avg(v.v[{d + 1}]) * 1000000.0 + 0.5) / 1000000.0"
+        for d in range(DIM)
+    )
+    return f"[{comps}]"
+
+
+def _assign_sql(vecs: str, cents: str, cid: str, out: str) -> str:
+    return f"""
+    SELECT vec_id, {cid} AS {out} FROM (
+        SELECT v.vec_id, c.{cid},
+               row_number() OVER (
+                   PARTITION BY v.vec_id
+                   ORDER BY {_sqdist_sql("v.v", "c.cv")} ASC, c.{cid} ASC
+               ) AS rn
+        FROM {vecs} v CROSS JOIN {cents} c
+    ) WHERE rn = 1
+    """
+
+
+_KMEANS_CORE = f"""
+    WITH vecs AS (
+        SELECT vec_id,
+               list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+        FROM embeddings
+    ),
+    init AS (SELECT vec_id AS cid, v AS cv FROM vecs WHERE vec_id < {K}),
+    a1 AS ({_assign_sql("vecs", "init", "cid", "cid")}),
+    upd AS (
+        SELECT i.cid, COALESCE(m.mv, i.cv) AS cv
+        FROM init i LEFT JOIN (
+            SELECT a1.cid, {_mean_list_sql()} AS mv
+            FROM a1 JOIN vecs v USING (vec_id)
+            GROUP BY a1.cid
+        ) m ON m.cid = i.cid
+    ),
+    fin AS ({_assign_sql("vecs", "upd", "cid", "cluster")})
+"""
+
+
+@query(
+    "kmeans_clusters",
+    _KMEANS_CORE
+    + """
+    SELECT vec_id, CAST(cluster AS BIGINT) AS cluster FROM fin
+    """,
+)
+def q_kmeans_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = read_table(spark, sf_dir, "embeddings")
+    return kmeans_lloyd(emb, k=K, dim=DIM, rounds=ROUNDS)
+
+
+@query(
+    "kmeans_balanced_sample",
+    _KMEANS_CORE
+    + f"""
+    SELECT vec_id, CAST(cluster AS BIGINT) AS cluster,
+           CAST(rnk AS BIGINT) AS rnk
+    FROM (
+        SELECT vec_id, cluster,
+               row_number() OVER (
+                   PARTITION BY cluster
+                   ORDER BY md5('{SALT}' || CAST(vec_id AS VARCHAR)),
+                            vec_id
+               ) AS rnk
+        FROM fin
+    ) WHERE rnk <= {PER_CLUSTER}
+    """,
+)
+def q_kmeans_balanced_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = read_table(spark, sf_dir, "embeddings")
+    assigned = kmeans_lloyd(
+        emb, k=K, dim=DIM, rounds=ROUNDS
+    )
+    return cluster_balanced_sample(
+        assigned, per_cluster=PER_CLUSTER, salt=SALT
+    )

@@ -1,0 +1,91 @@
+"""k-means clustering + cluster-balanced sampling semantics.
+
+Planted-cluster recovery, tie-breaks, empty-cluster carry-over, and
+the sample cap — the behaviors the single-run oracle compare can't
+distinguish from luck.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from nsp_bolt_pipeline_spark.operators.clustering import (
+    assign_clusters,
+    cluster_balanced_sample,
+    kmeans_lloyd,
+)
+
+SCHEMA = T.StructType(
+    [
+        T.StructField("vec_id", T.LongType()),
+        T.StructField("embedding", T.ArrayType(T.FloatType())),
+    ]
+)
+
+
+def _df(spark, rows):
+    return spark.createDataFrame(
+        [(i, [float(x) for x in v]) for i, v in rows], SCHEMA
+    )
+
+
+def test_planted_clusters_recovered(spark):
+    # Two tight blobs around (0,0) and (10,10); ids 0 and 1 (the init
+    # seeds) sit one in each blob, so 2-means must separate them.
+    blob_a = [(0, (0.0, 0.1)), (2, (0.2, -0.1)), (4, (-0.1, 0.0))]
+    blob_b = [(1, (10.0, 9.9)), (3, (10.1, 10.0)), (5, (9.9, 10.2))]
+    out = kmeans_lloyd(
+        _df(spark, blob_a + blob_b), k=2, dim=2, rounds=3
+    ).collect()
+    by_id = {r["vec_id"]: r["cluster"] for r in out}
+    assert {by_id[0], by_id[2], by_id[4]} == {0}
+    assert {by_id[1], by_id[3], by_id[5]} == {1}
+
+
+def test_assignment_tie_breaks_to_lowest_cid(spark):
+    # Point equidistant from both centroids -> cluster 0.
+    df = _df(spark, [(7, (5.0, 5.0))])
+    out = assign_clusters(
+        df, {0: [0.0, 0.0], 1: [10.0, 10.0]}, dim=2
+    ).collect()
+    assert out[0]["cluster"] == 0
+
+
+def test_empty_cluster_keeps_centroid(spark):
+    # Centroid 1 (seed id=1 at (100,100)) captures nothing after the
+    # other points pull centroid 0; it must survive all rounds and
+    # still own its seed point.
+    rows = [(0, (0.0, 0.0)), (2, (1.0, 0.0)), (3, (0.0, 1.0)),
+            (1, (100.0, 100.0))]
+    out = kmeans_lloyd(_df(spark, rows), k=2, dim=2, rounds=4).collect()
+    by_id = {r["vec_id"]: r["cluster"] for r in out}
+    assert by_id[1] == 1
+    assert by_id[0] == by_id[2] == by_id[3] == 0
+
+
+def test_balanced_sample_caps_per_cluster(spark):
+    assigned = spark.createDataFrame(
+        [(i, i % 3) for i in range(30)], ["vec_id", "cluster"]
+    )
+    out = cluster_balanced_sample(assigned, per_cluster=4).collect()
+    per = {}
+    for r in out:
+        per[r["cluster"]] = per.get(r["cluster"], 0) + 1
+    assert per == {0: 4, 1: 4, 2: 4}
+    assert all(1 <= r["rnk"] <= 4 for r in out)
+
+
+def test_balanced_sample_deterministic(spark):
+    assigned = spark.createDataFrame(
+        [(i, i % 2) for i in range(20)], ["vec_id", "cluster"]
+    )
+    a = sorted(
+        (r["vec_id"], r["cluster"], r["rnk"])
+        for r in cluster_balanced_sample(assigned, per_cluster=5).collect()
+    )
+    b = sorted(
+        (r["vec_id"], r["cluster"], r["rnk"])
+        for r in cluster_balanced_sample(assigned, per_cluster=5).collect()
+    )
+    assert a == b
