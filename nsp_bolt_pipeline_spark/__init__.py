@@ -10,8 +10,9 @@ as an idiomatic Apache Spark engine:
                   SimHash / connected-component cluster resolution),
                   completion join, KPI aggregation, text analysis
                   (tokens, quality, language ID, TF-IDF), similarity
-                  search (exact cosine top-k, IVF ANN), multimodal
-                  binary-column plumbing, corpus prep
+                  search (exact cosine top-k, IVF ANN), k-means
+                  embedding clustering + cluster-balanced sampling,
+                  multimodal binary-column plumbing, corpus prep
                   (decontamination, repetition filters, PII
                   redaction, chunking, sequence packing,
                   training-mix rebalancing), skew tools (salted
