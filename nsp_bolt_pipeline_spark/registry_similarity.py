@@ -128,3 +128,78 @@ def q_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = read_table(spark, sf_dir, "embeddings")
     queries = emb.filter(emb.vec_id < N_QUERIES)
     return ivf_topk(emb, queries, k=K, n_centroids=N_CENTROIDS, nprobe=NPROBE)
+
+
+# ---------------------------------------------------------------------------
+# SRP-LSH bucketed near-dup: the oracle replays the whole algorithm —
+# identical hyperplane literals, sign bits, band keys, candidate join,
+# and exact-cosine rescore — so the result hash-matches bit-for-bit.
+# ---------------------------------------------------------------------------
+
+from nsp_bolt_pipeline_spark.operators.similarity import (  # noqa: E402
+    srp_neardup_pairs,
+    srp_planes,
+)
+
+SRP_PLANES = 16
+SRP_BANDS = 4
+_SRP_R = SRP_PLANES // SRP_BANDS
+DIM = 64
+
+
+def _planes_values_sql() -> str:
+    rows = []
+    for j, h in enumerate(srp_planes(SRP_PLANES, DIM)):
+        comps = ", ".join(repr(x) for x in h)
+        rows.append(f"({j}, [{comps}])")
+    return ",\n               ".join(rows)
+
+
+@query(
+    "srp_neardup_pairs",
+    f"""
+    WITH vecs AS (
+        SELECT vec_id,
+               list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+        FROM embeddings
+    ),
+    planes AS (
+        SELECT * FROM (VALUES
+               {_planes_values_sql()}
+        ) t(j, h)
+    ),
+    bits AS (
+        SELECT vec_id, j,
+               CASE WHEN list_sum(list_transform(range(1, {DIM} + 1),
+                                  i -> v[i] * h[i])) >= 0
+                    THEN 1 ELSE 0 END AS bit
+        FROM vecs CROSS JOIN planes
+    ),
+    keys AS (
+        SELECT vec_id, (j // {_SRP_R}) AS band,
+               CAST(SUM(bit * (1 << (j % {_SRP_R}))) AS INTEGER) AS bkey
+        FROM bits GROUP BY vec_id, (j // {_SRP_R})
+    ),
+    cand AS (
+        SELECT DISTINCT a.vec_id AS d1, b.vec_id AS d2
+        FROM keys a
+        JOIN keys b ON a.band = b.band AND a.bkey = b.bkey
+                   AND a.vec_id < b.vec_id
+    )
+    SELECT d1, d2, sim FROM (
+        SELECT c.d1, c.d2, {_cos_sql("x.v", "y.v")} AS sim
+        FROM cand c
+        JOIN vecs x ON x.vec_id = c.d1
+        JOIN vecs y ON y.vec_id = c.d2
+    ) WHERE sim >= {NEARDUP_THRESHOLD}
+    """,
+)
+def q_srp_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = read_table(spark, sf_dir, "embeddings")
+    return srp_neardup_pairs(
+        emb,
+        threshold=NEARDUP_THRESHOLD,
+        n_planes=SRP_PLANES,
+        bands=SRP_BANDS,
+        dim=DIM,
+    )

@@ -88,3 +88,46 @@ def test_similarity_plans_are_udf_free(spark):
         .toString()
     )
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_srp_planted_neardups_recalled(spark):
+    from nsp_bolt_pipeline_spark.operators.similarity import srp_neardup_pairs
+
+    rng = np.random.default_rng(11)
+    base = rng.normal(size=(6, 32))
+    rows = []
+    for i, v in enumerate(base):
+        rows.append((i, v.tolist()))
+        # a near-identical twin (tiny perturbation -> cos ~ 0.9999)
+        rows.append((100 + i, (v + rng.normal(scale=0.005, size=32)).tolist()))
+    df = spark.createDataFrame(rows, ["vec_id", "embedding"])
+    got = srp_neardup_pairs(df, threshold=0.99, n_planes=16, bands=4, dim=32)
+    pairs = {(r["d1"], r["d2"]) for r in got.collect()}
+    # every planted twin pair must survive the banded bucket join
+    assert {(i, 100 + i) for i in range(6)} <= pairs
+
+
+def test_srp_is_subset_of_allpairs(spark):
+    from nsp_bolt_pipeline_spark.operators.similarity import srp_neardup_pairs
+
+    emb = read_table(spark, SF_DIR, "embeddings").limit(120)
+    full = {
+        (r["d1"], r["d2"]): r["sim"]
+        for r in cosine_neardup_pairs(emb, threshold=0.35).collect()
+    }
+    srp = {
+        (r["d1"], r["d2"]): r["sim"]
+        for r in srp_neardup_pairs(emb, threshold=0.35, dim=64).collect()
+    }
+    assert set(srp) <= set(full)
+    for k, v in srp.items():
+        assert v == full[k]
+
+
+def test_srp_rejects_uneven_bands(spark):
+    from nsp_bolt_pipeline_spark.operators.similarity import srp_neardup_pairs
+    import pytest as _pytest
+
+    df = spark.createDataFrame([(0, [0.0] * 8)], ["vec_id", "embedding"])
+    with _pytest.raises(ValueError):
+        srp_neardup_pairs(df, threshold=0.5, n_planes=10, bands=4, dim=8)
