@@ -264,3 +264,98 @@ def srp_neardup_pairs(
         .filter(F.col("sim") >= threshold)
         .select("d1", "d2", "sim")
     )
+
+
+# ---------------------------------------------------------------------------
+# int8 scalar quantization: 4x memory compression for the ANN path.
+# ---------------------------------------------------------------------------
+
+
+def int_dot(a: Column, b: Column) -> Column:
+    """Integer dot product (exact: 64-dim int8 dots stay < 2^21)."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x.cast("long") * y.cast("long")),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+
+
+def quantize_int8(
+    df: DataFrame,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Per-vector symmetric int8 quantization: scale = max|v|/127,
+    q[i] = round_half_up(v[i]/scale) — the standard 4x compression for
+    billion-vector ANN serving. Pure map (two array passes per row, no
+    shuffle); all-zero vectors quantize to zeros with scale 0. The
+    round is the engine-portable floor(x+0.5) (round-half-up,
+    negative-safe), so quantized codes are bit-identical across
+    engines."""
+    v = F.col(vec_col)
+    maxabs = F.array_max(F.transform(v, lambda x: F.abs(x.cast("double"))))
+    with_m = df.select(
+        F.col(id_col), v.alias("_v"), maxabs.alias("_maxabs")
+    )
+    qv = F.when(
+        F.col("_maxabs") > 0,
+        F.transform(
+            F.col("_v"),
+            lambda x: F.floor(
+                x.cast("double") / (F.col("_maxabs") / F.lit(127.0))
+                + F.lit(0.5)
+            ).cast("int"),
+        ),
+    ).otherwise(F.transform(F.col("_v"), lambda x: F.lit(0)))
+    return with_m.select(
+        F.col(id_col),
+        (F.col("_maxabs") / F.lit(127.0)).alias("scale"),
+        qv.alias("qv"),
+    )
+
+
+def quantized_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    *,
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Cosine top-k over int8-quantized vectors: the scoring loop is
+    pure integer arithmetic (dot and squared norms are exact longs),
+    so the similarity sim_q = dot / sqrt(n1*n2) is bit-deterministic
+    with no fold-order caveats at all — quantization trades ~1e-2
+    similarity error for 4x less state to scan. Zero-norm vectors are
+    excluded (nothing to rank them by). Same broadcast/top-k shape as
+    exact_topk."""
+    qc = quantize_int8(corpus, id_col=id_col, vec_col=vec_col)
+    qq = quantize_int8(queries, id_col=id_col, vec_col=vec_col)
+    c = qc.select(
+        F.col(id_col).alias("vec_id"),
+        F.col("qv").alias("cqv"),
+        int_dot(F.col("qv"), F.col("qv")).alias("cn2"),
+    ).filter(F.col("cn2") > 0)
+    q = qq.select(
+        F.col(id_col).alias("query_id"),
+        F.col("qv").alias("qqv"),
+        int_dot(F.col("qv"), F.col("qv")).alias("qn2"),
+    ).filter(F.col("qn2") > 0)
+    scored = (
+        c.join(F.broadcast(q), F.col("vec_id") != F.col("query_id"))
+        .withColumn(
+            "sim_q",
+            int_dot(F.col("qqv"), F.col("cqv")).cast("double")
+            / F.sqrt((F.col("qn2") * F.col("cn2")).cast("double")),
+        )
+        .select("query_id", "vec_id", "sim_q")
+    )
+    w = W.partitionBy("query_id").orderBy(
+        F.col("sim_q").desc(), F.col("vec_id").asc()
+    )
+    return (
+        scored.withColumn("rnk", F.row_number().over(w).cast("long"))
+        .filter(F.col("rnk") <= k)
+        .select("query_id", "vec_id", "sim_q", "rnk")
+    )

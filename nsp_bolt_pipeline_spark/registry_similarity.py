@@ -203,3 +203,63 @@ def q_srp_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
         bands=SRP_BANDS,
         dim=DIM,
     )
+
+
+# ---------------------------------------------------------------------------
+# int8-quantized top-k: integer replay — scale, codes, dots, and ranks
+# are all exactly reproducible, no float-fold caveats anywhere.
+# ---------------------------------------------------------------------------
+
+from nsp_bolt_pipeline_spark.operators.similarity import (  # noqa: E402
+    quantized_topk,
+)
+
+
+@query(
+    "ann_quantized_topk",
+    f"""
+    WITH vecs AS (
+        SELECT vec_id,
+               list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+        FROM embeddings
+    ),
+    mx AS (
+        SELECT vec_id, v,
+               list_max(list_transform(v, x -> abs(x))) AS maxabs
+        FROM vecs
+    ),
+    qt AS (
+        SELECT vec_id,
+               CASE WHEN maxabs > 0
+                    THEN list_transform(v, x -> CAST(floor(
+                         x / (maxabs / 127.0) + 0.5) AS INTEGER))
+                    ELSE list_transform(v, x -> 0) END AS qv
+        FROM mx
+    ),
+    qn AS (
+        SELECT vec_id, qv,
+               list_sum(list_transform(qv, x -> CAST(x AS BIGINT) * x)) AS qn2
+        FROM qt
+    ),
+    q AS (SELECT vec_id AS query_id, qv AS qqv, qn2 AS qn2q
+          FROM qn WHERE vec_id < {N_QUERIES} AND qn2 > 0),
+    c AS (SELECT vec_id, qv AS cqv, qn2 AS qn2c FROM qn WHERE qn2 > 0),
+    scored AS (
+        SELECT query_id, vec_id,
+               CAST(list_sum(list_transform(range(1, 65),
+                    i -> CAST(qqv[i] AS BIGINT) * cqv[i])) AS DOUBLE)
+                 / sqrt(CAST(qn2q * qn2c AS DOUBLE)) AS sim_q
+        FROM q, c WHERE vec_id <> query_id
+    )
+    SELECT query_id, vec_id, sim_q, rnk FROM (
+        SELECT query_id, vec_id, sim_q,
+               row_number() OVER (PARTITION BY query_id
+                                  ORDER BY sim_q DESC, vec_id ASC) AS rnk
+        FROM scored
+    ) WHERE rnk <= {K}
+    """,
+)
+def q_ann_quantized(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = read_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(emb.vec_id < N_QUERIES)
+    return quantized_topk(emb, queries, k=K)

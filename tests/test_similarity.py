@@ -131,3 +131,41 @@ def test_srp_rejects_uneven_bands(spark):
     df = spark.createDataFrame([(0, [0.0] * 8)], ["vec_id", "embedding"])
     with _pytest.raises(ValueError):
         srp_neardup_pairs(df, threshold=0.5, n_planes=10, bands=4, dim=8)
+
+
+def test_quantize_int8_roundtrip_error_bounded(spark):
+    from nsp_bolt_pipeline_spark.operators.similarity import quantize_int8
+
+    rng = np.random.default_rng(3)
+    rows = [(i, rng.normal(size=32).tolist()) for i in range(20)]
+    rows.append((99, [0.0] * 32))  # zero vector edge
+    df = spark.createDataFrame(rows, ["vec_id", "embedding"])
+    out = {r["vec_id"]: r for r in quantize_int8(df).collect()}
+    for i, v in rows:
+        scale, qv = out[i]["scale"], out[i]["qv"]
+        if i == 99:
+            assert scale == 0.0 and all(x == 0 for x in qv)
+            continue
+        assert all(-127 <= x <= 127 for x in qv)
+        # dequantized reconstruction within half a quantization step
+        for orig, code in zip(v, qv):
+            assert abs(orig - code * scale) <= scale / 2 + 1e-12
+
+
+def test_quantized_topk_agrees_with_exact(spark):
+    from nsp_bolt_pipeline_spark.operators.similarity import quantized_topk
+
+    emb = read_table(spark, SF_DIR, "embeddings").limit(200)
+    queries = emb.filter(F.col("vec_id") < 5)
+    exact = exact_topk(emb, queries, k=10).collect()
+    quant = quantized_topk(emb, queries, k=10).collect()
+    exact_sets = {}
+    for r in exact:
+        exact_sets.setdefault(r["query_id"], set()).add(r["vec_id"])
+    quant_sets = {}
+    for r in quant:
+        quant_sets.setdefault(r["query_id"], set()).add(r["vec_id"])
+    # int8 quantization keeps >= 80% of the true top-10 per query
+    for qid, want in exact_sets.items():
+        got = quant_sets[qid]
+        assert len(want & got) >= 8, (qid, want, got)
