@@ -146,3 +146,38 @@ def decode_media(
             )
 
     return pruned.mapInPandas(decode_batches, DECODE_SCHEMA)
+
+
+def resize_plan(
+    df: DataFrame,
+    *,
+    target_w: int,
+    target_h: int,
+    w_col: str = "width",
+    h_col: str = "height",
+) -> DataFrame:
+    """Image/video resize planning: aspect-preserving fit into a
+    (target_w x target_h) box with centered letterbox padding. All
+    native arithmetic over the decoded dimensions — the byte-level
+    pixel resample itself belongs inside :func:`decode_media`'s
+    decoder (it is codec work); this stage computes, engine-side and
+    for free, everything the resampler needs: scale factor, output
+    dims (round-half-up, floor of 1 pixel), and pad offsets. Batch
+    planners prune/penalize on these columns (e.g. drop images that
+    would upscale > 4x) without ever touching payload bytes."""
+    w = F.col(w_col).cast("double")
+    h = F.col(h_col).cast("double")
+    scale = F.least(F.lit(float(target_w)) / w, F.lit(float(target_h)) / h)
+    out_w = F.greatest(F.floor(w * scale + F.lit(0.5)), F.lit(1)).cast("int")
+    out_h = F.greatest(F.floor(h * scale + F.lit(0.5)), F.lit(1)).cast("int")
+    return (
+        df.withColumn("scale", scale)
+        .withColumn("out_w", out_w)
+        .withColumn("out_h", out_h)
+        .withColumn(
+            "pad_x", ((F.lit(target_w) - F.col("out_w")) / 2).cast("int")
+        )
+        .withColumn(
+            "pad_y", ((F.lit(target_h) - F.col("out_h")) / 2).cast("int")
+        )
+    )

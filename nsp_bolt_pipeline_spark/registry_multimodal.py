@@ -87,3 +87,50 @@ def _decode_oracle() -> str:
 @query("mm_decode_features", _decode_oracle())
 def q_mm_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     return decode_media(_media_view(spark, sf_dir))
+
+
+# ---------------------------------------------------------------------------
+# Resize planning over the decoded dims: the oracle replays the md5
+# pseudo-dims and the letterbox arithmetic digit for digit.
+# ---------------------------------------------------------------------------
+
+from nsp_bolt_pipeline_spark.operators.multimodal import (  # noqa: E402
+    resize_plan,
+)
+
+TARGET_W = 224
+TARGET_H = 224
+
+
+@query(
+    "mm_resize_plan",
+    f"""
+    WITH dims AS (
+        SELECT doc_id,
+               CAST({_hexpair_sql("m", 17)} + 1 AS INTEGER) AS width,
+               CAST({_hexpair_sql("m", 19)} + 1 AS INTEGER) AS height
+        FROM (SELECT doc_id, md5(text) AS m FROM documents)
+    ),
+    planned AS (
+        SELECT doc_id, width, height,
+               least({TARGET_W}.0 / CAST(width AS DOUBLE),
+                     {TARGET_H}.0 / CAST(height AS DOUBLE)) AS scale
+        FROM dims
+    )
+    SELECT doc_id, width, height, scale,
+           CAST(greatest(floor(width * scale + 0.5), 1) AS INTEGER) AS out_w,
+           CAST(greatest(floor(height * scale + 0.5), 1) AS INTEGER) AS out_h,
+           CAST(floor(({TARGET_W} - greatest(floor(width * scale + 0.5), 1))
+                / 2) AS INTEGER) AS pad_x,
+           CAST(floor(({TARGET_H} - greatest(floor(height * scale + 0.5), 1))
+                / 2) AS INTEGER) AS pad_y
+    FROM planned
+    """,
+)
+def q_mm_resize_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    decoded = decode_media(_media_view(spark, sf_dir))
+    return resize_plan(
+        decoded.select("doc_id", "width", "height"),
+        target_w=TARGET_W,
+        target_h=TARGET_H,
+    )

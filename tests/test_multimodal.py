@@ -74,3 +74,31 @@ def test_real_decoder_gate_raises_without_pil():
         pass
     with pytest.raises(NotImplementedError, match="pillow"):
         real_decoder(1, "image", b"\x89PNG")
+
+
+def test_resize_plan_letterbox_math(spark):
+    from nsp_bolt_pipeline_spark.operators.multimodal import resize_plan
+
+    rows = [
+        (1, 640, 480),   # downscale, landscape
+        (2, 100, 400),   # downscale, portrait
+        (3, 10, 10),     # upscale
+        (4, 1, 2000),    # extreme aspect -> out_w clamps to >= 1
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "width", "height"])
+    out = {
+        r["doc_id"]: r
+        for r in resize_plan(df, target_w=224, target_h=224).collect()
+    }
+    for r in out.values():
+        assert 1 <= r["out_w"] <= 224 and 1 <= r["out_h"] <= 224
+        assert r["pad_x"] >= 0 and r["pad_y"] >= 0
+        # the scaled image plus both pads fills the box to within 1px
+        assert r["out_w"] + 2 * r["pad_x"] in (223, 224)
+        assert r["out_h"] + 2 * r["pad_y"] in (223, 224)
+    # aspect ratio preserved within a pixel of rounding
+    r = out[1]
+    assert abs(r["out_w"] / r["out_h"] - 640 / 480) < 0.02
+    # the longer side touches the box
+    assert max(out[1]["out_w"], out[1]["out_h"]) == 224
+    assert out[4]["out_w"] == 1
