@@ -314,3 +314,41 @@ def pack_sequences(
     return with_offset.withColumn(
         "pack_id", F.floor(F.col("token_offset") / context_len).cast("long")
     )
+
+
+def percentile_trim(
+    df: DataFrame,
+    *,
+    count_col: str,
+    lower: float = 0.05,
+    upper: float = 0.95,
+) -> DataFrame:
+    """Percentile-band length trimming: keep rows whose integer
+    ``count_col`` falls inside the [lower, upper] percent_rank band —
+    the classic "drop the length-outlier tails" corpus filter.
+
+    Scale design: percent_rank is NEVER computed with a global window
+    over the corpus (that is a single-partition sort of everything).
+    Instead: groupBy the count value (one shuffle, domain-sized
+    output), cumulative-sum over the tiny distinct-value table to
+    derive each value's rank, pick the kept value band, and broadcast
+    the kept values back as a semi-join filter. The corpus itself is
+    touched by exactly one shuffle-free filter pass.
+
+    The rank arithmetic reproduces SQL percent_rank exactly —
+    (rank-1)/(N-1), ties share the lower rank, 0.0 when N == 1 — so
+    the DuckDB twin can use the builtin."""
+    counts = df.groupBy(count_col).agg(F.count(F.lit(1)).alias("_cnt"))
+    w_prev = W.orderBy(count_col).rowsBetween(W.unboundedPreceding, -1)
+    ranked = counts.select(
+        F.col(count_col),
+        (F.coalesce(F.sum("_cnt").over(w_prev), F.lit(0)) + 1).alias("_rank"),
+        F.sum("_cnt").over(W.partitionBy()).alias("_n"),
+    )
+    pr = F.when(
+        F.col("_n") > 1,
+        (F.col("_rank") - 1).cast("double")
+        / (F.col("_n") - 1).cast("double"),
+    ).otherwise(F.lit(0.0))
+    keep = ranked.filter((pr >= lower) & (pr <= upper)).select(count_col)
+    return df.join(F.broadcast(keep), count_col).select(*df.columns)

@@ -302,3 +302,71 @@ def q_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     ev = read_table(spark, sf_dir, "events").select("user_id", "ts")
     return cohort_retention(ev, entity_col="user_id", ts_col="ts")
+
+
+# ---------------------------------------------------------------------------
+# Daily-volume anomaly detection: z-scores in exact integer arithmetic.
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "t5_daily_count_anomaly",
+    f"""
+    WITH d AS (
+        SELECT CAST(ts AS DATE) AS date, COUNT(*) AS count_trips
+        FROM events WHERE event_type = '{END_EVENT}'
+        GROUP BY 1
+    ),
+    s AS (
+        SELECT COUNT(*) AS n, SUM(count_trips) AS tot,
+               SUM(count_trips * count_trips) AS sc2
+        FROM d
+    )
+    SELECT date, count_trips,
+           CASE WHEN n * sc2 - tot * tot > 0
+                THEN CAST(count_trips * n - tot AS DOUBLE)
+                     / sqrt(CAST(n * sc2 - tot * tot AS DOUBLE))
+           END AS z,
+           CASE WHEN n * sc2 - tot * tot > 0
+                THEN abs(CAST(count_trips * n - tot AS DOUBLE)
+                     / sqrt(CAST(n * sc2 - tot * tot AS DOUBLE))) > 2.0
+           END AS is_outlier
+    FROM d, s
+    """,
+)
+def q_t5_daily_count_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Volume-anomaly detection over the daily trip-end counts: flag
+    days whose count sits > 2 population-std-devs from the mean.
+
+    Numerics: z = (c*n - tot) / sqrt(n*sc2 - tot^2) — algebraically
+    (c - mean)/std but every input to the one division and one sqrt is
+    an EXACT integer (counts, their sums, their squares), so the score
+    is bit-deterministic across engines with no fold-order caveats —
+    unlike stddev_pop, whose Welford merge order differs per engine.
+    Scale: the per-day agg reduces the fact table to date-cardinality
+    rows; the single-row stats aggregate then broadcasts back — no
+    global window, no second scan of the facts."""
+    ev = read_table(spark, sf_dir, "events")
+    daily = (
+        ev.filter(F.col("event_type") == END_EVENT)
+        .groupBy(F.to_date("ts").alias("date"))
+        .agg(F.count(F.lit(1)).alias("count_trips"))
+    )
+    stats = daily.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("count_trips").alias("tot"),
+        F.sum(F.col("count_trips") * F.col("count_trips")).alias("sc2"),
+    )
+    j = daily.crossJoin(F.broadcast(stats))
+    m2 = F.col("n") * F.col("sc2") - F.col("tot") * F.col("tot")
+    z = F.when(
+        m2 > 0,
+        (F.col("count_trips") * F.col("n") - F.col("tot")).cast("double")
+        / F.sqrt(m2.cast("double")),
+    )
+    return j.select(
+        "date",
+        "count_trips",
+        z.alias("z"),
+        (F.abs(z) > 2.0).alias("is_outlier"),
+    )

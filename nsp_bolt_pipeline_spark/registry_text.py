@@ -241,3 +241,37 @@ def q_text_bpe_rhash(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 #: referenced so linters see term_frequencies as public surface
 __all__ = ["term_frequencies"]
+
+
+# ---------------------------------------------------------------------------
+# Percentile length trim: drop the length-outlier tails.
+# ---------------------------------------------------------------------------
+
+from nsp_bolt_pipeline_spark.operators.corpus import percentile_trim  # noqa: E402
+
+TRIM_LO = 0.05
+TRIM_HI = 0.95
+
+
+@query(
+    "corpus_length_trim",
+    f"""
+    WITH t AS (
+        SELECT doc_id, CAST(len({_TOKENS_SQL}) AS BIGINT) AS n_tokens
+        FROM documents
+    ),
+    r AS (
+        SELECT doc_id, n_tokens,
+               percent_rank() OVER (ORDER BY n_tokens) AS pr
+        FROM t
+    )
+    SELECT doc_id, n_tokens FROM r
+    WHERE pr >= {TRIM_LO} AND pr <= {TRIM_HI}
+    """,
+)
+def q_corpus_length_trim(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = read_table(spark, sf_dir, "documents")
+    base = docs.select("doc_id", token_count("text").alias("n_tokens"))
+    return percentile_trim(
+        base, count_col="n_tokens", lower=TRIM_LO, upper=TRIM_HI
+    )

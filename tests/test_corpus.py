@@ -158,3 +158,41 @@ def test_chunking_empty_docs_produce_no_chunks(spark):
     rows = chunk_documents(df).collect()
     assert [r["doc_id"] for r in rows] == [3]
     assert rows[0]["n_chunk_tokens"] == 3
+
+
+def test_percentile_trim_band_and_ties(spark):
+    from nsp_bolt_pipeline_spark.operators.corpus import percentile_trim
+
+    # 20 rows, counts 1..20: percent_rank(v) = (v-1)/19
+    df = spark.createDataFrame(
+        [(i, i) for i in range(1, 21)], ["doc_id", "n"]
+    )
+    kept = sorted(
+        r["n"]
+        for r in percentile_trim(
+            df, count_col="n", lower=0.10, upper=0.90
+        ).collect()
+    )
+    # (v-1)/19 in [0.1, 0.9]  <=>  v in [2.9, 18.1]  <=>  3..18
+    assert kept == list(range(3, 19))
+
+
+def test_percentile_trim_ties_share_rank(spark):
+    from nsp_bolt_pipeline_spark.operators.corpus import percentile_trim
+
+    # all ties: every row has percent_rank 0 -> all kept even with
+    # lower bound 0
+    df = spark.createDataFrame([(i, 7) for i in range(10)], ["doc_id", "n"])
+    out = percentile_trim(df, count_col="n", lower=0.0, upper=0.5)
+    assert out.count() == 10
+
+
+def test_percentile_trim_single_row(spark):
+    from nsp_bolt_pipeline_spark.operators.corpus import percentile_trim
+
+    df = spark.createDataFrame([(1, 42)], ["doc_id", "n"])
+    # percent_rank of a single row is defined 0.0 (not NaN): kept by a
+    # band that includes 0, dropped by the default 0.05 lower bound —
+    # exactly DuckDB's percent_rank semantics.
+    assert percentile_trim(df, count_col="n", lower=0.0).count() == 1
+    assert percentile_trim(df, count_col="n").count() == 0
