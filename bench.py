@@ -31,6 +31,9 @@ HEADLINE = [
     "neardup_minhash_lsh",
     "ann_exact_topk",
     "ann_ivf_topk",
+    "srp_neardup_pairs",
+    "ann_quantized_topk",
+    "kmeans_clusters",
     "text_tfidf",
     "mm_decode_features",
     # corpus prep: train/eval n-gram overlap with broadcast eval side

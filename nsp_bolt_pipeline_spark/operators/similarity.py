@@ -30,6 +30,7 @@ from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
 from pyspark.sql import Window as W
 
 
@@ -194,8 +195,8 @@ def srp_neardup_pairs(
     df: DataFrame,
     *,
     threshold: float,
-    n_planes: int = 16,
-    bands: int = 4,
+    n_planes: int = 64,
+    bands: int = 8,
     dim: int = 64,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
@@ -210,9 +211,12 @@ def srp_neardup_pairs(
     shuffles are the band-key self-join — ``bands`` rows per vector,
     uniformly distributed keys — and the candidate-pair distinct.
     With b bands of r = n_planes/b bits, a pair at angle theta
-    collides with probability 1-(1-p^r)^b where p = 1 - theta/pi:
-    the default (16 planes, 4 bands of 4) gives ~95% recall at
-    cos >= 0.9 and prunes ~all of the corpus-squared pair space.
+    collides with probability 1-(1-p^r)^b where p = 1 - theta/pi.
+    Band width r is the pruning lever: unrelated vectors (p ~ 0.5)
+    collide per band at ~2^-r, so the default (64 planes, 8 bands of
+    8) admits ~3% of the corpus-squared pair space while keeping ~93%
+    recall at cos >= 0.9 (p = 0.856). Fewer, wider bands prune
+    harder; more, narrower bands recall lower-similarity pairs.
     Exact cosine re-scoring makes precision 1.0 regardless.
 
     Sign bits are deterministic across engines: the projection fold is
@@ -223,44 +227,62 @@ def srp_neardup_pairs(
     r = n_planes // bands
     planes = srp_planes(n_planes, dim)
 
-    def proj(j: int) -> Column:
-        h = F.array(*[F.lit(x) for x in planes[j]])
-        return dot(F.col(vec_col), h)
-
-    bits = [F.when(proj(j) >= 0, 1).otherwise(0) for j in range(n_planes)]
-    band_structs = []
-    for b in range(bands):
-        key: Column | None = None
-        for i in range(r):
-            term = bits[b * r + i] * (1 << i)
-            key = term if key is None else key + term
-        assert key is not None
-        band_structs.append(
-            F.struct(F.lit(b).alias("band"), key.cast("int").alias("bkey"))
+    # The hyperplanes ride as a broadcast n_planes-row DataFrame (like
+    # kmeans centroids), NOT as literal arrays: one F.lit per plane
+    # component costs a py4j round-trip each — ~5s of driver time for
+    # a 64x64 signature — and bloats the plan; as data, the signature
+    # is a single small fold expression over a broadcast nested-loop
+    # pair stream, collapsed map-side by the (id, band) partial agg.
+    spark = df.sparkSession
+    plane_rows = [
+        (j // r, 1 << (j % r), [float(x) for x in planes[j]])
+        for j in range(n_planes)
+    ]
+    planes_df = spark.createDataFrame(
+        plane_rows,
+        T.StructType(
+            [
+                T.StructField("band", T.IntegerType()),
+                T.StructField("posval", T.IntegerType()),
+                T.StructField("h", T.ArrayType(T.DoubleType())),
+            ]
+        ),
+    )
+    # Materialize the slim (id, band, key) index before the self-join
+    # (same pattern and reason as the MinHash banding persist); vectors
+    # are NOT carried through the band shuffle — candidates become
+    # distinct id pairs first, then the vectors join back to rescore.
+    keyed = (
+        df.select(F.col(id_col), F.col(vec_col))
+        .crossJoin(F.broadcast(planes_df))
+        .select(
+            F.col(id_col).alias("d"),
+            F.col("band"),
+            F.when(dot(F.col(vec_col), F.col("h")) >= 0, F.col("posval"))
+            .otherwise(0)
+            .alias("bitval"),
         )
-
-    keyed = df.select(F.col(id_col), F.col(vec_col)).withColumn(
-        "bk", F.explode(F.array(*band_structs))
+        .groupBy("d", "band")
+        .agg(F.sum("bitval").cast("int").alias("bkey"))
+        .persist()
     )
-    a = keyed.select(
-        F.col(id_col).alias("d1"),
-        F.col(vec_col).alias("v1"),
-        F.col("bk.band").alias("band"),
-        F.col("bk.bkey").alias("bkey"),
-    )
-    b2 = keyed.select(
-        F.col(id_col).alias("d2"),
-        F.col(vec_col).alias("v2"),
-        F.col("bk.band").alias("band"),
-        F.col("bk.bkey").alias("bkey"),
-    )
+    a, b2 = keyed.alias("a"), keyed.alias("b")
     cand = (
-        a.join(b2, ["band", "bkey"])
-        .filter(F.col("d1") < F.col("d2"))
-        .dropDuplicates(["d1", "d2"])
+        a.join(
+            b2,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bkey") == F.col("b.bkey"))
+            & (F.col("a.d") < F.col("b.d")),
+        )
+        .select(F.col("a.d").alias("d1"), F.col("b.d").alias("d2"))
+        .distinct()
     )
+    v1 = df.select(F.col(id_col).alias("d1"), F.col(vec_col).alias("v1"))
+    v2 = df.select(F.col(id_col).alias("d2"), F.col(vec_col).alias("v2"))
     return (
-        cand.withColumn("sim", cosine(F.col("v1"), F.col("v2")))
+        cand.join(v1, "d1")
+        .join(v2, "d2")
+        .withColumn("sim", cosine(F.col("v1"), F.col("v2")))
         .filter(F.col("sim") >= threshold)
         .select("d1", "d2", "sim")
     )

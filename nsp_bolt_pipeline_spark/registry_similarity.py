@@ -141,8 +141,8 @@ from nsp_bolt_pipeline_spark.operators.similarity import (  # noqa: E402
     srp_planes,
 )
 
-SRP_PLANES = 16
-SRP_BANDS = 4
+SRP_PLANES = 64
+SRP_BANDS = 8
 _SRP_R = SRP_PLANES // SRP_BANDS
 DIM = 64
 

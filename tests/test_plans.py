@@ -64,6 +64,14 @@ def test_multi_join_queries_broadcast_dimensions(plans):
         assert "BroadcastHashJoin" in plans[name], name
 
 
+def test_vector_model_sides_broadcast(plans):
+    # the centroid table / query set is bounded model state — it must
+    # ride a broadcast, never shuffle the corpus against it
+    for name in ("kmeans_clusters", "kmeans_balanced_sample",
+                 "ann_quantized_topk", "ann_exact_topk"):
+        assert "Broadcast" in plans[name], name
+
+
 def test_filtered_scans_push_predicates(plans):
     # the flagship's event_type predicates must reach the parquet scan
     plan = plans["trip_daily_kpi"]
