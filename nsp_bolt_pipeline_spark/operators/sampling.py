@@ -142,3 +142,58 @@ def rebalance_by_group(
         else rate.otherwise(F.lit(float(default_rate)))
     )
     return df.filter(hash_bucket(key, salt=salt) < rate)
+
+
+def bottom_k_sample(
+    df: DataFrame, *, key: str, k: int, salt: str = ""
+) -> DataFrame:
+    """Fixed-SIZE uniform sample: the k rows with the smallest content
+    hash. Unlike a rate filter (whose output size drifts with corpus
+    size), bottom-k pins the sample size exactly, stays deterministic
+    and engine-portable, and — because it is orderBy().limit() — Spark
+    executes it as TakeOrderedAndProject: each partition keeps its own
+    top-k and only k-row heaps merge, no global sort ever
+    materializes. The classic one-pass distributed sketch for "give me
+    exactly k random rows of 100 TB"."""
+    hx = F.md5(F.concat(F.lit(salt), F.col(key).cast("string")))
+    return df.orderBy(hx.asc(), F.col(key).asc()).limit(k)
+
+
+def weighted_priority_sample(
+    df: DataFrame,
+    *,
+    key: str,
+    weight_col: str,
+    k: int,
+    salt: str = "",
+) -> DataFrame:
+    """Weighted sampling without replacement (Efraimidis-Spirakis
+    A-ExpJ): per row draw u from the content hash and keep the k rows
+    with the smallest exponential variate -ln(u)/w — each row's
+    inclusion probability is proportional to its weight, membership is
+    a pure function of the data, and the plan is the same
+    TakeOrderedAndProject top-k as :func:`bottom_k_sample`.
+
+    u = (h32 + 1) / 2^32 lies in (0, 1], so ln is finite and priority
+    0 is possible only at u = 1. Non-positive weights are excluded
+    (their variate would be infinite). Caveat: engine libm ln() can
+    differ in the last ulp (Java Math.log is 1-ulp accurate, not
+    correctly rounded), so the selected k-set is deterministic for
+    any realistic weight spread but the raw priority double is not
+    hash-portable — round it (floor(p*1e6+0.5)/1e6) before emitting
+    it across engines, as the registry twin does."""
+    c = F.col(key)
+    h = F.conv(
+        F.substring(F.md5(F.concat(F.lit(salt), c.cast("string"))), 1, 8),
+        16,
+        10,
+    ).cast("long")
+    u = (h + 1).cast("double") / F.lit(float(_DENOM))
+    w = F.col(weight_col).cast("double")
+    priority = -F.log(u) / w
+    return (
+        df.filter(w > 0)
+        .withColumn("priority", priority)
+        .orderBy(F.col("priority").asc(), c.asc())
+        .limit(k)
+    )

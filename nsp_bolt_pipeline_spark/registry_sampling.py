@@ -117,3 +117,70 @@ def q_shard_assignment(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = read_table(spark, sf_dir, "documents").select("doc_id", "source")
     return shard_assignment(docs, key="doc_id", n_shards=N_SHARDS, salt=SHARD_SALT)
+
+
+# ---------------------------------------------------------------------------
+# Fixed-size samples: bottom-k by hash (uniform) and A-ExpJ (weighted).
+# ---------------------------------------------------------------------------
+
+from nsp_bolt_pipeline_spark.operators.sampling import (  # noqa: E402
+    bottom_k_sample,
+    weighted_priority_sample,
+)
+
+BOTTOMK = 50
+WEIGHTED_K = 50
+BK_SALT = "bk"
+WP_SALT = "wp"
+
+
+def _h32_sql(key_sql: str, salt: str) -> str:
+    """First 8 md5 hex nibbles as a 32-bit integer (DuckDB twin of the
+    conv() decode in sampling.hash_bucket)."""
+    m = f"md5('{salt}' || CAST({key_sql} AS VARCHAR))"
+    return " + ".join(
+        f"(strpos('{HEX}', substr({m}, {i + 1}, 1)) - 1) * {16 ** (7 - i)}"
+        for i in range(8)
+    )
+
+
+@query(
+    "l6_bottomk_sample",
+    f"""
+    SELECT doc_id, source FROM documents
+    ORDER BY md5('{BK_SALT}' || CAST(doc_id AS VARCHAR)) ASC, doc_id ASC
+    LIMIT {BOTTOMK}
+    """,
+)
+def q_bottomk_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = read_table(spark, sf_dir, "documents").select("doc_id", "source")
+    return bottom_k_sample(docs, key="doc_id", k=BOTTOMK, salt=BK_SALT)
+
+
+@query(
+    "l7_weighted_priority_sample",
+    f"""
+    SELECT doc_id, n_chars,
+           FLOOR(priority * 1000000 + 0.5) / 1000000 AS priority
+    FROM (
+        SELECT doc_id, n_chars,
+               -ln(CAST(({_h32_sql("doc_id", WP_SALT)}) + 1 AS DOUBLE)
+                   / 4294967296.0) / CAST(n_chars AS DOUBLE) AS priority
+        FROM documents WHERE CAST(n_chars AS DOUBLE) > 0
+    )
+    ORDER BY priority ASC, doc_id ASC
+    LIMIT {WEIGHTED_K}
+    """,
+)
+def q_weighted_priority_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = read_table(spark, sf_dir, "documents").select("doc_id", "n_chars")
+    out = weighted_priority_sample(
+        docs, key="doc_id", weight_col="n_chars", k=WEIGHTED_K, salt=WP_SALT
+    )
+    # report the priority rounded portably: engine libm ln() disagrees
+    # in the last ulp (Java Math.log is 1-ulp, not correctly rounded),
+    # which cannot reorder any realistic ranking but would break the
+    # exact hash compare on the emitted double
+    return out.withColumn(
+        "priority", F.floor(F.col("priority") * 1000000 + F.lit(0.5)) / 1000000
+    )

@@ -107,3 +107,57 @@ def test_shard_assignment_stable_under_repartitioning(spark):
          for r in shard_assignment(
              df.repartition(17), key="k", n_shards=4).collect()}
     assert a == b
+
+
+def test_bottom_k_exact_size_and_deterministic(spark):
+    from nsp_bolt_pipeline_spark.operators.sampling import bottom_k_sample
+
+    df = spark.range(0, 1000).withColumnRenamed("id", "k")
+    a = sorted(r["k"] for r in bottom_k_sample(df, key="k", k=37).collect())
+    b = sorted(
+        r["k"]
+        for r in bottom_k_sample(
+            df.repartition(13), key="k", k=37
+        ).collect()
+    )
+    assert len(a) == 37
+    assert a == b  # partitioning-independent
+    c = sorted(
+        r["k"] for r in bottom_k_sample(df, key="k", k=37, salt="x").collect()
+    )
+    assert a != c  # salts give independent samples
+
+
+def test_bottom_k_is_take_ordered(spark):
+    from nsp_bolt_pipeline_spark.operators.sampling import bottom_k_sample
+
+    df = spark.range(0, 100).withColumnRenamed("id", "k")
+    plan = (
+        bottom_k_sample(df, key="k", k=5)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "TakeOrderedAndProject" in plan  # no global sort materializes
+
+
+def test_weighted_sample_prefers_heavy_rows(spark):
+    from nsp_bolt_pipeline_spark.operators.sampling import (
+        weighted_priority_sample,
+    )
+
+    # 500 rows of weight 1 vs 500 of weight 50: the heavy half should
+    # dominate a k=100 sample (expected ~98 heavy)
+    df = spark.createDataFrame(
+        [(i, 50.0 if i < 500 else 1.0) for i in range(1000)],
+        ["k", "w"],
+    )
+    out = weighted_priority_sample(df, key="k", weight_col="w", k=100)
+    heavy = sum(1 for r in out.collect() if r["w"] == 50.0)
+    assert heavy >= 85
+    # zero/negative weights are never sampled
+    df2 = spark.createDataFrame(
+        [(1, 0.0), (2, -3.0), (3, 1.0)], ["k", "w"]
+    )
+    got = weighted_priority_sample(df2, key="k", weight_col="w", k=3).collect()
+    assert [r["k"] for r in got] == [3]
