@@ -222,3 +222,82 @@ def tf_idf(df: DataFrame, *, id_col: str, text_col: str) -> DataFrame:
         )
         .select(id_col, "term", "tf", "df", "tfidf")
     )
+
+
+def bm25_topk(
+    df: DataFrame,
+    *,
+    query_terms: Sequence[str],
+    k: int = 15,
+    k1: float = 1.2,
+    b: float = 0.75,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Okapi BM25 retrieval: rank documents against a bag of query
+    terms. Uses Lucene's always-positive idf variant
+    ln(1 + (N - df + 0.5)/(df + 0.5)).
+
+    Scale design: the exploded token stream is filtered to the query
+    terms BEFORE any aggregation — the surviving fraction is
+    |query_terms|/|vocabulary| of the corpus —, per-(doc, term) tf is
+    a partial-agg hash aggregate, document frequencies and the
+    (N, avgdl) stats are term-count-sized broadcasts, and the final
+    ranking is orderBy().limit() = TakeOrderedAndProject. The corpus
+    is scanned twice (tf and doc-length); a covering (doc, dl, tf)
+    index table would make it one.
+
+    Numerics: idf is floor-rounded to 6 decimals (libm ln differs in
+    the last ulp across engines); everything else is exact-integer-fed
+    double arithmetic in a fixed evaluation order, and the final
+    per-doc sum is rounded the same way."""
+    toks = df.select(F.col(id_col), F.explode(tokens(text_col)).alias("term"))
+    dl = df.select(F.col(id_col), token_count(text_col).alias("dl"))
+    stats = dl.agg(
+        F.count(F.lit(1)).alias("n_docs"), F.sum("dl").alias("sum_dl")
+    )
+    tf = (
+        toks.filter(F.col("term").isin(*query_terms))
+        .groupBy(id_col, "term")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("dfreq"))
+    idf = dfreq.crossJoin(F.broadcast(stats)).select(
+        "term",
+        (
+            F.floor(
+                F.log(
+                    F.lit(1.0)
+                    + (
+                        (F.col("n_docs").cast("double") - F.col("dfreq"))
+                        + F.lit(0.5)
+                    )
+                    / (F.col("dfreq") + F.lit(0.5))
+                )
+                * 1000000
+                + F.lit(0.5)
+            )
+            / 1000000
+        ).alias("idf"),
+    )
+    avgdl = F.col("sum_dl").cast("double") / F.col("n_docs")
+    term_score = (F.col("idf") * (F.col("tf") * F.lit(k1 + 1.0))) / (
+        F.col("tf")
+        + F.lit(k1)
+        * (
+            F.lit(1.0 - b)
+            + (F.lit(b) * F.col("dl").cast("double")) / avgdl
+        )
+    )
+    scored = (
+        tf.join(F.broadcast(idf), "term")
+        .join(dl, id_col)
+        .crossJoin(F.broadcast(stats))
+        .withColumn("s", term_score)
+    )
+    return (
+        scored.groupBy(id_col)
+        .agg((F.floor(F.sum("s") * 1000000 + F.lit(0.5)) / 1000000).alias("score"))
+        .orderBy(F.col("score").desc(), F.col(id_col).asc())
+        .limit(k)
+    )

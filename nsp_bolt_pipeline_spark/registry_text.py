@@ -275,3 +275,62 @@ def q_corpus_length_trim(spark: SparkSession, sf_dir: str) -> DataFrame:
     return percentile_trim(
         base, count_col="n_tokens", lower=TRIM_LO, upper=TRIM_HI
     )
+
+
+# ---------------------------------------------------------------------------
+# BM25 retrieval: idf rounded portably, every other input exact.
+# ---------------------------------------------------------------------------
+
+from nsp_bolt_pipeline_spark.operators.text import bm25_topk  # noqa: E402
+
+BM25_TERMS = ("spark", "join", "filter")
+BM25_K = 15
+BM25_K1 = 1.2
+BM25_B = 0.75
+
+
+@query(
+    "text_bm25_topk",
+    f"""
+    WITH toks AS (
+        SELECT doc_id, unnest({_TOKENS_SQL}) AS term FROM documents
+    ),
+    dl AS (
+        SELECT doc_id, CAST(len({_TOKENS_SQL}) AS BIGINT) AS dl
+        FROM documents
+    ),
+    stats AS (SELECT COUNT(*) AS n_docs, SUM(dl) AS sum_dl FROM dl),
+    tf AS (
+        SELECT doc_id, term, COUNT(*) AS tf FROM toks
+        WHERE term IN ({_sql_list(BM25_TERMS)})
+        GROUP BY 1, 2
+    ),
+    dfq AS (SELECT term, COUNT(*) AS dfreq FROM tf GROUP BY term),
+    idf AS (
+        SELECT term,
+               FLOOR(ln(1.0 + (CAST(n_docs AS DOUBLE) - dfreq + 0.5)
+                              / (dfreq + 0.5)) * 1000000 + 0.5) / 1000000
+                   AS idf
+        FROM dfq, stats
+    ),
+    scored AS (
+        SELECT tf.doc_id,
+               (idf.idf * (tf.tf * {BM25_K1 + 1.0}))
+               / (tf.tf + {BM25_K1} * ({1.0 - BM25_B}
+                  + ({BM25_B} * CAST(dl.dl AS DOUBLE))
+                    / (CAST(sum_dl AS DOUBLE) / n_docs))) AS s
+        FROM tf
+        JOIN idf USING (term)
+        JOIN dl USING (doc_id), stats
+    )
+    SELECT doc_id, FLOOR(SUM(s) * 1000000 + 0.5) / 1000000 AS score
+    FROM scored GROUP BY doc_id
+    ORDER BY score DESC, doc_id ASC
+    LIMIT {BM25_K}
+    """,
+)
+def q_text_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = read_table(spark, sf_dir, "documents")
+    return bm25_topk(
+        docs, query_terms=BM25_TERMS, k=BM25_K, k1=BM25_K1, b=BM25_B
+    )

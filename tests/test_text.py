@@ -122,3 +122,36 @@ def test_text_plan_is_udf_free(spark):
         quality_score("text", stopwords=LANGUAGE_PROFILES["en"]),
     )._jdf.queryExecution().executedPlan().toString()
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_bm25_ranks_matches_first(spark):
+    from nsp_bolt_pipeline_spark.operators.text import bm25_topk
+
+    rows = [
+        (1, "spark join filter spark spark"),   # many matches, short
+        (2, "spark join other words here to pad the doc out a lot"),
+        (3, "nothing relevant at all in this one"),
+        (4, "join join"),
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    out = bm25_topk(df, query_terms=("spark", "join"), k=10).collect()
+    ranked = [r["doc_id"] for r in out]
+    # doc 3 has no query terms: absent entirely
+    assert 3 not in ranked
+    # doc 1 (dense, multi-term) beats doc 2 (sparse, long)
+    assert ranked.index(1) < ranked.index(2)
+    assert all(r["score"] > 0 for r in out)
+
+
+def test_bm25_length_normalization(spark):
+    from nsp_bolt_pipeline_spark.operators.text import bm25_topk
+
+    # identical tf; the shorter document must score higher
+    rows = [
+        (1, "spark alpha beta"),
+        (2, "spark " + " ".join(f"w{i}" for i in range(40))),
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    out = {r["doc_id"]: r["score"] for r in
+           bm25_topk(df, query_terms=("spark",), k=10).collect()}
+    assert out[1] > out[2]
