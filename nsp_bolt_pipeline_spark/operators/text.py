@@ -301,3 +301,44 @@ def bm25_topk(
         .orderBy(F.col("score").desc(), F.col(id_col).asc())
         .limit(k)
     )
+
+
+def rrf_fuse(
+    ranked_a: DataFrame,
+    ranked_b: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    rank_col: str = "rnk",
+    c: int = 60,
+    k: int = 15,
+) -> DataFrame:
+    """Reciprocal-rank fusion of two ranked lists: score(d) =
+    sum over lists of 1/(c + rank_d). The classic zero-tuning way to
+    fuse lexical (BM25) and dense (embedding) retrieval.
+
+    Determinism: inputs are integer ranks, each contribution is one
+    exact double division, and the fusion is a fixed-order two-term
+    add (absent list -> 0.0) — bit-identical across engines with no
+    rounding anywhere. A full outer join keeps documents found by
+    only one retriever; both sides are top-k-bounded, so the join is
+    two tiny sorted lists, broadcastable at any corpus scale."""
+    a = ranked_a.select(
+        F.col(id_col), (1.0 / (F.lit(c) + F.col(rank_col))).alias("ra")
+    )
+    b = ranked_b.select(
+        F.col(id_col), (1.0 / (F.lit(c) + F.col(rank_col))).alias("rb")
+    )
+    fused = (
+        a.join(b, id_col, "full_outer")
+        .withColumn(
+            "rrf",
+            F.coalesce(F.col("ra"), F.lit(0.0))
+            + F.coalesce(F.col("rb"), F.lit(0.0)),
+        )
+        .select(id_col, "rrf")
+    )
+    return (
+        fused.orderBy(F.col("rrf").desc(), F.col(id_col).asc())
+        .limit(k)
+        .select(id_col, "rrf")
+    )

@@ -334,3 +334,114 @@ def q_text_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
     return bm25_topk(
         docs, query_terms=BM25_TERMS, k=BM25_K, k1=BM25_K1, b=BM25_B
     )
+
+
+# ---------------------------------------------------------------------------
+# Hybrid retrieval: BM25 (lexical) + exact cosine (dense), RRF-fused.
+# The fusion itself is pure rational arithmetic on integer ranks —
+# bit-deterministic, no rounding.
+# ---------------------------------------------------------------------------
+
+from nsp_bolt_pipeline_spark.operators.similarity import exact_topk  # noqa: E402
+from nsp_bolt_pipeline_spark.operators.text import rrf_fuse  # noqa: E402
+from nsp_bolt_pipeline_spark.registry_similarity import _cos_sql  # noqa: E402
+
+RETR_K = 20
+FUSE_K = 15
+RRF_C = 60
+HYQ = 0  # query id: doc_id for the lexical side, vec_id for the dense
+
+
+def _bm25_ranked_sql() -> str:
+    return f"""
+    toks AS (
+        SELECT doc_id, unnest({_TOKENS_SQL}) AS term FROM documents
+    ),
+    dl AS (
+        SELECT doc_id, CAST(len({_TOKENS_SQL}) AS BIGINT) AS dl
+        FROM documents
+    ),
+    stats AS (SELECT COUNT(*) AS n_docs, SUM(dl) AS sum_dl FROM dl),
+    tf AS (
+        SELECT doc_id, term, COUNT(*) AS tf FROM toks
+        WHERE term IN ({_sql_list(BM25_TERMS)})
+        GROUP BY 1, 2
+    ),
+    dfq AS (SELECT term, COUNT(*) AS dfreq FROM tf GROUP BY term),
+    idf AS (
+        SELECT term,
+               FLOOR(ln(1.0 + (CAST(n_docs AS DOUBLE) - dfreq + 0.5)
+                              / (dfreq + 0.5)) * 1000000 + 0.5) / 1000000
+                   AS idf
+        FROM dfq, stats
+    ),
+    bscored AS (
+        SELECT tf.doc_id,
+               (idf.idf * (tf.tf * {BM25_K1 + 1.0}))
+               / (tf.tf + {BM25_K1} * ({1.0 - BM25_B}
+                  + ({BM25_B} * CAST(dl.dl AS DOUBLE))
+                    / (CAST(sum_dl AS DOUBLE) / n_docs))) AS s
+        FROM tf
+        JOIN idf USING (term)
+        JOIN dl USING (doc_id), stats
+    ),
+    bm25r AS (
+        SELECT doc_id, rnk FROM (
+            SELECT doc_id,
+                   row_number() OVER (ORDER BY score DESC, doc_id ASC)
+                       AS rnk
+            FROM (
+                SELECT doc_id,
+                       FLOOR(SUM(s) * 1000000 + 0.5) / 1000000 AS score
+                FROM bscored GROUP BY doc_id
+            )
+        ) WHERE rnk <= {RETR_K}
+    )
+    """
+
+
+@query(
+    "hybrid_rrf_retrieval",
+    f"""
+    WITH {_bm25_ranked_sql()},
+    denser AS (
+        SELECT doc_id, rnk FROM (
+            SELECT vec_id AS doc_id,
+                   row_number() OVER (ORDER BY sim DESC, vec_id ASC)
+                       AS rnk
+            FROM (
+                SELECT c.vec_id, {_cos_sql("q.qv", "c.embedding")} AS sim
+                FROM embeddings c,
+                     (SELECT embedding AS qv FROM embeddings
+                      WHERE vec_id = {HYQ}) q
+                WHERE c.vec_id <> {HYQ}
+            )
+        ) WHERE rnk <= {RETR_K}
+    )
+    SELECT doc_id,
+           COALESCE(1.0 / ({RRF_C} + a.rnk), 0.0)
+           + COALESCE(1.0 / ({RRF_C} + b.rnk), 0.0) AS rrf
+    FROM bm25r a FULL OUTER JOIN denser b USING (doc_id)
+    ORDER BY rrf DESC, doc_id ASC
+    LIMIT {FUSE_K}
+    """,
+)
+def q_hybrid_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = read_table(spark, sf_dir, "documents")
+    bm25 = bm25_topk(
+        docs, query_terms=BM25_TERMS, k=RETR_K, k1=BM25_K1, b=BM25_B
+    )
+    bm25_ranked = bm25.select(
+        "doc_id",
+        F.row_number()
+        .over(W.orderBy(F.col("score").desc(), F.col("doc_id").asc()))
+        .cast("long")
+        .alias("rnk"),
+    )
+    emb = read_table(spark, sf_dir, "embeddings")
+    dense = exact_topk(
+        emb, emb.filter(F.col("vec_id") == HYQ), k=RETR_K
+    ).select(F.col("vec_id").alias("doc_id"), "rnk")
+    return rrf_fuse(
+        bm25_ranked, dense, id_col="doc_id", c=RRF_C, k=FUSE_K
+    )

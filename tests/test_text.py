@@ -155,3 +155,19 @@ def test_bm25_length_normalization(spark):
     out = {r["doc_id"]: r["score"] for r in
            bm25_topk(df, query_terms=("spark",), k=10).collect()}
     assert out[1] > out[2]
+
+
+def test_rrf_fusion_math_and_outer_semantics(spark):
+    from nsp_bolt_pipeline_spark.operators.text import rrf_fuse
+
+    a = spark.createDataFrame([(1, 1), (2, 2)], ["doc_id", "rnk"])
+    b = spark.createDataFrame([(2, 1), (3, 2)], ["doc_id", "rnk"])
+    out = {r["doc_id"]: r["rrf"] for r in
+           rrf_fuse(a, b, c=60, k=10).collect()}
+    # doc 2 appears in both lists -> sum of both contributions
+    assert out[2] == 1.0 / 62 + 1.0 / 61
+    # one-list docs keep their single contribution (full outer)
+    assert out[1] == 1.0 / 61
+    assert out[3] == 1.0 / 62
+    # consensus doc ranks first
+    assert max(out, key=out.get) == 2
