@@ -54,7 +54,16 @@ def read_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
         df = spark.read.parquet(path)
         if isinstance(df.schema["ts"].dataType, T.LongType):
+            # parquet TIMESTAMP(NANOS) surfaced as long under the
+            # legacy conf: truncate to micros and re-type.
             df = df.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+        elif isinstance(df.schema["ts"].dataType, T.TimestampNTZType):
+            # parquet TIMESTAMP(MICROS, isAdjustedToUTC=false) infers as
+            # TIMESTAMP_NTZ on Spark 4. Normalize to TimestampType so
+            # downstream epoch encoders (unix_micros) and window ops see
+            # one type; the cast is wall-clock identity because the
+            # session timezone is pinned UTC above.
+            df = df.withColumn("ts", F.col("ts").cast(T.TimestampType()))
         return df
     return spark.read.parquet(path)
 

@@ -81,7 +81,11 @@ def encode_event_times(df: DataFrame, ts_cols: Sequence[str]) -> DataFrame:
     JSON wire so replay is bit-exact (decode with
     :func:`decode_event_times`)."""
     for c in ts_cols:
-        df = df.withColumn(c, F.unix_micros(F.col(c)))
+        # NTZ-safe: unix_micros requires TIMESTAMP_LTZ; a TIMESTAMP_NTZ
+        # column (parquet isAdjustedToUTC=false under Spark 4 inference)
+        # casts to LTZ as wall-clock identity under the engine's pinned
+        # UTC session timezone.
+        df = df.withColumn(c, F.unix_micros(F.col(c).cast("timestamp")))
     return df
 
 
