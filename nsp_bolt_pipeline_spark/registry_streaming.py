@@ -29,6 +29,7 @@ from nsp_bolt_pipeline_spark.pipeline import (
 )
 from nsp_bolt_pipeline_spark.registry import (
     _TRIP_KPI_ORACLE,
+    _r2,
     _round2,
     _stable_avg,
     query,
@@ -530,3 +531,79 @@ def q_stream_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
         stream, bronze_dir=dirs["out"], checkpoint_dir=dirs["ckpt"]
     )
     return spark.read.parquet(dirs["out"]).select("doc_id", "fp")
+
+
+# ---------------------------------------------------------------------------
+# Streaming session windows: watermarked session_window agg in append
+# mode, flushed to completeness by a far-future sentinel event, hash-
+# matched against the same gaps-and-islands oracle as the batch
+# session_window_agg.
+# ---------------------------------------------------------------------------
+
+_SESSION_ORACLE = """
+    WITH e AS (SELECT user_id, ts, event_id, value FROM events),
+    flagged AS (
+        SELECT *, CASE WHEN lag(ts) OVER w IS NULL
+                         OR ts - lag(ts) OVER w > INTERVAL 48 HOUR
+                       THEN 1 ELSE 0 END AS new_s
+        FROM e
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ),
+    sessions AS (
+        SELECT *, SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                   ROWS UNBOUNDED PRECEDING) AS sid
+        FROM flagged
+    )
+    SELECT user_id, MIN(ts) AS session_start,
+           MAX(ts) + INTERVAL 48 HOUR AS session_end,
+           COUNT(*) AS n_events,
+           FLOOR((SUM(value))*100 + 0.5)/100 AS total_value
+    FROM sessions GROUP BY user_id, sid
+"""
+
+
+@query("stream_session_windows", _SESSION_ORACLE)
+def q_stream_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """availableNow run of the watermarked session aggregate. The
+    sentinel (user_id -1, outside the real non-negative key domain)
+    rides the dump with ts = max(ts) + 120 h > gap (48 h) + delay
+    (1 h), so the final no-data batch's watermark clears every real
+    session's end and append mode emits the complete answer — which
+    must hash-match the BATCH session oracle exactly."""
+    from nsp_bolt_pipeline_spark.streaming.sessions import (
+        run_session_agg,
+        streaming_session_agg,
+    )
+
+    dirs = _workdir("stream_sessions")
+    ev = read_table(spark, sf_dir, "events").select(
+        "event_id", "ts", "user_id", "event_type", "value", "props"
+    )
+    sentinel = ev.agg(F.max("ts").alias("m")).select(
+        F.lit(-1).cast("long").alias("event_id"),
+        (F.col("m") + F.expr("INTERVAL 120 HOURS")).alias("ts"),
+        F.lit(-1).cast("long").alias("user_id"),
+        F.lit("flush").alias("event_type"),
+        F.lit(0.0).alias("value"),
+        F.lit(None).cast("string").alias("props"),
+    )
+    _dump_events_df(ev.unionByName(sentinel), dirs["src"])
+    sessions = streaming_session_agg(
+        _event_stream(spark, dirs["src"]),
+        key="user_id",
+        ts_col="ts",
+        gap="48 hours",
+        measures={
+            "n_events": F.count("*"),
+            "total_value": _r2(F.sum("value")),
+        },
+        watermark_delay="1 hour",
+    )
+    run_session_agg(sessions, out_dir=dirs["out"], checkpoint_dir=dirs["ckpt"])
+    return (
+        spark.read.parquet(dirs["out"])
+        .filter(F.col("user_id") >= 0)
+        .select(
+            "user_id", "session_start", "session_end", "n_events", "total_value"
+        )
+    )

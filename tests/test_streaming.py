@@ -479,3 +479,78 @@ def test_corpus_ingest_filters_and_dedups_across_batches(spark, tmp_path):
     run()
     kept = sorted(r["doc_id"] for r in spark.read.parquet(out).collect())
     assert kept == [1, 4]
+
+
+class TestStreamingSessions:
+    """Watermarked session_window agg: late-event merging and the
+    sentinel-flush emission contract (streaming.sessions)."""
+
+    SCHEMA = T.StructType(
+        [
+            T.StructField("user_id", T.LongType()),
+            T.StructField("ts", T.LongType()),
+            T.StructField("value", T.DoubleType()),
+        ]
+    )
+
+    def _run(self, spark, tmp_path, batches):
+        from nsp_bolt_pipeline_spark.streaming.sessions import (
+            run_session_agg,
+            streaming_session_agg,
+        )
+
+        src, out, ckpt = _dirs(tmp_path, "src", "out", "ckpt")
+        for i, rows in enumerate(batches):
+            _write_batch(src, f"b{i}.json", rows)
+        stream = decode_event_times(
+            read_wire_stream(spark, src, self.SCHEMA), ["ts"]
+        )
+        sessions = streaming_session_agg(
+            stream,
+            key="user_id",
+            ts_col="ts",
+            gap="2 hours",
+            measures={"n_events": F.count("*"), "total": F.sum("value")},
+            watermark_delay="1 hour",
+        )
+        run_session_agg(sessions, out_dir=out, checkpoint_dir=ckpt)
+        return (
+            spark.read.parquet(out)
+            .filter(F.col("user_id") >= 0)
+            .orderBy("user_id", "session_start")
+            .collect()
+        )
+
+    def test_flush_sentinel_emits_all_sessions(self, spark, tmp_path):
+        # Two sessions for user 1 (gap > 2h splits), one for user 2;
+        # the sentinel (user -1, far future) flushes every session.
+        rows = [
+            {"user_id": 1, "ts": T0, "value": 1.0},
+            {"user_id": 1, "ts": T0 + US_PER_HOUR, "value": 2.0},
+            {"user_id": 1, "ts": T0 + 10 * US_PER_HOUR, "value": 4.0},
+            {"user_id": 2, "ts": T0, "value": 8.0},
+            {"user_id": -1, "ts": T0 + 1000 * US_PER_HOUR, "value": 0.0},
+        ]
+        got = self._run(spark, tmp_path, [rows])
+        assert [(r.user_id, r.n_events, r.total) for r in got] == [
+            (1, 2, 3.0),
+            (1, 1, 4.0),
+            (2, 1, 8.0),
+        ]
+
+    def test_late_event_merges_into_open_session(self, spark, tmp_path):
+        # Batch 2 delivers an event 30 min LATE (event time inside
+        # batch 1's span, within the 1 h watermark delay): it must
+        # extend user 1's open session, not open a new one.
+        b1 = [
+            {"user_id": 1, "ts": T0, "value": 1.0},
+            {"user_id": 1, "ts": T0 + US_PER_HOUR, "value": 2.0},
+        ]
+        b2 = [
+            {"user_id": 1, "ts": T0 + US_PER_HOUR // 2, "value": 16.0},
+            {"user_id": -1, "ts": T0 + 1000 * US_PER_HOUR, "value": 0.0},
+        ]
+        got = self._run(spark, tmp_path, [b1, b2])
+        assert [(r.user_id, r.n_events, r.total) for r in got] == [
+            (1, 3, 19.0)
+        ]
