@@ -1,0 +1,70 @@
+"""Slowly-changing-dimension Type 2 interval build (scale extension).
+
+The reference stores only the latest state per key (DynamoDB
+first-write-wins, lambdas/TripStartProcessor/TripStartProcessor.py:
+60-72); a warehouse serving training pipelines also needs the
+*history* — for every key, the validity interval of each attribute
+value. This operator collapses an event/fact stream into SCD2 rows:
+one row per (key, consecutive run of equal attribute values) with
+``valid_from`` (run start), ``valid_to`` (next run's start, NULL while
+current) and a 1-based ``version``.
+
+Plan shape: gaps-and-islands — lag to flag value changes, running sum
+to number runs, one aggregate per run, lead for the closing bound.
+Both windows and the aggregate hash on the same ``key`` prefix, so at
+100 TB this is one key-partitioned sort reused by two window passes
+plus a partial-agg shuffle of run-level (not row-level) rows; skewed
+keys are bounded by history length per key, not corpus size.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import Window as W
+
+
+def scd2_intervals(
+    df: DataFrame,
+    *,
+    key: str,
+    attr: str,
+    order_cols: Sequence[str],
+    valid_col: str,
+) -> DataFrame:
+    """SCD2 rows per (key, run of equal ``attr``), runs ordered by
+    ``order_cols`` (must be a deterministic total order per key;
+    include a tiebreaker id). ``valid_col`` is the column whose min /
+    next-run-min becomes valid_from / valid_to. NULL-safe on ``attr``
+    (a NULL value is its own run value)."""
+    w = W.partitionBy(key).orderBy(*order_cols)
+    # The first row per key is always a change — tested explicitly,
+    # because lag() yields NULL there and eqNullSafe(NULL, NULL) would
+    # silently merge a leading NULL-attr run into "no change".
+    chg = (
+        F.when(F.row_number().over(w) == 1, 1)
+        .when(F.lag(attr).over(w).eqNullSafe(F.col(attr)), 0)
+        .otherwise(1)
+    )
+    numbered = df.withColumn("_chg", chg).withColumn(
+        "_rid",
+        F.sum("_chg").over(w.rowsBetween(W.unboundedPreceding, 0)),
+    )
+    runs = numbered.groupBy(key, "_rid").agg(
+        # attr is constant within a run; min() is the deterministic
+        # pick (first() is order-dependent under shuffle).
+        F.min(attr).alias(attr),
+        F.min(valid_col).alias("valid_from"),
+        F.count("*").alias("n_rows"),
+    )
+    w2 = W.partitionBy(key).orderBy("_rid")
+    return runs.select(
+        key,
+        attr,
+        "valid_from",
+        F.lead("valid_from").over(w2).alias("valid_to"),
+        F.col("_rid").cast("int").alias("version"),
+        "n_rows",
+    )

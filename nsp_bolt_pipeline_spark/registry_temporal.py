@@ -370,3 +370,53 @@ def q_t5_daily_count_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
         z.alias("z"),
         (F.abs(z) > 2.0).alias("is_outlier"),
     )
+
+
+# ---------------------------------------------------------------------------
+# SCD Type 2: per-customer order-priority history as validity
+# intervals (operators.scd). Gaps-and-islands on both engines.
+# ---------------------------------------------------------------------------
+
+from nsp_bolt_pipeline_spark.operators.scd import scd2_intervals  # noqa: E402
+
+
+@query(
+    "scd2_order_priority",
+    """
+    WITH o AS (SELECT o_custkey, o_orderpriority, o_orderdate, o_orderkey
+               FROM orders),
+    flagged AS (
+        SELECT *, CASE WHEN row_number() OVER w = 1 THEN 1
+                       WHEN lag(o_orderpriority) OVER w
+                            IS NOT DISTINCT FROM o_orderpriority
+                       THEN 0 ELSE 1 END AS chg
+        FROM o
+        WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+    ),
+    numbered AS (
+        SELECT *, SUM(chg) OVER (PARTITION BY o_custkey
+                                 ORDER BY o_orderdate, o_orderkey
+                                 ROWS UNBOUNDED PRECEDING) AS rid
+        FROM flagged
+    ),
+    runs AS (
+        SELECT o_custkey, rid, MIN(o_orderpriority) AS o_orderpriority,
+               MIN(o_orderdate) AS valid_from, COUNT(*) AS n_rows
+        FROM numbered GROUP BY o_custkey, rid
+    )
+    SELECT o_custkey, o_orderpriority, valid_from,
+           lead(valid_from) OVER (PARTITION BY o_custkey ORDER BY rid)
+               AS valid_to,
+           CAST(rid AS INTEGER) AS version, n_rows
+    FROM runs
+    """,
+)
+def q_scd2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = read_table(spark, sf_dir, "orders")
+    return scd2_intervals(
+        orders,
+        key="o_custkey",
+        attr="o_orderpriority",
+        order_cols=["o_orderdate", "o_orderkey"],
+        valid_col="o_orderdate",
+    )

@@ -164,3 +164,42 @@ def q_s3_base64(spark: SparkSession, sf_dir: str) -> DataFrame:
         "payload",
         F.get_json_object("payload", "$.k").try_cast("double").alias("k"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Column profiling (operators.profile): the pre-run data-quality
+# summary. One aggregation pass; the oracle is a UNION ALL of
+# per-column aggregates.
+# ---------------------------------------------------------------------------
+
+from nsp_bolt_pipeline_spark.operators.profile import profile_columns  # noqa: E402
+
+_PROFILE_COLS = (
+    "o_orderkey",
+    "o_custkey",
+    "o_orderstatus",
+    "o_totalprice",
+    "o_orderdate",
+    "o_orderpriority",
+)
+
+
+def _profile_oracle() -> str:
+    parts = [
+        f"""
+        SELECT '{c}' AS col_name, COUNT(*) AS n_rows,
+               SUM(CASE WHEN {c} IS NULL THEN 1 ELSE 0 END) AS n_nulls,
+               COUNT(DISTINCT {c}) AS n_distinct,
+               CAST(MIN({c}) AS VARCHAR) AS min_value,
+               CAST(MAX({c}) AS VARCHAR) AS max_value
+        FROM orders
+        """
+        for c in _PROFILE_COLS
+    ]
+    return " UNION ALL ".join(parts)
+
+
+@query("profile_table", _profile_oracle())
+def q_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = read_table(spark, sf_dir, "orders")
+    return profile_columns(orders, list(_PROFILE_COLS))

@@ -1,0 +1,82 @@
+"""Unit tests for SCD Type-2 interval build (operators.scd) and
+column profiling (operators.profile) on hand-built frames — the edge
+cases (NULL attribute runs, single-run keys, all-null columns) the
+table-level oracle entries don't isolate."""
+
+from __future__ import annotations
+
+import datetime
+
+from pyspark.sql import functions as F
+
+from nsp_bolt_pipeline_spark.operators.profile import profile_columns
+from nsp_bolt_pipeline_spark.operators.scd import scd2_intervals
+
+
+def _d(day: int) -> datetime.date:
+    return datetime.date(2024, 1, day)
+
+
+class TestScd2:
+    def test_runs_split_and_close(self, spark):
+        rows = [
+            (1, "A", _d(1), 10),
+            (1, "A", _d(2), 11),
+            (1, "B", _d(3), 12),
+            (1, "A", _d(4), 13),  # A again -> NEW run, version 3
+            (2, "X", _d(1), 14),
+        ]
+        df = spark.createDataFrame(rows, "k long, attr string, d date, id long")
+        got = scd2_intervals(
+            df, key="k", attr="attr", order_cols=["d", "id"], valid_col="d"
+        ).orderBy("k", "version")
+        out = [
+            (r.k, r.attr, r.valid_from, r.valid_to, r.version, r.n_rows)
+            for r in got.collect()
+        ]
+        assert out == [
+            (1, "A", _d(1), _d(3), 1, 2),
+            (1, "B", _d(3), _d(4), 2, 1),
+            (1, "A", _d(4), None, 3, 1),
+            (2, "X", _d(1), None, 1, 1),
+        ]
+
+    def test_null_attr_is_its_own_run(self, spark):
+        rows = [(1, None, _d(1), 1), (1, None, _d(2), 2), (1, "A", _d(3), 3)]
+        df = spark.createDataFrame(rows, "k long, attr string, d date, id long")
+        got = scd2_intervals(
+            df, key="k", attr="attr", order_cols=["d", "id"], valid_col="d"
+        ).orderBy("version")
+        out = [(r.attr, r.version, r.n_rows) for r in got.collect()]
+        assert out == [(None, 1, 2), ("A", 2, 1)]
+
+
+class TestProfile:
+    def test_stats_and_all_null_column(self, spark):
+        df = spark.createDataFrame(
+            [(1, "a", None), (2, "b", None), (2, None, None)],
+            "x long, s string, z string",
+        )
+        got = {
+            r.col_name: r
+            for r in profile_columns(df, ["x", "s", "z"]).collect()
+        }
+        assert got["x"].n_rows == 3
+        assert got["x"].n_nulls == 0
+        assert got["x"].n_distinct == 2
+        assert (got["x"].min_value, got["x"].max_value) == ("1", "2")
+        assert got["s"].n_nulls == 1
+        assert got["s"].n_distinct == 2
+        assert got["z"].n_nulls == 3
+        assert got["z"].n_distinct == 0
+        assert got["z"].min_value is None
+
+    def test_approx_variant_runs(self, spark):
+        df = spark.range(100).withColumn("y", F.col("id") % 10)
+        got = {
+            r.col_name: r
+            for r in profile_columns(df, ["id", "y"], exact=False).collect()
+        }
+        # HLL++ at default precision is exact at this cardinality.
+        assert got["y"].n_distinct == 10
+        assert got["id"].n_rows == 100
