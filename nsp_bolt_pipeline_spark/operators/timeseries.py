@@ -1,0 +1,111 @@
+"""Time-series operators (scale extension): rolling-window KPIs and
+per-key calendar gap-fill with forward-fill.
+
+The reference's only time grain is the daily KPI full-rescan
+(glue_jobs/KPI-Aggregator.py:101-110); real monitoring wants rolling
+aggregates ("7-day fare volume") and dense series (a row for EVERY
+day, carrying the last known value across quiet days).
+
+Scale design:
+
+- ``rolling_daily``: two-level — raw rows collapse to one row per day
+  FIRST (map-side partial agg, the only full-data shuffle), then the
+  rolling frame slides over day-grain rows. The window is unkeyed, but
+  its input is bounded by the calendar (365 rows/year), not the data,
+  so the single-partition window sort is a non-issue at any corpus
+  size; a keyed variant partitions by the key first. Money sums roll
+  as integer cents (exact, associative) so Spark's per-row frame
+  recompute and DuckDB's segment-tree combine — different float fold
+  orders — cannot diverge.
+- ``gap_fill_forward``: builds each key's dense calendar with
+  ``sequence()`` + ``explode`` (rows generated executor-side,
+  proportional to key-span days), left-joins observed days, and
+  forward-fills with ``last(value, ignoreNulls=True)`` over an
+  ever-growing frame — one key-partitioned sort, no self-join.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import Window as W
+
+
+def _cents(col: Column) -> Column:
+    """Engine-portable money-to-integer-cents: floor(x*100 + 0.5)."""
+    return F.floor(col * 100 + F.lit(0.5)).cast("long")
+
+
+def rolling_daily(
+    df: DataFrame,
+    *,
+    ts_col: str,
+    amount_col: str,
+    window_days: int,
+) -> DataFrame:
+    """Rolling ``window_days``-day daily KPIs: for each day with data,
+    the total / count / average / max over the trailing window
+    (RANGE-based, so calendar gaps shorten the frame instead of
+    stretching it). Returns one row per observed day."""
+    daily = (
+        df.select(F.to_date(ts_col).alias("date"), F.col(amount_col))
+        .groupBy("date")
+        .agg(
+            _cents(F.sum(amount_col)).alias("day_cents"),
+            F.count("*").alias("day_n"),
+            F.max(amount_col).alias("day_max"),
+        )
+    )
+    w = (
+        W.orderBy(F.datediff(F.col("date"), F.lit("1970-01-01")))
+        .rangeBetween(-(window_days - 1), 0)
+    )
+    return daily.select(
+        "date",
+        (F.sum("day_cents").over(w) / 100.0).alias("rolling_total"),
+        F.sum("day_n").over(w).alias("rolling_trips"),
+        (
+            F.sum("day_cents").over(w) / 100.0 / F.sum("day_n").over(w)
+        ).alias("rolling_avg"),
+        F.max("day_max").over(w).alias("rolling_max"),
+    )
+
+
+def gap_fill_forward(
+    df: DataFrame,
+    *,
+    key: str,
+    ts_col: str,
+    value_col: str,
+) -> DataFrame:
+    """Dense per-key daily series over each key's [min, max] date span:
+    one row per (key, day), ``observed`` flag, daily total for observed
+    days, and ``filled`` carrying the last observed daily total
+    forward across gap days."""
+    daily = (
+        df.select(F.col(key), F.to_date(ts_col).alias("date"), F.col(value_col))
+        .groupBy(key, "date")
+        .agg((_cents(F.sum(value_col)) / 100.0).alias("day_value"))
+    )
+    spans = daily.groupBy(key).agg(
+        F.min("date").alias("d0"), F.max("date").alias("d1")
+    )
+    calendar = spans.select(
+        key,
+        F.explode(
+            F.sequence(F.col("d0"), F.col("d1"), F.expr("INTERVAL 1 DAY"))
+        ).alias("date"),
+    )
+    dense = calendar.join(daily, [key, "date"], "left")
+    w = (
+        W.partitionBy(key)
+        .orderBy("date")
+        .rowsBetween(W.unboundedPreceding, 0)
+    )
+    return dense.select(
+        key,
+        "date",
+        F.col("day_value").isNotNull().alias("observed"),
+        "day_value",
+        F.last("day_value", ignorenulls=True).over(w).alias("filled"),
+    )

@@ -243,3 +243,44 @@ def q_winnow(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = read_table(spark, sf_dir, "documents")
     return docs.select("doc_id", simhash_hex("text").alias("simhash"))
+
+
+# ---------------------------------------------------------------------------
+# Blocked fuzzy string matching (operators.fuzzy): field-level
+# entity resolution on document title prefixes — first-token
+# blocking, within-block Levenshtein, integer-exact on both engines.
+# ---------------------------------------------------------------------------
+
+from nsp_bolt_pipeline_spark.operators.fuzzy import fuzzy_match_pairs  # noqa: E402
+
+_FUZZY_PREFIX = 60
+_FUZZY_MAXDIST = 3
+
+
+@query(
+    "fuzzy_title_matches",
+    f"""
+    WITH d AS (
+        SELECT doc_id, substr(text, 1, {_FUZZY_PREFIX}) AS t
+        FROM documents
+    )
+    SELECT a.doc_id AS id1, b.doc_id AS id2,
+           levenshtein(a.t, b.t) AS distance
+    FROM d a JOIN d b
+      ON split_part(lower(a.t), ' ', 1) = split_part(lower(b.t), ' ', 1)
+     AND a.doc_id < b.doc_id
+    WHERE levenshtein(a.t, b.t) <= {_FUZZY_MAXDIST}
+    """,
+)
+def q_fuzzy_titles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = read_table(spark, sf_dir, "documents").select(
+        "doc_id", F.substring("text", 1, _FUZZY_PREFIX).alias("t")
+    )
+    # Single-space split mirrors the oracle's split_part exactly.
+    return fuzzy_match_pairs(
+        docs,
+        id_col="doc_id",
+        text_col="t",
+        max_distance=_FUZZY_MAXDIST,
+        block_expr=F.split(F.lower(F.col("t")), " ").getItem(0),
+    )

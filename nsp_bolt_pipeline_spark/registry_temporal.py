@@ -420,3 +420,75 @@ def q_scd2(spark: SparkSession, sf_dir: str) -> DataFrame:
         order_cols=["o_orderdate", "o_orderkey"],
         valid_col="o_orderdate",
     )
+
+
+# ---------------------------------------------------------------------------
+# Rolling 7-day KPI and calendar gap-fill (operators.timeseries).
+# ---------------------------------------------------------------------------
+
+from nsp_bolt_pipeline_spark.operators.timeseries import (  # noqa: E402
+    gap_fill_forward,
+    rolling_daily,
+)
+
+
+@query(
+    "t6_rolling_7day_kpi",
+    f"""
+    WITH daily AS (
+        SELECT CAST(ts AS DATE) AS date,
+               CAST(FLOOR(SUM(value)*100 + 0.5) AS BIGINT) AS day_cents,
+               COUNT(*) AS day_n,
+               MAX(value) AS day_max
+        FROM events WHERE event_type = '{END_EVENT}'
+        GROUP BY 1
+    )
+    SELECT date,
+           SUM(day_cents) OVER w / 100.0 AS rolling_total,
+           SUM(day_n) OVER w AS rolling_trips,
+           SUM(day_cents) OVER w / 100.0 / SUM(day_n) OVER w AS rolling_avg,
+           MAX(day_max) OVER w AS rolling_max
+    FROM daily
+    WINDOW w AS (ORDER BY date
+                 RANGE BETWEEN INTERVAL 6 DAY PRECEDING AND CURRENT ROW)
+    """,
+)
+def q_rolling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = read_table(spark, sf_dir, "events").filter(
+        F.col("event_type") == END_EVENT
+    )
+    return rolling_daily(ev, ts_col="ts", amount_col="value", window_days=7)
+
+
+@query(
+    "t7_gap_fill_forward",
+    """
+    WITH daily AS (
+        SELECT user_id, CAST(ts AS DATE) AS date,
+               CAST(FLOOR(SUM(value)*100 + 0.5) AS BIGINT) / 100.0
+                   AS day_value
+        FROM events GROUP BY 1, 2
+    ),
+    spans AS (SELECT user_id, MIN(date) AS d0, MAX(date) AS d1
+              FROM daily GROUP BY 1),
+    calendar AS (
+        SELECT user_id,
+               CAST(unnest(generate_series(CAST(d0 AS TIMESTAMP),
+                                           CAST(d1 AS TIMESTAMP),
+                                           INTERVAL 1 DAY)) AS DATE) AS date
+        FROM spans
+    ),
+    dense AS (
+        SELECT c.user_id, c.date, d.day_value
+        FROM calendar c LEFT JOIN daily d USING (user_id, date)
+    )
+    SELECT user_id, date, day_value IS NOT NULL AS observed, day_value,
+           last_value(day_value IGNORE NULLS)
+               OVER (PARTITION BY user_id ORDER BY date
+                     ROWS UNBOUNDED PRECEDING) AS filled
+    FROM dense
+    """,
+)
+def q_gap_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = read_table(spark, sf_dir, "events")
+    return gap_fill_forward(ev, key="user_id", ts_col="ts", value_col="value")

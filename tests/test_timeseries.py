@@ -1,0 +1,88 @@
+"""Unit tests for rolling windows, gap-fill forward-fill
+(operators.timeseries), and blocked fuzzy matching (operators.fuzzy)
+on hand-built frames — calendar-gap frames, leading-gap fills, and
+blocking recall/precision the table-level oracles don't isolate."""
+
+from __future__ import annotations
+
+import datetime
+
+from pyspark.sql import functions as F
+
+from nsp_bolt_pipeline_spark.operators.fuzzy import fuzzy_match_pairs
+from nsp_bolt_pipeline_spark.operators.timeseries import (
+    gap_fill_forward,
+    rolling_daily,
+)
+
+
+def _ts(day: int, hour: int = 12) -> datetime.datetime:
+    return datetime.datetime(2024, 1, day, hour)
+
+
+class TestRollingDaily:
+    def test_calendar_gap_shortens_frame(self, spark):
+        # Days 1, 2, 10: day 10's 3-day frame covers only itself —
+        # RANGE semantics, not ROWS.
+        rows = [(_ts(1), 10.0), (_ts(2), 20.0), (_ts(2), 30.0), (_ts(10), 5.0)]
+        df = spark.createDataFrame(rows, "ts timestamp, amt double")
+        got = {
+            r.date.day: r
+            for r in rolling_daily(
+                df, ts_col="ts", amount_col="amt", window_days=3
+            ).collect()
+        }
+        assert got[1].rolling_total == 10.0
+        assert got[2].rolling_total == 60.0
+        assert got[2].rolling_trips == 3
+        assert got[2].rolling_avg == 20.0
+        assert got[2].rolling_max == 30.0
+        assert got[10].rolling_total == 5.0
+        assert got[10].rolling_trips == 1
+
+
+class TestGapFill:
+    def test_forward_fill_across_gap(self, spark):
+        rows = [(1, _ts(1), 4.0), (1, _ts(4), 6.0), (2, _ts(2), 1.0)]
+        df = spark.createDataFrame(rows, "k long, ts timestamp, v double")
+        got = gap_fill_forward(df, key="k", ts_col="ts", value_col="v")
+        rows_k1 = {
+            r.date.day: r for r in got.filter(F.col("k") == 1).collect()
+        }
+        # Dense span 1..4; days 2-3 unobserved carry day 1's value.
+        assert sorted(rows_k1) == [1, 2, 3, 4]
+        assert rows_k1[1].observed and rows_k1[1].filled == 4.0
+        assert not rows_k1[2].observed and rows_k1[2].filled == 4.0
+        assert rows_k1[3].day_value is None and rows_k1[3].filled == 4.0
+        assert rows_k1[4].observed and rows_k1[4].filled == 6.0
+        # Single-day key: span is one row.
+        assert got.filter(F.col("k") == 2).count() == 1
+
+
+class TestFuzzyMatch:
+    DF = [
+        (1, "alpha beta gamma"),
+        (2, "alpha beta gamm"),   # distance 1 from 1, same block
+        (3, "alpha zzzzz"),       # same block, distance > max
+        (4, "omega beta gamma"),  # near id 1 but different block
+    ]
+
+    def test_blocking_and_distance(self, spark):
+        df = spark.createDataFrame(self.DF, "id long, t string")
+        got = fuzzy_match_pairs(
+            df, id_col="id", text_col="t", max_distance=2
+        ).collect()
+        assert [(r.id1, r.id2, r.distance) for r in got] == [(1, 2, 1)]
+
+    def test_custom_block_recovers_cross_block_pair(self, spark):
+        df = spark.createDataFrame(self.DF, "id long, t string")
+        # Blocking on the SECOND token puts ids 1, 2, 4 together.
+        got = fuzzy_match_pairs(
+            df,
+            id_col="id",
+            text_col="t",
+            max_distance=5,
+            block_expr=F.split(F.col("t"), " ").getItem(1),
+        )
+        pairs = {(r.id1, r.id2) for r in got.collect()}
+        assert pairs == {(1, 2), (1, 4), (2, 4)}
