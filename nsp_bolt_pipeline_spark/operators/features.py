@@ -1,0 +1,65 @@
+"""Embedding feature engineering (scale extension): per-dimension
+z-score standardization — the preprocessing step before distance-based
+curation (k-means, IVF) when dimensions carry different scales.
+
+Plan shape: one ``posexplode`` pass to (vec_id, dim, x) rows, a
+64-group aggregate for per-dimension moments (map-side partial agg
+collapses each partition to one row per dim before the shuffle), a
+broadcast join of the 64-row stats frame back onto the exploded rows.
+At 100 TB the explode multiplies rows by dim — the alternative that
+avoids it is a single-row aggregate of 2*dim expressions
+(``F.avg(col[d])`` per d), same moments, no shuffle growth; the
+exploded form is kept here because its output grain IS the
+(vec_id, dim) row.
+
+Cross-engine determinism (same convention as operators/clustering):
+moments are rounded to 6 decimals with the portable
+``floor(x*1e6 + 0.5)/1e6`` before deriving variance and z, so the
+engine-dependent last ULP of the mean fold cannot surface.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def _round6(col: Column) -> Column:
+    return F.floor(col * 1e6 + F.lit(0.5)) / 1e6
+
+
+def standardize_embeddings(
+    df: DataFrame,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Per-dimension z-scores: one row per (id, dim) with the
+    standardized value ``z = (x - mean_d) / std_d`` (population std;
+    zero-variance dimensions yield z = 0). Moments and z are rounded
+    to 6 decimals for engine portability."""
+    ex = df.select(
+        F.col(id_col),
+        F.posexplode(F.col(vec_col)).alias("dim", "_x"),
+    ).select(id_col, "dim", F.col("_x").cast("double").alias("x"))
+    stats = ex.groupBy("dim").agg(
+        _round6(F.avg("x")).alias("mean6"),
+        _round6(F.avg(F.col("x") * F.col("x"))).alias("msq6"),
+    )
+    stats = stats.select(
+        "dim",
+        "mean6",
+        F.sqrt(
+            _round6(F.col("msq6") - F.col("mean6") * F.col("mean6"))
+        ).alias("std"),
+    )
+    return ex.join(F.broadcast(stats), "dim").select(
+        id_col,
+        "dim",
+        F.when(
+            F.col("std") > 0,
+            _round6((F.col("x") - F.col("mean6")) / F.col("std")),
+        )
+        .otherwise(0.0)
+        .alias("z"),
+    )

@@ -119,3 +119,42 @@ def q_kmeans_balanced_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cluster_balanced_sample(
         assigned, per_cluster=PER_CLUSTER, salt=SALT
     )
+
+
+# ---------------------------------------------------------------------------
+# Per-dimension z-score standardization (operators.features): the
+# scale-normalization pass before distance-based curation.
+# ---------------------------------------------------------------------------
+
+from nsp_bolt_pipeline_spark.operators.features import standardize_embeddings  # noqa: E402
+
+
+@query(
+    "emb_standardize",
+    """
+    WITH ex AS (
+        SELECT vec_id, i - 1 AS dim, CAST(embedding[i] AS DOUBLE) AS x
+        FROM embeddings
+        CROSS JOIN (SELECT unnest(range(1, 65)) AS i) idx
+    ),
+    stats AS (
+        SELECT dim,
+               FLOOR(AVG(x)*1e6 + 0.5)/1e6 AS mean6,
+               FLOOR(AVG(x*x)*1e6 + 0.5)/1e6 AS msq6
+        FROM ex GROUP BY dim
+    ),
+    s2 AS (
+        SELECT dim, mean6,
+               sqrt(FLOOR((msq6 - mean6*mean6)*1e6 + 0.5)/1e6) AS std
+        FROM stats
+    )
+    SELECT ex.vec_id, ex.dim,
+           CASE WHEN s2.std > 0
+                THEN FLOOR(((ex.x - s2.mean6) / s2.std)*1e6 + 0.5)/1e6
+                ELSE 0.0 END AS z
+    FROM ex JOIN s2 USING (dim)
+    """,
+)
+def q_standardize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = read_table(spark, sf_dir, "embeddings")
+    return standardize_embeddings(emb)

@@ -607,3 +607,48 @@ def q_stream_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
             "user_id", "session_start", "session_end", "n_events", "total_value"
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Stream-static enrichment: events stream joined per-micro-batch
+# against a batch-computed signup-cohort dimension (broadcast), the
+# streaming twin of a plain dimension join — same oracle.
+# ---------------------------------------------------------------------------
+
+_ENRICH_ORACLE = """
+    WITH cohort AS (
+        SELECT user_id, CAST(MIN(CAST(ts AS DATE)) AS VARCHAR) AS cohort_day
+        FROM events GROUP BY user_id
+    )
+    SELECT e.event_id, e.user_id, e.event_type, c.cohort_day
+    FROM events e LEFT JOIN cohort c USING (user_id)
+"""
+
+
+@query("stream_static_enrich", _ENRICH_ORACLE)
+def q_stream_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """availableNow run of a stream-static left join: the static side
+    (per-user first-seen day) is computed in batch from the same
+    events table and broadcast into every micro-batch."""
+    from nsp_bolt_pipeline_spark.streaming.enrich import (
+        enrich_stream,
+        run_enrich,
+    )
+
+    dirs = _workdir("stream_enrich")
+    ev = read_table(spark, sf_dir, "events")
+    _dump_events_df(ev, dirs["src"])
+    cohort = ev.groupBy("user_id").agg(
+        F.min(F.to_date("ts")).cast("string").alias("cohort_day")
+    )
+    enriched = enrich_stream(
+        _event_stream(spark, dirs["src"]).select(
+            "event_id", "user_id", "event_type"
+        ),
+        cohort,
+        on=["user_id"],
+    )
+    run_enrich(enriched, out_dir=dirs["out"], checkpoint_dir=dirs["ckpt"])
+    return spark.read.parquet(dirs["out"]).select(
+        "event_id", "user_id", "event_type", "cohort_day"
+    )

@@ -1,0 +1,56 @@
+"""Stream-static enrichment join (§2.8 companion operator).
+
+The reference enriches nothing in flight — each Lambda sees only its
+own event's payload. The standard streaming-warehouse need is the
+opposite: every event joined against a slowly-changing dimension
+(user segment, device registry, geo table) AS IT ARRIVES.
+
+Spark-first: a streaming DataFrame joins a *static* DataFrame
+natively — no state store involved; the static side is planned like
+any batch relation (broadcast when small, which is the 100 TB play:
+the dimension ships once per executor, the stream never shuffles).
+The static side is re-planned per micro-batch, so swapping the
+dimension file between batches picks up dimension updates — the
+cheap, eventually-consistent cousin of a stream-stream SCD join.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def enrich_stream(
+    stream: DataFrame,
+    dim: DataFrame,
+    *,
+    on: Sequence[str],
+    broadcast_dim: bool = True,
+) -> DataFrame:
+    """Left-join a static dimension onto a streaming frame. With
+    ``broadcast_dim`` (default) the dimension is broadcast — the only
+    sane plan when the stream is unbounded and the dim fits in
+    executor memory; disable for a large bucketed dim."""
+    right = F.broadcast(dim) if broadcast_dim else dim
+    return stream.join(right, list(on), "left")
+
+
+def run_enrich(
+    enriched: DataFrame,
+    *,
+    out_dir: str,
+    checkpoint_dir: str,
+) -> None:
+    """Append-mode availableNow run of the enrichment (stateless, so
+    every input row lands exactly once regardless of watermarks)."""
+    q = (
+        enriched.writeStream.format("parquet")
+        .option("path", out_dir)
+        .option("checkpointLocation", checkpoint_dir)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()

@@ -80,3 +80,25 @@ class TestProfile:
         # HLL++ at default precision is exact at this cardinality.
         assert got["y"].n_distinct == 10
         assert got["id"].n_rows == 100
+
+
+class TestStandardize:
+    def test_zscores_and_zero_variance(self, spark):
+        from nsp_bolt_pipeline_spark.operators.features import (
+            standardize_embeddings,
+        )
+
+        df = spark.createDataFrame(
+            [(1, [0.0, 5.0]), (2, [2.0, 5.0]), (3, [4.0, 5.0])],
+            "vec_id long, embedding array<double>",
+        )
+        got = {
+            (r.vec_id, r.dim): r.z
+            for r in standardize_embeddings(df).collect()
+        }
+        # dim 0: mean 2, population std sqrt(8/3)=1.632993...
+        assert got[(1, 0)] == -1.224745
+        assert got[(2, 0)] == 0.0
+        assert got[(3, 0)] == 1.224745
+        # dim 1 is constant -> z = 0, not NaN/null.
+        assert got[(1, 1)] == 0.0 and got[(3, 1)] == 0.0
