@@ -652,3 +652,47 @@ def q_stream_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.read.parquet(dirs["out"]).select(
         "event_id", "user_id", "event_type", "cohort_day"
     )
+
+
+# ---------------------------------------------------------------------------
+# Streaming sliding-window KPI: 7-day windows hopping by 1 day in
+# complete mode; the oracle explodes each event into its 7 covering
+# epoch-aligned windows.
+# ---------------------------------------------------------------------------
+
+_HOPPING_ORACLE = f"""
+    WITH e AS (
+        SELECT CAST(ts AS DATE) AS d, value
+        FROM events WHERE event_type = '{END_EVENT}'
+    ),
+    ex AS (
+        SELECT CAST(unnest(generate_series(
+                   CAST(d - 6 AS TIMESTAMP), CAST(d AS TIMESTAMP),
+                   INTERVAL 1 DAY)) AS DATE) AS win_start,
+               value
+        FROM e
+    )
+    SELECT win_start, win_start + 7 AS win_end,
+           FLOOR(SUM(value)*100 + 0.5) / 100.0 AS total_fare,
+           COUNT(*) AS n_trips,
+           MAX(value) AS max_fare
+    FROM ex GROUP BY win_start
+"""
+
+
+@query("stream_a4_hopping_kpi", _HOPPING_ORACLE)
+def q_stream_hopping(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from nsp_bolt_pipeline_spark.streaming.kpi import hopping_kpis
+
+    dirs = _workdir("stream_hopping")
+    _dump_events(spark, sf_dir, dirs["src"])
+    ends = (
+        _event_stream(spark, dirs["src"])
+        .filter(F.col("event_type") == END_EVENT)
+        .select("ts", F.col("value").alias("fare_amount"))
+    )
+    kpis = hopping_kpis(ends, ts_col="ts", fare_col="fare_amount")
+    run_windowed_kpis(kpis, out_dir=dirs["out"], checkpoint_dir=dirs["ckpt"])
+    return spark.read.parquet(dirs["out"]).select(
+        "win_start", "win_end", "total_fare", "n_trips", "max_fare"
+    )

@@ -111,3 +111,35 @@ def run_windowed_kpis(
         .start()
     )
     query.awaitTermination()
+
+
+def hopping_kpis(
+    stream: DataFrame,
+    *,
+    ts_col: str,
+    fare_col: str,
+    window: str = "7 days",
+    slide: str = "1 day",
+    watermark_delay: str = "1 day",
+) -> DataFrame:
+    """Sliding (hopping) event-time window: every event lands in
+    window/slide overlapping frames (here 7), giving a trailing-week
+    aggregate that advances daily — the rolling counterpart of
+    ``windowed_daily_kpis``. Day-grain slide keeps state cardinality
+    at #days + 6 regardless of data volume; Spark aligns window
+    starts to the epoch grid, so starts are UTC midnights, exactly
+    reproducible in batch SQL."""
+    w = stream.withWatermark(ts_col, watermark_delay).groupBy(
+        F.window(F.col(ts_col), window, slide).alias("w")
+    )
+    return w.agg(
+        F.floor(F.sum(fare_col) * 100 + F.lit(0.5)).alias("_cents"),
+        F.count("*").alias("n_trips"),
+        F.max(fare_col).alias("max_fare"),
+    ).select(
+        F.to_date("w.start").alias("win_start"),
+        F.to_date("w.end").alias("win_end"),
+        (F.col("_cents") / 100.0).alias("total_fare"),
+        "n_trips",
+        "max_fare",
+    )
