@@ -38,6 +38,12 @@ HEADLINE = [
     "mm_decode_features",
     # corpus prep: train/eval n-gram overlap with broadcast eval side
     "corpus_decontamination",
+    # round-2 additions: SCD2 history build, rolling 7-day KPI,
+    # blocked fuzzy entity resolution, per-dim z-score standardization
+    "scd2_order_priority",
+    "t6_rolling_7day_kpi",
+    "fuzzy_title_matches",
+    "emb_standardize",
     # full streaming ingest (dump -> validate -> dedup -> bronze):
     # ~100k events at sf0.1; wall time here ~= ingest throughput
     # (BASELINE.md target: sustain >= 1,000 events/s/stream)
