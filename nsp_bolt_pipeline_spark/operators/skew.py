@@ -144,3 +144,37 @@ def salted_join(
         "_salt", F.explode(F.sequence(F.lit(0), F.lit(salt_buckets - 1)))
     ).withColumn("_salt", F.col("_salt").cast("bigint"))
     return s.join(exploded, [key, "_salt"], how).drop("_salt")
+
+
+def key_skew_profile(
+    df: DataFrame,
+    *,
+    key: str,
+    top_n: int = 20,
+) -> DataFrame:
+    """Heavy-hitter diagnostic for a join/group key: the ``top_n``
+    hottest key values with row counts, share of the table, and the
+    ratio to a perfectly uniform key (share * n_distinct) — the number
+    you read before choosing salting (operators.skew.salted_agg /
+    salted_join) or AQE skew-join. One groupBy shuffle (map-side
+    partial agg), then two single-row broadcast joins for the
+    denominators; the top-k is a TakeOrderedAndProject, never a global
+    sort."""
+    counts = df.groupBy(key).agg(F.count("*").alias("n_rows"))
+    totals = counts.agg(
+        F.sum("n_rows").alias("_total"),
+        F.count("*").alias("_n_keys"),
+    )
+    return (
+        counts.crossJoin(F.broadcast(totals))
+        .select(
+            key,
+            "n_rows",
+            (F.col("n_rows") / F.col("_total")).alias("share"),
+            (
+                F.col("n_rows") * F.col("_n_keys") / F.col("_total")
+            ).alias("skew_ratio"),
+        )
+        .orderBy(F.col("n_rows").desc(), F.col(key).asc())
+        .limit(top_n)
+    )

@@ -12,7 +12,11 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from nsp_bolt_pipeline_spark.operators.skew import distinct_count, salted_agg
+from nsp_bolt_pipeline_spark.operators.skew import (
+    distinct_count,
+    key_skew_profile,
+    salted_agg,
+)
 from nsp_bolt_pipeline_spark.registry import _r2, query
 from nsp_bolt_pipeline_spark.sources.readers import read_table
 
@@ -124,3 +128,32 @@ def q_salted_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     out = salted_join(ev, dim, key="event_type", salt_buckets=16)
     return out.select("event_id", "event_type", "value", "type_total")
+
+
+# ---------------------------------------------------------------------------
+# Heavy-hitter key profile (operators.skew.key_skew_profile): the
+# read-before-salting diagnostic.
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "skew_key_profile",
+    """
+    WITH counts AS (
+        SELECT l_suppkey, COUNT(*) AS n_rows
+        FROM lineitem GROUP BY l_suppkey
+    ),
+    totals AS (
+        SELECT SUM(n_rows) AS total, COUNT(*) AS n_keys FROM counts
+    )
+    SELECT l_suppkey, n_rows,
+           CAST(n_rows AS DOUBLE) / total AS share,
+           CAST(n_rows AS DOUBLE) * n_keys / total AS skew_ratio
+    FROM counts, totals
+    ORDER BY n_rows DESC, l_suppkey ASC
+    LIMIT 20
+    """,
+)
+def q_skew_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = read_table(spark, sf_dir, "lineitem")
+    return key_skew_profile(li, key="l_suppkey", top_n=20)

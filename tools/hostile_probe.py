@@ -1,0 +1,76 @@
+"""Driver-session simulation: run every registry entry on a session we
+did NOT build (non-UTC timezone, stock confs — the shape of the
+correctness driver's own SparkSession) and compare against the DuckDB
+oracles. Catches session-conf dependence that tools/verify_oracle.py
+(which uses our get_spark) cannot see.
+
+Usage: python tools/hostile_probe.py [sf_dir] [name ...]
+"""
+
+from __future__ import annotations
+
+import sys
+import time
+
+import duckdb
+
+sys.path.insert(0, ".")
+
+from tools.verify_oracle import TABLES, compare  # noqa: E402
+
+
+def main() -> int:
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.001"
+    only = set(sys.argv[2:])
+
+    from pyspark.sql import SparkSession
+
+    spark = (
+        SparkSession.builder.master("local[8]")
+        .appName("hostile_probe")
+        .config("spark.sql.session.timeZone", "America/New_York")
+        .config("spark.ui.enabled", "false")
+        .config("spark.ui.showConsoleProgress", "false")
+        .getOrCreate()
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+
+    import __spark_entry__ as e
+
+    con = duckdb.connect()
+    for t in TABLES:
+        con.sql(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
+
+    qs, oracles = e.queries(), e.oracle_sql()
+    failures = 0
+    for name, fn in qs.items():
+        if only and name not in only:
+            continue
+        t0 = time.time()
+        try:
+            spark_pdf = fn(spark, sf_dir).toPandas()
+        except Exception as ex:  # noqa: BLE001
+            print(f"FAIL {name}: spark error: {ex}")
+            failures += 1
+            continue
+        if name not in oracles:
+            print(f"ok   {name}: rows-only ({len(spark_pdf)} rows)")
+            continue
+        try:
+            duck_pdf = con.sql(oracles[name]).df()
+        except Exception as ex:  # noqa: BLE001
+            print(f"FAIL {name}: duckdb error: {ex}")
+            failures += 1
+            continue
+        issues = compare(name, spark_pdf, duck_pdf)
+        if issues:
+            failures += 1
+            print(f"FAIL {name} ({len(spark_pdf)} rows): " + "; ".join(issues))
+        else:
+            print(f"ok   {name}: {len(spark_pdf)} rows ({time.time()-t0:.1f}s)")
+    print(f"\n{len(qs) - failures}/{len(qs)} passing on the hostile session")
+    return 1 if failures else 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
