@@ -49,3 +49,40 @@ def exact_dedup(df: DataFrame, subset: Sequence[str] | None = None) -> DataFrame
     subset, any surviving row). Use :func:`first_write_wins` when *which*
     duplicate survives matters."""
     return df.dropDuplicates(list(subset) if subset else None)
+
+
+def merge_upsert(
+    target: DataFrame,
+    updates: DataFrame,
+    *,
+    keys: Sequence[str],
+    order_cols: Sequence[str],
+) -> DataFrame:
+    """SCD Type-1 MERGE without a table format: latest-wins upsert of
+    ``updates`` into ``target`` (reference semantics inverted — the
+    DynamoDB store keeps the FIRST write per key,
+    lambdas/TripStartProcessor/TripStartProcessor.py:60-72; a serving
+    dimension keeps the LAST). Within ``updates`` the winner per key
+    is the max over ``order_cols``; a matched target row is replaced,
+    an unmatched update row is inserted.
+
+    Plan: one partial-agg ``max_by`` collapse of the updates, a
+    left-anti join to drop superseded target rows, one union — no
+    window sort, no full rewrite of unmatched data. With Delta or
+    Iceberg this compiles further down to a real MERGE; partition-
+    pruned dynamic overwrite (streaming.kpi.run_windowed_kpis_update)
+    is the file-level equivalent.
+    """
+    cols = target.columns
+    ordk = F.struct(*[F.col(c) for c in order_cols])
+    latest = (
+        updates.groupBy(*keys)
+        .agg(
+            F.max_by(
+                F.struct(*[F.col(c) for c in cols]), ordk
+            ).alias("_row")
+        )
+        .select("_row.*")
+    )
+    kept = target.join(latest.select(*keys), list(keys), "left_anti")
+    return kept.unionByName(latest)

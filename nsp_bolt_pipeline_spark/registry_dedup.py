@@ -284,3 +284,50 @@ def q_fuzzy_titles(spark: SparkSession, sf_dir: str) -> DataFrame:
         max_distance=_FUZZY_MAXDIST,
         block_expr=F.split(F.lower(F.col("t")), " ").getItem(0),
     )
+
+
+# ---------------------------------------------------------------------------
+# SCD1 merge-upsert (operators.dedup.merge_upsert): latest-wins MERGE
+# of a second-half update batch into a first-half dimension snapshot;
+# the result is provably the global latest row per key, which is what
+# the oracle asserts.
+# ---------------------------------------------------------------------------
+
+from nsp_bolt_pipeline_spark.operators.dedup import merge_upsert  # noqa: E402
+from nsp_bolt_pipeline_spark.operators.dedup import first_write_wins as _fww  # noqa: E402,F401
+
+_UPSERT_SPLIT = "2024-01-15"
+
+
+@query(
+    "d3_merge_upsert",
+    """
+    SELECT user_id, event_id, ts, event_type, value FROM (
+        SELECT user_id, event_id, ts, event_type, value,
+               row_number() OVER (PARTITION BY user_id
+                                  ORDER BY ts DESC, event_id DESC) AS rn
+        FROM events
+    ) WHERE rn = 1
+    """,
+)
+def q_merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = read_table(spark, sf_dir, "events").select(
+        "user_id", "event_id", "ts", "event_type", "value"
+    )
+    first_half = ev.filter(F.col("ts") < _UPSERT_SPLIT)
+    updates = ev.filter(F.col("ts") >= _UPSERT_SPLIT)
+    # Dimension snapshot: latest first-half row per user (same max_by
+    # collapse merge_upsert applies to its update side).
+    target = (
+        first_half.groupBy("user_id")
+        .agg(
+            F.max_by(
+                F.struct("user_id", "event_id", "ts", "event_type", "value"),
+                F.struct("ts", "event_id"),
+            ).alias("_row")
+        )
+        .select("_row.*")
+    )
+    return merge_upsert(
+        target, updates, keys=["user_id"], order_cols=["ts", "event_id"]
+    )

@@ -102,3 +102,27 @@ class TestStandardize:
         assert got[(3, 0)] == 1.224745
         # dim 1 is constant -> z = 0, not NaN/null.
         assert got[(1, 1)] == 0.0 and got[(3, 1)] == 0.0
+
+
+class TestMergeUpsert:
+    def test_replace_insert_keep(self, spark):
+        from nsp_bolt_pipeline_spark.operators.dedup import merge_upsert
+
+        target = spark.createDataFrame(
+            [(1, "old", 10), (2, "keep", 20)], "k long, v string, o long"
+        )
+        updates = spark.createDataFrame(
+            [
+                (1, "new-early", 30),
+                (1, "new-late", 40),   # wins within updates
+                (3, "insert", 50),
+            ],
+            "k long, v string, o long",
+        )
+        got = {
+            r.k: r.v
+            for r in merge_upsert(
+                target, updates, keys=["k"], order_cols=["o"]
+            ).collect()
+        }
+        assert got == {1: "new-late", 2: "keep", 3: "insert"}
