@@ -15,8 +15,11 @@ rate resolution of ~2e-10.
 
 from __future__ import annotations
 
+from collections.abc import Sequence
+
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql import Window as W
 
 _DENOM = 16**8  # first 8 md5 hex chars as an integer
 
@@ -196,4 +199,40 @@ def weighted_priority_sample(
         .withColumn("priority", priority)
         .orderBy(F.col("priority").asc(), c.asc())
         .limit(k)
+    )
+
+
+def zorder_layout(
+    df: DataFrame,
+    *,
+    col_x: str,
+    col_y: str,
+    n_shards: int,
+    bits: int = 21,
+    keep_cols: Sequence[str] = (),
+) -> DataFrame:
+    """Z-order (Morton) layout: interleave the bits of two layout keys
+    and range-shard on the resulting curve position — the
+    data-skipping sibling of the hash shard layout (l5). Rows close in
+    BOTH keys land in the same shard, so per-file min/max stats on
+    EITHER key become selective and scans with predicates on either
+    column prune files (the effect Delta/Iceberg ``ZORDER BY``
+    targets, expressed as plain Spark).
+
+    The interleave is a single codegen'd fold (no UDF); sharding is
+    ``ntile`` over the curve order — on a cluster the same ordering
+    feeds ``repartitionByRange(n, morton)`` + per-shard write, which
+    is a range shuffle, not a global single-partition sort (ntile here
+    keeps the assignment engine-portable for the oracle).
+    Keys must be non-negative and < 2^bits (2 * bits <= 63)."""
+    morton = F.expr(
+        f"aggregate(sequence(0, {bits - 1}), 0L, (acc, i) -> acc"
+        f" + shiftleft(shiftright({col_x}, i) & 1, cast(2*i as int))"
+        f" + shiftleft(shiftright({col_y}, i) & 1, cast(2*i+1 as int)))"
+    )
+    w = W.orderBy("morton", *keep_cols)
+    return (
+        df.select(*keep_cols, col_x, col_y)
+        .withColumn("morton", morton)
+        .withColumn("shard", F.ntile(n_shards).over(w))
     )

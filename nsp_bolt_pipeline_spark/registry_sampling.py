@@ -184,3 +184,44 @@ def q_weighted_priority_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.withColumn(
         "priority", F.floor(F.col("priority") * 1000000 + F.lit(0.5)) / 1000000
     )
+
+
+# ---------------------------------------------------------------------------
+# Z-order layout (operators.sampling.zorder_layout): Morton-curve
+# range sharding of lineitem on (l_partkey, l_suppkey) for two-key
+# min/max file pruning.
+# ---------------------------------------------------------------------------
+
+from nsp_bolt_pipeline_spark.operators.sampling import zorder_layout  # noqa: E402
+
+_Z_SHARDS = 32
+
+
+@query(
+    "l8_zorder_layout",
+    f"""
+    WITH m AS (
+        SELECT l_orderkey, l_linenumber, l_partkey, l_suppkey,
+               list_sum(list_transform(range(0, 21),
+                   i -> (((l_partkey >> i) & 1) << (2*i))
+                      + (((l_suppkey >> i) & 1) << (2*i + 1)))) AS morton
+        FROM lineitem
+    )
+    SELECT l_orderkey, l_linenumber, l_partkey, l_suppkey, morton,
+           ntile({_Z_SHARDS}) OVER (ORDER BY morton, l_orderkey,
+                                    l_linenumber) AS shard
+    FROM m
+    """,
+)
+def q_zorder(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = read_table(spark, sf_dir, "lineitem")
+    return zorder_layout(
+        li,
+        col_x="l_partkey",
+        col_y="l_suppkey",
+        n_shards=_Z_SHARDS,
+        keep_cols=["l_orderkey", "l_linenumber"],
+    ).select(
+        "l_orderkey", "l_linenumber", "l_partkey", "l_suppkey",
+        "morton", "shard",
+    )

@@ -161,3 +161,29 @@ def test_weighted_sample_prefers_heavy_rows(spark):
     )
     got = weighted_priority_sample(df2, key="k", weight_col="w", k=3).collect()
     assert [r["k"] for r in got] == [3]
+
+
+class TestZorder:
+    def test_morton_interleave_and_contiguous_shards(self, spark):
+        from nsp_bolt_pipeline_spark.operators.sampling import zorder_layout
+
+        df = spark.createDataFrame(
+            [(i, x, y) for i, (x, y) in enumerate(
+                [(0, 0), (1, 0), (0, 1), (1, 1), (5, 0), (0, 5), (7, 7)]
+            )],
+            "rid long, x long, y long",
+        )
+        got = zorder_layout(
+            df, col_x="x", col_y="y", n_shards=2, keep_cols=["rid"]
+        ).collect()
+        m = {r.rid: r.morton for r in got}
+        # interleave: x bits at even positions, y bits at odd.
+        assert m[0] == 0 and m[1] == 1 and m[2] == 2 and m[3] == 3
+        assert m[4] == 0b10001          # x=5 -> bits 0,2 -> 17
+        assert m[5] == 0b100010         # y=5 -> bits 1,3 -> 34
+        assert m[6] == 0b111111         # x=y=7 -> 63
+        # Shards are contiguous ranges of the curve.
+        by_shard = {}
+        for r in got:
+            by_shard.setdefault(r.shard, []).append(r.morton)
+        assert max(by_shard[1]) <= min(by_shard[2])
