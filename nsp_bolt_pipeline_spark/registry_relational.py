@@ -430,3 +430,41 @@ def q_large_volume_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("sum_qty", _r2(F.col("sum_qty")))
     )
     return out
+
+
+# ---------------------------------------------------------------------------
+# Arbitrary GROUPING SETS (beyond rollup/cube): the DataFrame
+# groupingSets API against DuckDB's GROUP BY GROUPING SETS.
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "a7_grouping_sets",
+    """
+    SELECT event_type, CAST(month(ts) AS INTEGER) AS month,
+           COUNT(*) AS n_events,
+           FLOOR((SUM(value))*100 + 0.5)/100 AS total_value
+    FROM events
+    GROUP BY GROUPING SETS ((event_type, month(ts)), (event_type),
+                            (month(ts)))
+    """,
+)
+def q_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Arbitrary grouping sets — the shape rollup/cube can't express
+    (the (month) set without event_type is not on the rollup path).
+    One Expand + one shuffle, same physical plan family as cube."""
+    ev = read_table(spark, sf_dir, "events").select(
+        "event_type", F.month("ts").alias("month"), "value"
+    )
+    return (
+        ev.groupingSets(
+            [["event_type", "month"], ["event_type"], ["month"]],
+            "event_type",
+            "month",
+        )
+        .agg(
+            F.count("*").alias("n_events"),
+            _r2(F.sum("value")).alias("total_value"),
+        )
+        .select("event_type", "month", "n_events", "total_value")
+    )

@@ -696,3 +696,79 @@ def q_stream_hopping(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.read.parquet(dirs["out"]).select(
         "win_start", "win_end", "total_fare", "n_trips", "max_fare"
     )
+
+
+# ---------------------------------------------------------------------------
+# DLQ replay / recovery: after the strict ingest quarantines corrupted
+# rows (stream_s8 shape), re-admit them with the failed field relaxed
+# to optional and merge into bronze. Final bronze = per key, the
+# first VALID row if any, else the first corrupted row (value NULL) —
+# exactly what the oracle ranks.
+# ---------------------------------------------------------------------------
+
+_DLQ_REPLAY_ORACLE = """
+    WITH e AS (
+        SELECT user_id, event_type, event_id, ts,
+               CASE WHEN event_id % 97 = 0 THEN NULL ELSE value END AS value,
+               (event_id % 97 = 0) AS corrupt
+        FROM events
+    ),
+    ranked AS (
+        SELECT *, row_number() OVER (PARTITION BY user_id, event_type
+                                     ORDER BY corrupt, ts, event_id) AS rn
+        FROM e
+    )
+    SELECT user_id, event_type, event_id, ts, value
+    FROM ranked WHERE rn = 1
+"""
+
+
+@query("stream_s8_dlq_replay", _DLQ_REPLAY_ORACLE)
+def q_stream_dlq_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.errors.exceptions.captured import AnalysisException
+
+    dirs = _workdir("stream_dlq_replay")
+    ev = read_table(spark, sf_dir, "events").select(
+        "event_id",
+        "ts",
+        "user_id",
+        "event_type",
+        F.when(F.col("event_id") % 97 == 0, F.lit("not-a-number"))
+        .otherwise(F.col("value").cast("string"))
+        .alias("value"),
+        "props",
+    )
+    dump_json_batches(
+        encode_event_times(ev, ["ts"]), dirs["src"], order_cols=["ts", "event_id"]
+    )
+    run_ingest(
+        _event_stream(spark, dirs["src"], EVENT_WIRE_SCHEMA_STR_VALUE),
+        bronze_dir=dirs["out"],
+        dlq_dir=dirs["dlq"],
+        checkpoint_dir=dirs["ckpt"],
+        required={
+            "user_id": "long",
+            "event_type": "string",
+            "event_id": "long",
+            "value": "double",
+        },
+        dedup_keys=["user_id", "event_type"],
+        order_cols=["ts", "event_id"],
+    )
+    # Recovery pass (batch): DLQ rows already carry typed columns with
+    # the failed field nulled; re-admit them under the relaxed schema,
+    # first-write-wins among themselves, then MERGE-insert only keys
+    # bronze does not have (same anti-join the ingest runs per batch).
+    keys = ["user_id", "event_type"]
+    cols = ["user_id", "event_type", "event_id", "ts", "value"]
+    try:
+        dlq = spark.read.parquet(dirs["dlq"]).select(*cols)
+    except AnalysisException:
+        dlq = None
+    bronze = spark.read.parquet(dirs["out"]).select(*cols)
+    if dlq is not None:
+        winners = first_write_wins(dlq, keys, ["ts", "event_id"])
+        seen = bronze.select(*keys).dropDuplicates()
+        replayed = winners.join(seen, keys, "left_anti").select(*cols)
+        replayed.write.mode("append").parquet(dirs["out"])
+    return spark.read.parquet(dirs["out"]).select(*cols)

@@ -203,3 +203,37 @@ def _profile_oracle() -> str:
 def q_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     orders = read_table(spark, sf_dir, "orders")
     return profile_columns(orders, list(_PROFILE_COLS))
+
+
+# ---------------------------------------------------------------------------
+# Semi-structured explode: the props JSON column as key/value rows —
+# from_json(map<string,double>) + explode vs DuckDB json_keys +
+# json_extract.
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "p13_props_map_explode",
+    """
+    SELECT event_id, k,
+           CAST(json_extract(props, '$.' || k) AS DOUBLE) AS v
+    FROM (
+        SELECT event_id, props, unnest(json_keys(props)) AS k
+        FROM events
+    )
+    """,
+)
+def q_props_explode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi-structured handling (the Glue DynamicFrame choice-type
+    territory, SURVEY §2.2, generalized): parse the JSON props column
+    into a typed map once, explode to relational key/value rows —
+    after this, plain columnar operators apply. from_json is a single
+    codegen'd expression; no schema inference in the data plane."""
+    ev = read_table(spark, sf_dir, "events")
+    parsed = ev.select(
+        "event_id",
+        F.explode(
+            F.from_json("props", "map<string,double>")
+        ).alias("k", "v"),
+    )
+    return parsed.select("event_id", "k", "v")
