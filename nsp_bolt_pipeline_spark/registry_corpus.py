@@ -288,3 +288,87 @@ def q_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pack_sequences(
         chunks, context_len=PACK_CONTEXT, bucket_docs=64
     ).select("doc_id", "chunk_idx", "n_chunk_tokens", "token_offset", "pack_id")
+
+
+# ---------------------------------------------------------------------------
+# End-to-end corpus preparation flagship: quality filter -> exact
+# dedup -> train-split decontamination -> shard assignment, one
+# composed plan. Each stage is an already-oracled operator; this
+# entry proves the COMPOSITION (the actual production shape) stays
+# correct, reusing the same SQL fragments chained as CTEs.
+# ---------------------------------------------------------------------------
+
+from nsp_bolt_pipeline_spark.operators.neardup import exact_dedup_docs  # noqa: E402
+from nsp_bolt_pipeline_spark.operators.sampling import hash_bucket  # noqa: E402
+
+E2E_SHARD_SALT = "e2eshard"
+E2E_N_SHARDS = 8
+
+
+@query(
+    "corpus_e2e_pipeline",
+    f"""
+    WITH {REPETITION_CTES},
+    keep1 AS (
+        SELECT doc_id, n_tokens FROM s WHERE {PASSES_SQL}
+    ),
+    fp AS (
+        SELECT t.doc_id,
+               md5(regexp_replace(lower(trim(t.text)), '\\s+', ' ', 'g'))
+                   AS fp
+        FROM t JOIN keep1 USING (doc_id)
+    ),
+    keepers AS (SELECT MIN(doc_id) AS doc_id FROM fp GROUP BY fp),
+    train AS (
+        SELECT k.doc_id, k.n_tokens
+        FROM keep1 k JOIN keepers USING (doc_id)
+        WHERE {_bucket_sql("doc_id", DECON_SALT)} < {TRAIN_FRAC}
+    ),
+    trg AS (
+        SELECT t.doc_id AS train_id, unnest({_grams_sql(DECON_N)}) AS gram
+        FROM t JOIN train ON t.doc_id = train.doc_id
+    ),
+    teg AS (
+        SELECT doc_id AS test_id, unnest({_grams_sql(DECON_N)}) AS gram
+        FROM t
+        WHERE {_bucket_sql("doc_id", DECON_SALT)} >= {TRAIN_FRAC}
+    ),
+    hits AS (SELECT DISTINCT train_id FROM trg JOIN teg USING (gram))
+    SELECT train.doc_id, train.n_tokens,
+           CAST(FLOOR({_bucket_sql("train.doc_id", E2E_SHARD_SALT)}
+                * {E2E_N_SHARDS}) AS INTEGER) AS shard
+    FROM train
+    LEFT JOIN hits ON train.doc_id = hits.train_id
+    WHERE hits.train_id IS NULL
+    """,
+)
+def q_corpus_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The production composition at 100 TB: every stage is a
+    shuffle-bounded operator (stats are per-row maps; dedup shuffles
+    (fp, id) pairs only; the eval shingle set broadcasts; the shard
+    assignment is a pure map) — the composed plan never carries text
+    through a shuffle except the fp groupBy's md5 input, and Catalyst
+    prunes text out of every stage that doesn't read it."""
+    docs = read_table(spark, sf_dir, "documents").select("doc_id", "text")
+    stats = repetition_stats(docs)
+    keep1 = docs.join(
+        stats.filter(F.col("passes_repetition")).select("doc_id", "n_tokens"),
+        "doc_id",
+    )
+    keepers = exact_dedup_docs(keep1).select("doc_id")
+    keep2 = keep1.join(keepers, "doc_id")
+    train = keep2.filter(hash_bucket("doc_id", salt=DECON_SALT) < TRAIN_FRAC)
+    eval_side = docs.filter(
+        hash_bucket("doc_id", salt=DECON_SALT) >= TRAIN_FRAC
+    )
+    hits = contamination_hits(train, eval_side, n=DECON_N).select(
+        F.col("train_id").alias("doc_id")
+    )
+    clean = train.join(hits, "doc_id", "left_anti")
+    return clean.select(
+        "doc_id",
+        "n_tokens",
+        F.floor(hash_bucket("doc_id", salt=E2E_SHARD_SALT) * E2E_N_SHARDS)
+        .cast("int")
+        .alias("shard"),
+    )
