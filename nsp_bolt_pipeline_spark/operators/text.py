@@ -342,3 +342,72 @@ def rrf_fuse(
         .limit(k)
         .select(id_col, "rrf")
     )
+
+
+def collocations(
+    df: DataFrame,
+    *,
+    text_col: str = "text",
+    min_count: int = 5,
+    top_n: int = 50,
+) -> DataFrame:
+    """Corpus collocations: adjacent-token bigrams ranked by lift —
+    P(w1 w2) / (P(w1) P(w2)), the exponentiated-PMI association
+    measure — with a minimum-support cut. Log-free on purpose: lift is
+    a pure ratio of counts, so it is engine-exact (transcendental
+    ``ln`` differs in the last ULP across libm implementations; a
+    ratio cannot).
+
+    Plan shape: one explode for unigram counts, one for bigram counts
+    (both collapse map-side before their shuffle), two broadcast
+    1-row total frames, a broadcast join of unigram counts onto the
+    bigram table, and a top-n = TakeOrderedAndProject. At 100 TB the
+    unigram table is vocabulary-sized (small); the bigram table is
+    the only large aggregate and it shuffles (w1, w2, partial count)
+    pairs, never text."""
+    base = df.select(tokens(F.lower(F.col(text_col))).alias("toks"))
+    uni = base.select(F.explode("toks").alias("w")).groupBy("w").agg(
+        F.count("*").alias("c_w")
+    )
+    n1 = uni.agg(F.sum("c_w").alias("_n1"))
+    bi = (
+        base.filter(F.size("toks") >= 2)
+        .select(
+            F.explode(
+                F.expr(
+                    "transform(sequence(0, size(toks)-2),"
+                    " i -> struct(toks[i] AS w1, toks[i+1] AS w2))"
+                )
+            ).alias("b")
+        )
+        .select("b.*")
+        .groupBy("w1", "w2")
+        .agg(F.count("*").alias("c_ab"))
+        .filter(F.col("c_ab") >= min_count)
+    )
+    n2 = bi.agg(F.sum("c_ab").alias("_n2"))
+    u1 = uni.select(F.col("w").alias("w1"), F.col("c_w").alias("c_a"))
+    u2 = uni.select(F.col("w").alias("w2"), F.col("c_w").alias("c_b"))
+    scored = (
+        bi.join(F.broadcast(u1), "w1")
+        .join(F.broadcast(u2), "w2")
+        .crossJoin(F.broadcast(n1))
+        .crossJoin(F.broadcast(n2))
+        .select(
+            "w1",
+            "w2",
+            "c_ab",
+            # fixed left-to-right op sequence, mirrored in the oracle
+            (
+                F.col("c_ab").cast("double")
+                * F.col("_n1")
+                / F.col("c_a")
+                * F.col("_n1")
+                / F.col("c_b")
+                / F.col("_n2")
+            ).alias("lift"),
+        )
+    )
+    return scored.orderBy(
+        F.col("lift").desc(), F.col("w1").asc(), F.col("w2").asc()
+    ).limit(top_n)

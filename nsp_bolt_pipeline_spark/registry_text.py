@@ -445,3 +445,50 @@ def q_hybrid_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
     return rrf_fuse(
         bm25_ranked, dense, id_col="doc_id", c=RRF_C, k=FUSE_K
     )
+
+
+# ---------------------------------------------------------------------------
+# Collocations (operators.text.collocations): bigram lift without
+# logs — a pure count ratio, engine-exact.
+# ---------------------------------------------------------------------------
+
+from nsp_bolt_pipeline_spark.operators.text import collocations  # noqa: E402
+
+_COLL_MIN = 5
+_COLL_TOP = 50
+
+
+@query(
+    "text_collocations",
+    f"""
+    WITH t AS (
+        SELECT regexp_split_to_array(trim(lower(text)), '\\s+') AS toks
+        FROM documents
+    ),
+    uni AS (
+        SELECT w, COUNT(*) AS c_w
+        FROM (SELECT unnest(toks) AS w FROM t) GROUP BY w
+    ),
+    n1 AS (SELECT SUM(c_w) AS _n1 FROM uni),
+    bi AS (
+        SELECT w1, w2, COUNT(*) AS c_ab FROM (
+            SELECT toks[i] AS w1, toks[i + 1] AS w2
+            FROM (SELECT toks, unnest(range(1, len(toks))) AS i
+                  FROM t WHERE len(toks) >= 2)
+        ) GROUP BY w1, w2
+        HAVING COUNT(*) >= {_COLL_MIN}
+    ),
+    n2 AS (SELECT SUM(c_ab) AS _n2 FROM bi)
+    SELECT w1, w2, c_ab,
+           CAST(c_ab AS DOUBLE) * _n1 / c_a * _n1 / c_b / _n2 AS lift
+    FROM bi
+    JOIN (SELECT w AS w1, c_w AS c_a FROM uni) USING (w1)
+    JOIN (SELECT w AS w2, c_w AS c_b FROM uni) USING (w2)
+    CROSS JOIN n1 CROSS JOIN n2
+    ORDER BY lift DESC, w1 ASC, w2 ASC
+    LIMIT {_COLL_TOP}
+    """,
+)
+def q_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = read_table(spark, sf_dir, "documents")
+    return collocations(docs, min_count=_COLL_MIN, top_n=_COLL_TOP)
