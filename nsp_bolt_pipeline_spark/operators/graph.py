@@ -127,3 +127,65 @@ def dedup_clusters(
         F.col("component").alias("cluster_id"),
         (F.col("id") == F.col("component")).alias("keep"),
     )
+
+
+def pagerank(
+    edges: DataFrame,
+    *,
+    src: str = "a",
+    dst: str = "b",
+    iterations: int = 3,
+    damping: float = 0.85,
+) -> DataFrame:
+    """Fixed-iteration PageRank over an edge list (undirected graphs
+    pass both directions). The iterative-join workload class: per
+    round, one join of ranks onto edges and one aggregate of
+    contributions per destination — rank state is one row per node,
+    edges never change, so on a cluster the edge table is partitioned
+    by ``src`` ONCE and every round's join reuses that partitioning.
+
+    Determinism: ranks are rounded to 6 decimals after every round
+    (the kmeans convention — the engine-dependent last ULP of the
+    contribution sum cannot compound across iterations). Each round
+    is ``localCheckpoint``-ed to cut lineage growth (the
+    connected-components lesson: chained plans double otherwise).
+    Nodes are taken from the edge list (no dangling-node handling —
+    every listed node has degree >= 1)."""
+    e = edges.select(F.col(src).alias("s"), F.col(dst).alias("d")).persist()
+    deg = e.groupBy("s").agg(F.count("*").alias("deg"))
+    nodes = e.select(F.col("s").alias("node")).distinct().persist()
+    n_total = nodes.count()
+    base = float(1.0 - damping) / n_total
+    ranks = nodes.select(
+        "node", (F.lit(1.0) / n_total).alias("rank")
+    ).localCheckpoint(eager=True)
+    for _ in range(iterations):
+        contrib = (
+            e.join(ranks.withColumnRenamed("node", "s"), "s")
+            .join(deg, "s")
+            .select(
+                F.col("d").alias("node"),
+                (F.col("rank") / F.col("deg")).alias("c"),
+            )
+        )
+        summed = contrib.groupBy("node").agg(F.sum("c").alias("in_sum"))
+        ranks = (
+            nodes.join(summed, "node", "left")
+            .select(
+                "node",
+                (
+                    F.floor(
+                        (
+                            F.lit(base)
+                            + F.lit(damping) * F.coalesce("in_sum", F.lit(0.0))
+                        )
+                        * 1e6
+                        + F.lit(0.5)
+                    )
+                    / 1e6
+                ).alias("rank"),
+            )
+            .localCheckpoint(eager=True)
+        )
+    e.unpersist()
+    return ranks

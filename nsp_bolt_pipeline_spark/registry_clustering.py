@@ -15,6 +15,7 @@ assignments compare exactly.
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 from nsp_bolt_pipeline_spark.operators.clustering import (
     cluster_balanced_sample,
@@ -158,3 +159,60 @@ from nsp_bolt_pipeline_spark.operators.features import standardize_embeddings  #
 def q_standardize(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = read_table(spark, sf_dir, "embeddings")
     return standardize_embeddings(emb)
+
+
+# ---------------------------------------------------------------------------
+# PageRank (operators.graph.pagerank) over the part-supplier
+# bipartite graph; the oracle unrolls the 3 rounded iterations.
+# ---------------------------------------------------------------------------
+
+from nsp_bolt_pipeline_spark.operators.graph import pagerank  # noqa: E402
+
+
+def _pr_iter_sql(prev: str, out: str) -> str:
+    return f"""
+    {out} AS (
+        SELECT nodes.node,
+               FLOOR(((1.0 - 0.85) / nn.n
+                      + 0.85 * COALESCE(agg.in_sum, 0.0)) * 1e6 + 0.5)
+                   / 1e6 AS rank
+        FROM nodes CROSS JOIN nn
+        LEFT JOIN (
+            SELECT e.d AS node, SUM({prev}.rank / deg.deg) AS in_sum
+            FROM e
+            JOIN {prev} ON e.s = {prev}.node
+            JOIN deg ON e.s = deg.s
+            GROUP BY e.d
+        ) agg ON nodes.node = agg.node
+    )"""
+
+
+@query(
+    "graph_pagerank",
+    f"""
+    WITH pairs AS (
+        SELECT DISTINCT 'p' || l_partkey AS a, 's' || l_suppkey AS b
+        FROM lineitem
+    ),
+    e AS (SELECT a AS s, b AS d FROM pairs
+          UNION ALL SELECT b AS s, a AS d FROM pairs),
+    deg AS (SELECT s, COUNT(*) AS deg FROM e GROUP BY s),
+    nodes AS (SELECT DISTINCT s AS node FROM e),
+    nn AS (SELECT COUNT(*) AS n FROM nodes),
+    r0 AS (SELECT node, 1.0 / nn.n AS rank FROM nodes CROSS JOIN nn),
+    {_pr_iter_sql("r0", "r1")},
+    {_pr_iter_sql("r1", "r2")},
+    {_pr_iter_sql("r2", "r3")}
+    SELECT node, rank FROM r3
+    """,
+)
+def q_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = read_table(spark, sf_dir, "lineitem")
+    pairs = li.select(
+        F.concat(F.lit("p"), F.col("l_partkey")).alias("a"),
+        F.concat(F.lit("s"), F.col("l_suppkey")).alias("b"),
+    ).distinct()
+    edges = pairs.unionByName(
+        pairs.select(F.col("b").alias("a"), F.col("a").alias("b"))
+    )
+    return pagerank(edges, iterations=3, damping=0.85)

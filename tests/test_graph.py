@@ -54,3 +54,20 @@ def test_dedup_clusters_keep_flags(spark):
     rows = {r["doc_id"]: r for r in dedup_clusters(docs, pairs).collect()}
     assert [rows[i]["cluster_id"] for i in (1, 2, 3, 7)] == [1, 1, 1, 7]
     assert [rows[i]["keep"] for i in (1, 2, 3, 7)] == [True, False, False, True]
+
+
+class TestPagerank:
+    def test_star_graph_center_dominates(self, spark):
+        from nsp_bolt_pipeline_spark.operators.graph import pagerank
+
+        # Star: center c connected to 3 leaves (undirected).
+        pairs = [("c", x) for x in ("l1", "l2", "l3")]
+        edges = spark.createDataFrame(
+            pairs + [(b, a) for a, b in pairs], "a string, b string"
+        )
+        got = {r.node: r["rank"] for r in pagerank(edges).collect()}
+        assert set(got) == {"c", "l1", "l2", "l3"}
+        assert got["c"] > got["l1"]
+        assert got["l1"] == got["l2"] == got["l3"]
+        # Ranks stay a (rounded) probability distribution.
+        assert abs(sum(got.values()) - 1.0) < 1e-3
