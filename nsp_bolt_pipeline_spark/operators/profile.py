@@ -52,3 +52,47 @@ def profile_columns(
         ]
     )
     return one.select(F.explode(per_col).alias("p")).select("p.*")
+
+
+def equi_width_histogram(
+    df: DataFrame, *, col: str, n_buckets: int = 20
+) -> DataFrame:
+    """Equi-width histogram of a numeric column: bucket index, its
+    [lo, hi) bounds, and the row count. Bounds come from one min/max
+    aggregate broadcast back onto the scan (two passes over the
+    column only — no sort, no shuffle of data rows; counts collapse
+    map-side). The max value is clamped into the last bucket (the
+    standard width_bucket edge rule). Degenerate min == max yields a
+    single bucket 0."""
+    bounds = df.agg(
+        F.min(F.col(col).cast("double")).alias("_lo"),
+        F.max(F.col(col).cast("double")).alias("_hi"),
+    )
+    x = F.col(col).cast("double")
+    width = (F.col("_hi") - F.col("_lo")) / n_buckets
+    bucket = F.when(F.col("_hi") == F.col("_lo"), F.lit(0)).otherwise(
+        F.least(
+            F.floor((x - F.col("_lo")) / width).cast("int"),
+            F.lit(n_buckets - 1),
+        )
+    )
+    return (
+        df.crossJoin(F.broadcast(bounds))
+        .select(bucket.alias("bucket"), "_lo", "_hi")
+        .groupBy("bucket", "_lo", "_hi")
+        .agg(F.count("*").alias("n_rows"))
+        .select(
+            "bucket",
+            (
+                F.col("_lo")
+                + F.col("bucket") * (F.col("_hi") - F.col("_lo")) / n_buckets
+            ).alias("lo"),
+            (
+                F.col("_lo")
+                + (F.col("bucket") + 1)
+                * (F.col("_hi") - F.col("_lo"))
+                / n_buckets
+            ).alias("hi"),
+            "n_rows",
+        )
+    )

@@ -492,3 +492,67 @@ def q_rolling(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_gap_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = read_table(spark, sf_dir, "events")
     return gap_fill_forward(ev, key="user_id", ts_col="ts", value_col="value")
+
+
+# ---------------------------------------------------------------------------
+# Incremental KPI refresh (operators.kpi.incremental_daily_refresh
+# shape): recompute only delta-affected dates, stitch onto untouched
+# aggregate rows — proven identical to the full recompute by sharing
+# the a1 oracle.
+# ---------------------------------------------------------------------------
+
+from nsp_bolt_pipeline_spark.registry import _round2, _stable_avg  # noqa: E402
+
+_REFRESH_SPLIT = "2024-01-20"
+
+
+@query(
+    "a8_incremental_kpi_refresh",
+    f"""
+    SELECT date, total_fare, count_trips,
+           FLOOR((total_fare / count_trips)*100 + 0.5)/100 AS average_fare,
+           max_fare, min_fare
+    FROM (
+        SELECT CAST(ts AS DATE) AS date,
+               FLOOR((SUM(value))*100 + 0.5)/100 AS total_fare,
+               COUNT(*) AS count_trips,
+               MAX(value) AS max_fare,
+               MIN(value) AS min_fare
+        FROM events WHERE event_type = '{END_EVENT}'
+        GROUP BY 1
+    )
+    """,
+)
+def q_incremental_refresh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Materialized-view maintenance: the delta batch (arrivals after
+    the split) touches only its own event dates; those partitions are
+    recomputed from base+delta while every other date keeps its
+    existing aggregate row untouched. The oracle is the PLAIN full
+    daily aggregate — passing means incremental == full recompute.
+    Cost scales with the delta's date span, not history (the
+    affected-date rescan partition-prunes on date-partitioned
+    bronze)."""
+    ends = (
+        read_table(spark, sf_dir, "events")
+        .filter(F.col("event_type") == END_EVENT)
+        .select("ts", "value")
+    )
+    base = ends.filter(F.col("ts") < _REFRESH_SPLIT)
+    delta = ends.filter(F.col("ts") >= _REFRESH_SPLIT)
+
+    def agg(df: DataFrame) -> DataFrame:
+        return df.groupBy(F.to_date("ts").alias("date")).agg(
+            F.sum("value").alias("total_fare"),
+            F.count("*").alias("count_trips"),
+            F.max("value").alias("max_fare"),
+            F.min("value").alias("min_fare"),
+        )
+
+    affected = delta.select(F.to_date("ts").alias("date")).distinct()
+    untouched = agg(base).join(affected, "date", "left_anti")
+    recomputed = agg(
+        ends.withColumn("date", F.to_date("ts"))
+        .join(F.broadcast(affected), "date")
+        .drop("date")
+    )
+    return _stable_avg(_round2(untouched.unionByName(recomputed), ["total_fare"]))

@@ -237,3 +237,44 @@ def q_props_explode(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("k", "v"),
     )
     return parsed.select("event_id", "k", "v")
+
+
+# ---------------------------------------------------------------------------
+# Equi-width histogram (operators.profile.equi_width_histogram): the
+# distribution view next to profile_table's scalar stats.
+# ---------------------------------------------------------------------------
+
+from nsp_bolt_pipeline_spark.operators.profile import equi_width_histogram  # noqa: E402
+
+_HIST_BUCKETS = 20
+
+
+@query(
+    "profile_histogram",
+    f"""
+    WITH bounds AS (
+        SELECT MIN(CAST(o_totalprice AS DOUBLE)) AS lo,
+               MAX(CAST(o_totalprice AS DOUBLE)) AS hi
+        FROM orders
+    ),
+    b AS (
+        SELECT CASE WHEN bounds.hi = bounds.lo THEN 0
+                    ELSE LEAST(CAST(FLOOR((CAST(o_totalprice AS DOUBLE)
+                                           - bounds.lo)
+                             / ((bounds.hi - bounds.lo) / {_HIST_BUCKETS}))
+                             AS INTEGER), {_HIST_BUCKETS - 1}) END AS bucket,
+               bounds.lo AS _lo, bounds.hi AS _hi
+        FROM orders CROSS JOIN bounds
+    )
+    SELECT bucket,
+           _lo + bucket * (_hi - _lo) / {_HIST_BUCKETS} AS lo,
+           _lo + (bucket + 1) * (_hi - _lo) / {_HIST_BUCKETS} AS hi,
+           COUNT(*) AS n_rows
+    FROM b GROUP BY bucket, _lo, _hi
+    """,
+)
+def q_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = read_table(spark, sf_dir, "orders")
+    return equi_width_histogram(
+        orders, col="o_totalprice", n_buckets=_HIST_BUCKETS
+    )

@@ -126,3 +126,35 @@ class TestMergeUpsert:
             ).collect()
         }
         assert got == {1: "new-late", 2: "keep", 3: "insert"}
+
+
+class TestIncrementalRefresh:
+    def test_matches_full_recompute_with_late_delta(self, spark):
+        import datetime
+
+        from nsp_bolt_pipeline_spark.operators.kpi import (
+            daily_kpis,
+            incremental_daily_refresh,
+        )
+
+        def ts(day, hour):
+            return datetime.datetime(2024, 1, day, hour)
+
+        base = spark.createDataFrame(
+            [(ts(1, 9), 10.0, "a"), (ts(2, 9), 20.0, "b")],
+            "dropoff_datetime timestamp, fare_amount double, trip_id string",
+        )
+        # delta holds a LATE event for day 1 plus a new day 3
+        delta = spark.createDataFrame(
+            [(ts(1, 23), 5.0, "c"), (ts(3, 9), 7.0, "d")],
+            "dropoff_datetime timestamp, fare_amount double, trip_id string",
+        )
+        inc = incremental_daily_refresh(base, delta)
+        full = daily_kpis(base.unionByName(delta))
+        assert sorted(map(tuple, inc.collect())) == sorted(
+            map(tuple, full.collect())
+        )
+        # day 2 was untouched; day 1 absorbed the late event
+        got = {r.date.day: r for r in inc.collect()}
+        assert got[1].count_trips == 2 and got[1].total_fare == 15.0
+        assert got[2].count_trips == 1
