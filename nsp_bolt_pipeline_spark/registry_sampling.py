@@ -225,3 +225,57 @@ def q_zorder(spark: SparkSession, sf_dir: str) -> DataFrame:
         "l_orderkey", "l_linenumber", "l_partkey", "l_suppkey",
         "morton", "shard",
     )
+
+
+# ---------------------------------------------------------------------------
+# Shard manifest (write-planning metadata): per-shard row counts and
+# key ranges over the Z-order layout — what a writer publishes so
+# readers can prune shards without opening them.
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "l9_shard_manifest",
+    f"""
+    WITH m AS (
+        SELECT l_orderkey, l_linenumber, l_partkey, l_suppkey,
+               list_sum(list_transform(range(0, 21),
+                   i -> (((l_partkey >> i) & 1) << (2*i))
+                      + (((l_suppkey >> i) & 1) << (2*i + 1)))) AS morton
+        FROM lineitem
+    ),
+    sharded AS (
+        SELECT *, ntile({_Z_SHARDS}) OVER (ORDER BY morton, l_orderkey,
+                                           l_linenumber) AS shard
+        FROM m
+    )
+    SELECT shard, COUNT(*) AS n_rows,
+           MIN(morton) AS min_morton, MAX(morton) AS max_morton,
+           MIN(l_partkey) AS min_partkey, MAX(l_partkey) AS max_partkey,
+           MIN(l_suppkey) AS min_suppkey, MAX(l_suppkey) AS max_suppkey
+    FROM sharded GROUP BY shard
+    """,
+)
+def q_shard_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-shard min/max manifest over the Z-order layout: narrow
+    per-shard key ranges on BOTH layout keys are the whole point of
+    the curve — this is the file-skipping index a lakehouse writer
+    publishes (Delta stats / Iceberg manifests) expressed as a
+    query."""
+    li = read_table(spark, sf_dir, "lineitem")
+    laid = zorder_layout(
+        li,
+        col_x="l_partkey",
+        col_y="l_suppkey",
+        n_shards=_Z_SHARDS,
+        keep_cols=["l_orderkey", "l_linenumber"],
+    )
+    return laid.groupBy("shard").agg(
+        F.count("*").alias("n_rows"),
+        F.min("morton").alias("min_morton"),
+        F.max("morton").alias("max_morton"),
+        F.min("l_partkey").alias("min_partkey"),
+        F.max("l_partkey").alias("max_partkey"),
+        F.min("l_suppkey").alias("min_suppkey"),
+        F.max("l_suppkey").alias("max_suppkey"),
+    )
