@@ -556,3 +556,61 @@ def q_incremental_refresh(spark: SparkSession, sf_dir: str) -> DataFrame:
         .drop("date")
     )
     return _stable_avg(_round2(untouched.unionByName(recomputed), ["total_fare"]))
+
+
+# ---------------------------------------------------------------------------
+# Interval-overlap self-join: same-customer orders whose 7-day
+# fulfillment windows overlap — keyed join + overlap predicate, the
+# per-key-bounded form of interval intersection.
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "j3_interval_overlap",
+    """
+    WITH iv AS (
+        SELECT o_custkey, o_orderkey, CAST(o_orderdate AS DATE) AS s,
+               CAST(o_orderdate AS DATE) + 7 AS e
+        FROM orders
+    )
+    SELECT a.o_custkey, a.o_orderkey AS k1, b.o_orderkey AS k2,
+           CAST(LEAST(a.e, b.e) - GREATEST(a.s, b.s) AS INTEGER)
+               AS overlap_days
+    FROM iv a JOIN iv b
+      ON a.o_custkey = b.o_custkey
+     AND a.o_orderkey < b.o_orderkey
+     AND a.s < b.e AND b.s < a.e
+    """,
+)
+def q_interval_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Overlapping-interval detection: the join shuffles on the entity
+    key only; the overlap predicate prunes inside each key group, so
+    cost is bounded by per-key interval counts (orders per customer),
+    not the table square. For dense per-key timelines, pre-bucket
+    intervals by coarse time range (the range-join pattern of
+    operators.joins) before the same predicate."""
+    iv = read_table(spark, sf_dir, "orders").select(
+        "o_custkey",
+        "o_orderkey",
+        F.col("o_orderdate").alias("s"),
+        F.date_add("o_orderdate", 7).alias("e"),
+    )
+    a, b = iv.alias("a"), iv.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.o_custkey") == F.col("b.o_custkey"))
+            & (F.col("a.o_orderkey") < F.col("b.o_orderkey"))
+            & (F.col("a.s") < F.col("b.e"))
+            & (F.col("b.s") < F.col("a.e")),
+        )
+        .select(
+            F.col("a.o_custkey").alias("o_custkey"),
+            F.col("a.o_orderkey").alias("k1"),
+            F.col("b.o_orderkey").alias("k2"),
+            F.datediff(
+                F.least(F.col("a.e"), F.col("b.e")),
+                F.greatest(F.col("a.s"), F.col("b.s")),
+            ).alias("overlap_days"),
+        )
+    )

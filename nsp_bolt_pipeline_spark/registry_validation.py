@@ -278,3 +278,35 @@ def q_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     return equi_width_histogram(
         orders, col="o_totalprice", n_buckets=_HIST_BUCKETS
     )
+
+
+# ---------------------------------------------------------------------------
+# ORC round-trip (S-family breadth): the second columnar format the
+# engine reads/writes natively; the sink output must re-read to
+# exactly the source rows.
+# ---------------------------------------------------------------------------
+
+import os as _os  # noqa: E402
+import tempfile as _tempfile  # noqa: E402
+
+
+@query(
+    "s9_orc_roundtrip",
+    """
+    SELECT event_id, ts, user_id, event_type, value FROM events
+    """,
+)
+def q_orc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Write the events table as ORC, read it back with the native
+    reader, and hash-match the source — format breadth (parquet, JSON,
+    CSV, ORC) with the same TimestampType normalization everywhere.
+    ORC shares parquet's scan virtues (column pruning, predicate
+    pushdown into stripes)."""
+    out = _os.path.join(_tempfile.mkdtemp(prefix="nsp_orc_"), "events_orc")
+    ev = read_table(spark, sf_dir, "events").select(
+        "event_id", "ts", "user_id", "event_type", "value"
+    )
+    ev.write.mode("overwrite").orc(out)
+    return spark.read.orc(out).select(
+        "event_id", "ts", "user_id", "event_type", "value"
+    )
