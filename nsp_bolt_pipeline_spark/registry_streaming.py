@@ -772,3 +772,89 @@ def q_stream_dlq_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
         replayed = winners.join(seen, keys, "left_anti").select(*cols)
         replayed.write.mode("append").parquet(dirs["out"])
     return spark.read.parquet(dirs["out"]).select(*cols)
+
+
+# ---------------------------------------------------------------------------
+# Left-outer stream-stream completion join: matched trips emit
+# immediately; UNMATCHED starts emit with null end columns when the
+# watermark evicts their state — per-side far-future sentinels flush
+# the tail so the availableNow run is complete.
+# ---------------------------------------------------------------------------
+
+_OUTER_ORACLE = f"""
+WITH starts AS (
+    SELECT CAST(user_id AS VARCHAR) AS trip_id, ts AS pickup_datetime,
+           row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn
+    FROM events WHERE event_type = '{START_EVENT}'
+), ends AS (
+    SELECT CAST(user_id AS VARCHAR) AS trip_id, ts AS dropoff_datetime,
+           value AS fare_amount,
+           row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn
+    FROM events WHERE event_type = '{END_EVENT}'
+)
+SELECT s.trip_id, s.pickup_datetime, e.dropoff_datetime, e.fare_amount
+FROM starts s LEFT JOIN ends e
+  ON s.trip_id = e.trip_id AND e.rn = 1
+ AND e.dropoff_datetime >= s.pickup_datetime
+ AND e.dropoff_datetime <= s.pickup_datetime + INTERVAL 7 DAY
+WHERE s.rn = 1
+"""
+
+
+@query("stream_j4_outer_completion", _OUTER_ORACLE)
+def q_stream_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    dirs = _workdir("stream_j4")
+    ev = read_table(spark, sf_dir, "events").filter(
+        F.col("event_type").isin(START_EVENT, END_EVENT)
+    )
+    deduped = first_write_wins(
+        ev, keys=["user_id", "event_type"], order_cols=["ts", "event_id"]
+    )
+    horizon = ev.agg(F.max("ts").alias("m")).select(
+        F.lit(-1).cast("long").alias("event_id"),
+        (F.col("m") + F.expr("INTERVAL 2400 HOURS")).alias("ts"),
+        F.lit(-1).cast("long").alias("user_id"),
+        F.lit("_flush").alias("event_type"),
+        F.lit(0.0).alias("value"),
+        F.lit(None).cast("string").alias("props"),
+    )
+    sentinels = horizon.unionByName(
+        horizon.select(
+            F.lit(-2).cast("long").alias("event_id"),
+            "ts",
+            F.lit(-2).cast("long").alias("user_id"),
+            F.lit("_flush2").alias("event_type"),
+            "value",
+            "props",
+        )
+    )
+    _dump_events_df(
+        deduped.select(*sentinels.columns).unionByName(sentinels), dirs["src"]
+    )
+    stream = _event_stream(spark, dirs["src"])
+    starts = stream.filter(
+        F.col("event_type").isin(START_EVENT, "_flush")
+    ).select(
+        F.col("user_id").cast("string").alias("trip_id"),
+        F.col("ts").alias("pickup_datetime"),
+    )
+    ends = stream.filter(
+        F.col("event_type").isin(END_EVENT, "_flush2")
+    ).select(
+        F.col("user_id").cast("string").alias("trip_id"),
+        F.col("ts").alias("dropoff_datetime"),
+        F.col("value").alias("fare_amount"),
+    )
+    joined = streaming_completed_trips(
+        starts,
+        ends,
+        within="7 days",
+        watermark_delay="1 hour",
+        how="left_outer",
+    )
+    run_completion_join(joined, out_dir=dirs["out"], checkpoint_dir=dirs["ckpt"])
+    return (
+        spark.read.parquet(dirs["out"])
+        .filter(~F.col("trip_id").isin("-1", "-2"))
+        .select("trip_id", "pickup_datetime", "dropoff_datetime", "fare_amount")
+    )

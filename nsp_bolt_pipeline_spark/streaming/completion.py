@@ -34,11 +34,21 @@ def streaming_completed_trips(
     within: str = "4 hours",
     watermark_delay: str = "1 hour",
     assume_watermarked: bool = False,
+    how: str = "inner",
 ) -> DataFrame:
-    """Watermarked stream-stream inner join: a trip completes when its
+    """Watermarked stream-stream join: a trip completes when its
     end event arrives within ``within`` of its start event. Matches are
     emitted as they occur (append mode); the watermark + range bound
     exist to evict state, not to delay output.
+
+    ``how="left_outer"`` additionally emits each UNMATCHED start (end
+    columns null) at the moment the watermark passes
+    ``pickup + within`` and its state is evicted — the abandoned-trip
+    detector the reference cannot express (its README.md:413-414
+    concedes unmatched DynamoDB rows just accumulate). Outer rows thus
+    arrive late by construction; end-of-stream replays must push the
+    final watermark past the horizon (sentinel events, see
+    streaming/sessions.py) to flush the tail.
 
     ``assume_watermarked=True`` skips the withWatermark calls — for
     inputs that already carry one (e.g. downstream of a watermarked
@@ -57,7 +67,7 @@ def streaming_completed_trips(
             <= F.col(f"s.{start_ts}") + F.expr(f"INTERVAL {within}")
         )
     )
-    joined = s.join(e, cond, "inner")
+    joined = s.join(e, cond, how)
     start_cols = [c for c in starts.columns if c != key]
     # a column present on both sides (e.g. _corrupt_record from the
     # wire reader) would yield a duplicate output name and break any
