@@ -310,3 +310,42 @@ def q_orc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.read.orc(out).select(
         "event_id", "ts", "user_id", "event_type", "value"
     )
+
+
+# ---------------------------------------------------------------------------
+# Winsorization: clamp a metric at its exact P01/P99 — outlier
+# treatment that keeps rows (unlike corpus_length_trim's drop).
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "f_winsorize",
+    """
+    WITH b AS (
+        SELECT quantile_cont(value, 0.01) AS lo,
+               quantile_cont(value, 0.99) AS hi
+        FROM events
+    )
+    SELECT event_id, value,
+           GREATEST(LEAST(value, b.hi), b.lo) AS value_w
+    FROM events CROSS JOIN b
+    """,
+)
+def q_winsorize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-percentile winsorization: one percentile aggregate
+    broadcast back onto the scan, then a pure-map clamp. Spark's exact
+    percentile and DuckDB's quantile_cont share the interpolation
+    formula (proven by a5_exact_percentiles); at 100 TB swap
+    approx_percentile (t-digest) for the bounds pass."""
+    ev = read_table(spark, sf_dir, "events")
+    bounds = ev.agg(
+        F.expr("percentile(value, 0.01)").alias("lo"),
+        F.expr("percentile(value, 0.99)").alias("hi"),
+    )
+    return ev.crossJoin(F.broadcast(bounds)).select(
+        "event_id",
+        "value",
+        F.greatest(F.least(F.col("value"), F.col("hi")), F.col("lo")).alias(
+            "value_w"
+        ),
+    )
