@@ -349,3 +349,61 @@ def q_winsorize(spark: SparkSession, sf_dir: str) -> DataFrame:
             "value_w"
         ),
     )
+
+
+# ---------------------------------------------------------------------------
+# Distribution drift (operators.profile.distribution_drift_tvd):
+# before/after value distributions on a shared grid + TVD.
+# ---------------------------------------------------------------------------
+
+from nsp_bolt_pipeline_spark.operators.profile import (  # noqa: E402
+    distribution_drift_tvd,
+)
+
+_DRIFT_SPLIT = "2024-01-15"
+_DRIFT_BUCKETS = 20
+
+
+@query(
+    "profile_drift_tvd",
+    f"""
+    WITH u AS (SELECT CAST(value AS DOUBLE) AS v, ts FROM events),
+    bounds AS (SELECT MIN(v) AS lo, MAX(v) AS hi FROM u),
+    bucketed AS (
+        SELECT CASE WHEN bounds.hi = bounds.lo THEN 0
+                    ELSE LEAST(CAST(FLOOR((v - bounds.lo)
+                             / ((bounds.hi - bounds.lo) / {_DRIFT_BUCKETS}))
+                             AS INTEGER), {_DRIFT_BUCKETS - 1}) END AS bucket,
+               (ts < TIMESTAMP '{_DRIFT_SPLIT}') AS is_before
+        FROM u CROSS JOIN bounds
+    ),
+    p AS (
+        SELECT bucket, CAST(COUNT(*) AS DOUBLE)
+                   / (SELECT COUNT(*) FROM bucketed WHERE is_before)
+                   AS p_share
+        FROM bucketed WHERE is_before GROUP BY bucket
+    ),
+    q AS (
+        SELECT bucket, CAST(COUNT(*) AS DOUBLE)
+                   / (SELECT COUNT(*) FROM bucketed WHERE NOT is_before)
+                   AS q_share
+        FROM bucketed WHERE NOT is_before GROUP BY bucket
+    ),
+    pb AS (
+        SELECT COALESCE(p.bucket, q.bucket) AS bucket,
+               COALESCE(p_share, 0.0) AS p_share,
+               COALESCE(q_share, 0.0) AS q_share
+        FROM p FULL OUTER JOIN q ON p.bucket = q.bucket
+    )
+    SELECT bucket, p_share, q_share,
+           (SELECT SUM(ABS(p_share - q_share)) / 2 FROM pb) AS tvd
+    FROM pb
+    """,
+)
+def q_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = read_table(spark, sf_dir, "events")
+    before = ev.filter(F.col("ts") < _DRIFT_SPLIT).select("value")
+    after = ev.filter(F.col("ts") >= _DRIFT_SPLIT).select("value")
+    return distribution_drift_tvd(
+        before, after, col="value", n_buckets=_DRIFT_BUCKETS
+    )
