@@ -12,6 +12,7 @@ nearest-list assignment, nprobe probing) the SQL replays in full.
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 from nsp_bolt_pipeline_spark.operators.similarity import (
     cosine_neardup_pairs,
@@ -263,3 +264,52 @@ def q_ann_quantized(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = read_table(spark, sf_dir, "embeddings")
     queries = emb.filter(emb.vec_id < N_QUERIES)
     return quantized_topk(emb, queries, k=K)
+
+
+# ---------------------------------------------------------------------------
+# ANN evaluation harness: recall@k of the IVF path against the exact
+# baseline, computed inside the engine. The oracle nests both
+# entries' full oracle queries as derived tables — the evaluation is
+# only trusted because both rankings already hash-match.
+# ---------------------------------------------------------------------------
+
+from nsp_bolt_pipeline_spark.registry import REGISTRY as _REGISTRY  # noqa: E402
+
+
+def _ann_recall_sql() -> str:
+    exact_sql = _REGISTRY["ann_exact_topk"][1]
+    ivf_sql = _REGISTRY["ann_ivf_topk"][1]
+    return f"""
+    SELECT e.query_id,
+           CAST(COUNT(a.vec_id) AS BIGINT) AS n_hits,
+           CAST(COUNT(a.vec_id) AS DOUBLE) / {K} AS recall_at_k
+    FROM ({exact_sql}) e
+    LEFT JOIN ({ivf_sql}) a
+      ON e.query_id = a.query_id AND e.vec_id = a.vec_id
+    GROUP BY e.query_id
+    """
+
+
+@query("ann_recall_eval", _ann_recall_sql())
+def q_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-query recall@k of IVF(nprobe={NPROBE}/{N_CENTROIDS} lists)
+    vs brute force — the evaluation loop a production ANN deployment
+    runs on a sampled query set to tune nprobe. Both rankings come
+    from the already-oracled operators; the measurement is one
+    (query_id, vec_id) join of two k-row-per-query frames."""
+    emb = read_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(emb.vec_id < N_QUERIES)
+    exact = exact_topk(emb, queries, k=K).alias("e")
+    approx = ivf_topk(
+        emb, queries, k=K, n_centroids=N_CENTROIDS, nprobe=NPROBE
+    ).alias("a")
+    joined = exact.join(
+        approx,
+        (F.col("e.query_id") == F.col("a.query_id"))
+        & (F.col("e.vec_id") == F.col("a.vec_id")),
+        "left",
+    )
+    return joined.groupBy(F.col("e.query_id").alias("query_id")).agg(
+        F.count(F.col("a.vec_id")).alias("n_hits"),
+        (F.count(F.col("a.vec_id")).cast("double") / K).alias("recall_at_k"),
+    )
