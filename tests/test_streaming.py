@@ -554,3 +554,74 @@ class TestStreamingSessions:
         assert [(r.user_id, r.n_events, r.total) for r in got] == [
             (1, 3, 19.0)
         ]
+
+
+class TestOuterCompletionRestart:
+    """Left-outer stream-stream join: state survives a checkpointed
+    restart; unmatched starts emit null-end rows only after the
+    watermark passes pickup + within."""
+
+    SCHEMA = T.StructType(
+        [
+            T.StructField("trip_id", T.StringType()),
+            T.StructField("side", T.StringType()),
+            T.StructField("ts", T.LongType()),
+            T.StructField("fare", T.DoubleType()),
+        ]
+    )
+
+    def _run_once(self, spark, src, out, ckpt):
+        from nsp_bolt_pipeline_spark.streaming.completion import (
+            run_completion_join,
+            streaming_completed_trips,
+        )
+
+        stream = decode_event_times(
+            read_wire_stream(spark, src, self.SCHEMA), ["ts"]
+        )
+        starts = stream.filter(F.col("side") == "s").select(
+            "trip_id", F.col("ts").alias("pickup_datetime")
+        )
+        ends = stream.filter(F.col("side") == "e").select(
+            "trip_id",
+            F.col("ts").alias("dropoff_datetime"),
+            F.col("fare").alias("fare_amount"),
+        )
+        joined = streaming_completed_trips(
+            starts,
+            ends,
+            within="2 hours",
+            watermark_delay="1 hour",
+            how="left_outer",
+        )
+        run_completion_join(joined, out_dir=out, checkpoint_dir=ckpt)
+
+    def test_state_survives_restart_then_expires(self, spark, tmp_path):
+        src, out, ckpt = _dirs(tmp_path, "src", "out", "ckpt")
+        # Run 1: two starts only -> nothing can emit (no matches, and
+        # the watermark has not passed any horizon).
+        _write_batch(src, "b0.json", [
+            {"trip_id": "t1", "side": "s", "ts": T0, "fare": None},
+            {"trip_id": "t2", "side": "s", "ts": T0, "fare": None},
+        ])
+        self._run_once(spark, src, out, ckpt)
+        # the sink may write an empty part file; zero ROWS is the claim
+        assert spark.read.parquet(out).count() == 0
+        # Run 2 (same checkpoint): t1's end arrives in time; t2 never
+        # ends. Far-future rows on BOTH sides push the watermark past
+        # t2's horizon so its expiry emits with null end columns.
+        _write_batch(src, "b1.json", [
+            {"trip_id": "t1", "side": "e", "ts": T0 + US_PER_HOUR, "fare": 9.5},
+            {"trip_id": "zs", "side": "s", "ts": T0 + 1000 * US_PER_HOUR, "fare": None},
+            {"trip_id": "ze", "side": "e", "ts": T0 + 1000 * US_PER_HOUR, "fare": 0.0},
+        ])
+        self._run_once(spark, src, out, ckpt)
+        rows = {
+            r.trip_id: r
+            for r in spark.read.parquet(out).collect()
+            if r.trip_id in ("t1", "t2")
+        }
+        assert rows["t1"].fare_amount == 9.5
+        assert rows["t1"].dropoff_datetime is not None
+        assert rows["t2"].dropoff_datetime is None
+        assert rows["t2"].fare_amount is None
