@@ -216,3 +216,37 @@ def q_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
         pairs.select(F.col("b").alias("a"), F.col("a").alias("b"))
     )
     return pagerank(edges, iterations=3, damping=0.85)
+
+
+# ---------------------------------------------------------------------------
+# Grouped vector mean-pooling: per-label elementwise embedding mean —
+# the chunk->document (or doc->class-prototype) pooling step, as
+# (label, dim, mean) rows.
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "emb_mean_pool",
+    """
+    SELECT label, i - 1 AS dim,
+           FLOOR(AVG(CAST(embedding[i] AS DOUBLE))*1e6 + 0.5)/1e6 AS mean6
+    FROM embeddings
+    CROSS JOIN (SELECT unnest(range(1, 65)) AS i) idx
+    GROUP BY label, i
+    """,
+)
+def q_mean_pool(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Elementwise mean per group via one posexplode + one partial-agg
+    shuffle of (label, dim, sum, count) — the pooling that turns chunk
+    embeddings back into document vectors, or labeled corpora into
+    class prototypes (means rounded to 6 decimals, the engine-
+    portability convention)."""
+    emb = read_table(spark, sf_dir, "embeddings")
+    ex = emb.select(
+        "label", F.posexplode("embedding").alias("dim", "x")
+    )
+    return ex.groupBy("label", "dim").agg(
+        (
+            F.floor(F.avg(F.col("x").cast("double")) * 1e6 + F.lit(0.5)) / 1e6
+        ).alias("mean6")
+    )

@@ -331,3 +331,51 @@ def q_merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
     return merge_upsert(
         target, updates, keys=["user_id"], order_cols=["ts", "event_id"]
     )
+
+
+# ---------------------------------------------------------------------------
+# Dedup evaluation harness: recall of the MinHash-LSH candidate
+# generator against the exact n-gram Jaccard pair set (precision is
+# 1.0 by construction — both sides rescore with exact Jaccard).
+# ---------------------------------------------------------------------------
+
+from nsp_bolt_pipeline_spark.registry import REGISTRY as _REG  # noqa: E402
+
+
+def _dedup_recall_sql() -> str:
+    exact_sql = _REG["neardup_ngram_jaccard"][1]
+    lsh_sql = _REG["neardup_minhash_lsh"][1]
+    return f"""
+    SELECT (SELECT COUNT(*) FROM ({exact_sql})) AS n_exact,
+           (SELECT COUNT(*) FROM ({lsh_sql})) AS n_lsh,
+           (SELECT COUNT(*)
+            FROM ({exact_sql}) e JOIN ({lsh_sql}) l
+              ON e.d1 = l.d1 AND e.d2 = l.d2) AS n_common
+    """
+
+
+@query("dedup_recall_eval", _dedup_recall_sql())
+def q_dedup_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The banding-math check run in-engine: how many of the true
+    Jaccard >= threshold pairs does the banded LSH candidate pass
+    recover? Tune bands/rows on this number before a 100 TB run."""
+    docs = read_table(spark, sf_dir, "documents")
+    # persist both pair sets: each feeds a count AND the overlap join
+    # (three actions total) — without a cache point the full shingle ->
+    # hash -> band -> rescore pipeline would run three times over
+    exact = ngram_jaccard_pairs(docs, n=N, threshold=THRESHOLD).persist()
+    lsh = minhash_lsh_pairs(
+        docs, n=N, num_hashes=NUM_HASHES, bands=BANDS, threshold=THRESHOLD
+    ).persist()
+    try:
+        n_exact = exact.count()
+        n_lsh = lsh.count()
+        n_common = exact.select("d1", "d2").join(
+            lsh.select("d1", "d2"), ["d1", "d2"]
+        ).count()
+    finally:
+        exact.unpersist()
+        lsh.unpersist()
+    return docs.sparkSession.createDataFrame(
+        [(n_exact, n_lsh, n_common)], "n_exact long, n_lsh long, n_common long"
+    )

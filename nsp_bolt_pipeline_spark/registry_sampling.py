@@ -279,3 +279,38 @@ def q_shard_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("l_suppkey").alias("min_suppkey"),
         F.max("l_suppkey").alias("max_suppkey"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Within-source score normalization: percent_rank of document length
+# inside each source — maps heterogeneous source scales onto [0, 1]
+# before cross-source mix decisions. percent_rank is rational
+# ((rank-1)/(n-1)): engine-exact.
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "score_percentile_by_source",
+    """
+    SELECT doc_id, source, n_chars,
+           CASE WHEN COUNT(*) OVER (PARTITION BY source) = 1 THEN 0.0
+                ELSE CAST(rank() OVER w - 1 AS DOUBLE)
+                     / (COUNT(*) OVER (PARTITION BY source) - 1) END AS pct
+    FROM documents
+    WINDOW w AS (PARTITION BY source ORDER BY n_chars, doc_id)
+    """,
+)
+def q_score_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as W
+
+    docs = read_table(spark, sf_dir, "documents")
+    w = W.partitionBy("source").orderBy("n_chars", "doc_id")
+    n = F.count("*").over(W.partitionBy("source"))
+    return docs.select(
+        "doc_id",
+        "source",
+        "n_chars",
+        F.when(n == 1, F.lit(0.0))
+        .otherwise((F.rank().over(w) - 1).cast("double") / (n - 1))
+        .alias("pct"),
+    )
