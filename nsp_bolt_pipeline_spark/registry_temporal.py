@@ -614,3 +614,42 @@ def q_interval_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("overlap_days"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Ordered sequence construction: each user's event history as an
+# ordered id sequence — the autoregressive-training prep step.
+# Portable as a joined string (array columns don't hash-compare
+# across engines).
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "t8_user_event_sequences",
+    """
+    SELECT user_id,
+           COUNT(*) AS n_events,
+           string_agg(CAST(event_id AS VARCHAR), ','
+                      ORDER BY ts, event_id) AS seq
+    FROM events
+    GROUP BY user_id
+    """,
+)
+def q_user_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user ordered event sequence in ONE aggregation: collect
+    (ts, event_id) structs, array_sort (struct order = (ts, id) — no
+    window sort, no second shuffle), project ids, join to a string.
+    The collect_list state per user is the user's history length —
+    bounded by per-key activity, the same bound sequence packing
+    (corpus_pack_sequences) relies on."""
+    ev = read_table(spark, sf_dir, "events")
+    ordered = F.array_sort(
+        F.collect_list(F.struct(F.col("ts"), F.col("event_id")))
+    )
+    return ev.groupBy("user_id").agg(
+        F.count("*").alias("n_events"),
+        F.concat_ws(
+            ",",
+            F.transform(ordered, lambda s: s["event_id"].cast("string")),
+        ).alias("seq"),
+    )
