@@ -129,29 +129,41 @@ def distribution_drift_tvd(
                 F.lit(n_buckets - 1),
             )
         )
-        counts = (
+        return (
             df.crossJoin(F.broadcast(bounds))
             .select(bucket.alias("bucket"))
             .groupBy("bucket")
-            .agg(F.count("*").alias("_n"))
+            .agg(F.count("*").alias(out))
         )
-        total = counts.agg(F.sum("_n").alias("_t"))
-        return counts.crossJoin(F.broadcast(total)).select(
-            "bucket", (F.col("_n") / F.col("_t")).alias(out)
-        )
-    p = bucketed(before, "p_share")
-    q = bucketed(after, "q_share")
-    per_bucket = (
-        p.join(q, "bucket", "full_outer")
+
+    p = bucketed(before, "n_p")
+    q = bucketed(after, "n_q")
+    per_bucket = p.join(q, "bucket", "full_outer").select(
+        "bucket",
+        F.coalesce("n_p", F.lit(0)).alias("n_p"),
+        F.coalesce("n_q", F.lit(0)).alias("n_q"),
+    )
+    # TVD from INTEGER counts: sum|n_p*Nq - n_q*Np| is exact integer
+    # arithmetic (fold-order-free), divided once at the end — the
+    # float-sum-of-shares form differs across engines in the last ULP.
+    totals = per_bucket.agg(
+        F.sum("n_p").alias("_np"), F.sum("n_q").alias("_nq")
+    )
+    with_tot = per_bucket.crossJoin(F.broadcast(totals))
+    num = with_tot.agg(
+        F.sum(
+            F.abs(F.col("n_p") * F.col("_nq") - F.col("n_q") * F.col("_np"))
+        ).alias("_num")
+    )
+    return (
+        with_tot.crossJoin(F.broadcast(num))
         .select(
             "bucket",
-            F.coalesce("p_share", F.lit(0.0)).alias("p_share"),
-            F.coalesce("q_share", F.lit(0.0)).alias("q_share"),
+            (F.col("n_p") / F.col("_np")).alias("p_share"),
+            (F.col("n_q") / F.col("_nq")).alias("q_share"),
+            (
+                F.col("_num").cast("double")
+                / (F.lit(2.0) * F.col("_np") * F.col("_nq"))
+            ).alias("tvd"),
         )
-    )
-    tvd = per_bucket.agg(
-        (F.sum(F.abs(F.col("p_share") - F.col("q_share"))) / 2).alias("tvd")
-    )
-    return per_bucket.crossJoin(F.broadcast(tvd)).select(
-        "bucket", "p_share", "q_share", "tvd"
     )

@@ -378,26 +378,30 @@ _DRIFT_BUCKETS = 20
         FROM u CROSS JOIN bounds
     ),
     p AS (
-        SELECT bucket, CAST(COUNT(*) AS DOUBLE)
-                   / (SELECT COUNT(*) FROM bucketed WHERE is_before)
-                   AS p_share
+        SELECT bucket, COUNT(*) AS n_p
         FROM bucketed WHERE is_before GROUP BY bucket
     ),
     q AS (
-        SELECT bucket, CAST(COUNT(*) AS DOUBLE)
-                   / (SELECT COUNT(*) FROM bucketed WHERE NOT is_before)
-                   AS q_share
+        SELECT bucket, COUNT(*) AS n_q
         FROM bucketed WHERE NOT is_before GROUP BY bucket
     ),
     pb AS (
         SELECT COALESCE(p.bucket, q.bucket) AS bucket,
-               COALESCE(p_share, 0.0) AS p_share,
-               COALESCE(q_share, 0.0) AS q_share
+               COALESCE(n_p, 0) AS n_p,
+               COALESCE(n_q, 0) AS n_q
         FROM p FULL OUTER JOIN q ON p.bucket = q.bucket
+    ),
+    tot AS (SELECT SUM(n_p) AS np, SUM(n_q) AS nq FROM pb),
+    -- TVD numerator in exact integer arithmetic (fold-order-free)
+    num AS (
+        SELECT SUM(ABS(n_p * tot.nq - n_q * tot.np)) AS num
+        FROM pb CROSS JOIN tot
     )
-    SELECT bucket, p_share, q_share,
-           (SELECT SUM(ABS(p_share - q_share)) / 2 FROM pb) AS tvd
-    FROM pb
+    SELECT bucket,
+           n_p / np AS p_share,
+           n_q / nq AS q_share,
+           CAST(num AS DOUBLE) / (2.0 * np * nq) AS tvd
+    FROM pb CROSS JOIN tot CROSS JOIN num
     """,
 )
 def q_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
