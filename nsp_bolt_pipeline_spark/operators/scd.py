@@ -68,3 +68,42 @@ def scd2_intervals(
         F.col("_rid").cast("int").alias("version"),
         "n_rows",
     )
+
+
+def snapshot_diff(
+    old: DataFrame,
+    new: DataFrame,
+    *,
+    key: str,
+    compare_cols: Sequence[str],
+) -> DataFrame:
+    """Change-data capture between two dimension snapshots: full outer
+    join on the key, classify each key as ``added`` / ``removed`` /
+    ``changed`` / ``unchanged`` (null-safe equality over
+    ``compare_cols``), carrying both versions' compared columns as
+    ``old_*`` / ``new_*``. One key-partitioned shuffle; the compare is
+    a codegen'd projection. This is the diff a warehouse publishes as
+    a change feed when the upstream (like the reference's DynamoDB
+    table) only ever exposes full snapshots."""
+    o = old.select(
+        F.col(key), *[F.col(c).alias(f"old_{c}") for c in compare_cols]
+    ).withColumn("_in_old", F.lit(True))
+    n = new.select(
+        F.col(key), *[F.col(c).alias(f"new_{c}") for c in compare_cols]
+    ).withColumn("_in_new", F.lit(True))
+    joined = o.join(n, key, "full_outer")
+    same = F.lit(True)
+    for c in compare_cols:
+        same = same & F.col(f"old_{c}").eqNullSafe(F.col(f"new_{c}"))
+    change = (
+        F.when(F.col("_in_old").isNull(), "added")
+        .when(F.col("_in_new").isNull(), "removed")
+        .when(same, "unchanged")
+        .otherwise("changed")
+    )
+    return joined.select(
+        key,
+        change.alias("change"),
+        *[F.col(f"old_{c}") for c in compare_cols],
+        *[F.col(f"new_{c}") for c in compare_cols],
+    )

@@ -372,3 +372,80 @@ def q_corpus_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("int")
         .alias("shard"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Temperature-scaled language mixing (T = 2): flatten the language
+# distribution toward uniform with sqrt weights — the multilingual
+# up/down-sampling step of an LLM data mix. Weights are integer-
+# rounded (floor(sqrt(p)*1e6+0.5)) so their sum is exact integer
+# arithmetic; membership is the content-hash threshold.
+# ---------------------------------------------------------------------------
+
+from nsp_bolt_pipeline_spark.operators.sampling import hash_bucket as _hb  # noqa: E402
+
+TMIX_SALT = "tmix"
+TMIX_TARGET = 250
+
+
+@query(
+    "corpus_temperature_mix",
+    f"""
+    WITH counts AS (SELECT lang, COUNT(*) AS n_l FROM documents GROUP BY lang),
+    tot AS (SELECT SUM(n_l) AS n FROM counts),
+    w AS (
+        SELECT lang, n_l,
+               CAST(FLOOR(sqrt(CAST(n_l AS DOUBLE) / tot.n) * 1e6 + 0.5)
+                    AS BIGINT) AS s_l
+        FROM counts CROSS JOIN tot
+    ),
+    denom AS (SELECT SUM(s_l) AS d FROM w),
+    rates AS (
+        SELECT lang, LEAST(1.0, CAST(s_l AS DOUBLE) / denom.d
+                                * {TMIX_TARGET} / n_l) AS rate
+        FROM w CROSS JOIN denom
+    )
+    SELECT d.doc_id, d.lang
+    FROM documents d JOIN rates USING (lang)
+    WHERE CAST(CONCAT('0x', substr(md5('{TMIX_SALT}'
+              || CAST(d.doc_id AS VARCHAR)), 1, 8)) AS BIGINT)
+          / 4294967296.0 < rates.rate
+    """,
+)
+def q_temperature_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """sqrt-flattened (temperature 2) language mix: over-represented
+    languages are down-sampled toward the flattened target shares,
+    under-represented ones keep everything (rate capped at 1).
+    Deterministic membership by content hash — re-running over a
+    grown corpus keeps previously-kept docs (stable training mixes).
+    One count aggregate + two broadcast scalar frames + a map-side
+    filter; the corpus never shuffles."""
+    docs = read_table(spark, sf_dir, "documents").select("doc_id", "lang")
+    counts = docs.groupBy("lang").agg(F.count("*").alias("n_l"))
+    tot = counts.agg(F.sum("n_l").alias("n"))
+    w = counts.crossJoin(F.broadcast(tot)).select(
+        "lang",
+        "n_l",
+        F.floor(
+            F.sqrt(F.col("n_l").cast("double") / F.col("n")) * 1e6
+            + F.lit(0.5)
+        )
+        .cast("long")
+        .alias("s_l"),
+    )
+    denom = w.agg(F.sum("s_l").alias("d"))
+    rates = w.crossJoin(F.broadcast(denom)).select(
+        "lang",
+        F.least(
+            F.lit(1.0),
+            F.col("s_l").cast("double")
+            / F.col("d")
+            * TMIX_TARGET
+            / F.col("n_l"),
+        ).alias("rate"),
+    )
+    return (
+        docs.join(F.broadcast(rates), "lang")
+        .filter(_hb("doc_id", salt=TMIX_SALT) < F.col("rate"))
+        .select("doc_id", "lang")
+    )

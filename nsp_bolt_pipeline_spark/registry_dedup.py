@@ -379,3 +379,62 @@ def q_dedup_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     return docs.sparkSession.createDataFrame(
         [(n_exact, n_lsh, n_common)], "n_exact long, n_lsh long, n_common long"
     )
+
+
+# ---------------------------------------------------------------------------
+# Snapshot diff / CDC (operators.scd.snapshot_diff): change feed
+# between the first-half and second-half latest-state snapshots.
+# ---------------------------------------------------------------------------
+
+from nsp_bolt_pipeline_spark.operators.scd import snapshot_diff  # noqa: E402
+
+_DIFF_SPLIT = "2024-01-15"
+
+
+@query(
+    "d4_snapshot_diff",
+    f"""
+    WITH olds AS (
+        SELECT user_id, event_id FROM (
+            SELECT user_id, event_id,
+                   row_number() OVER (PARTITION BY user_id
+                                      ORDER BY ts DESC, event_id DESC) AS rn
+            FROM events WHERE ts < TIMESTAMP '{_DIFF_SPLIT}'
+        ) WHERE rn = 1
+    ),
+    news AS (
+        SELECT user_id, event_id FROM (
+            SELECT user_id, event_id,
+                   row_number() OVER (PARTITION BY user_id
+                                      ORDER BY ts DESC, event_id DESC) AS rn
+            FROM events WHERE ts >= TIMESTAMP '{_DIFF_SPLIT}'
+        ) WHERE rn = 1
+    )
+    SELECT COALESCE(o.user_id, n.user_id) AS user_id,
+           CASE WHEN o.user_id IS NULL THEN 'added'
+                WHEN n.user_id IS NULL THEN 'removed'
+                WHEN o.event_id = n.event_id THEN 'unchanged'
+                ELSE 'changed' END AS change,
+           o.event_id AS old_event_id,
+           n.event_id AS new_event_id
+    FROM olds o FULL OUTER JOIN news n ON o.user_id = n.user_id
+    """,
+)
+def q_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = read_table(spark, sf_dir, "events").select("user_id", "event_id", "ts")
+
+    def latest(df):
+        return (
+            df.groupBy("user_id")
+            .agg(
+                F.max_by(
+                    F.col("event_id"), F.struct("ts", "event_id")
+                ).alias("event_id")
+            )
+        )
+
+    olds = latest(ev.filter(F.col("ts") < _DIFF_SPLIT))
+    news = latest(ev.filter(F.col("ts") >= _DIFF_SPLIT))
+    return snapshot_diff(
+        olds, news, key="user_id", compare_cols=["event_id"]
+    )

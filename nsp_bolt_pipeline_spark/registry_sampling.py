@@ -314,3 +314,58 @@ def q_score_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise((F.rank().over(w) - 1).cast("double") / (n - 1))
         .alias("pct"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Rendezvous (highest-random-weight) hashing: minimal-disruption key
+# -> node assignment; when a node leaves, only ITS keys move.
+# ---------------------------------------------------------------------------
+
+_RDV_NODES = 8
+
+
+@query(
+    "l10_rendezvous_assignment",
+    f"""
+    SELECT user_id, node FROM (
+        SELECT u.user_id, n.node,
+               row_number() OVER (
+                   PARTITION BY u.user_id
+                   ORDER BY md5('node' || CAST(n.node AS VARCHAR) || '|'
+                               || CAST(u.user_id AS VARCHAR)) DESC,
+                            n.node ASC
+               ) AS rn
+        FROM (SELECT DISTINCT user_id FROM events) u
+        CROSS JOIN (SELECT unnest(range(0, {_RDV_NODES})) AS node) n
+    ) WHERE rn = 1
+    """,
+)
+def q_rendezvous(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Highest-random-weight assignment: every key scores all N nodes
+    (md5 of node||key, compared lexicographically — identical on both
+    engines) and takes the max. Unlike modulo hashing, removing one
+    node reassigns ONLY that node's keys (1/N of them) — the stable
+    routing layer for stateful services / cache shards. A broadcast
+    N-row crossJoin collapsed map-side by max_by: the key table never
+    shuffles."""
+    spark_nodes = [(i,) for i in range(_RDV_NODES)]
+    ev = read_table(spark, sf_dir, "events")
+    users = ev.select("user_id").distinct()
+    nodes = users.sparkSession.createDataFrame(spark_nodes, "node int")
+    scored = users.crossJoin(F.broadcast(nodes)).select(
+        "user_id",
+        "node",
+        F.md5(
+            F.concat(
+                F.lit("node"),
+                F.col("node").cast("string"),
+                F.lit("|"),
+                F.col("user_id").cast("string"),
+            )
+        ).alias("score"),
+    )
+    return scored.groupBy("user_id").agg(
+        F.max_by(F.col("node"), F.struct(F.col("score"), -F.col("node"))).alias(
+            "node"
+        )
+    )

@@ -653,3 +653,54 @@ def q_user_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.transform(ordered, lambda s: s["event_id"].cast("string")),
         ).alias("seq"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Inter-event gap statistics: per-user lag deltas -> mean / max gap
+# in seconds — cadence profiling for sessionization-gap tuning.
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "t9_interevent_gaps",
+    """
+    SELECT user_id,
+           COUNT(gap_s) AS n_gaps,
+           CAST(FLOOR(AVG(gap_s)*100 + 0.5)/100 AS DOUBLE) AS mean_gap_s,
+           MAX(gap_s) AS max_gap_s
+    FROM (
+        SELECT user_id,
+               CAST(epoch_us(ts) - epoch_us(lag(ts) OVER w) AS DOUBLE)
+                   / 1000000.0 AS gap_s
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    )
+    WHERE gap_s IS NOT NULL
+    GROUP BY user_id
+    """,
+)
+def q_interevent_gaps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user event cadence: lag deltas in epoch-micros (exact
+    integers) divided once to seconds, then mean (rounded through the
+    portable cents formula) and max. This is the number that picks
+    session_window gaps (operators/sessions.py) empirically. One
+    key-partitioned window sort + one partial-agg shuffle."""
+    from pyspark.sql import Window as W
+
+    ev = read_table(spark, sf_dir, "events")
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    gaps = ev.select(
+        "user_id",
+        (
+            (
+                F.unix_micros(F.col("ts").cast("timestamp"))
+                - F.unix_micros(F.lag(F.col("ts").cast("timestamp")).over(w))
+            ).cast("double")
+            / 1000000.0
+        ).alias("gap_s"),
+    ).filter(F.col("gap_s").isNotNull())
+    return gaps.groupBy("user_id").agg(
+        F.count("gap_s").alias("n_gaps"),
+        (F.floor(F.avg("gap_s") * 100 + F.lit(0.5)) / 100).alias("mean_gap_s"),
+        F.max("gap_s").alias("max_gap_s"),
+    )

@@ -411,3 +411,49 @@ def q_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     return distribution_drift_tvd(
         before, after, col="value", n_buckets=_DRIFT_BUCKETS
     )
+
+
+# ---------------------------------------------------------------------------
+# Equi-depth (equal-frequency) binning: ntile complement of the
+# equi-width histogram; bin edges adapt to the distribution.
+# ---------------------------------------------------------------------------
+
+_DEPTH_BINS = 10
+
+
+@query(
+    "profile_equidepth_bins",
+    f"""
+    SELECT bin, COUNT(*) AS n_rows,
+           MIN(o_totalprice) AS lo, MAX(o_totalprice) AS hi
+    FROM (
+        SELECT o_totalprice,
+               ntile({_DEPTH_BINS}) OVER (ORDER BY o_totalprice, o_orderkey)
+                   AS bin
+        FROM orders
+    )
+    GROUP BY bin
+    """,
+)
+def q_equidepth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equal-frequency bins via ntile over a deterministic total
+    order; per-bin [lo, hi] edges are the adaptive quantile grid the
+    equi-width histogram can't give on skewed data. The global window
+    sort is the cost — at 100 TB use approx_percentile edges (t-digest)
+    and a broadcast range join instead; ntile keeps the oracle
+    replayable here."""
+    from pyspark.sql import Window as W
+
+    orders = read_table(spark, sf_dir, "orders")
+    w = W.orderBy("o_totalprice", "o_orderkey")
+    return (
+        orders.select(
+            "o_totalprice", F.ntile(_DEPTH_BINS).over(w).alias("bin")
+        )
+        .groupBy("bin")
+        .agg(
+            F.count("*").alias("n_rows"),
+            F.min("o_totalprice").alias("lo"),
+            F.max("o_totalprice").alias("hi"),
+        )
+    )
