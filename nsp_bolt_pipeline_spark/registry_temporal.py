@@ -704,3 +704,40 @@ def q_interevent_gaps(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.floor(F.avg("gap_s") * 100 + F.lit(0.5)) / 100).alias("mean_gap_s"),
         F.max("gap_s").alias("max_gap_s"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Per-event trailing count: events in the previous hour per user,
+# evaluated AT EVERY EVENT — the RANGE-frame sliding window at row
+# grain (t6 is day grain).
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "t10_trailing_event_count",
+    """
+    SELECT event_id, user_id, ts,
+           COUNT(*) OVER (PARTITION BY user_id ORDER BY ts
+                          RANGE BETWEEN INTERVAL 1 HOUR PRECEDING
+                                AND CURRENT ROW) AS n_last_hour
+    FROM events
+    """,
+)
+def q_trailing_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Velocity feature (events-per-trailing-hour at each event) — the
+    fraud/rate-limit signal shape. The frame is RANGE over exact
+    epoch-micros (ties all enter the frame together, matching SQL
+    RANGE semantics over the raw timestamp), one key-partitioned
+    sort, integer output."""
+    from pyspark.sql import Window as W
+
+    ev = read_table(spark, sf_dir, "events")
+    us = F.unix_micros(F.col("ts").cast("timestamp"))
+    w = (
+        W.partitionBy("user_id")
+        .orderBy(us.alias("_us"))
+        .rangeBetween(-3_600_000_000, 0)
+    )
+    return ev.select(
+        "event_id", "user_id", "ts", F.count("*").over(w).alias("n_last_hour")
+    )

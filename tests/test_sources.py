@@ -83,3 +83,25 @@ def test_bucketed_bronze_joins_without_shuffle(spark, tmp_path):
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
         spark.sql("DROP TABLE IF EXISTS bronze_starts")
         spark.sql("DROP TABLE IF EXISTS bronze_ends")
+
+
+class TestSchemaEvolution:
+    def test_merge_schema_across_parquet_generations(self, spark, tmp_path):
+        """S-capability: bronze written before/after a schema change
+        (added column) reads back as ONE unified frame — old rows get
+        nulls for the new column, nothing is silently dropped."""
+        v1 = spark.createDataFrame(
+            [(1, "a"), (2, "b")], "id long, payload string"
+        )
+        v2 = spark.createDataFrame(
+            [(3, "c", 9.5)], "id long, payload string, score double"
+        )
+        out = str(tmp_path / "bronze")
+        v1.write.mode("append").parquet(out)
+        v2.write.mode("append").parquet(out)
+        got = spark.read.option("mergeSchema", True).parquet(out)
+        assert set(got.columns) == {"id", "payload", "score"}
+        rows = {r.id: r for r in got.collect()}
+        assert rows[1].score is None
+        assert rows[3].score == 9.5
+        assert len(rows) == 3
