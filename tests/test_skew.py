@@ -152,3 +152,24 @@ def test_salted_left_join_keeps_unmatched(spark):
         for r in salted_join(skewed, small, key="k", how="left").collect()
     }
     assert rows == {1: 10.0, 2: None}
+
+
+class TestSketchMerge:
+    def test_hll_sketches_merge_across_days(self, spark):
+        """Mergeability is the 100 TB story: daily HLL sketches union
+        to the period estimate without rescanning — the datasketches
+        binary column is the state a rollup table stores."""
+        from pyspark.sql import functions as F
+
+        ev = spark.range(3000).select(
+            (F.col("id") % 7).cast("string").alias("day"),
+            (F.col("id") % 500).alias("user_id"),
+        )
+        daily = ev.groupBy("day").agg(
+            F.expr("hll_sketch_agg(user_id)").alias("sk")
+        )
+        merged = daily.agg(
+            F.expr("hll_sketch_estimate(hll_union_agg(sk))").alias("est")
+        ).collect()[0].est
+        exact = ev.select("user_id").distinct().count()
+        assert abs(merged - exact) / exact < 0.05

@@ -1,0 +1,57 @@
+"""Physical-plan hygiene audit over the registry.
+
+For every batch entry, materialize the physical plan (no execution)
+and flag scale anti-patterns:
+
+- ``CartesianProduct`` — always an error (an unkeyed all-pairs join).
+- ``BroadcastNestedLoopJoin`` — acceptable only when one side is a
+  deliberately-broadcast tiny frame (planes/centroids/bounds); listed
+  for human review.
+- Exchange count — not an error, but the number to watch per entry.
+
+Streaming entries are skipped: calling them RUNS their availableNow
+query; their stateful plans are exercised by the oracle gate instead.
+
+Usage: python tools/plan_audit.py [sf_dir]
+"""
+
+from __future__ import annotations
+
+import sys
+
+sys.path.insert(0, ".")
+
+
+def main() -> int:
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.001"
+
+    import __spark_entry__ as e
+    from nsp_bolt_pipeline_spark.session import get_spark
+
+    spark = get_spark("plan_audit")
+    errors = 0
+    for name, fn in e.queries().items():
+        if name.startswith("stream_"):
+            continue
+        try:
+            plan = fn(spark, sf_dir)._jdf.queryExecution().executedPlan().toString()
+        except Exception as ex:  # noqa: BLE001
+            print(f"ERROR {name}: {ex}")
+            errors += 1
+            continue
+        flags = []
+        if "CartesianProduct" in plan:
+            flags.append("CARTESIAN")
+            errors += 1
+        if "BroadcastNestedLoopJoin" in plan:
+            flags.append("bnlj")
+        n_ex = plan.count("Exchange")
+        marker = "FLAG" if "CARTESIAN" in flags else "ok  "
+        print(f"{marker} {name}: exchanges={n_ex}"
+              + (f" [{', '.join(flags)}]" if flags else ""))
+    print(f"\n{'CLEAN' if errors == 0 else f'{errors} ERRORS'}")
+    return 1 if errors else 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
