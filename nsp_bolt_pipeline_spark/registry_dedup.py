@@ -438,3 +438,45 @@ def q_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
     return snapshot_diff(
         olds, news, key="user_id", compare_cols=["event_id"]
     )
+
+
+# ---------------------------------------------------------------------------
+# Best-quality-wins exact dedup: keep the LONGEST duplicate (ties ->
+# lowest id) instead of first-write-wins — the keeper policy corpus
+# pipelines actually want (the fullest variant of a mirrored page).
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "d5_exact_dedup_best",
+    r"""
+    SELECT fp, doc_id, n_chars FROM (
+        SELECT md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS fp,
+               doc_id, n_chars,
+               row_number() OVER (
+                   PARTITION BY md5(regexp_replace(lower(trim(text)),
+                                                   '\s+', ' ', 'g'))
+                   ORDER BY n_chars DESC, doc_id ASC
+               ) AS rn
+        FROM documents
+    ) WHERE rn = 1
+    """,
+)
+def q_exact_dedup_best(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Same partial-agg max_by collapse as first_write_wins — no
+    window sort — but the keeper is the best-quality duplicate
+    (longest, ties to lowest id) rather than the earliest. Policy is
+    one struct-ordering expression; everything else about the dedup
+    plan is unchanged."""
+    from nsp_bolt_pipeline_spark.operators.neardup import fingerprint
+
+    docs = read_table(spark, sf_dir, "documents").select(
+        "doc_id", "n_chars", fingerprint("text").alias("fp")
+    )
+    best = docs.groupBy("fp").agg(
+        F.max_by(
+            F.struct("doc_id", "n_chars"),
+            F.struct(F.col("n_chars"), -F.col("doc_id")),
+        ).alias("_w")
+    )
+    return best.select("fp", F.col("_w.doc_id"), F.col("_w.n_chars"))

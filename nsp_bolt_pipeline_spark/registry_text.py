@@ -492,3 +492,55 @@ _COLL_TOP = 50
 def q_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = read_table(spark, sf_dir, "documents")
     return collocations(docs, min_count=_COLL_MIN, top_n=_COLL_TOP)
+
+
+# ---------------------------------------------------------------------------
+# Inverted-index statistics: the dictionary a search layer (BM25)
+# builds, materialized — per-term document frequency and total term
+# frequency for the most selective terms.
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "text_inverted_index_stats",
+    """
+    WITH toks AS (
+        SELECT doc_id, unnest(regexp_split_to_array(trim(lower(text)),
+                                                    '\\s+')) AS term
+        FROM documents
+    ),
+    tf AS (
+        SELECT doc_id, term, COUNT(*) AS tf
+        FROM toks GROUP BY doc_id, term
+    )
+    SELECT term,
+           COUNT(*) AS doc_freq,
+           SUM(tf) AS total_tf
+    FROM tf GROUP BY term
+    HAVING COUNT(*) >= 5
+    ORDER BY doc_freq DESC, term ASC
+    LIMIT 100
+    """,
+)
+def q_inverted_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The postings-dictionary build: explode terms once, collapse to
+    (doc, term, tf) map-side, then per-term document/term frequencies.
+    These are exactly the statistics the BM25 operator consumes
+    (operators/text.py bm25_topk); materializing them is the index-
+    build step of a 100 TB search layer — two partial-agg shuffles of
+    slim (term, counts) rows, text never shuffles."""
+    docs = read_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id", F.explode(tokens(F.lower(F.col("text")))).alias("term")
+    )
+    tf = toks.groupBy("doc_id", "term").agg(F.count("*").alias("tf"))
+    return (
+        tf.groupBy("term")
+        .agg(
+            F.count("*").alias("doc_freq"),
+            F.sum("tf").alias("total_tf"),
+        )
+        .filter(F.col("doc_freq") >= 5)
+        .orderBy(F.col("doc_freq").desc(), F.col("term").asc())
+        .limit(100)
+    )
