@@ -480,3 +480,46 @@ def q_exact_dedup_best(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("_w")
     )
     return best.select("fp", F.col("_w.doc_id"), F.col("_w.n_chars"))
+
+
+# ---------------------------------------------------------------------------
+# Cross-source duplication governance: near-duplicate pairs whose two
+# docs come from DIFFERENT sources — the mirror/syndication leakage
+# report that decides whether dedup can shard per source.
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "d6_cross_source_neardups",
+    f"""
+    SELECT p.d1, p.d2, a.source AS src1, b.source AS src2
+    FROM ({_minhash_lsh_sql()}) p
+    JOIN documents a ON p.d1 = a.doc_id
+    JOIN documents b ON p.d2 = b.doc_id
+    WHERE a.source <> b.source
+    """,
+)
+def q_cross_source_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Which near-duplicate content is syndicated across sources? The
+    LSH pair set joined back to each side's source, keeping only
+    cross-source pairs. If this is ~empty, per-source dedup shards
+    embarrassingly at 100 TB; if not, fingerprints must co-locate
+    ACROSS sources and dedup is a global shuffle — this query is the
+    number that decides which."""
+    docs = read_table(spark, sf_dir, "documents")
+    pairs = minhash_lsh_pairs(
+        docs, n=N, num_hashes=NUM_HASHES, bands=BANDS, threshold=THRESHOLD
+    )
+    src = docs.select("doc_id", "source")
+    return (
+        pairs.join(src.withColumnRenamed("doc_id", "d1"), "d1")
+        .withColumnRenamed("source", "src1")
+        .join(
+            src.withColumnRenamed("doc_id", "d2").withColumnRenamed(
+                "source", "src2"
+            ),
+            "d2",
+        )
+        .filter(F.col("src1") != F.col("src2"))
+        .select("d1", "d2", "src1", "src2")
+    )

@@ -741,3 +741,59 @@ def q_trailing_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ev.select(
         "event_id", "user_id", "ts", F.count("*").over(w).alias("n_last_hour")
     )
+
+
+# ---------------------------------------------------------------------------
+# Rolling WAU / DAU stickiness: exact 7-day distinct users per day via
+# the hopping-window explode; at 100 TB the distinct becomes an HLL
+# sketch union (mergeability pytest-proven in test_skew).
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "t11_rolling_dau_wau",
+    """
+    WITH e AS (SELECT DISTINCT CAST(ts AS DATE) AS d, user_id FROM events),
+    dau AS (SELECT d, COUNT(*) AS dau FROM e GROUP BY d),
+    ex AS (
+        SELECT CAST(unnest(generate_series(CAST(d AS TIMESTAMP),
+                   CAST(d + 6 AS TIMESTAMP), INTERVAL 1 DAY)) AS DATE)
+                   AS win_day,
+               user_id
+        FROM e
+    ),
+    wau AS (SELECT win_day AS d, COUNT(DISTINCT user_id) AS wau
+            FROM ex GROUP BY win_day)
+    SELECT d, dau.dau, wau.wau,
+           CAST(dau.dau AS DOUBLE) / wau.wau AS stickiness
+    FROM dau JOIN wau USING (d)
+    """,
+)
+def q_rolling_dau_wau(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DAU / trailing-7-day WAU per day. The (date, user) grain is
+    deduped FIRST (one distinct of slim pairs), then each pair
+    fans out to the 7 window days it contributes to — the hopping
+    explode keeps the distinct exact without a window-sort. The
+    stickiness ratio is a single division."""
+    ev = read_table(spark, sf_dir, "events")
+    pairs = ev.select(
+        F.to_date("ts").alias("d"), "user_id"
+    ).distinct()
+    dau = pairs.groupBy("d").agg(F.count("*").alias("dau"))
+    ex = pairs.select(
+        F.explode(
+            F.sequence(
+                F.col("d"), F.date_add("d", 6), F.expr("INTERVAL 1 DAY")
+            )
+        ).alias("win_day"),
+        "user_id",
+    )
+    wau = ex.groupBy(F.col("win_day").alias("d")).agg(
+        F.count_distinct("user_id").alias("wau")
+    )
+    return dau.join(wau, "d").select(
+        "d",
+        "dau",
+        "wau",
+        (F.col("dau").cast("double") / F.col("wau")).alias("stickiness"),
+    )
