@@ -797,3 +797,79 @@ def q_rolling_dau_wau(spark: SparkSession, sf_dir: str) -> DataFrame:
         "wau",
         (F.col("dau").cast("double") / F.col("wau")).alias("stickiness"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Trip-duration distribution: completion join -> duration minutes ->
+# equi-width histogram, composing two oracled operators.
+# ---------------------------------------------------------------------------
+
+from nsp_bolt_pipeline_spark.operators.profile import (  # noqa: E402
+    equi_width_histogram,
+)
+from nsp_bolt_pipeline_spark.pipeline import events_as_trip_streams  # noqa: E402
+
+_DUR_BUCKETS = 12
+
+
+@query(
+    "a9_trip_duration_histogram",
+    f"""
+    WITH starts AS (
+        SELECT CAST(user_id AS VARCHAR) AS trip_id, ts AS p,
+               row_number() OVER (PARTITION BY user_id
+                                  ORDER BY ts, event_id) AS rn
+        FROM events WHERE event_type = '{START_EVENT}'
+    ),
+    ends AS (
+        SELECT CAST(user_id AS VARCHAR) AS trip_id, ts AS d,
+               row_number() OVER (PARTITION BY user_id
+                                  ORDER BY ts, event_id) AS rn
+        FROM events WHERE event_type = '{END_EVENT}'
+    ),
+    dur AS (
+        SELECT CAST(epoch_us(e.d) - epoch_us(s.p) AS DOUBLE) / 60000000.0
+                   AS mins
+        FROM starts s JOIN ends e ON s.trip_id = e.trip_id
+        WHERE s.rn = 1 AND e.rn = 1
+    ),
+    bounds AS (SELECT MIN(mins) AS lo, MAX(mins) AS hi FROM dur),
+    b AS (
+        SELECT CASE WHEN bounds.hi = bounds.lo THEN 0
+                    ELSE LEAST(CAST(FLOOR((mins - bounds.lo)
+                             / ((bounds.hi - bounds.lo) / {_DUR_BUCKETS}))
+                             AS INTEGER), {_DUR_BUCKETS - 1}) END AS bucket,
+               bounds.lo AS _lo, bounds.hi AS _hi
+        FROM dur CROSS JOIN bounds
+    )
+    SELECT bucket,
+           _lo + bucket * (_hi - _lo) / {_DUR_BUCKETS} AS lo,
+           _lo + (bucket + 1) * (_hi - _lo) / {_DUR_BUCKETS} AS hi,
+           COUNT(*) AS n_rows
+    FROM b GROUP BY bucket, _lo, _hi
+    """,
+)
+def q_duration_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two oracled operators composed: deduped completion join (J1)
+    producing per-trip durations in exact epoch-micro arithmetic, fed
+    into the equi-width histogram — the ops-dashboard distribution
+    panel, one more proof that compositions stay correct."""
+    starts, ends = events_as_trip_streams(read_table(spark, sf_dir, "events"))
+    starts_d = first_write_wins(
+        starts, keys=["trip_id"],
+        order_cols=["pickup_datetime", "start_event_id"],
+    )
+    ends_d = first_write_wins(
+        ends, keys=["trip_id"],
+        order_cols=["dropoff_datetime", "end_event_id"],
+    )
+    dur = starts_d.join(ends_d, "trip_id").select(
+        (
+            (
+                F.unix_micros(F.col("dropoff_datetime").cast("timestamp"))
+                - F.unix_micros(F.col("pickup_datetime").cast("timestamp"))
+            ).cast("double")
+            / 60000000.0
+        ).alias("mins")
+    )
+    return equi_width_histogram(dur, col="mins", n_buckets=_DUR_BUCKETS)
