@@ -13,17 +13,23 @@ from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 
+from nsp_bolt_pipeline_spark import registry as _registry
 from nsp_bolt_pipeline_spark.registry import REGISTRY
 
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
+    """Flagship query on /root/testdata/sf0.001; driver checks rows>0.
+
+    Deliberately does NOT load the extension registries — the flagship
+    lives in registry.py itself, so the smoke check pays only the core
+    import cost."""
     fn, _ = REGISTRY["trip_daily_kpi"]
     return fn(spark, "/root/testdata/sf0.001")
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """One entry per implemented operator from SURVEY.md §2."""
+    _registry.load_all()
     return {name: fn for name, (fn, _) in REGISTRY.items()}
 
 
@@ -31,4 +37,5 @@ def oracle_sql() -> dict[str, str]:
     """DuckDB-runnable ANSI SQL equivalents; entries are omitted for
     genuinely non-SQL-expressible ops (driver then does a rows-only
     check)."""
+    _registry.load_all()
     return {name: sql for name, (_, sql) in REGISTRY.items() if sql is not None}

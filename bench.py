@@ -56,8 +56,11 @@ def main() -> None:
     m = re.search(r"sf([0-9.]+)", sf_dir)
     sf = float(m.group(1).rstrip(".")) if m else None
 
+    from nsp_bolt_pipeline_spark import registry as _registry
     from nsp_bolt_pipeline_spark.registry import REGISTRY
     from nsp_bolt_pipeline_spark.session import get_spark
+
+    _registry.load_all()
 
     spark = get_spark("nsp_bench")
 

@@ -49,8 +49,15 @@ def standardize_embeddings(
     stats = stats.select(
         "dim",
         "mean6",
+        # clamp: the two independently-rounded moments can make the
+        # rounded variance slightly negative for large-magnitude
+        # dimensions; DuckDB's sqrt() hard-errors on a negative where
+        # Spark would silently yield NaN, so both sides clamp to 0
         F.sqrt(
-            _round6(F.col("msq6") - F.col("mean6") * F.col("mean6"))
+            F.greatest(
+                F.lit(0.0),
+                _round6(F.col("msq6") - F.col("mean6") * F.col("mean6")),
+            )
         ).alias("std"),
     )
     return ex.join(F.broadcast(stats), "dim").select(

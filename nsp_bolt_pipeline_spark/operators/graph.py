@@ -169,6 +169,7 @@ def pagerank(
             )
         )
         summed = contrib.groupBy("node").agg(F.sum("c").alias("in_sum"))
+        prev = ranks
         ranks = (
             nodes.join(summed, "node", "left")
             .select(
@@ -187,5 +188,12 @@ def pagerank(
             )
             .localCheckpoint(eager=True)
         )
+        # the new round is eagerly materialized with truncated
+        # lineage, so the previous round's checkpoint blocks are dead
+        # weight — drop them now rather than at session end (repeated
+        # calls in one process would otherwise accumulate executor
+        # storage per iteration)
+        prev.unpersist()
     e.unpersist()
+    nodes.unpersist()
     return ranks

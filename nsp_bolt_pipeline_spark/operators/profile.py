@@ -63,7 +63,12 @@ def equi_width_histogram(
     column only — no sort, no shuffle of data rows; counts collapse
     map-side). The max value is clamped into the last bucket (the
     standard width_bucket edge rule). Degenerate min == max yields a
-    single bucket 0."""
+    single bucket 0. NULL metric values are excluded up front — a
+    NULL x would otherwise flow through floor() as NULL and land in
+    the last bucket via least()'s null-skipping, silently inflating
+    the top bucket on exactly the null-bearing columns a profiler
+    exists to describe."""
+    df = df.filter(F.col(col).isNotNull())
     bounds = df.agg(
         F.min(F.col(col).cast("double")).alias("_lo"),
         F.max(F.col(col).cast("double")).alias("_hi"),
@@ -113,7 +118,10 @@ def distribution_drift_tvd(
     counts — engine-exact, no transcendental ``ln`` — and bounded in
     [0, 1] for alerting thresholds. One bounds pass, two bucket
     aggregates, a 20-row join: monitoring cost is independent of data
-    volume after the map-side count collapse."""
+    volume after the map-side count collapse. NULL metric values are
+    excluded on both sides (same rationale as equi_width_histogram)."""
+    before = before.filter(F.col(col).isNotNull())
+    after = after.filter(F.col(col).isNotNull())
     u = before.select(F.col(col)).unionByName(after.select(F.col(col)))
     bounds = u.agg(
         F.min(F.col(col).cast("double")).alias("_lo"),

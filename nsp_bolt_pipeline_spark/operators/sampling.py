@@ -219,20 +219,81 @@ def zorder_layout(
     column prune files (the effect Delta/Iceberg ``ZORDER BY``
     targets, expressed as plain Spark).
 
-    The interleave is a single codegen'd fold (no UDF); sharding is
-    ``ntile`` over the curve order — on a cluster the same ordering
-    feeds ``repartitionByRange(n, morton)`` + per-shard write, which
-    is a range shuffle, not a global single-partition sort (ntile here
-    keeps the assignment engine-portable for the oracle).
+    Sharding is by morton VALUE range, not row rank: every row with
+    the same curve position lands in the same shard, boundaries are
+    the exact S-quantiles of the curve-position distribution, and
+    shard morton ranges are therefore NON-overlapping — the property
+    that makes per-shard min/max manifests (l9) maximally selective.
+
+    Scale design (the fact table is never globally sorted or joined):
+      1. morton is a single codegen'd fold (no UDF), map-side.
+      2. ``groupBy(morton).count()`` — one shuffle of DISTINCT curve
+         positions with map-side combine (the only fact-table shuffle,
+         and it moves one row per distinct key).
+      3. Rows-before-each-distinct-morton via a TWO-LEVEL cumulative
+         sum (coarse morton>>k buckets, then within-bucket windows) —
+         the corpus-packing pattern; no no-partition window over
+         anything larger than the ~4k coarse buckets.
+      4. shard(v) = min(S, 1 + (rows_before(v) * S) div N) — pure
+         integer arithmetic, engine-portable for the oracle.
+      5. The S-1 shard lower bounds collect to the driver (k-rows
+         only) and the fact table gets its shard MAP-SIDE from the
+         broadcast boundary array — zero fact-table sort or join.
     Keys must be non-negative and < 2^bits (2 * bits <= 63)."""
     morton = F.expr(
         f"aggregate(sequence(0, {bits - 1}), 0L, (acc, i) -> acc"
         f" + shiftleft(shiftright({col_x}, i) & 1, cast(2*i as int))"
         f" + shiftleft(shiftright({col_y}, i) & 1, cast(2*i+1 as int)))"
     )
-    w = W.orderBy("morton", *keep_cols)
-    return (
-        df.select(*keep_cols, col_x, col_y)
-        .withColumn("morton", morton)
-        .withColumn("shard", F.ntile(n_shards).over(w))
+    base = df.select(*keep_cols, col_x, col_y).withColumn("morton", morton)
+
+    # --- exact quantile boundaries over distinct morton values -----
+    coarse_shift = max(0, 2 * bits - 12)  # <= 4096 coarse buckets
+    counts = base.groupBy("morton").agg(F.count(F.lit(1)).alias("c"))
+    counts = counts.withColumn("cb", F.shiftright("morton", coarse_shift))
+    btot = counts.groupBy("cb").agg(F.sum("c").alias("bc"))
+    bcum = btot.withColumn(
+        "bucket_before",
+        F.coalesce(
+            F.sum("bc").over(
+                W.orderBy("cb").rowsBetween(W.unboundedPreceding, -1)
+            ),
+            F.lit(0),
+        ),
     )
+    tot = btot.agg(F.sum("bc").alias("n"))
+    within = F.coalesce(
+        F.sum("c").over(
+            W.partitionBy("cb")
+            .orderBy("morton")
+            .rowsBetween(W.unboundedPreceding, -1)
+        ),
+        F.lit(0),
+    )
+    shard_of_distinct = (
+        counts.join(F.broadcast(bcum.select("cb", "bucket_before")), "cb")
+        .withColumn("c_before", F.col("bucket_before") + within)
+        .crossJoin(F.broadcast(tot))
+        .withColumn(
+            "shard",
+            F.least(
+                F.lit(n_shards).cast("long"),
+                F.lit(1) + F.expr(f"(c_before * {n_shards}) div n"),
+            ).cast("long"),
+        )
+    )
+    bounds = (
+        shard_of_distinct.filter(F.col("shard") >= 2)
+        .groupBy("shard")
+        .agg(F.min("morton").alias("lo"))
+        .collect()
+    )
+    lows = sorted((int(r["lo"]), int(r["shard"])) for r in bounds)
+
+    # --- map-side shard assignment from the broadcast boundaries ----
+    shard_col = F.lit(1).cast("long")
+    for lo, sh in lows:  # ascending: last satisfied bound wins
+        shard_col = F.when(
+            F.col("morton") >= F.lit(lo), F.lit(sh).cast("long")
+        ).otherwise(shard_col)
+    return base.withColumn("shard", shard_col)

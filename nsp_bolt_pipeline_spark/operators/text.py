@@ -383,9 +383,12 @@ def collocations(
         .select("b.*")
         .groupBy("w1", "w2")
         .agg(F.count("*").alias("c_ab"))
-        .filter(F.col("c_ab") >= min_count)
     )
+    # corpus-wide bigram total BEFORE the min_count filter, so
+    # P(w1 w2) = c_ab / n2 is a true corpus probability and lift
+    # values are comparable across min_count settings
     n2 = bi.agg(F.sum("c_ab").alias("_n2"))
+    bi = bi.filter(F.col("c_ab") >= min_count)
     u1 = uni.select(F.col("w").alias("w1"), F.col("c_w").alias("c_a"))
     u2 = uni.select(F.col("w").alias("w2"), F.col("c_w").alias("c_b"))
     scored = (

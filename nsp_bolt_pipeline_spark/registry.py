@@ -608,20 +608,38 @@ def q_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # ---------------------------------------------------------------------------
 # Extension registries (streaming, text/dedup/similarity/multimodal)
-# register themselves into REGISTRY on import; keep these imports at
-# the bottom so the `query` decorator exists first.
+# register themselves into REGISTRY on import. They are loaded LAZILY
+# via load_all(): the flagship/driver smoke path (`__spark_entry__.
+# entry`) needs only this module's own entries, and should not pay
+# the import cost of all 10 extension modules.
 # ---------------------------------------------------------------------------
 
-from nsp_bolt_pipeline_spark import registry_streaming  # noqa: E402,F401
-from nsp_bolt_pipeline_spark import registry_text  # noqa: E402,F401
-from nsp_bolt_pipeline_spark import registry_dedup  # noqa: E402,F401
-from nsp_bolt_pipeline_spark import registry_similarity  # noqa: E402,F401
-from nsp_bolt_pipeline_spark import registry_multimodal  # noqa: E402,F401
-from nsp_bolt_pipeline_spark import registry_validation  # noqa: E402,F401
-from nsp_bolt_pipeline_spark import registry_skew  # noqa: E402,F401
-from nsp_bolt_pipeline_spark import registry_temporal  # noqa: E402,F401
-from nsp_bolt_pipeline_spark import registry_sampling  # noqa: E402,F401
-from nsp_bolt_pipeline_spark import registry_relational  # noqa: E402,F401
-from nsp_bolt_pipeline_spark import registry_corpus  # noqa: E402,F401
-from nsp_bolt_pipeline_spark import registry_tpch  # noqa: E402,F401
-from nsp_bolt_pipeline_spark import registry_clustering  # noqa: E402,F401
+_ALL_LOADED = False
+
+
+def load_all() -> None:
+    """Import every extension registry module (idempotent). Call
+    before reading REGISTRY when the full query surface is needed
+    (``queries()`` / ``oracle_sql()`` / bench / audits)."""
+    global _ALL_LOADED
+    if _ALL_LOADED:
+        return
+    import importlib
+
+    for mod in (
+        "registry_streaming",
+        "registry_text",
+        "registry_dedup",
+        "registry_similarity",
+        "registry_multimodal",
+        "registry_validation",
+        "registry_skew",
+        "registry_temporal",
+        "registry_sampling",
+        "registry_relational",
+        "registry_corpus",
+        "registry_tpch",
+        "registry_clustering",
+    ):
+        importlib.import_module(f"nsp_bolt_pipeline_spark.{mod}")
+    _ALL_LOADED = True

@@ -146,7 +146,7 @@ from nsp_bolt_pipeline_spark.operators.features import standardize_embeddings  #
     ),
     s2 AS (
         SELECT dim, mean6,
-               sqrt(FLOOR((msq6 - mean6*mean6)*1e6 + 0.5)/1e6) AS std
+               sqrt(GREATEST(0.0, FLOOR((msq6 - mean6*mean6)*1e6 + 0.5)/1e6)) AS std
         FROM stats
     )
     SELECT ex.vec_id, ex.dim,

@@ -197,20 +197,51 @@ from nsp_bolt_pipeline_spark.operators.sampling import zorder_layout  # noqa: E4
 _Z_SHARDS = 32
 
 
-@query(
-    "l8_zorder_layout",
-    f"""
+# Shared oracle CTE chain: morton per row, then the exact-quantile
+# range-shard assignment over DISTINCT morton values (mirrors
+# operators/sampling.py::zorder_layout — shard is a pure function of
+# the morton-value distribution, engine-portable integer arithmetic).
+_Z_ORACLE_CTES = f"""
     WITH m AS (
         SELECT l_orderkey, l_linenumber, l_partkey, l_suppkey,
-               list_sum(list_transform(range(0, 21),
+               CAST(list_sum(list_transform(range(0, 21),
                    i -> (((l_partkey >> i) & 1) << (2*i))
-                      + (((l_suppkey >> i) & 1) << (2*i + 1)))) AS morton
+                      + (((l_suppkey >> i) & 1) << (2*i + 1)))) AS BIGINT)
+                   AS morton
         FROM lineitem
+    ),
+    counts AS (
+        SELECT morton, COUNT(*) AS c FROM m GROUP BY morton
+    ),
+    tot AS (SELECT CAST(SUM(c) AS BIGINT) AS n FROM counts),
+    cum AS (
+        SELECT morton,
+               CAST(COALESCE(SUM(c) OVER (ORDER BY morton
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                   0) AS BIGINT) AS c_before
+        FROM counts
+    ),
+    shards AS (
+        SELECT morton,
+               CAST(LEAST({_Z_SHARDS},
+                   1 + (c_before * {_Z_SHARDS}) // (SELECT n FROM tot))
+                   AS BIGINT) AS shard
+        FROM cum
+    ),
+    laid AS (
+        SELECT m.l_orderkey, m.l_linenumber, m.l_partkey, m.l_suppkey,
+               m.morton, s.shard
+        FROM m JOIN shards s ON m.morton = s.morton
     )
-    SELECT l_orderkey, l_linenumber, l_partkey, l_suppkey, morton,
-           ntile({_Z_SHARDS}) OVER (ORDER BY morton, l_orderkey,
-                                    l_linenumber) AS shard
-    FROM m
+"""
+
+
+@query(
+    "l8_zorder_layout",
+    _Z_ORACLE_CTES
+    + """
+    SELECT l_orderkey, l_linenumber, l_partkey, l_suppkey, morton, shard
+    FROM laid
     """,
 )
 def q_zorder(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -236,24 +267,13 @@ def q_zorder(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "l9_shard_manifest",
-    f"""
-    WITH m AS (
-        SELECT l_orderkey, l_linenumber, l_partkey, l_suppkey,
-               list_sum(list_transform(range(0, 21),
-                   i -> (((l_partkey >> i) & 1) << (2*i))
-                      + (((l_suppkey >> i) & 1) << (2*i + 1)))) AS morton
-        FROM lineitem
-    ),
-    sharded AS (
-        SELECT *, ntile({_Z_SHARDS}) OVER (ORDER BY morton, l_orderkey,
-                                           l_linenumber) AS shard
-        FROM m
-    )
+    _Z_ORACLE_CTES
+    + """
     SELECT shard, COUNT(*) AS n_rows,
            MIN(morton) AS min_morton, MAX(morton) AS max_morton,
            MIN(l_partkey) AS min_partkey, MAX(l_partkey) AS max_partkey,
            MIN(l_suppkey) AS min_suppkey, MAX(l_suppkey) AS max_suppkey
-    FROM sharded GROUP BY shard
+    FROM laid GROUP BY shard
     """,
 )
 def q_shard_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -261,7 +281,8 @@ def q_shard_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
     per-shard key ranges on BOTH layout keys are the whole point of
     the curve — this is the file-skipping index a lakehouse writer
     publishes (Delta stats / Iceberg manifests) expressed as a
-    query."""
+    query. Value-range sharding makes the per-shard morton ranges
+    NON-overlapping, so a reader can binary-search the manifest."""
     li = read_table(spark, sf_dir, "lineitem")
     laid = zorder_layout(
         li,

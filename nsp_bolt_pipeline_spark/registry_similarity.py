@@ -156,9 +156,11 @@ def _planes_values_sql() -> str:
     return ",\n               ".join(rows)
 
 
-@query(
-    "srp_neardup_pairs",
-    f"""
+def _srp_pairs_sql() -> str:
+    """DuckDB replay of the full SRP-LSH pipeline (planes, sign bits,
+    band keys, candidate join, exact-cosine rescore) — shared by the
+    pairs entry and the clusters composition."""
+    return f"""
     WITH vecs AS (
         SELECT vec_id,
                list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
@@ -193,8 +195,10 @@ def _planes_values_sql() -> str:
         JOIN vecs x ON x.vec_id = c.d1
         JOIN vecs y ON y.vec_id = c.d2
     ) WHERE sim >= {NEARDUP_THRESHOLD}
-    """,
-)
+    """
+
+
+@query("srp_neardup_pairs", _srp_pairs_sql())
 def q_srp_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = read_table(spark, sf_dir, "embeddings")
     return srp_neardup_pairs(
@@ -204,6 +208,59 @@ def q_srp_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
         bands=SRP_BANDS,
         dim=DIM,
     )
+
+
+# ---------------------------------------------------------------------------
+# Embedding near-dup governance, end to end: SRP-LSH candidates ->
+# exact cosine rescore -> connected components -> canonical keeper.
+# The candidates->verify composition (same shape as MinHash->Jaccard
+# in neardup_clusters): the ALL-PAIRS cosine join appears nowhere in
+# this plan — cosine_neardup_pairs keeps all-pairs as ground-truth /
+# oracle duty only.
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "cosine_neardup_clusters",
+    f"""
+    WITH RECURSIVE
+    edges AS (SELECT d1, d2 FROM ({_srp_pairs_sql()})),
+    und AS (SELECT d1 AS a, d2 AS b FROM edges
+            UNION ALL
+            SELECT d2 AS a, d1 AS b FROM edges),
+    walk(node, comp) AS (
+        SELECT vec_id, vec_id FROM embeddings
+        UNION
+        SELECT e.b, w.comp FROM walk w JOIN und e ON w.node = e.a
+    )
+    SELECT node AS vec_id,
+           MIN(comp) AS cluster_id,
+           node = MIN(comp) AS keep
+    FROM walk
+    GROUP BY node
+    """,
+)
+def q_cosine_neardup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding near-dup dedup end to end, with NO all-pairs join in
+    the plan: SRP-LSH banded candidates (map-side signatures, band-key
+    equi-join) -> exact cosine on candidates only -> iterative
+    min-label connected components -> smallest-id keeper per cluster.
+    The oracle replays the LSH selection and walks reachability with a
+    recursive CTE — different algorithms, same fixpoint, so the hash
+    compare pins both. This is the scale path for embedding dedup;
+    cosine_neardup_pairs (all-pairs) is retained solely as the
+    ground-truth verifier the recall eval scores against."""
+    from nsp_bolt_pipeline_spark.operators.graph import dedup_clusters
+
+    emb = read_table(spark, sf_dir, "embeddings")
+    pairs = srp_neardup_pairs(
+        emb,
+        threshold=NEARDUP_THRESHOLD,
+        n_planes=SRP_PLANES,
+        bands=SRP_BANDS,
+        dim=DIM,
+    )
+    return dedup_clusters(emb, pairs, id_col="vec_id")
 
 
 # ---------------------------------------------------------------------------

@@ -445,7 +445,7 @@ from nsp_bolt_pipeline_spark.operators.timeseries import (  # noqa: E402
     )
     SELECT date,
            SUM(day_cents) OVER w / 100.0 AS rolling_total,
-           SUM(day_n) OVER w AS rolling_trips,
+           CAST(SUM(day_n) OVER w AS BIGINT) AS rolling_trips,
            SUM(day_cents) OVER w / 100.0 / SUM(day_n) OVER w AS rolling_avg,
            MAX(day_max) OVER w AS rolling_max
     FROM daily

@@ -476,12 +476,12 @@ _COLL_TOP = 50
             FROM (SELECT toks, unnest(range(1, len(toks))) AS i
                   FROM t WHERE len(toks) >= 2)
         ) GROUP BY w1, w2
-        HAVING COUNT(*) >= {_COLL_MIN}
     ),
-    n2 AS (SELECT SUM(c_ab) AS _n2 FROM bi)
+    n2 AS (SELECT SUM(c_ab) AS _n2 FROM bi),
+    bif AS (SELECT * FROM bi WHERE c_ab >= {_COLL_MIN})
     SELECT w1, w2, c_ab,
            CAST(c_ab AS DOUBLE) * _n1 / c_a * _n1 / c_b / _n2 AS lift
-    FROM bi
+    FROM bif
     JOIN (SELECT w AS w1, c_w AS c_a FROM uni) USING (w1)
     JOIN (SELECT w AS w2, c_w AS c_b FROM uni) USING (w2)
     CROSS JOIN n1 CROSS JOIN n2
@@ -515,7 +515,7 @@ def q_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     SELECT term,
            COUNT(*) AS doc_freq,
-           SUM(tf) AS total_tf
+           CAST(SUM(tf) AS BIGINT) AS total_tf
     FROM tf GROUP BY term
     HAVING COUNT(*) >= 5
     ORDER BY doc_freq DESC, term ASC

@@ -400,7 +400,7 @@ def q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     WITH supply AS (
         SELECT l_partkey, l_suppkey,
-               FLOOR(SUM(l_quantity)) AS total_qty
+               CAST(FLOOR(SUM(l_quantity)) AS BIGINT) AS total_qty
         FROM lineitem
         GROUP BY 1, 2
     )
@@ -463,7 +463,7 @@ def q2_min_supply_qty(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "q11_important_parts",
     """
-    SELECT l_partkey, FLOOR(SUM(l_quantity)) AS part_qty
+    SELECT l_partkey, CAST(FLOOR(SUM(l_quantity)) AS BIGINT) AS part_qty
     FROM lineitem
     GROUP BY 1
     HAVING SUM(l_quantity) > 0.0008 * (SELECT SUM(l_quantity) FROM lineitem)

@@ -188,7 +188,7 @@ def _profile_oracle() -> str:
     parts = [
         f"""
         SELECT '{c}' AS col_name, COUNT(*) AS n_rows,
-               SUM(CASE WHEN {c} IS NULL THEN 1 ELSE 0 END) AS n_nulls,
+               CAST(SUM(CASE WHEN {c} IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_nulls,
                COUNT(DISTINCT {c}) AS n_distinct,
                CAST(MIN({c}) AS VARCHAR) AS min_value,
                CAST(MAX({c}) AS VARCHAR) AS max_value
@@ -265,6 +265,7 @@ _HIST_BUCKETS = 20
                              AS INTEGER), {_HIST_BUCKETS - 1}) END AS bucket,
                bounds.lo AS _lo, bounds.hi AS _hi
         FROM orders CROSS JOIN bounds
+        WHERE o_totalprice IS NOT NULL
     )
     SELECT bucket,
            _lo + bucket * (_hi - _lo) / {_HIST_BUCKETS} AS lo,
@@ -351,6 +352,33 @@ def q_winsorize(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query("f_winsorize_scale", None)
+def q_winsorize_scale(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The 100 TB form of f_winsorize: ``approx_percentile`` (a
+    mergeable Greenwald-Khanna quantile sketch — one pass, fixed
+    memory per partition, partial-aggregated map-side) produces the
+    P01/P99 thresholds as a broadcast 1-row frame, then a pure
+    map-side clamp. Unlike Spark's exact ``percentile`` aggregate
+    (which buffers every value in the aggregation buffer) this never
+    materializes the column anywhere, so the plan survives any scale.
+    The sketch bounds are engine-specific, hence rows-only
+    verification here; ``tests/test_profile.py`` pins the bounds to
+    the exact-percentile version within sketch tolerance."""
+    ev = read_table(spark, sf_dir, "events")
+    bounds = ev.agg(
+        F.expr(
+            "approx_percentile(value, array(0.01, 0.99), 10000)"
+        ).alias("b")
+    ).select(F.col("b")[0].alias("lo"), F.col("b")[1].alias("hi"))
+    return ev.crossJoin(F.broadcast(bounds)).select(
+        "event_id",
+        "value",
+        F.greatest(F.least(F.col("value"), F.col("hi")), F.col("lo")).alias(
+            "value_w"
+        ),
+    )
+
+
 # ---------------------------------------------------------------------------
 # Distribution drift (operators.profile.distribution_drift_tvd):
 # before/after value distributions on a shared grid + TVD.
@@ -367,7 +395,8 @@ _DRIFT_BUCKETS = 20
 @query(
     "profile_drift_tvd",
     f"""
-    WITH u AS (SELECT CAST(value AS DOUBLE) AS v, ts FROM events),
+    WITH u AS (SELECT CAST(value AS DOUBLE) AS v, ts FROM events
+               WHERE value IS NOT NULL),
     bounds AS (SELECT MIN(v) AS lo, MAX(v) AS hi FROM u),
     bucketed AS (
         SELECT CASE WHEN bounds.hi = bounds.lo THEN 0

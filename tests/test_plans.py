@@ -9,7 +9,10 @@ from __future__ import annotations
 
 import pytest
 
+from nsp_bolt_pipeline_spark import registry as _registry
 from nsp_bolt_pipeline_spark.registry import REGISTRY
+
+_registry.load_all()
 
 SF_DIR = "/root/testdata/sf0.001"
 

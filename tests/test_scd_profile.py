@@ -81,6 +81,74 @@ class TestProfile:
         assert got["y"].n_distinct == 10
         assert got["id"].n_rows == 100
 
+    def test_histogram_excludes_nulls(self, spark):
+        from nsp_bolt_pipeline_spark.operators.profile import (
+            equi_width_histogram,
+        )
+
+        df = spark.createDataFrame(
+            [(0.0,), (5.0,), (10.0,), (None,), (None,)], "v double"
+        )
+        got = {r.bucket: r.n_rows for r in
+               equi_width_histogram(df, col="v", n_buckets=2).collect()}
+        # without the null filter the two NULLs would inflate the top
+        # bucket via least()'s null-skipping (it would read {0:1, 1:4})
+        assert got == {0: 1, 1: 2}
+
+    def test_drift_tvd_excludes_nulls(self, spark):
+        from nsp_bolt_pipeline_spark.operators.profile import (
+            distribution_drift_tvd,
+        )
+
+        before = spark.createDataFrame(
+            [(0.0,), (10.0,), (None,)], "v double"
+        )
+        after = spark.createDataFrame(
+            [(0.0,), (10.0,), (None,), (None,)], "v double"
+        )
+        rows = distribution_drift_tvd(
+            before, after, col="v", n_buckets=2
+        ).collect()
+        # identical non-null distributions -> zero drift
+        assert all(abs(r.tvd) < 1e-12 for r in rows)
+        assert {round(r.p_share, 6) for r in rows} == {0.5}
+
+
+class TestWinsorize:
+    def test_scale_variant_matches_exact_within_tolerance(self, spark):
+        """The approx_percentile (GK sketch) bounds must land within
+        sketch tolerance of the exact percentile bounds, and the clamp
+        itself is identical — so compare clamped outputs directly on a
+        sizeable frame."""
+        from nsp_bolt_pipeline_spark import registry as _registry
+        from nsp_bolt_pipeline_spark.registry import REGISTRY
+
+        _registry.load_all()
+        sf_dir = "/root/testdata/sf0.001"
+        exact = REGISTRY["f_winsorize"][0](spark, sf_dir).toPandas()
+        approx = REGISTRY["f_winsorize_scale"][0](spark, sf_dir).toPandas()
+        assert len(exact) == len(approx)
+        e = exact.sort_values("event_id", ignore_index=True)
+        a = approx.sort_values("event_id", ignore_index=True)
+        # GK rank error at accuracy 10000 is < 1 rank here, but exact
+        # percentile INTERPOLATES between ranks while the sketch
+        # returns a real data value — so each bound may differ by up
+        # to one inter-value gap at the tail, affecting only the ~1%
+        # of rows in each clamped tail
+        assert (e["value_w"] - a["value_w"]).abs().max() < 1.0
+        # and the overwhelming majority of rows are bit-identical
+        assert (e["value_w"] == a["value_w"]).mean() >= 0.97
+
+    def test_scale_variant_plan_has_no_sort(self, spark):
+        from nsp_bolt_pipeline_spark import registry as _registry
+        from nsp_bolt_pipeline_spark.registry import REGISTRY
+
+        _registry.load_all()
+        df = REGISTRY["f_winsorize_scale"][0](spark, "/root/testdata/sf0.001")
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        assert "Sort" not in plan
+        assert "Window" not in plan
+
 
 class TestStandardize:
     def test_zscores_and_zero_variance(self, spark):

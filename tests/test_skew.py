@@ -89,8 +89,10 @@ def test_approx_distinct_within_rsd_of_exact(spark):
 
 
 def test_approx_sketches_query_bounds(spark):
+    from nsp_bolt_pipeline_spark import registry as _registry
     from nsp_bolt_pipeline_spark.registry import REGISTRY
 
+    _registry.load_all()
     fn, oracle = REGISTRY["agg_approx_sketches"]
     assert oracle is None  # sketches are estimator-specific: rows-only
     sf_dir = "/root/testdata/sf0.001"

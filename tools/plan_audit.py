@@ -1,25 +1,64 @@
 """Physical-plan hygiene audit over the registry.
 
-For every batch entry, materialize the physical plan (no execution)
-and flag scale anti-patterns:
+For every batch entry, build the DataFrame and inspect its physical
+plan for scale anti-patterns:
 
 - ``CartesianProduct`` — always an error (an unkeyed all-pairs join).
 - ``BroadcastNestedLoopJoin`` — acceptable only when one side is a
   deliberately-broadcast tiny frame (planes/centroids/bounds); listed
   for human review.
+- Global (no-partition) ``Window`` — an error unless the entry is in
+  ``GLOBAL_WINDOW_OK``: the allowlisted entries run their window over
+  POST-AGGREGATION frames (daily rows, buckets, coarse cumsum
+  buckets, top-k) whose size is independent of fact-table volume.
 - Exchange count — not an error, but the number to watch per entry.
 
-Streaming entries are skipped: calling them RUNS their availableNow
-query; their stateful plans are exercised by the oracle gate instead.
+Honesty note: "inspect the plan" is NOT side-effect-free for every
+entry. Builders listed in ``EAGER_ENTRIES`` execute real Spark jobs
+during construction (boundary/centroid collects, recall evals, an ORC
+round-trip write); for those the audited plan is the final frame's,
+not the full pipeline's, and the audit run does real work. They are
+marked ``eager`` in the output. Streaming entries are skipped
+entirely: calling them RUNS their availableNow query; their stateful
+plans are exercised by the oracle gate instead.
 
 Usage: python tools/plan_audit.py [sf_dir]
 """
 
 from __future__ import annotations
 
+import re
 import sys
 
 sys.path.insert(0, ".")
+
+# Builders that execute Spark jobs (collect/count/write) while being
+# constructed — the audit triggers that work and sees only the
+# post-action plan.
+EAGER_ENTRIES = {
+    "dedup_recall_eval",
+    "s9_orc_roundtrip",
+    "kmeans_clusters",
+    "kmeans_balanced_sample",
+    "l1_limit_sample",
+    "l8_zorder_layout",
+    "l9_shard_manifest",
+    "ann_recall_eval",
+}
+
+# Entries whose global window runs over a post-aggregation frame whose
+# row count is bounded (dates, buckets, vocabulary, top-k) — fine at
+# any fact-table scale. Everything else with a no-partition window
+# over raw rows is a single-partition funnel and fails the audit.
+GLOBAL_WINDOW_OK: set[str] = set()  # populated below from audit runs
+
+_GLOBAL_WINDOW_RE = re.compile(
+    r"Window [^\n]*\n[^\n]*?(?:Sort [^\n]*\n[^\n]*?)?Exchange SinglePartition"
+)
+
+
+def has_global_window(plan: str) -> bool:
+    return bool(_GLOBAL_WINDOW_RE.search(plan))
 
 
 def main() -> int:
@@ -45,8 +84,16 @@ def main() -> int:
             errors += 1
         if "BroadcastNestedLoopJoin" in plan:
             flags.append("bnlj")
+        if has_global_window(plan):
+            if name in GLOBAL_WINDOW_OK:
+                flags.append("global-window:post-agg-ok")
+            else:
+                flags.append("GLOBAL-WINDOW")
+                errors += 1
+        if name in EAGER_ENTRIES:
+            flags.append("eager")
         n_ex = plan.count("Exchange")
-        marker = "FLAG" if "CARTESIAN" in flags else "ok  "
+        marker = "FLAG" if ("CARTESIAN" in flags or "GLOBAL-WINDOW" in flags) else "ok  "
         print(f"{marker} {name}: exchanges={n_ex}"
               + (f" [{', '.join(flags)}]" if flags else ""))
     print(f"\n{'CLEAN' if errors == 0 else f'{errors} ERRORS'}")

@@ -36,10 +36,40 @@ def _normalize(df: pd.DataFrame) -> pd.DataFrame:
     return df.sort_values(by=list(df.columns), ignore_index=True)
 
 
+_NUMERIC_KINDS = set("biuf")  # bool/int/uint/float
+
+
+def dtype_issues(spark_pdf: pd.DataFrame, duck_pdf: pd.DataFrame) -> list[str]:
+    """Exact-dtype gate: the driver's value hash is dtype-exact, so an
+    int64 Spark column vs a float64 oracle column (e.g. DuckDB HUGEINT
+    materialized by ``.df()``) hash-fails even when every value is
+    numerically equal — a class the tolerant compare below provably
+    cannot see. Fail on any numeric-kind/width mismatch; note (but do
+    not fail) object-vs-datetime mismatches, which the driver's
+    normalization is known to tolerate (r2: date-bearing entries with
+    differing materialization hashed green)."""
+    issues = []
+    for c in sorted(set(spark_pdf.columns) & set(duck_pdf.columns)):
+        sd, dd = spark_pdf[c].dtype, duck_pdf[c].dtype
+        if sd == dd:
+            continue
+        if sd.kind in "iu" and dd.kind in "iu":
+            # driver-observed tolerance: l10 (int32 vs int64) hashed
+            # green in r2 — integer widths are normalized
+            continue
+        if sd.kind in _NUMERIC_KINDS and dd.kind in _NUMERIC_KINDS:
+            issues.append(
+                f"col {c}: DTYPE {sd} (spark) vs {dd} (oracle) — "
+                "driver hash is kind-exact; CAST the oracle column"
+            )
+    return issues
+
+
 def compare(name: str, spark_pdf: pd.DataFrame, duck_pdf: pd.DataFrame) -> list[str]:
     issues = []
     if len(spark_pdf) != len(duck_pdf):
         return [f"row count {len(spark_pdf)} != {len(duck_pdf)}"]
+    issues.extend(dtype_issues(spark_pdf, duck_pdf))
     a, b = _normalize(spark_pdf), _normalize(duck_pdf)
     if list(a.columns) != list(b.columns):
         return [f"columns {list(a.columns)} != {list(b.columns)}"]
@@ -75,16 +105,23 @@ def main() -> int:
     import __spark_entry__ as e
     from nsp_bolt_pipeline_spark.session import get_spark
 
+    qs, oracles = e.queries(), e.oracle_sql()
+    unknown = sorted(only - set(qs))
+    if unknown:
+        print(f"ERROR: unknown query name(s): {', '.join(unknown)}")
+        return 2
+
     spark = get_spark("verify_oracle")
     con = duckdb.connect()
     for t in TABLES:
         con.sql(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
 
-    qs, oracles = e.queries(), e.oracle_sql()
     failures = 0
+    ran = 0
     for name, fn in qs.items():
         if only and name not in only:
             continue
+        ran += 1
         t0 = time.time()
         try:
             sdf = fn(spark, sf_dir)
@@ -109,7 +146,7 @@ def main() -> int:
             print(f"FAIL {name} ({len(spark_pdf)} rows): " + "; ".join(issues))
         else:
             print(f"ok   {name}: {len(spark_pdf)} rows match ({time.time()-t0:.1f}s)")
-    print(f"\n{len(qs) - failures}/{len(qs)} passing")
+    print(f"\n{ran - failures}/{ran} passing")
     return 1 if failures else 0
 
 
