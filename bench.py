@@ -6,6 +6,12 @@ Prints ONE JSON line:
 
 Each query is forced end-to-end with the noop datasource writer (full
 materialization, no sink cost, nothing collected to the driver).
+
+Timing is STEADY-STATE: each query runs once untimed (paying JVM JIT
++ whole-stage-codegen compilation, which varies with how much code
+the session has already loaded) and the second run is reported. The
+first-run penalty was measured at 2-3x and grew with package size
+across rounds, drowning the plan cost the benchmark exists to track.
 """
 
 from __future__ import annotations
@@ -66,10 +72,10 @@ def main() -> None:
 
     names = [n for n in HEADLINE if n in REGISTRY]
     timings: dict[str, float] = {}
-    # Warm the JVM/IO once with the first query (not timed).
-    REGISTRY[names[0]][0](spark, sf_dir).write.mode("overwrite").format("noop").save()
     for name in names:
         fn, _ = REGISTRY[name]
+        # warm-up run: JIT + codegen compile, page cache
+        fn(spark, sf_dir).write.mode("overwrite").format("noop").save()
         t0 = time.time()
         fn(spark, sf_dir).write.mode("overwrite").format("noop").save()
         timings[name] = round(time.time() - t0, 3)
@@ -82,6 +88,7 @@ def main() -> None:
                 "unit": "sec",
                 "queries": timings,
                 "sf": sf,
+                "timing": "steady-state (second run; first run warms JIT/codegen)",
             }
         )
     )

@@ -725,7 +725,7 @@ _DLQ_REPLAY_ORACLE = """
 
 @query("stream_s8_dlq_replay", _DLQ_REPLAY_ORACLE)
 def q_stream_dlq_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from pyspark.errors.exceptions.captured import AnalysisException
+    from nsp_bolt_pipeline_spark.streaming.ingest import dir_exists
 
     dirs = _workdir("stream_dlq_replay")
     ev = read_table(spark, sf_dir, "events").select(
@@ -761,9 +761,9 @@ def q_stream_dlq_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
     # bronze does not have (same anti-join the ingest runs per batch).
     keys = ["user_id", "event_type"]
     cols = ["user_id", "event_type", "event_id", "ts", "value"]
-    try:
+    if dir_exists(spark, dirs["dlq"]):
         dlq = spark.read.parquet(dirs["dlq"]).select(*cols)
-    except AnalysisException:
+    else:
         dlq = None
     bronze = spark.read.parquet(dirs["out"]).select(*cols)
     if dlq is not None:

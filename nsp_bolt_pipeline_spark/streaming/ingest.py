@@ -35,7 +35,6 @@ from __future__ import annotations
 
 from collections.abc import Mapping, Sequence
 
-from pyspark.errors.exceptions.captured import AnalysisException
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
@@ -95,6 +94,19 @@ def stream_first_write_wins(
     )
 
 
+def dir_exists(spark: SparkSession, path: str) -> bool:
+    """Hadoop-FS existence probe (works for any supported scheme, not
+    just local paths). Used for the first-batch bronze read: probing
+    instead of catching PATH_NOT_FOUND keeps Spark's FileStreamSink
+    metadata check from logging a FileNotFoundException stack trace at
+    WARN — which made every clean availableNow run look like a crash
+    in captured bench output."""
+    jvm = spark._jvm
+    hpath = jvm.org.apache.hadoop.fs.Path(path)
+    fs = hpath.getFileSystem(spark._jsc.hadoopConfiguration())
+    return bool(fs.exists(hpath))
+
+
 def run_ingest(
     stream: DataFrame,
     *,
@@ -131,20 +143,16 @@ def run_ingest(
                 f"{dlq_dir}/batch={batch_id}"
             )
             winners = first_write_wins(valid, dedup_keys, order_cols)
-            try:
+            # existence probe, not try/except PATH_NOT_FOUND: reading
+            # a nonexistent dir makes FileStreamSink log a spurious
+            # WARN stack trace even when the exception is caught
+            if dir_exists(spark, bronze_dir):
                 seen = (
                     spark.read.parquet(bronze_dir)
                     .select(*dedup_keys)
                     .dropDuplicates()
                 )
                 winners = winners.join(seen, list(dedup_keys), "left_anti")
-            except AnalysisException as exc:
-                # only the expected first-batch case may pass; any
-                # other analysis error (schema drift, corrupt bronze)
-                # must fail loudly rather than silently disable the
-                # cross-batch dedup
-                if "PATH_NOT_FOUND" not in str(exc):
-                    raise
             writer = winners.write.mode("append")
             if partition_cols:
                 writer = writer.partitionBy(*partition_cols)
@@ -199,12 +207,9 @@ def run_corpus_ingest(
             .agg(F.min_by(F.struct(*passing.columns), F.col("doc_id")).alias("w"))
             .select("w.*")
         )
-        try:
+        if dir_exists(spark, bronze_dir):
             seen = spark.read.parquet(bronze_dir).select("fp").dropDuplicates()
             winners = winners.join(seen, "fp", "left_anti")
-        except AnalysisException as exc:
-            if "PATH_NOT_FOUND" not in str(exc):
-                raise
         winners.write.mode("append").parquet(bronze_dir)
 
     query = (
