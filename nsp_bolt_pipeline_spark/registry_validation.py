@@ -468,9 +468,9 @@ def q_equidepth(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Equal-frequency bins via ntile over a deterministic total
     order; per-bin [lo, hi] edges are the adaptive quantile grid the
     equi-width histogram can't give on skewed data. The global window
-    sort is the cost — at 100 TB use approx_percentile edges (t-digest)
-    and a broadcast range join instead; ntile keeps the oracle
-    replayable here."""
+    sort is this entry's exactness contract (DuckDB ntile replays it
+    bit-for-bit); ``profile_equidepth_scale`` is the same statistic in
+    the sort-free form a 100 TB table needs."""
     from pyspark.sql import Window as W
 
     orders = read_table(spark, sf_dir, "orders")
@@ -485,4 +485,44 @@ def q_equidepth(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.min("o_totalprice").alias("lo"),
             F.max("o_totalprice").alias("hi"),
         )
+    )
+
+
+@query("profile_equidepth_scale", None)
+def q_equidepth_scale(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The 100 TB form of profile_equidepth_bins: bin edges from one
+    mergeable ``approx_percentile`` sketch pass (fixed memory,
+    partial-aggregated map-side) broadcast back as an array literal
+    column, bin assignment as a pure map-side fold over the edges, and
+    one groupBy — the fact table is never sorted and never passes
+    through a single partition. Sketch edges are engine-specific,
+    hence rows-only verification; the pytest twin pins per-bin counts
+    against the exact ntile version within sketch tolerance."""
+    orders = read_table(spark, sf_dir, "orders")
+    fracs = ", ".join(
+        str(i / _DEPTH_BINS) for i in range(1, _DEPTH_BINS)
+    )
+    edges = orders.agg(
+        F.expr(
+            f"approx_percentile(o_totalprice, array({fracs}), 10000)"
+        ).alias("edges")
+    )
+    # bin = 1 + number of edges strictly below the value (ntile-style
+    # lower-edge-inclusive banding), computed without any join fan-out
+    binned = orders.crossJoin(F.broadcast(edges)).select(
+        "o_totalprice",
+        (
+            F.lit(1)
+            + F.aggregate(
+                F.col("edges"),
+                F.lit(0),
+                lambda acc, e: acc
+                + F.when(F.col("o_totalprice") > e, 1).otherwise(0),
+            )
+        ).alias("bin"),
+    )
+    return binned.groupBy("bin").agg(
+        F.count("*").alias("n_rows"),
+        F.min("o_totalprice").alias("lo"),
+        F.max("o_totalprice").alias("hi"),
     )

@@ -150,6 +150,48 @@ class TestWinsorize:
         assert "Window" not in plan
 
 
+class TestEquidepthScale:
+    def test_matches_exact_within_sketch_tolerance(self, spark):
+        from nsp_bolt_pipeline_spark import registry as _registry
+        from nsp_bolt_pipeline_spark.registry import REGISTRY
+
+        _registry.load_all()
+        sf_dir = "/root/testdata/sf0.001"
+        exact = {
+            r.bin: r.n_rows
+            for r in REGISTRY["profile_equidepth_bins"][0](
+                spark, sf_dir
+            ).collect()
+        }
+        approx = {
+            r.bin: r.n_rows
+            for r in REGISTRY["profile_equidepth_scale"][0](
+                spark, sf_dir
+            ).collect()
+        }
+        n = sum(exact.values())
+        assert sum(approx.values()) == n  # every row lands in a bin
+        assert set(approx) <= set(exact)
+        # GK rank error at accuracy 10000 is < 1 rank at this n, but
+        # the sketch edge is a real data value while ntile cuts by
+        # rank — per-bin counts may shift by the tie mass at an edge
+        for b, cnt in exact.items():
+            assert abs(approx.get(b, 0) - cnt) <= max(3, 0.02 * n)
+
+    def test_scale_plan_has_no_global_sort_window(self, spark):
+        import tools.plan_audit as pa
+        from nsp_bolt_pipeline_spark import registry as _registry
+        from nsp_bolt_pipeline_spark.registry import REGISTRY
+
+        _registry.load_all()
+        df = REGISTRY["profile_equidepth_scale"][0](
+            spark, "/root/testdata/sf0.001"
+        )
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        assert "Window" not in plan
+        assert not pa.has_global_window(plan)
+
+
 class TestStandardize:
     def test_zscores_and_zero_variance(self, spark):
         from nsp_bolt_pipeline_spark.operators.features import (

@@ -46,11 +46,27 @@ EAGER_ENTRIES = {
     "ann_recall_eval",
 }
 
-# Entries whose global window runs over a post-aggregation frame whose
-# row count is bounded (dates, buckets, vocabulary, top-k) — fine at
-# any fact-table scale. Everything else with a no-partition window
-# over raw rows is a single-partition funnel and fails the audit.
-GLOBAL_WINDOW_OK: set[str] = set()  # populated below from audit runs
+# Entries whose global window is acceptable, with the reason. Two
+# legitimate classes:
+#   post-agg  — the window runs over a post-aggregation frame whose
+#               row count is bounded (dates, distinct values, coarse
+#               cumsum buckets), independent of fact-table volume;
+#   oracle-duty — the window over raw rows IS the entry's exactness
+#               contract and a scale twin exists alongside it.
+# Everything else with a no-partition window is a single-partition
+# funnel of the fact table and fails the audit.
+GLOBAL_WINDOW_OK: dict[str, str] = {
+    "corpus_pack_sequences": "post-agg (coarse bucket subtotals of the"
+    " two-level prefix sum; fine-level is partitioned by bucket)",
+    "corpus_length_trim": "post-agg (cumsum over DISTINCT token-count"
+    " values, domain-sized; corpus itself is broadcast-semi-join"
+    " filtered, never sorted)",
+    "t6_rolling_7day_kpi": "post-agg (rolling frame over one row per"
+    " calendar day)",
+    "profile_equidepth_bins": "oracle-duty (exact ntile is the"
+    " verification contract; profile_equidepth_scale is the"
+    " sketch-based scale twin with no sort)",
+}
 
 _GLOBAL_WINDOW_RE = re.compile(
     r"Window [^\n]*\n[^\n]*?(?:Sort [^\n]*\n[^\n]*?)?Exchange SinglePartition"
@@ -86,7 +102,7 @@ def main() -> int:
             flags.append("bnlj")
         if has_global_window(plan):
             if name in GLOBAL_WINDOW_OK:
-                flags.append("global-window:post-agg-ok")
+                flags.append("global-window:allowlisted")
             else:
                 flags.append("GLOBAL-WINDOW")
                 errors += 1
