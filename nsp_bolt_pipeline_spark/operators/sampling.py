@@ -202,6 +202,41 @@ def weighted_priority_sample(
     )
 
 
+def stratified_quota_sample(
+    df: DataFrame,
+    *,
+    key: str,
+    group_col: str,
+    quotas: dict[str, int],
+    default_quota: int,
+    salt: str = "",
+) -> DataFrame:
+    """Exact per-stratum quotas (keep the first q_g rows of each
+    group, not a rate): rank rows inside each stratum by the
+    content-addressed md5 bucket (key as tiebreak) and keep ranks
+    <= quota. Membership is a pure function of the data — any cluster,
+    any parallelism, any day reproduces the same sample — and unlike
+    rate-based rebalancing the output size per stratum is EXACT,
+    which is what a fixed token budget per source needs.
+
+    Scale: the only shuffle is the window's hash partition BY STRATUM
+    (never a global sort); a stratum bigger than one executor's sort
+    spill budget still works because row_number needs no full
+    materialization. Skewed strata are bounded by the quota itself —
+    ranks past the largest quota are discarded by the filter Catalyst
+    pushes below the window's output."""
+    h = hash_bucket(key, salt=salt)
+    w = W.partitionBy(group_col).orderBy(h.asc(), F.col(key).asc())
+    quota = F.lit(default_quota)
+    for g, q in quotas.items():
+        quota = F.when(F.col(group_col) == g, F.lit(q)).otherwise(quota)
+    return (
+        df.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") <= quota)
+        .drop("_rn")
+    )
+
+
 def zorder_layout(
     df: DataFrame,
     *,

@@ -257,9 +257,10 @@ _FUZZY_PREFIX = 60
 _FUZZY_MAXDIST = 3
 
 
-@query(
-    "fuzzy_title_matches",
-    f"""
+def _fuzzy_pairs_sql() -> str:
+    """DuckDB replay of the blocked fuzzy match — shared by the pairs
+    entry and the entity-clusters composition."""
+    return f"""
     WITH d AS (
         SELECT doc_id, substr(text, 1, {_FUZZY_PREFIX}) AS t
         FROM documents
@@ -270,8 +271,10 @@ _FUZZY_MAXDIST = 3
       ON split_part(lower(a.t), ' ', 1) = split_part(lower(b.t), ' ', 1)
      AND a.doc_id < b.doc_id
     WHERE levenshtein(a.t, b.t) <= {_FUZZY_MAXDIST}
-    """,
-)
+    """
+
+
+@query("fuzzy_title_matches", _fuzzy_pairs_sql())
 def q_fuzzy_titles(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = read_table(spark, sf_dir, "documents").select(
         "doc_id", F.substring("text", 1, _FUZZY_PREFIX).alias("t")
@@ -283,6 +286,63 @@ def q_fuzzy_titles(spark: SparkSession, sf_dir: str) -> DataFrame:
         text_col="t",
         max_distance=_FUZZY_MAXDIST,
         block_expr=F.split(F.lower(F.col("t")), " ").getItem(0),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Entity resolution end to end: blocked fuzzy pairs -> connected
+# components -> canonical record per entity cluster. The same
+# candidates -> verify -> cluster governance shape as the MinHash and
+# SRP compositions, over edit-distance evidence instead of set or
+# vector similarity.
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "fuzzy_entity_clusters",
+    f"""
+    WITH RECURSIVE
+    edges AS (SELECT id1, id2 FROM ({_fuzzy_pairs_sql()})),
+    und AS (SELECT id1 AS a, id2 AS b FROM edges
+            UNION ALL
+            SELECT id2 AS a, id1 AS b FROM edges),
+    walk(node, comp) AS (
+        SELECT doc_id, doc_id FROM documents
+        UNION
+        SELECT e.b, w.comp FROM walk w JOIN und e ON w.node = e.a
+    )
+    SELECT node AS doc_id,
+           MIN(comp) AS entity_id,
+           node = MIN(comp) AS canonical
+    FROM walk
+    GROUP BY node
+    """,
+)
+def q_fuzzy_entity_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Entity resolution over near-identical titles: blocked
+    Levenshtein evidence (no all-pairs — first-token blocking keys the
+    self-join), transitively closed into entity clusters by iterative
+    min-label propagation, smallest doc_id elected canonical. The
+    oracle walks reachability with a recursive CTE — different
+    algorithm, same fixpoint."""
+    from nsp_bolt_pipeline_spark.operators.graph import dedup_clusters
+
+    docs = read_table(spark, sf_dir, "documents").select(
+        "doc_id", F.substring("text", 1, _FUZZY_PREFIX).alias("t")
+    )
+    pairs = fuzzy_match_pairs(
+        docs,
+        id_col="doc_id",
+        text_col="t",
+        max_distance=_FUZZY_MAXDIST,
+        block_expr=F.split(F.lower(F.col("t")), " ").getItem(0),
+    )
+    return dedup_clusters(
+        docs, pairs, id_col="doc_id", d1_col="id1", d2_col="id2"
+    ).select(
+        "doc_id",
+        F.col("cluster_id").alias("entity_id"),
+        F.col("keep").alias("canonical"),
     )
 
 

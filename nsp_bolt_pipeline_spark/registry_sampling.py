@@ -197,6 +197,48 @@ from nsp_bolt_pipeline_spark.operators.sampling import zorder_layout  # noqa: E4
 _Z_SHARDS = 32
 
 
+QUOTAS = {"src0": 20, "src1": 10}
+QUOTA_DEFAULT = 5
+QUOTA_SALT = "quota"
+
+
+@query(
+    "l11_stratified_quota_sample",
+    f"""
+    SELECT doc_id, source FROM (
+        SELECT doc_id, source,
+               row_number() OVER (
+                   PARTITION BY source
+                   ORDER BY {_bucket_sql("doc_id", QUOTA_SALT)} ASC,
+                            doc_id ASC
+               ) AS rn
+        FROM documents
+    )
+    WHERE rn <= (CASE WHEN source = 'src0' THEN {QUOTAS["src0"]}
+                      WHEN source = 'src1' THEN {QUOTAS["src1"]}
+                      ELSE {QUOTA_DEFAULT} END)
+    """,
+)
+def q_stratified_quota(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-size per-source sampling for training-mix budgets: rate
+    rebalancing (l4) keeps a FRACTION per source; this keeps an exact
+    COUNT per source, reproducibly (content-addressed rank inside each
+    stratum). The window partitions by source — no global sort."""
+    from nsp_bolt_pipeline_spark.operators.sampling import (
+        stratified_quota_sample,
+    )
+
+    docs = read_table(spark, sf_dir, "documents").select("doc_id", "source")
+    return stratified_quota_sample(
+        docs,
+        key="doc_id",
+        group_col="source",
+        quotas=QUOTAS,
+        default_quota=QUOTA_DEFAULT,
+        salt=QUOTA_SALT,
+    )
+
+
 # Shared oracle CTE chain: morton per row, then the exact-quantile
 # range-shard assignment over DISTINCT morton values (mirrors
 # operators/sampling.py::zorder_layout — shard is a pure function of

@@ -303,7 +303,14 @@ def q_orc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     CSV, ORC) with the same TimestampType normalization everywhere.
     ORC shares parquet's scan virtues (column pruning, predicate
     pushdown into stripes)."""
-    out = _os.path.join(_tempfile.mkdtemp(prefix="nsp_orc_"), "events_orc")
+    # deterministic per-sf path, overwrite mode: repeated calls (the
+    # oracle battery, hostile probe, plan audit in one process) reuse
+    # one directory instead of leaking a mkdtemp dir per call
+    out = _os.path.join(
+        _tempfile.gettempdir(),
+        "nsp_orc_roundtrip",
+        _os.path.basename(_os.path.normpath(sf_dir)),
+    )
     ev = read_table(spark, sf_dir, "events").select(
         "event_id", "ts", "user_id", "event_type", "value"
     )

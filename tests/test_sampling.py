@@ -163,6 +163,46 @@ def test_weighted_sample_prefers_heavy_rows(spark):
     assert [r["k"] for r in got] == [3]
 
 
+class TestStratifiedQuota:
+    def test_exact_quotas_and_parallelism_invariance(self, spark):
+        from nsp_bolt_pipeline_spark.operators.sampling import (
+            stratified_quota_sample,
+        )
+
+        rows = [(i, "big" if i % 3 else "small") for i in range(90)]
+        df = spark.createDataFrame(rows, "k long, g string")
+        got = stratified_quota_sample(
+            df, key="k", group_col="g", quotas={"big": 7}, default_quota=4
+        )
+        counts = {r.g: 0 for r in got.collect()}
+        for r in got.collect():
+            counts[r.g] += 1
+        assert counts == {"big": 7, "small": 4}
+        # membership is content-addressed: repartitioning must not
+        # change which rows are kept
+        again = stratified_quota_sample(
+            df.repartition(7),
+            key="k",
+            group_col="g",
+            quotas={"big": 7},
+            default_quota=4,
+        )
+        assert {(r.k, r.g) for r in got.collect()} == {
+            (r.k, r.g) for r in again.collect()
+        }
+
+    def test_quota_larger_than_stratum_keeps_all(self, spark):
+        from nsp_bolt_pipeline_spark.operators.sampling import (
+            stratified_quota_sample,
+        )
+
+        df = spark.createDataFrame([(1, "a"), (2, "a")], "k long, g string")
+        got = stratified_quota_sample(
+            df, key="k", group_col="g", quotas={}, default_quota=10
+        )
+        assert got.count() == 2
+
+
 class TestZorder:
     def test_morton_interleave_and_contiguous_shards(self, spark):
         from nsp_bolt_pipeline_spark.operators.sampling import zorder_layout
