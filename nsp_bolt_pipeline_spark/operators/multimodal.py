@@ -73,6 +73,49 @@ def frame_offsets(duration_ms: Column | str, every_ms: int) -> Column:
     return F.sequence(F.lit(0).cast("long"), d.cast("long"), F.lit(every_ms))
 
 
+def sample_frames(
+    df: DataFrame,
+    *,
+    every_ms: int,
+    id_col: str = "doc_id",
+    payload_col: str = "payload",
+    duration_col: str = "duration_ms",
+) -> DataFrame:
+    """Frame sampling: one output row per sampled frame (index, seek
+    offset, and a per-frame content key). The explode is the whole
+    point at scale — downstream per-frame decode/embedding stages key
+    and shuffle on (doc_id, frame_idx) rows instead of dragging the
+    clip payload through a Python loop; the payload column itself
+    stays in the row only until the decode stage prunes to it.
+
+    The per-frame key is md5(payload || ':' || offset) — native
+    (codegen'd, no UDF) and the deterministic stand-in for "decode the
+    frame at this offset" in an environment without codec libraries;
+    the real decoder slots into the same (doc_id, frame_idx,
+    offset_ms) contract via decode_media."""
+    d = F.col(duration_col)
+    return df.select(
+        F.col(id_col),
+        F.col(payload_col),
+        F.posexplode(
+            F.sequence(
+                F.lit(0).cast("long"), d.cast("long"), F.lit(every_ms)
+            )
+        ).alias("frame_idx", "offset_ms"),
+    ).select(
+        id_col,
+        F.col("frame_idx").cast("long").alias("frame_idx"),
+        "offset_ms",
+        F.md5(
+            F.concat(
+                F.col(payload_col).cast("string"),
+                F.lit(":"),
+                F.col("offset_ms").cast("string"),
+            )
+        ).alias("frame_md5"),
+    )
+
+
 def default_decoder(doc_id: int, kind: str, payload: bytes) -> dict:
     """DETERMINISTIC FAKE decoder (codec libs absent in this
     environment): derives pseudo-dimensions and pseudo-features from

@@ -13,6 +13,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from nsp_bolt_pipeline_spark.operators.multimodal import (
+    sample_frames,
     N_FAKE_FEATURES,
     decode_media,
     frame_offsets,
@@ -134,3 +135,40 @@ def q_mm_resize_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
         target_w=TARGET_W,
         target_h=TARGET_H,
     )
+
+
+# ---------------------------------------------------------------------------
+# Frame sampling: the video-clip explode — one row per sampled frame
+# with its seek offset and per-frame content key. Completes the
+# multimodal verb set (metadata / decode / resize / frame-sample).
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "mm_frame_sample",
+    f"""
+    WITH media AS (
+        SELECT doc_id, text,
+               CAST(n_chars * {MS_PER_CHAR} AS BIGINT) AS duration_ms
+        FROM documents
+    ),
+    frames AS (
+        SELECT doc_id, text,
+               unnest(range(0, duration_ms // {FRAME_EVERY_MS} + 1))
+                   AS frame_idx
+        FROM media
+    )
+    SELECT doc_id, frame_idx,
+           frame_idx * {FRAME_EVERY_MS} AS offset_ms,
+           md5(text || ':' ||
+               CAST(frame_idx * {FRAME_EVERY_MS} AS VARCHAR)) AS frame_md5
+    FROM frames
+    """,
+)
+def q_mm_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-frame rows for the decode/embedding stages to key on: the
+    clip's offset list is a native sequence-explode (no UDF), and each
+    frame carries a deterministic content key so downstream frame
+    dedup/caching is exercised end to end without codec libraries."""
+    media = _media_view(spark, sf_dir)
+    return sample_frames(media, every_ms=FRAME_EVERY_MS)

@@ -40,7 +40,11 @@ from nsp_bolt_pipeline_spark.streaming.completion import (
     run_completion_join,
     streaming_completed_trips,
 )
-from nsp_bolt_pipeline_spark.streaming.ingest import read_wire_stream, run_ingest
+from nsp_bolt_pipeline_spark.streaming.ingest import (
+    read_wire_stream,
+    run_ingest,
+    run_silver_upsert,
+)
 from nsp_bolt_pipeline_spark.streaming.kpi import (
     run_windowed_kpis,
     windowed_daily_kpis,
@@ -857,4 +861,47 @@ def q_stream_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
         spark.read.parquet(dirs["out"])
         .filter(~F.col("trip_id").isin("-1", "-2"))
         .select("trip_id", "pickup_datetime", "dropoff_datetime", "fare_amount")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Streaming D3: latest-wins SCD1 merge into a versioned silver table —
+# the serving-dimension twin of stream_d1's first-write-wins bronze.
+# Version directories stand in for a table-format transaction log, so
+# at-least-once foreachBatch delivery stays idempotent and readers
+# never see a half-written overwrite.
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "stream_d3_merge_upsert",
+    """
+    SELECT user_id, event_type, event_id, ts, value
+    FROM (
+        SELECT user_id, event_type, event_id, ts, value,
+               row_number() OVER (PARTITION BY user_id, event_type
+                                  ORDER BY ts DESC, event_id DESC) AS rn
+        FROM events
+    ) WHERE rn = 1
+    """,
+)
+def q_stream_d3(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Run the event dump through the streaming silver upsert and read
+    the final version: the result must be the global LAST write per
+    (user_id, event_type) — independent of how the dump was split into
+    micro-batches, because a latest-wins merge of per-batch maxima is
+    the global maximum."""
+    dirs = _workdir("stream_d3")
+    _dump_events(spark, sf_dir, dirs["src"])
+    latest = run_silver_upsert(
+        _event_stream(spark, dirs["src"]).select(
+            "user_id", "event_type", "event_id", "ts", "value"
+        ),
+        silver_root=dirs["out"],
+        checkpoint_dir=dirs["ckpt"],
+        keys=["user_id", "event_type"],
+        order_cols=["ts", "event_id"],
+    )
+    return spark.read.parquet(latest).select(
+        "user_id", "event_type", "event_id", "ts", "value"
     )

@@ -43,7 +43,10 @@ from nsp_bolt_pipeline_spark.functions.validation import (
     coerce_typed,
     split_valid_rejects,
 )
-from nsp_bolt_pipeline_spark.operators.dedup import first_write_wins
+from nsp_bolt_pipeline_spark.operators.dedup import (
+    first_write_wins,
+    merge_upsert,
+)
 from nsp_bolt_pipeline_spark.sources.readers import with_corrupt_record
 
 
@@ -167,6 +170,64 @@ def run_ingest(
         .start()
     )
     query.awaitTermination()
+
+
+def run_silver_upsert(
+    stream: DataFrame,
+    *,
+    silver_root: str,
+    checkpoint_dir: str,
+    keys: Sequence[str],
+    order_cols: Sequence[str],
+) -> str:
+    """Streaming SCD Type-1: per micro-batch, latest-wins MERGE of the
+    batch into a silver dimension (the serving twin of run_ingest's
+    first-write-wins bronze).
+
+    Silver lives in VERSIONED directories (``v=<batch_id>``), the
+    plain-parquet expression of a table-format transaction log: batch
+    N merges into version N-1 and writes version N. Replaying batch N
+    after a crash rewrites exactly version N from the same inputs
+    (deterministic merge), so at-least-once foreachBatch delivery
+    yields an idempotent table — and the read side never observes a
+    half-written overwrite, because a version directory is only
+    referenced by later batches after it is complete. With Delta or
+    Iceberg the same process_batch body compiles to a real MERGE.
+
+    Returns the path of the newest version after the run."""
+
+    def process_batch(batch: DataFrame, batch_id: int) -> None:
+        spark = batch.sparkSession
+        prev = f"{silver_root}/v={batch_id - 1}"
+        if batch_id > 0 and dir_exists(spark, prev):
+            target = spark.read.parquet(prev).select(*batch.columns)
+        else:
+            target = batch.limit(0)
+        merged = merge_upsert(
+            target, batch, keys=keys, order_cols=order_cols
+        )
+        merged.write.mode("overwrite").parquet(
+            f"{silver_root}/v={batch_id}"
+        )
+
+    query = (
+        stream.writeStream.foreachBatch(process_batch)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    query.awaitTermination()
+
+    spark = stream.sparkSession
+    jvm = spark._jvm
+    root = jvm.org.apache.hadoop.fs.Path(silver_root)
+    fs = root.getFileSystem(spark._jsc.hadoopConfiguration())
+    versions = [
+        int(st.getPath().getName().split("=", 1)[1])
+        for st in fs.listStatus(root)
+        if st.getPath().getName().startswith("v=")
+    ]
+    return f"{silver_root}/v={max(versions)}"
 
 
 def run_corpus_ingest(

@@ -112,6 +112,70 @@ class TestIngestDedup:
         assert spark.read.parquet(bronze).count() == 1
 
 
+class TestSilverUpsert:
+    def _upsert(self, spark, src, silver, ckpt):
+        from nsp_bolt_pipeline_spark.streaming.ingest import (
+            run_silver_upsert,
+        )
+
+        stream = decode_event_times(
+            read_wire_stream(
+                spark, src, WIRE, max_files_per_trigger=1
+            ),
+            ["ts"],
+        ).select("key", "ts", "fare")
+        return run_silver_upsert(
+            stream,
+            silver_root=silver,
+            checkpoint_dir=ckpt,
+            keys=["key"],
+            order_cols=["ts"],
+        )
+
+    def test_latest_wins_across_batches_and_versions_advance(
+        self, spark, tmp_path
+    ):
+        src, silver, ckpt = _dirs(tmp_path, "src", "silver", "ckpt")
+        # one file per micro-batch (maxFilesPerTrigger=1): the update
+        # for k1 arrives in a LATER batch and must replace the earlier
+        # row; k2 is untouched by batch 2
+        _write_batch(
+            src,
+            "b0.json",
+            [
+                {"key": "k1", "ts": T0 + 1 * US_PER_HOUR, "fare": 10.0},
+                {"key": "k2", "ts": T0 + 2 * US_PER_HOUR, "fare": 20.0},
+            ],
+        )
+        _write_batch(
+            src,
+            "b1.json",
+            [{"key": "k1", "ts": T0 + 5 * US_PER_HOUR, "fare": 50.0}],
+        )
+        latest = self._upsert(spark, src, silver, ckpt)
+        assert latest.endswith("v=1")  # two batches -> versions 0, 1
+        got = {r["key"]: r["fare"] for r in spark.read.parquet(latest).collect()}
+        assert got == {"k1": 50.0, "k2": 20.0}
+
+    def test_out_of_order_update_does_not_regress(self, spark, tmp_path):
+        src, silver, ckpt = _dirs(tmp_path, "src", "silver", "ckpt")
+        _write_batch(
+            src,
+            "b0.json",
+            [{"key": "k1", "ts": T0 + 9 * US_PER_HOUR, "fare": 90.0}],
+        )
+        # stale update arrives later: latest-wins is by ORDER COLUMNS,
+        # not arrival — the older ts must not replace the newer row
+        _write_batch(
+            src,
+            "b1.json",
+            [{"key": "k1", "ts": T0 + 1 * US_PER_HOUR, "fare": 10.0}],
+        )
+        latest = self._upsert(spark, src, silver, ckpt)
+        got = {r["key"]: r["fare"] for r in spark.read.parquet(latest).collect()}
+        assert got == {"k1": 90.0}
+
+
 class TestDLQ:
     def test_corrupt_json_and_failed_cast_route_to_dlq(self, spark, tmp_path):
         src, bronze, dlq, ckpt = _dirs(tmp_path, "src", "bronze", "dlq", "ckpt")
