@@ -54,6 +54,17 @@ HEADLINE = [
     # ~100k events at sf0.1; wall time here ~= ingest throughput
     # (BASELINE.md target: sustain >= 1,000 events/s/stream)
     "stream_d1_ingest_dedup",
+    # round-3 additions: Arrow-BLAS ANN vs the JVM fold, the
+    # LSH->cosine->CC and fuzzy->CC governance compositions, range
+    # Z-order sharding, exact per-stratum quotas, frame explode, and
+    # the versioned streaming SCD1 merge
+    "ann_exact_topk_arrow",
+    "cosine_neardup_clusters",
+    "fuzzy_entity_clusters",
+    "l8_zorder_layout",
+    "l11_stratified_quota_sample",
+    "mm_frame_sample",
+    "stream_d3_merge_upsert",
 ]
 
 

@@ -67,6 +67,40 @@ def q_ann_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "ann_exact_topk_arrow",
+    f"""
+    WITH q AS (SELECT vec_id AS query_id, embedding AS qv
+               FROM embeddings WHERE vec_id < {N_QUERIES}),
+    c AS (SELECT vec_id, embedding AS cv FROM embeddings),
+    scored AS (
+        SELECT query_id, vec_id,
+               FLOOR({_cos_sql("qv", "cv")} * 1e6 + 0.5) / 1e6 AS sim
+        FROM q, c WHERE vec_id <> query_id
+    )
+    SELECT query_id, vec_id, sim, rnk FROM (
+        SELECT query_id, vec_id, sim,
+               row_number() OVER (PARTITION BY query_id
+                                  ORDER BY sim DESC, vec_id ASC) AS rnk
+        FROM scored
+    ) WHERE rnk <= {K}
+    """,
+)
+def q_ann_exact_arrow(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Same contract as ann_exact_topk, scored by BLAS matmul inside
+    Arrow-batched mapInPandas with partition-local top-k (rounded to
+    6 decimals so BLAS reassociation cannot diverge from the oracle's
+    left fold). The JVM-fold and Arrow paths are benched side by
+    side."""
+    from nsp_bolt_pipeline_spark.operators.similarity import (
+        exact_topk_arrow,
+    )
+
+    emb = read_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(emb.vec_id < N_QUERIES)
+    return exact_topk_arrow(emb, queries, k=K)
+
+
+@query(
     "cosine_neardup_pairs",
     f"""
     WITH a AS (SELECT vec_id AS d1, embedding AS v1 FROM embeddings),
