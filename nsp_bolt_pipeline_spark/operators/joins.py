@@ -34,6 +34,7 @@ def as_of_join(
     ref_ts: str,
     tiebreak: str,
     ref_prefix: str = "asof_",
+    tolerance: str | None = None,
 ) -> DataFrame:
     """For every probe row, attach the latest reference row of the same
     key with ``ref_ts <= probe_ts`` (inclusive: a reference at the
@@ -43,6 +44,13 @@ def as_of_join(
     written at t'). Probe-side ordering at equal timestamps never
     affects the result (each probe row independently reads the carried
     reference), so no probe tiebreak is needed.
+
+    ``tolerance`` (an SQL interval string, e.g. ``"3 DAY"``) bounds the
+    lookback, the pandas ``merge_asof(tolerance=...)`` / kdb window
+    semantics: a carried reference older than ``probe_ts - tolerance``
+    is treated as no match (nulls), which is what serving joins want —
+    a year-old profile is not "the profile as of now". Same plan
+    shape; the bound is one map-side predicate after the carry.
     """
     if tiebreak not in reference.columns:
         raise ValueError(
@@ -79,6 +87,16 @@ def as_of_join(
     carried = tagged_ref.unionByName(tagged_probe).withColumn(
         "_asof", F.last("_ref", ignorenulls=True).over(w)
     )
+    if tolerance is not None:
+        ref_ts_carried = F.last(
+            F.when(F.col("_side") == 0, F.col("_ts")), ignorenulls=True
+        ).over(w)
+        in_tol = ref_ts_carried >= F.col("_ts") - F.expr(
+            f"INTERVAL {tolerance}"
+        )
+        carried = carried.withColumn(
+            "_asof", F.when(in_tol, F.col("_asof"))
+        )
     out = carried.filter(F.col("_side") == 1).select(
         *[F.col(f"_p_{c}").alias(c) for c in probe_cols],
         *[F.col(f"_asof.{c}").alias(f"{ref_prefix}{c}") for c in ref_payload],

@@ -78,6 +78,70 @@ def q_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# As-of join with tolerance: the serving-join variant — a reference
+# older than the lookback bound is NO match (pandas merge_asof
+# tolerance / kdb window-join semantics).
+# ---------------------------------------------------------------------------
+
+_ASOF_TOL = "3 DAY"
+
+
+@query(
+    "j5_asof_tolerance",
+    f"""
+    WITH l AS (SELECT user_id, ts, event_id, value FROM events
+               WHERE event_type = '{END_EVENT}'),
+    r AS (SELECT user_id, ts, event_id FROM events
+          WHERE event_type = '{START_EVENT}'),
+    tagged AS (
+        SELECT user_id, ts AS _ts, 1 AS _side, event_id AS _tb,
+               event_id, ts, value,
+               CAST(NULL AS TIMESTAMP) AS r_ts, CAST(NULL AS BIGINT) AS r_eid
+        FROM l
+        UNION ALL
+        SELECT user_id, ts AS _ts, 0 AS _side, event_id AS _tb,
+               NULL, NULL, NULL, ts AS r_ts, event_id AS r_eid
+        FROM r
+    ),
+    carried AS (
+        SELECT *,
+               last_value(r_ts IGNORE NULLS) OVER win AS c_ts,
+               last_value(r_eid IGNORE NULLS) OVER win AS c_eid
+        FROM tagged
+        WINDOW win AS (PARTITION BY user_id ORDER BY _ts, _side, _tb
+                       ROWS UNBOUNDED PRECEDING)
+    )
+    SELECT event_id, ts, user_id, value,
+           CASE WHEN c_ts >= _ts - INTERVAL {_ASOF_TOL} THEN c_ts END
+               AS asof_ts,
+           CASE WHEN c_ts >= _ts - INTERVAL {_ASOF_TOL} THEN c_eid END
+               AS asof_event_id
+    FROM carried WHERE _side = 1
+    """,
+)
+def q_asof_tolerance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = read_table(spark, sf_dir, "events")
+    purchases = ev.filter(F.col("event_type") == END_EVENT).select(
+        "event_id", "ts", "user_id", "value"
+    )
+    signups = ev.filter(F.col("event_type") == START_EVENT).select(
+        "user_id", "ts", "event_id"
+    )
+    out = as_of_join(
+        purchases,
+        signups,
+        key="user_id",
+        probe_ts="ts",
+        ref_ts="ts",
+        tiebreak="event_id",
+        tolerance=_ASOF_TOL,
+    )
+    return out.select(
+        "event_id", "ts", "user_id", "value", "asof_ts", "asof_event_id"
+    )
+
+
+# ---------------------------------------------------------------------------
 # Bounded range-join aggregation: per first-signup, purchase activity
 # within the following 7 days.
 # ---------------------------------------------------------------------------

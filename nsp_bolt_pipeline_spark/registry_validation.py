@@ -533,3 +533,50 @@ def q_equidepth_scale(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("o_totalprice").alias("lo"),
         F.max("o_totalprice").alias("hi"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Schema-evolution read (S-family breadth): a table whose older files
+# lack a column that newer files carry — the steady state of any
+# long-lived 100 TB dataset. ``mergeSchema`` unions the footers and
+# back-fills NULL for the missing column; the oracle replays the
+# union explicitly.
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "p14_schema_evolution_read",
+    """
+    SELECT event_id, ts, value, CAST(NULL AS BIGINT) AS user_id
+    FROM events WHERE event_id % 2 = 0
+    UNION ALL
+    SELECT event_id, ts, value, user_id
+    FROM events WHERE event_id % 2 = 1
+    """,
+)
+def q_p14_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Write two generations of the same table (the older half without
+    user_id, the newer half with it), then read the directory with
+    ``mergeSchema`` — rows from old files surface NULL user_id, no
+    rewrite of history required. At scale the schema union is
+    footer-metadata work only; the data pages of the old files are
+    untouched. Spark needs mergeSchema=true explicitly (the default
+    single-footer schema pick would silently DROP the new column for
+    a reader landing on an old file first)."""
+    base = _os.path.join(
+        _tempfile.gettempdir(),
+        "nsp_schema_evolution",
+        _os.path.basename(_os.path.normpath(sf_dir)),
+    )
+    ev = read_table(spark, sf_dir, "events")
+    ev.filter(F.col("event_id") % 2 == 0).select(
+        "event_id", "ts", "value"
+    ).write.mode("overwrite").parquet(_os.path.join(base, "gen=old"))
+    ev.filter(F.col("event_id") % 2 == 1).select(
+        "event_id", "ts", "value", "user_id"
+    ).write.mode("overwrite").parquet(_os.path.join(base, "gen=new"))
+    return (
+        spark.read.option("mergeSchema", "true")
+        .parquet(_os.path.join(base, "gen=old"), _os.path.join(base, "gen=new"))
+        .select("event_id", "ts", "value", "user_id")
+    )

@@ -43,6 +43,35 @@ def test_as_of_join_boundaries_and_ties(spark):
     assert out[3]["asof_rid"] == 201
 
 
+def test_as_of_join_tolerance_bounds_lookback(spark):
+    probe = spark.createDataFrame(
+        [
+            (1, "u", _ts(10)),  # ref 2h old, within 3h tolerance
+            (2, "u", _ts(14)),  # ref 6h old -> no match, BOTH cols null
+            (3, "u", _ts(11)),  # ref exactly 3h old: boundary matches
+        ],
+        "pid long, user string, ts timestamp",
+    )
+    ref = spark.createDataFrame(
+        [("u", _ts(8), 7)], "user string, ts timestamp, rid long"
+    )
+    out = {
+        r["pid"]: r
+        for r in as_of_join(
+            probe,
+            ref,
+            key="user",
+            probe_ts="ts",
+            ref_ts="ts",
+            tiebreak="rid",
+            tolerance="3 HOUR",
+        ).collect()
+    }
+    assert out[1]["asof_rid"] == 7
+    assert out[2]["asof_rid"] is None and out[2]["asof_ts"] is None
+    assert out[3]["asof_rid"] == 7
+
+
 def test_as_of_join_keeps_all_probe_rows_once(spark):
     # many matching refs must not duplicate probe rows (the naive
     # join+filter shape would need dedup; union-tag never fans out)

@@ -38,12 +38,14 @@ sys.path.insert(0, ".")
 EAGER_ENTRIES = {
     "dedup_recall_eval",
     "s9_orc_roundtrip",
+    "p14_schema_evolution_read",
     "kmeans_clusters",
     "kmeans_balanced_sample",
     "l1_limit_sample",
     "l8_zorder_layout",
     "l9_shard_manifest",
     "ann_recall_eval",
+    "ann_exact_topk_arrow",
 }
 
 # Entries whose global window is acceptable, with the reason. Two
