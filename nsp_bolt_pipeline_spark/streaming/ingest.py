@@ -43,10 +43,7 @@ from nsp_bolt_pipeline_spark.functions.validation import (
     coerce_typed,
     split_valid_rejects,
 )
-from nsp_bolt_pipeline_spark.operators.dedup import (
-    first_write_wins,
-    merge_upsert,
-)
+from nsp_bolt_pipeline_spark.operators.dedup import first_write_wins
 from nsp_bolt_pipeline_spark.sources.readers import with_corrupt_record
 
 
@@ -180,9 +177,19 @@ def run_silver_upsert(
     keys: Sequence[str],
     order_cols: Sequence[str],
 ) -> str:
-    """Streaming SCD Type-1: per micro-batch, latest-wins MERGE of the
+    """Streaming SCD Type-1: per micro-batch, latest-wins merge of the
     batch into a silver dimension (the serving twin of run_ingest's
     first-write-wins bronze).
+
+    The winner per key is the maximum over ``order_cols`` across the
+    previous silver version AND the batch — by EVENT order, not
+    arrival order. That makes the final table independent of how the
+    stream was split into micro-batches and of file-listing order
+    (same-mtime source files tie nondeterministically), and it makes a
+    stale out-of-order update a no-op instead of a regression — the
+    CDC semantics a serving dimension needs. (merge_upsert's
+    replace-on-match is the right call for curated batch updates;
+    arrival order is NOT a guarantee a stream can offer.)
 
     Silver lives in VERSIONED directories (``v=<batch_id>``), the
     plain-parquet expression of a table-format transaction log: batch
@@ -203,8 +210,12 @@ def run_silver_upsert(
             target = spark.read.parquet(prev).select(*batch.columns)
         else:
             target = batch.limit(0)
-        merged = merge_upsert(
-            target, batch, keys=keys, order_cols=order_cols
+        combined = target.unionByName(batch)
+        ordk = F.struct(*[F.col(c) for c in order_cols])
+        merged = (
+            combined.groupBy(*keys)
+            .agg(F.max_by(F.struct(*combined.columns), ordk).alias("_w"))
+            .select("_w.*")
         )
         merged.write.mode("overwrite").parquet(
             f"{silver_root}/v={batch_id}"
