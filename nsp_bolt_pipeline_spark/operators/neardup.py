@@ -318,6 +318,51 @@ def ngram_jaccard_pairs(
     )
 
 
+def ngram_containment_pairs(
+    df: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+    threshold: float = 0.6,
+) -> DataFrame:
+    """Directed n-gram CONTAINMENT: |A∩B| / |A| per ordered pair —
+    the asymmetric twin of Jaccard. A short document quoted inside a
+    long one scores near 1.0 on containment but near 0 on Jaccard
+    (the union is dominated by the long doc), so this is the primitive
+    for quote/subset/boilerplate detection in corpus prep, where the
+    contained side, not the union, is what you deduplicate away.
+
+    Same inverted-gram-index plan as ngram_jaccard_pairs (shared-gram
+    counts per pair plus a broadcastable per-doc size projection);
+    pairs where either direction clears ``threshold`` survive, with
+    both directions reported."""
+    grams = _grams_df(df, id_col=id_col, text_col=text_col, n=n).persist()
+    inv = grams.select(F.col(id_col).alias("d"), F.explode("g").alias("gram"))
+    a, b = inv.alias("a"), inv.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.gram") == F.col("b.gram")) & (F.col("a.d") < F.col("b.d")),
+        )
+        .groupBy(F.col("a.d").alias("d1"), F.col("b.d").alias("d2"))
+        .agg(F.count(F.lit(1)).alias("common"))
+    )
+    sizes = grams.select(F.col(id_col), F.size("g").alias("sz"))
+    s1 = sizes.select(F.col(id_col).alias("d1"), F.col("sz").alias("sz1"))
+    s2 = sizes.select(F.col(id_col).alias("d2"), F.col("sz").alias("sz2"))
+    c12 = F.col("common").cast("double") / F.col("sz1").cast("double")
+    c21 = F.col("common").cast("double") / F.col("sz2").cast("double")
+    return (
+        pairs.join(s1, "d1")
+        .join(s2, "d2")
+        .withColumn("c_1_in_2", c12)
+        .withColumn("c_2_in_1", c21)
+        .filter(F.greatest(F.col("c_1_in_2"), F.col("c_2_in_1")) >= threshold)
+        .select("d1", "d2", "c_1_in_2", "c_2_in_1")
+    )
+
+
 def minhash_lsh_pairs(
     df: DataFrame,
     *,

@@ -92,6 +92,43 @@ def q_neardup_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ngram_jaccard_pairs(docs, n=N, threshold=THRESHOLD)
 
 
+CONTAIN_THRESHOLD = 0.6
+
+
+@query(
+    "neardup_containment",
+    f"""
+    WITH {_GRAMS_CTE},
+    inv AS (SELECT doc_id AS d, unnest(g) AS gram FROM grams),
+    pairs AS (
+        SELECT a.d AS d1, b.d AS d2, COUNT(*) AS common
+        FROM inv a JOIN inv b ON a.gram = b.gram AND a.d < b.d
+        GROUP BY 1, 2
+    )
+    SELECT d1, d2, c_1_in_2, c_2_in_1 FROM (
+        SELECT p.d1, p.d2,
+               CAST(common AS DOUBLE) / CAST(len(ga.g) AS DOUBLE)
+                   AS c_1_in_2,
+               CAST(common AS DOUBLE) / CAST(len(gb.g) AS DOUBLE)
+                   AS c_2_in_1
+        FROM pairs p
+        JOIN grams ga ON p.d1 = ga.doc_id
+        JOIN grams gb ON p.d2 = gb.doc_id
+    ) WHERE GREATEST(c_1_in_2, c_2_in_1) >= {CONTAIN_THRESHOLD}
+    """,
+)
+def q_neardup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Asymmetric near-dup: quote/subset detection by directed shingle
+    containment — the case Jaccard structurally misses (a short doc
+    inside a long one has tiny |A∩B|/|A∪B| but |A∩B|/|A| ~ 1)."""
+    from nsp_bolt_pipeline_spark.operators.neardup import (
+        ngram_containment_pairs,
+    )
+
+    docs = read_table(spark, sf_dir, "documents")
+    return ngram_containment_pairs(docs, n=N, threshold=CONTAIN_THRESHOLD)
+
+
 def _minhash_lsh_sql() -> str:
     """DuckDB twin of the integer-family LSH path: one md5 per
     shingle (48-bit prefix decoded by nibble arithmetic), affine

@@ -50,6 +50,24 @@ def test_ngram_jaccard_finds_planted_pair_only(spark):
     assert 0.5 <= pairs[0]["jaccard"] < 1.0
 
 
+def test_containment_catches_quote_that_jaccard_misses(spark):
+    from nsp_bolt_pipeline_spark.operators.neardup import (
+        ngram_containment_pairs,
+    )
+
+    quote = "the quick brown fox jumps over the lazy dog"
+    long_doc = quote + " " + " ".join(f"filler{i} pad{i} word{i}" for i in range(30))
+    df = spark.createDataFrame(
+        [(1, quote), (2, long_doc)], ["doc_id", "text"]
+    )
+    got = ngram_containment_pairs(df, threshold=0.9).collect()
+    assert [(r["d1"], r["d2"]) for r in got] == [(1, 2)]
+    assert got[0]["c_1_in_2"] == 1.0  # every shingle of the quote is in the long doc
+    assert got[0]["c_2_in_1"] < 0.2
+    # the symmetric metric structurally misses the same pair
+    assert ngram_jaccard_pairs(df, threshold=0.5).count() == 0
+
+
 def test_minhash_lsh_agrees_with_exact_on_planted_pair(spark):
     pairs = minhash_lsh_pairs(_docs(spark), threshold=0.5).collect()
     assert [(r["d1"], r["d2"]) for r in pairs] == [(1, 2)]
