@@ -135,6 +135,37 @@ def q_text_quality_language(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Language-ID evaluation: confusion counts of the heuristic guess
+# against the ground-truth lang label — the third in-engine eval
+# harness (with ann_recall_eval and dedup_recall_eval). Accuracy of
+# the toy profiles is NOT the point; the confusion-matrix machinery
+# over a labeled corpus is what transfers to real profiles.
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "text_langid_eval",
+    f"""
+    SELECT lang, lang_guess, COUNT(*) AS n_docs
+    FROM documents
+    JOIN ({_TEXT_LANG_ORACLE}) g USING (doc_id)
+    GROUP BY lang, lang_guess
+    """,
+)
+def q_text_langid_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = read_table(spark, sf_dir, "documents")
+    guesses = docs.select(
+        "doc_id", detect_language("text").alias("lang_guess")
+    )
+    return (
+        docs.select("doc_id", "lang")
+        .join(guesses, "doc_id")
+        .groupBy("lang", "lang_guess")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+    )
+
+
+# ---------------------------------------------------------------------------
 # Top-5 terms per source-language label: explode + hash agg + top-k
 # window (counts are exact ints -> fully deterministic ordering).
 # ---------------------------------------------------------------------------
