@@ -762,3 +762,53 @@ def q12_ship_priority_class(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(F.when(high, 0).otherwise(1)).alias("low_line_count"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Exact-decimal money aggregation: the 100 TB-correct way to sum
+# money. Double-sum + floor-rounding (the _r2 convention used
+# elsewhere) is portable but still accumulates in binary floating
+# point; a ledger wants DECIMAL end to end — exact integer-scaled
+# arithmetic with NO fold-order sensitivity at any scale, no rounding
+# convention needed. Output rendered as VARCHAR because pandas
+# materializes the two engines' decimals differently (p8 precedent).
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "a11_decimal_revenue",
+    """
+    SELECT n.n_name AS nation,
+           CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(14,2))
+                    - CAST(l.l_extendedprice AS DECIMAL(14,2))
+                      * CAST(l.l_discount AS DECIMAL(14,2)))
+                AS VARCHAR) AS revenue_exact
+    FROM lineitem l
+    JOIN supplier s ON s.s_suppkey = l.l_suppkey
+    JOIN nation n ON n.n_nationkey = s.s_nationkey
+    GROUP BY n.n_name
+    """,
+)
+def q_decimal_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-nation revenue in exact DECIMAL: cast each money input to
+    DECIMAL(14,2) once at the scan, keep every multiply/subtract/sum
+    in decimal (Spark widens precision per SQL rules, identically to
+    DuckDB), render the total as text. Associative integer-scaled
+    arithmetic: any partition count, any merge order, same digits —
+    the property double-based money sums only approximate."""
+    li = read_table(spark, sf_dir, "lineitem")
+    supp = read_table(spark, sf_dir, "supplier").select(
+        "s_suppkey", "s_nationkey"
+    )
+    nation = read_table(spark, sf_dir, "nation").select(
+        "n_nationkey", "n_name"
+    )
+    price = F.col("l_extendedprice").cast("decimal(14,2)")
+    disc = F.col("l_discount").cast("decimal(14,2)")
+    return (
+        li.select("l_suppkey", (price - price * disc).alias("rev"))
+        .join(F.broadcast(supp), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(F.broadcast(nation), F.col("s_nationkey") == F.col("n_nationkey"))
+        .groupBy(F.col("n_name").alias("nation"))
+        .agg(F.sum("rev").cast("string").alias("revenue_exact"))
+    )

