@@ -620,3 +620,57 @@ def q_cross_source_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("src1") != F.col("src2"))
         .select("d1", "d2", "src1", "src2")
     )
+
+
+# ---------------------------------------------------------------------------
+# Reconciliation checksum (anti-entropy): an order-independent content
+# digest per table slice. Two clusters (or two pipeline runs, or
+# pre/post-migration copies) compare digests per slice and re-ship
+# only slices that differ — the Merkle-ish primitive behind Cassandra
+# repair / DynamoDB global-table reconciliation, as a query. SUM of
+# per-row hashes is associative and commutative, so the digest is
+# identical at any partition count and any row order; money enters the
+# row key as integer cents, timestamps as epoch micros (no float or
+# formatting drift).
+# ---------------------------------------------------------------------------
+
+
+def _row_hash_sql() -> str:
+    m = ("md5(CAST(event_id AS VARCHAR) || '|' || CAST(user_id AS VARCHAR)"
+         " || '|' || CAST(epoch_us(ts) AS VARCHAR) || '|' ||"
+         " CAST(CAST(FLOOR(value*100 + 0.5) AS BIGINT) AS VARCHAR))")
+    terms = " + ".join(
+        f"(strpos('{HEX}', substr({m}, {i + 1}, 1)) - 1) * {16 ** (11 - i)}"
+        for i in range(12)
+    )
+    return f"CAST({terms} AS BIGINT)"
+
+
+@query(
+    "d7_reconciliation_checksum",
+    f"""
+    SELECT event_type,
+           COUNT(*) AS n_rows,
+           CAST(SUM({_row_hash_sql()}) AS BIGINT) AS content_digest
+    FROM events
+    GROUP BY event_type
+    """,
+)
+def q_reconciliation_checksum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-event-type (row count, sum-of-row-hashes) digest. One
+    partial-aggregated scan; comparing two copies of a 100 TB table
+    costs two scans and a k-row diff instead of a full-table join."""
+    ev = read_table(spark, sf_dir, "events")
+    cents = F.floor(F.col("value") * 100 + F.lit(0.5)).cast("long")
+    row_key = F.concat_ws(
+        "|",
+        F.col("event_id").cast("string"),
+        F.col("user_id").cast("string"),
+        F.unix_micros("ts").cast("string"),
+        cents.cast("string"),
+    )
+    row_hash = F.conv(F.substring(F.md5(row_key), 1, 12), 16, 10).cast("long")
+    return ev.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum(row_hash).alias("content_digest"),
+    )
