@@ -173,3 +173,61 @@ def cluster_balanced_sample(
         .filter(F.col("rnk") <= per_cluster)
         .select(id_col, "cluster", "rnk")
     )
+
+
+def semantic_dedup(
+    df: DataFrame,
+    *,
+    k: int,
+    dim: int,
+    threshold: float,
+    rounds: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """SemDeDup-style semantic deduplication (Abbas et al. 2023,
+    arXiv:2303.09540): k-means the embedding space, then find
+    near-duplicate pairs ONLY within each cluster and keep one
+    canonical member per connected group. The cluster assignment is
+    the published trick that bounds the quadratic term — all-pairs
+    cosine runs over cluster members, never the corpus, so the cost
+    is sum(|c_i|^2) instead of n^2.
+
+    Scale design: at 100 TB, k grows with the corpus (k ≈ n /
+    target_cluster_size) so per-cluster membership stays bounded;
+    the pair stage is one self-equi-join on ``cluster`` (hash
+    shuffle, AQE splits skewed clusters) and the component/keeper
+    resolution reuses the iterative min-label CC of
+    :func:`~nsp_bolt_pipeline_spark.operators.graph.dedup_clusters`.
+    Unlike SRP-LSH (operators/similarity.py), recall here is exact
+    WITHIN a cluster and zero across clusters — the two operators
+    are complementary curation passes.
+
+    Returns one row per input vector: (id, cluster_id, keep), where
+    ``cluster_id`` is the near-dup component (NOT the k-means
+    cluster) and ``keep`` marks the smallest-id member."""
+    from nsp_bolt_pipeline_spark.operators.graph import dedup_clusters
+    from nsp_bolt_pipeline_spark.operators.similarity import cosine
+
+    assigned = kmeans_lloyd(
+        df, k=k, dim=dim, rounds=rounds, id_col=id_col, vec_col=vec_col
+    )
+    members = df.select(id_col, vec_col).join(assigned, id_col)
+    a = members.select(
+        "cluster",
+        F.col(id_col).alias("d1"),
+        F.col(vec_col).alias("v1"),
+    )
+    b = members.select(
+        "cluster",
+        F.col(id_col).alias("d2"),
+        F.col(vec_col).alias("v2"),
+    )
+    pairs = (
+        a.join(b, "cluster")
+        .filter(F.col("d1") < F.col("d2"))
+        .withColumn("sim", cosine(F.col("v1"), F.col("v2")))
+        .filter(F.col("sim") >= threshold)
+        .select("d1", "d2")
+    )
+    return dedup_clusters(df, pairs, id_col=id_col)

@@ -250,3 +250,61 @@ def q_mean_pool(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.floor(F.avg(F.col("x").cast("double")) * 1e6 + F.lit(0.5)) / 1e6
         ).alias("mean6")
     )
+
+
+# ---------------------------------------------------------------------------
+# SemDeDup: k-means clusters bound the quadratic, all-pairs cosine
+# runs within clusters only, connected components pick one keeper.
+# The oracle replays the full Lloyd loop (above), the within-cluster
+# pair scan, and walks reachability with a recursive CTE.
+# ---------------------------------------------------------------------------
+
+SEMDEDUP_TAU = 0.35
+
+
+def _semdedup_sql() -> str:
+    from nsp_bolt_pipeline_spark.registry_similarity import _cos_sql
+
+    core = _KMEANS_CORE.split("WITH", 1)[1]
+    return f"""
+    WITH RECURSIVE {core},
+    pairs AS (
+        SELECT fx.vec_id AS d1, fy.vec_id AS d2
+        FROM fin fx
+        JOIN fin fy ON fx.cluster = fy.cluster
+                   AND fx.vec_id < fy.vec_id
+        JOIN vecs x ON x.vec_id = fx.vec_id
+        JOIN vecs y ON y.vec_id = fy.vec_id
+        WHERE {_cos_sql("x.v", "y.v")} >= {SEMDEDUP_TAU}
+    ),
+    und AS (SELECT d1 AS a, d2 AS b FROM pairs
+            UNION ALL
+            SELECT d2 AS a, d1 AS b FROM pairs),
+    walk(node, comp) AS (
+        SELECT vec_id, vec_id FROM embeddings
+        UNION
+        SELECT e.b, w.comp FROM walk w JOIN und e ON w.node = e.a
+    )
+    SELECT node AS vec_id,
+           MIN(comp) AS cluster_id,
+           node = MIN(comp) AS keep
+    FROM walk
+    GROUP BY node
+    """
+
+
+@query("semdedup_prune", _semdedup_sql())
+def q_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semantic dedup end to end (SemDeDup, arXiv:2303.09540): Lloyd
+    k-means partitions the embedding space, exact cosine pairs are
+    found within clusters only (sum |c|^2, never n^2), and the
+    min-label CC keeps the smallest-id member of each near-dup
+    group. Complementary to cosine_neardup_clusters: SRP-LSH recall
+    is probabilistic everywhere; SemDeDup recall is exact within a
+    cluster and zero across clusters."""
+    from nsp_bolt_pipeline_spark.operators.clustering import semantic_dedup
+
+    emb = read_table(spark, sf_dir, "embeddings")
+    return semantic_dedup(
+        emb, k=K, dim=DIM, rounds=ROUNDS, threshold=SEMDEDUP_TAU
+    )
