@@ -353,3 +353,87 @@ def zorder_layout(
             F.col("morton") >= F.lit(lo), F.lit(sh).cast("long")
         ).otherwise(shard_col)
     return base.withColumn("shard", shard_col)
+
+
+def manifest_pruned_scan(
+    df: DataFrame,
+    *,
+    col_x: str,
+    col_y: str,
+    n_shards: int,
+    x_range: tuple[int, int],
+    y_range: tuple[int, int],
+    layout_path: str,
+    bits: int = 21,
+    keep_cols: Sequence[str] = (),
+) -> DataFrame:
+    """The read side of the Z-order story: publish the layout as a
+    shard-partitioned table plus a per-shard min/max manifest, then
+    answer a rectangle query touching ONLY the shards whose key
+    ranges overlap — the Delta/Iceberg data-skipping loop expressed
+    as plain Spark.
+
+    Steps (each one is what a lakehouse writer/reader actually does):
+      1. WRITE: the :func:`zorder_layout` output lands partitioned by
+         ``shard`` (one job; at 100 TB this is the one-off layout
+         rewrite ``OPTIMIZE ZORDER BY`` performs).
+      2. MANIFEST: per-shard min/max of both layout keys, computed
+         from the PUBLISHED files (n_shards rows — metadata scale).
+      3. PLAN: the manifest collects to the driver (k rows, exactly
+         like real manifest pruning in a query planner) and shards
+         whose [min,max] boxes miss the query rectangle are dropped.
+      4. SCAN: read back with ``shard IN (...)`` — a partition filter
+         Spark resolves at file-listing time, so pruned shards are
+         never opened (PartitionFilters in the physical plan).
+
+    Returns per-SCANNED-shard (shard, n_scanned, n_matched): the
+    pruning audit a table service emits — scanned minus matched is
+    the false-positive cost of the layout, absent shards are the
+    skipping win. Because Z-order keeps both keys locally dense per
+    shard, few shards overlap any rectangle; a linear layout would
+    scan every shard for a predicate on its minor key."""
+    x_lo, x_hi = x_range
+    y_lo, y_hi = y_range
+    laid = zorder_layout(
+        df,
+        col_x=col_x,
+        col_y=col_y,
+        n_shards=n_shards,
+        bits=bits,
+        keep_cols=keep_cols,
+    )
+    laid.write.mode("overwrite").partitionBy("shard").parquet(layout_path)
+
+    spark = df.sparkSession
+    published = spark.read.parquet(layout_path)
+    manifest = (
+        published.groupBy("shard")
+        .agg(
+            F.min(col_x).alias("min_x"),
+            F.max(col_x).alias("max_x"),
+            F.min(col_y).alias("min_y"),
+            F.max(col_y).alias("max_y"),
+        )
+        .collect()
+    )
+    selected = sorted(
+        int(r["shard"])
+        for r in manifest
+        if not (
+            r["max_x"] < x_lo
+            or r["min_x"] > x_hi
+            or r["max_y"] < y_lo
+            or r["min_y"] > y_hi
+        )
+    )
+    matched = (
+        (F.col(col_x) >= x_lo)
+        & (F.col(col_x) <= x_hi)
+        & (F.col(col_y) >= y_lo)
+        & (F.col(col_y) <= y_hi)
+    )
+    scan = published.filter(F.col("shard").isin(selected))
+    return scan.groupBy("shard").agg(
+        F.count(F.lit(1)).alias("n_scanned"),
+        F.sum(matched.cast("long")).alias("n_matched"),
+    )

@@ -432,3 +432,70 @@ def q_rendezvous(spark: SparkSession, sf_dir: str) -> DataFrame:
             "node"
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Manifest-pruned rectangle scan over the published Z-order layout:
+# write partitioned by shard, prune shards via the min/max manifest,
+# read back only the overlapping shards (PartitionFilters does the
+# file skipping). The oracle replays shard assignment, manifest
+# selection, and the per-shard scan audit logically.
+# ---------------------------------------------------------------------------
+
+import os as _os  # noqa: E402
+import tempfile as _tempfile  # noqa: E402
+
+_PRUNE_X = (40, 120)  # l_partkey rectangle (inside every sf key range)
+_PRUNE_Y = (2, 7)  # l_suppkey rectangle (inside every sf key range)
+
+
+@query(
+    "l12_manifest_pruned_scan",
+    _Z_ORACLE_CTES
+    + f""",
+    man AS (
+        SELECT shard,
+               MIN(l_partkey) AS min_x, MAX(l_partkey) AS max_x,
+               MIN(l_suppkey) AS min_y, MAX(l_suppkey) AS max_y
+        FROM laid GROUP BY shard
+    ),
+    sel AS (
+        SELECT shard FROM man
+        WHERE NOT (max_x < {_PRUNE_X[0]} OR min_x > {_PRUNE_X[1]}
+                OR max_y < {_PRUNE_Y[0]} OR min_y > {_PRUNE_Y[1]})
+    )
+    SELECT l.shard, COUNT(*) AS n_scanned,
+           CAST(SUM(CASE WHEN l_partkey BETWEEN {_PRUNE_X[0]} AND {_PRUNE_X[1]}
+                          AND l_suppkey BETWEEN {_PRUNE_Y[0]} AND {_PRUNE_Y[1]}
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_matched
+    FROM laid l JOIN sel USING (shard)
+    GROUP BY l.shard
+    """,
+)
+def q_manifest_pruned_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data skipping end to end: Z-order layout published partitioned
+    by shard, per-shard min/max manifest collected driver-side (k
+    rows — planner metadata), rectangle query scans only overlapping
+    shards via a partition filter resolved at file-listing time.
+    Output is the pruning audit (scanned vs matched per shard);
+    shards absent from the result were never opened."""
+    from nsp_bolt_pipeline_spark.operators.sampling import (
+        manifest_pruned_scan,
+    )
+
+    li = read_table(spark, sf_dir, "lineitem")
+    out = _os.path.join(
+        _tempfile.gettempdir(),
+        "nsp_zorder_layout",
+        _os.path.basename(_os.path.normpath(sf_dir)),
+    )
+    return manifest_pruned_scan(
+        li,
+        col_x="l_partkey",
+        col_y="l_suppkey",
+        n_shards=_Z_SHARDS,
+        x_range=_PRUNE_X,
+        y_range=_PRUNE_Y,
+        layout_path=out,
+        keep_cols=["l_orderkey", "l_linenumber"],
+    )

@@ -46,6 +46,8 @@ EAGER_ENTRIES = {
     "l9_shard_manifest",
     "ann_recall_eval",
     "ann_exact_topk_arrow",
+    "semdedup_prune",
+    "l12_manifest_pruned_scan",
 }
 
 # Entries whose global window is acceptable, with the reason. Two
