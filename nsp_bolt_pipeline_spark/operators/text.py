@@ -414,3 +414,75 @@ def collocations(
     return scored.orderBy(
         F.col("lift").desc(), F.col("w1").asc(), F.col("w2").asc()
     ).limit(top_n)
+
+
+#: Fixed offline-trained weights for the linear quality classifier
+#: (a fastText/logreg-style filter scored in-engine; training is an
+#: offline concern, scoring is one map-side expression). Exact
+#: left-to-right IEEE fold — no transcendentals — so the logit and
+#: the keep decision are bit-portable across engines.
+QUALITY_WEIGHTS = {
+    "bias": -2.0,
+    "stop_en": 20.0,
+    "len_term": 3.0,
+    "punct_ratio": -8.0,
+    "digit_ratio": -6.0,
+}
+QUALITY_LEN_CAP = 256
+
+
+def quality_logit(
+    col: Column | str, *, stopwords: Sequence[str]
+) -> dict[str, Column]:
+    """Model-based quality filtering: a linear classifier over cheap
+    engine-side features (stopword density, bounded length, punct and
+    digit load). Returns the feature columns plus the raw logit —
+    ``logit > 0`` is exactly ``sigmoid(logit) > 0.5``, so the keep
+    decision needs no transcendental (exp differs in the last ULP
+    across libm implementations; pure {+,*,/} does not).
+
+    At 100 TB this is one whole-stage-codegen'd projection — the
+    shape of every learned quality filter (fastText lid/quality,
+    logreg perplexity gates) once the model is distilled to weights
+    the engine can fold into the scan."""
+    c = F.col(col) if isinstance(col, str) else col
+    w = QUALITY_WEIGHTS
+
+    def from_tokens(toks: Column) -> Column:
+        n_tok = F.size(toks).cast("double")
+        stop_en = (
+            F.size(F.filter(toks, lambda t: t.isin(*stopwords))).cast(
+                "double"
+            )
+            / n_tok
+        )
+        len_term = F.least(F.size(toks), F.lit(QUALITY_LEN_CAP)).cast(
+            "double"
+        ) / float(QUALITY_LEN_CAP)
+        punct_ratio = punct_count(c).cast("double") / F.length(c).cast(
+            "double"
+        )
+        digit_ratio = (
+            F.length(c) - F.length(F.regexp_replace(c, "[0-9]", ""))
+        ).cast("double") / F.length(c).cast("double")
+        logit = (
+            F.lit(w["bias"])
+            + F.lit(w["stop_en"]) * stop_en
+            + F.lit(w["len_term"]) * len_term
+            + F.lit(w["punct_ratio"]) * punct_ratio
+            + F.lit(w["digit_ratio"]) * digit_ratio
+        )
+        return F.struct(
+            stop_en.alias("stop_en"),
+            len_term.alias("len_term"),
+            logit.alias("logit"),
+            (logit > 0.0).alias("keep"),
+        )
+
+    packed = bind_once(tokens(c), from_tokens)
+    return {
+        "stop_en": packed["stop_en"],
+        "len_term": packed["len_term"],
+        "logit": packed["logit"],
+        "keep": packed["keep"],
+    }

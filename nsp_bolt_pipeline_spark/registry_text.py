@@ -575,3 +575,70 @@ def q_inverted_index(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("doc_freq").desc(), F.col("term").asc())
         .limit(100)
     )
+
+
+# ---------------------------------------------------------------------------
+# Model-based quality filter: a linear classifier scored map-side.
+# keep = logit > 0 == sigmoid(logit) > 0.5, so the decision avoids
+# exp() (last-ULP divergence across libm); every feature and the
+# logit are the identical left-to-right IEEE fold on both engines.
+# ---------------------------------------------------------------------------
+
+from nsp_bolt_pipeline_spark.operators.text import (  # noqa: E402
+    QUALITY_LEN_CAP,
+    QUALITY_WEIGHTS,
+    quality_logit,
+)
+
+
+def _quality_clf_sql() -> str:
+    w = QUALITY_WEIGHTS
+    en = LANGUAGE_PROFILES["en"]
+    stop = _stop_ratio_sql(en)
+    len_term = (
+        f"CAST(least(len({_TOKENS_SQL}), {QUALITY_LEN_CAP}) AS DOUBLE)"
+        f" / {float(QUALITY_LEN_CAP)}"
+    )
+    punct = (
+        f"CAST(length(text) - length(regexp_replace(text, '{_PUNCT_SQL}',"
+        f" '', 'g')) AS DOUBLE) / CAST(length(text) AS DOUBLE)"
+    )
+    digit = (
+        "CAST(length(text) - length(regexp_replace(text, '[0-9]', '', 'g'))"
+        " AS DOUBLE) / CAST(length(text) AS DOUBLE)"
+    )
+    return f"""
+    SELECT doc_id, stop_en, len_term, logit, logit > 0.0 AS keep FROM (
+        SELECT doc_id, stop_en, len_term,
+               {w["bias"]} + {w["stop_en"]} * stop_en
+                 + {w["len_term"]} * len_term
+                 + ({w["punct_ratio"]}) * punct_ratio
+                 + ({w["digit_ratio"]}) * digit_ratio AS logit
+        FROM (
+            SELECT doc_id,
+                   {stop} AS stop_en,
+                   {len_term} AS len_term,
+                   {punct} AS punct_ratio,
+                   {digit} AS digit_ratio
+            FROM documents
+        )
+    )
+    """
+
+
+@query("text_quality_classifier", _quality_clf_sql())
+def q_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Learned quality gate distilled to engine arithmetic: stopword
+    density, capped token count, punctuation and digit load, folded
+    into one logit inside the scan projection (whole-stage codegen,
+    zero Python). The decision threshold is logit > 0 — exactly
+    sigmoid > 0.5 without evaluating exp."""
+    docs = read_table(spark, sf_dir, "documents")
+    cols = quality_logit("text", stopwords=LANGUAGE_PROFILES["en"])
+    return docs.select(
+        "doc_id",
+        cols["stop_en"].alias("stop_en"),
+        cols["len_term"].alias("len_term"),
+        cols["logit"].alias("logit"),
+        cols["keep"].alias("keep"),
+    )
