@@ -492,3 +492,251 @@ def quantized_topk(
         .filter(F.col("rnk") <= k)
         .select("query_id", "vec_id", "sim_q", "rnk")
     )
+
+
+# ---------------------------------------------------------------------------
+# Product quantization (PQ) ANN: the billion-vector memory path.
+# Vectors split into M subspaces; each subspace gets a K_SUB-centroid
+# codebook (deterministic subspace k-means, same conventions as
+# operators/clustering.py); a vector stores M small codes (M*log2 K
+# bits — 32x compression at M=8, K=16 vs 64 float32 dims). Queries
+# score the COMPRESSED corpus via an ADC lookup table: one M-step
+# fold per (query, vector) instead of a DIM-step dot product.
+# ---------------------------------------------------------------------------
+
+
+def _round6(c: Column) -> Column:
+    return F.floor(c * 1000000.0 + F.lit(0.5)) / 1000000.0
+
+
+def _sqd(a: Column, b: Column) -> Column:
+    diffs = F.zip_with(
+        a,
+        b,
+        lambda x, y: (x.cast("double") - y.cast("double"))
+        * (x.cast("double") - y.cast("double")),
+    )
+    return F.aggregate(diffs, F.lit(0.0), lambda acc, x: acc + x)
+
+
+def _subspaces(
+    df: DataFrame, *, m: int, d_sub: int, id_col: str, vec_col: str
+) -> DataFrame:
+    """(id, m, sv): each vector exploded to its M subspace slices.
+    Same byte volume as the input (M slices of DIM/M dims) — the
+    explode buys one-shuffle training over all subspaces at once."""
+    slices = F.array(
+        *[
+            F.struct(
+                F.lit(mi).cast("int").alias("m"),
+                F.transform(
+                    F.slice(F.col(vec_col), mi * d_sub + 1, d_sub),
+                    lambda x: x.cast("double"),
+                ).alias("sv"),
+            )
+            for mi in range(m)
+        ]
+    )
+    return df.select(
+        F.col(id_col), F.explode(slices).alias("s")
+    ).select(id_col, F.col("s.m").alias("m"), F.col("s.sv").alias("sv"))
+
+
+def _pq_cents_df(
+    spark, codebooks: dict[tuple[int, int], list[float]]
+) -> DataFrame:
+    from pyspark.sql import types as T
+
+    schema = T.StructType(
+        [
+            T.StructField("m", T.IntegerType()),
+            T.StructField("cid", T.IntegerType()),
+            T.StructField("cv", T.ArrayType(T.DoubleType())),
+        ]
+    )
+    rows = [
+        (int(mi), int(cid), [float(x) for x in v])
+        for (mi, cid), v in sorted(codebooks.items())
+    ]
+    return spark.createDataFrame(rows, schema)
+
+
+def _pq_assign(
+    sub: DataFrame,
+    cents: DataFrame,
+    *,
+    id_col: str,
+    keep_sv: bool,
+) -> DataFrame:
+    """Nearest subspace centroid per (id, m): broadcast the M*K_SUB
+    codebook, expand, collapse with min_by partial agg (ties ->
+    lowest cid) — the corpus never shuffles more than (id, m, sv,
+    code)."""
+    pairs = sub.join(F.broadcast(cents), "m").withColumn(
+        "d", _sqd(F.col("sv"), F.col("cv"))
+    )
+    best = F.min_by(F.col("cid"), F.struct(F.col("d"), F.col("cid")))
+    aggs = [best.cast("int").alias("code")]
+    if keep_sv:
+        aggs.insert(0, F.first(F.col("sv")).alias("sv"))
+    return pairs.groupBy(id_col, "m").agg(*aggs)
+
+
+def pq_train_codebooks(
+    df: DataFrame,
+    *,
+    m: int,
+    k_sub: int,
+    dim: int,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> dict[tuple[int, int], list[float]]:
+    """One Lloyd round per subspace, all subspaces in one pass:
+    deterministic lowest-id init, squared-L2 assignment (ties ->
+    lowest cid), round-6 mean update with empty-cluster carry-over —
+    the exact conventions of operators/clustering.py, keyed by
+    subspace. Only model state (m*k_sub rows) ever reaches the
+    driver."""
+    d_sub = dim // m
+    sub = _subspaces(df, m=m, d_sub=d_sub, id_col=id_col, vec_col=vec_col)
+    init_rows = sub.filter(F.col(id_col) < k_sub).collect()
+    codebooks = {
+        (int(r["m"]), int(r[id_col])): [float(x) for x in r["sv"]]
+        for r in init_rows
+    }
+    cents = _pq_cents_df(df.sparkSession, codebooks)
+    assigned = _pq_assign(sub, cents, id_col=id_col, keep_sv=True)
+    means = assigned.groupBy("m", "code").agg(
+        *[
+            _round6(F.avg(F.col("sv")[d].cast("double"))).alias(f"c_{d}")
+            for d in range(d_sub)
+        ]
+    )
+    new = dict(codebooks)
+    for row in means.collect():
+        new[(int(row["m"]), int(row["code"]))] = [
+            row[f"c_{d}"] for d in range(d_sub)
+        ]
+    return new
+
+
+def pq_encode(
+    df: DataFrame,
+    codebooks: dict[tuple[int, int], list[float]],
+    *,
+    m: int,
+    dim: int,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """(id, codes): each vector compressed to M codebook indices,
+    assembled in subspace order (array_sort over unique (m, code)
+    structs — deterministic)."""
+    d_sub = dim // m
+    sub = _subspaces(df, m=m, d_sub=d_sub, id_col=id_col, vec_col=vec_col)
+    cents = _pq_cents_df(df.sparkSession, codebooks)
+    coded = _pq_assign(sub, cents, id_col=id_col, keep_sv=False)
+    packed = coded.groupBy(id_col).agg(
+        F.array_sort(
+            F.collect_list(F.struct(F.col("m"), F.col("code")))
+        ).alias("_mc")
+    )
+    return packed.select(
+        F.col(id_col),
+        F.transform(F.col("_mc"), lambda x: x["code"]).alias("codes"),
+    )
+
+
+def pq_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    *,
+    k: int,
+    m: int,
+    k_sub: int,
+    dim: int,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Cosine top-k over the PQ-compressed corpus via asymmetric
+    distance computation (ADC): per query, a (m x k_sub) lookup table
+    of exact subspace dot products against every codebook centroid is
+    built engine-side (tiny agg), broadcast, and each corpus vector
+    is scored by an M-step fold over its codes — the compressed
+    corpus is scanned once, the full vectors never touch the scoring
+    join. sim = sum_m lut_dot[m][code] / (|q| * sqrt(sum_m
+    |centroid[m][code]|^2)): numerator exact in q, denominator the
+    quantized corpus norm (standard ADC cosine)."""
+    codebooks = pq_train_codebooks(
+        corpus, m=m, k_sub=k_sub, dim=dim, id_col=id_col, vec_col=vec_col
+    )
+    codes = pq_encode(
+        corpus, codebooks, m=m, dim=dim, id_col=id_col, vec_col=vec_col
+    )
+    d_sub = dim // m
+    cents = _pq_cents_df(corpus.sparkSession, codebooks)
+
+    qsub = _subspaces(
+        queries.select(F.col(id_col).alias("query_id"), F.col(vec_col)),
+        m=m,
+        d_sub=d_sub,
+        id_col="query_id",
+        vec_col=vec_col,
+    )
+    lut_rows = qsub.join(F.broadcast(cents), "m").select(
+        "query_id",
+        "m",
+        "cid",
+        dot(F.col("sv"), F.col("cv")).alias("pdot"),
+        dot(F.col("cv"), F.col("cv")).alias("n2"),
+    )
+    luts = lut_rows.groupBy("query_id").agg(
+        F.transform(
+            F.array_sort(
+                F.collect_list(
+                    F.struct("m", "cid", F.col("pdot").alias("x"))
+                )
+            ),
+            lambda s: s["x"],
+        ).alias("lut_dot"),
+        F.transform(
+            F.array_sort(
+                F.collect_list(F.struct("m", "cid", F.col("n2").alias("x")))
+            ),
+            lambda s: s["x"],
+        ).alias("lut_n2"),
+    )
+    qnorm = queries.select(
+        F.col(id_col).alias("query_id"),
+        F.sqrt(dot(F.col(vec_col), F.col(vec_col))).alias("qn"),
+    )
+    lutq = luts.join(qnorm, "query_id")
+
+    def _fold(lut: str) -> Column:
+        return F.aggregate(
+            F.sequence(F.lit(0), F.lit(m - 1)),
+            F.lit(0.0),
+            lambda acc, mi: acc
+            + F.element_at(
+                F.col(lut),
+                (
+                    mi * k_sub
+                    + F.element_at(F.col("codes"), mi + 1)
+                    + 1
+                ).cast("int"),
+            ),
+        )
+
+    scored = (
+        codes.join(F.broadcast(lutq), F.col(id_col) != F.col("query_id"))
+        .withColumn("_dot", _fold("lut_dot"))
+        .withColumn("_cn2", _fold("lut_n2"))
+        .select(
+            "query_id",
+            id_col,
+            (F.col("_dot") / (F.col("qn") * F.sqrt(F.col("_cn2")))).alias(
+                "sim"
+            ),
+        )
+    )
+    return _topk_per_query(scored, k)

@@ -404,3 +404,179 @@ def q_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.col("a.vec_id")).alias("n_hits"),
         (F.count(F.col("a.vec_id")).cast("double") / K).alias("recall_at_k"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Product-quantization ANN (ADC): subspace codebooks trained with the
+# deterministic one-round Lloyd conventions, vectors compressed to M
+# codes, queries scored against the COMPRESSED corpus via a lookup
+# table. The oracle replays the whole thing — subspace k-means,
+# encoding, LUT build, ADC fold — in SQL.
+# ---------------------------------------------------------------------------
+
+PQ_M = 8
+PQ_DSUB = DIM // PQ_M
+PQ_KSUB = 16
+
+
+def _pq_sqd_sql(a: str, b: str) -> str:
+    return (
+        f"list_sum(list_transform(range(1, {PQ_DSUB} + 1), "
+        f"i -> ({a}[i] - {b}[i]) * ({a}[i] - {b}[i])))"
+    )
+
+
+def _pq_argmin_sql(sub: str, cents: str) -> str:
+    return f"""
+    SELECT vec_id, m, cid AS code FROM (
+        SELECT s.vec_id, s.m, c.cid,
+               row_number() OVER (
+                   PARTITION BY s.vec_id, s.m
+                   ORDER BY {_pq_sqd_sql("s.sv", "c.cv")} ASC, c.cid ASC
+               ) AS rn
+        FROM {sub} s JOIN {cents} c ON s.m = c.m
+    ) WHERE rn = 1
+    """
+
+
+def _pq_mean_sql() -> str:
+    comps = ", ".join(
+        f"floor(avg(s.sv[{d + 1}]) * 1000000.0 + 0.5) / 1000000.0"
+        for d in range(PQ_DSUB)
+    )
+    return f"[{comps}]"
+
+
+def _pq_sql() -> str:
+    return f"""
+    WITH vecs AS (
+        SELECT vec_id,
+               list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+        FROM embeddings
+    ),
+    ms AS (SELECT unnest(range(0, {PQ_M})) AS m),
+    sub AS (
+        SELECT vec_id, m,
+               list_slice(v, m * {PQ_DSUB} + 1, m * {PQ_DSUB} + {PQ_DSUB})
+                   AS sv
+        FROM vecs CROSS JOIN ms
+    ),
+    init AS (
+        SELECT m, CAST(vec_id AS INT) AS cid, sv AS cv
+        FROM sub WHERE vec_id < {PQ_KSUB}
+    ),
+    a1 AS ({_pq_argmin_sql("sub", "init")}),
+    upd AS (
+        SELECT i.m, i.cid, COALESCE(u.mv, i.cv) AS cv
+        FROM init i LEFT JOIN (
+            SELECT a.m, a.code AS cid, {_pq_mean_sql()} AS mv
+            FROM a1 a JOIN sub s ON s.vec_id = a.vec_id AND s.m = a.m
+            GROUP BY a.m, a.code
+        ) u ON u.m = i.m AND u.cid = i.cid
+    ),
+    coded AS ({_pq_argmin_sql("sub", "upd")}),
+    codes AS (
+        SELECT vec_id, list(code ORDER BY m) AS codes
+        FROM coded GROUP BY vec_id
+    ),
+    q AS (SELECT vec_id AS query_id, v FROM vecs
+          WHERE vec_id < {N_QUERIES}),
+    qsub AS (
+        SELECT query_id, m,
+               list_slice(v, m * {PQ_DSUB} + 1, m * {PQ_DSUB} + {PQ_DSUB})
+                   AS sv
+        FROM q CROSS JOIN ms
+    ),
+    lutr AS (
+        SELECT query_id, m, cid,
+               list_sum(list_transform(range(1, {PQ_DSUB} + 1),
+                   i -> sv[i] * cv[i])) AS pdot,
+               list_sum(list_transform(range(1, {PQ_DSUB} + 1),
+                   i -> cv[i] * cv[i])) AS n2
+        FROM qsub JOIN upd USING (m)
+    ),
+    luts AS (
+        SELECT query_id,
+               list(pdot ORDER BY m, cid) AS ld,
+               list(n2 ORDER BY m, cid) AS ln
+        FROM lutr GROUP BY query_id
+    ),
+    qn AS (
+        SELECT query_id,
+               sqrt(list_sum(list_transform(range(1, {DIM} + 1),
+                   i -> v[i] * v[i]))) AS qn
+        FROM q
+    ),
+    scored AS (
+        SELECT l.query_id, c.vec_id,
+               list_sum(list_transform(range(0, {PQ_M}),
+                   mi -> ld[mi * {PQ_KSUB} + codes[mi + 1] + 1]))
+               / (qn.qn * sqrt(list_sum(list_transform(range(0, {PQ_M}),
+                   mi -> ln[mi * {PQ_KSUB} + codes[mi + 1] + 1])))) AS sim
+        FROM codes c
+        CROSS JOIN luts l
+        JOIN qn ON qn.query_id = l.query_id
+        WHERE c.vec_id <> l.query_id
+    )
+    SELECT query_id, vec_id, sim, rnk FROM (
+        SELECT query_id, vec_id, sim,
+               row_number() OVER (PARTITION BY query_id
+                                  ORDER BY sim DESC, vec_id ASC) AS rnk
+        FROM scored
+    ) WHERE rnk <= {K}
+    """
+
+
+@query("ann_pq_topk", _pq_sql())
+def q_ann_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ADC cosine top-k over the PQ-compressed corpus: {PQ_M} subspace
+    codebooks of {PQ_KSUB} centroids (32x compression vs float32),
+    per-query lookup tables built engine-side and broadcast, corpus
+    scanned once as (id, codes). The 100 TB memory path: full
+    vectors appear only in training and LUT build, never in the
+    scoring join."""
+    from nsp_bolt_pipeline_spark.operators.similarity import pq_topk
+
+    emb = read_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(emb.vec_id < N_QUERIES)
+    return pq_topk(
+        emb, queries, k=K, m=PQ_M, k_sub=PQ_KSUB, dim=DIM
+    )
+
+
+def _pq_recall_sql() -> str:
+    exact_sql = _REGISTRY["ann_exact_topk"][1]
+    return f"""
+    SELECT e.query_id,
+           CAST(COUNT(a.vec_id) AS BIGINT) AS n_hits,
+           CAST(COUNT(a.vec_id) AS DOUBLE) / {K} AS recall_at_k
+    FROM ({exact_sql}) e
+    LEFT JOIN ({_pq_sql()}) a
+      ON e.query_id = a.query_id AND e.vec_id = a.vec_id
+    GROUP BY e.query_id
+    """
+
+
+@query("ann_pq_recall_eval", _pq_recall_sql())
+def q_pq_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """recall@k of the PQ/ADC path against brute force — the tuning
+    loop that picks (M, K_SUB) for a target recall; one join of two
+    k-row-per-query frames, both already oracle-pinned."""
+    from nsp_bolt_pipeline_spark.operators.similarity import pq_topk
+
+    emb = read_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(emb.vec_id < N_QUERIES)
+    exact = exact_topk(emb, queries, k=K).alias("e")
+    approx = pq_topk(
+        emb, queries, k=K, m=PQ_M, k_sub=PQ_KSUB, dim=DIM
+    ).alias("a")
+    joined = exact.join(
+        approx,
+        (F.col("e.query_id") == F.col("a.query_id"))
+        & (F.col("e.vec_id") == F.col("a.vec_id")),
+        "left",
+    )
+    return joined.groupBy(F.col("e.query_id").alias("query_id")).agg(
+        F.count(F.col("a.vec_id")).alias("n_hits"),
+        (F.count(F.col("a.vec_id")).cast("double") / K).alias("recall_at_k"),
+    )

@@ -48,6 +48,8 @@ EAGER_ENTRIES = {
     "ann_exact_topk_arrow",
     "semdedup_prune",
     "l12_manifest_pruned_scan",
+    "ann_pq_topk",
+    "ann_pq_recall_eval",
 }
 
 # Entries whose global window is acceptable, with the reason. Two
