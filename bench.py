@@ -65,6 +65,13 @@ HEADLINE = [
     "l11_stratified_quota_sample",
     "mm_frame_sample",
     "stream_d3_merge_upsert",
+    # round-3 additions: PQ/ADC compressed-corpus ANN, SemDeDup
+    # cluster-bounded semantic dedup, manifest-pruned Z-order scan,
+    # and the codegen'd linear quality gate
+    "ann_pq_topk",
+    "semdedup_prune",
+    "l12_manifest_pruned_scan",
+    "text_quality_classifier",
 ]
 
 

@@ -1,0 +1,177 @@
+"""Tests for the round-3 additions: PQ/ADC ANN, SemDeDup, the
+manifest-pruned Z-order scan, and the linear quality classifier —
+each checked against a plain numpy/Python model on small inputs."""
+
+from __future__ import annotations
+
+import os
+import tempfile
+
+import numpy as np
+from pyspark.sql import functions as F
+
+from nsp_bolt_pipeline_spark.operators.similarity import (
+    exact_topk,
+    pq_encode,
+    pq_topk,
+    pq_train_codebooks,
+)
+from nsp_bolt_pipeline_spark.operators.clustering import semantic_dedup
+from nsp_bolt_pipeline_spark.operators.sampling import manifest_pruned_scan
+from nsp_bolt_pipeline_spark.operators.text import (
+    LANGUAGE_PROFILES,
+    quality_logit,
+)
+from nsp_bolt_pipeline_spark.sources.readers import read_table
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+# ---------------------------------------------------------------- PQ
+
+
+def _np_codebooks(vecs: dict[int, np.ndarray], m: int, k_sub: int, dim: int):
+    """Python model of pq_train_codebooks (one Lloyd round, lowest-id
+    init, ties -> lowest cid, round-6 means, empty-cluster carry)."""
+    d_sub = dim // m
+    cbs = {}
+    for mi in range(m):
+        sl = {i: v[mi * d_sub : (mi + 1) * d_sub] for i, v in vecs.items()}
+        cents = {cid: sl[cid].copy() for cid in range(k_sub)}
+        assign = {}
+        for i, sv in sl.items():
+            d = {c: float(np.sum((sv - cv) ** 2)) for c, cv in cents.items()}
+            assign[i] = min(d, key=lambda c: (d[c], c))
+        for cid in range(k_sub):
+            members = [sl[i] for i, c in assign.items() if c == cid]
+            if members:
+                mean = np.mean(members, axis=0)
+                cents[cid] = np.floor(mean * 1e6 + 0.5) / 1e6
+        cbs[mi] = cents
+    return cbs
+
+
+def test_pq_codebooks_and_codes_match_python_model(spark):
+    rng = np.random.default_rng(11)
+    m, k_sub, dim, n = 4, 4, 16, 40
+    vecs = {i: rng.normal(size=dim) for i in range(n)}
+    df = spark.createDataFrame(
+        [(i, v.tolist()) for i, v in vecs.items()], ["vec_id", "embedding"]
+    )
+    got = pq_train_codebooks(df, m=m, k_sub=k_sub, dim=dim)
+    want = _np_codebooks(vecs, m, k_sub, dim)
+    for (mi, cid), cv in got.items():
+        np.testing.assert_allclose(cv, want[mi][cid], atol=1e-9)
+
+    codes = {
+        r["vec_id"]: list(r["codes"])
+        for r in pq_encode(df, got, m=m, dim=dim).collect()
+    }
+    d_sub = dim // m
+    for i, v in vecs.items():
+        for mi in range(m):
+            sv = v[mi * d_sub : (mi + 1) * d_sub]
+            d = {
+                c: float(np.sum((sv - np.asarray(cv)) ** 2))
+                for c, cv in want[mi].items()
+            }
+            assert codes[i][mi] == min(d, key=lambda c: (d[c], c))
+
+
+def test_pq_topk_recall_reasonable_on_real_table(spark):
+    emb = read_table(spark, SF_DIR, "embeddings")
+    queries = emb.filter(emb.vec_id < 5)
+    exact = exact_topk(emb, queries, k=10)
+    approx = pq_topk(emb, queries, k=10, m=8, k_sub=16, dim=64)
+    e = {(r["query_id"], r["vec_id"]) for r in exact.collect()}
+    a = {(r["query_id"], r["vec_id"]) for r in approx.collect()}
+    recall = len(e & a) / len(e)
+    # quantized to 8 codes from 64 dims; structureless gaussian data
+    # is PQ's worst case — anything clearly above chance is fine
+    assert recall >= 0.2, f"PQ recall collapsed: {recall}"
+
+
+# ---------------------------------------------------------- SemDeDup
+
+
+def test_semdedup_keeps_one_per_duplicate_group(spark):
+    rng = np.random.default_rng(3)
+    base = [rng.normal(size=8) for _ in range(6)]
+    rows = []
+    # 3 near-identical copies of each base vector => 6 groups of 3
+    for gi, b in enumerate(base):
+        for j in range(3):
+            rows.append((gi * 3 + j, (b + 1e-4 * j).tolist()))
+    df = spark.createDataFrame(rows, ["vec_id", "embedding"])
+    out = semantic_dedup(df, k=3, dim=8, threshold=0.999).collect()
+    by_cluster: dict[int, list] = {}
+    for r in out:
+        by_cluster.setdefault(r["cluster_id"], []).append(r)
+    keepers = [r for r in out if r["keep"]]
+    # every member of a group must share a cluster with its copies
+    # (same k-means cell by construction) and exactly one keeper each
+    for cid, members in by_cluster.items():
+        assert sum(1 for r in members if r["keep"]) == 1
+        assert min(r["vec_id"] for r in members) == cid
+    assert len(keepers) == len(by_cluster)
+
+
+# --------------------------------------------- manifest-pruned scan
+
+
+def test_manifest_pruned_scan_counts_match_plain_filter(spark):
+    li = read_table(spark, SF_DIR, "lineitem")
+    out_dir = os.path.join(tempfile.gettempdir(), "nsp_test_zorder")
+    got = manifest_pruned_scan(
+        li,
+        col_x="l_partkey",
+        col_y="l_suppkey",
+        n_shards=8,
+        x_range=(40, 120),
+        y_range=(2, 7),
+        layout_path=out_dir,
+    ).collect()
+    n_matched = sum(r["n_matched"] for r in got)
+    want = li.filter(
+        (F.col("l_partkey").between(40, 120))
+        & (F.col("l_suppkey").between(2, 7))
+    ).count()
+    # pruning must be lossless: matched rows survive shard selection
+    assert n_matched == want
+    # and it must actually prune: scanned shards < total shards
+    assert 0 < len(got) < 8
+
+
+# ------------------------------------------------ quality classifier
+
+
+def test_quality_logit_matches_python_model(spark):
+    docs = [
+        (0, "the quick brown fox and the lazy dog of the day"),
+        (1, "lorem1 ipsum2 dolor3 sit4 amet5 999 000 111 222 333"),
+        (2, "a b c"),
+        (3, "!!! ??? ... ,,, ;;; ::: (((" ")))"),
+    ]
+    df = spark.createDataFrame(docs, ["doc_id", "text"])
+    cols = quality_logit("text", stopwords=LANGUAGE_PROFILES["en"])
+    out = {
+        r["doc_id"]: r
+        for r in df.select(
+            "doc_id", cols["logit"].alias("logit"), cols["keep"].alias("keep")
+        ).collect()
+    }
+    en = set(LANGUAGE_PROFILES["en"])
+    import re as _re
+
+    for doc_id, text in docs:
+        toks = _re.split(r"\s+", text.strip())
+        stop = sum(1 for t in toks if t in en) / len(toks)
+        len_term = min(len(toks), 256) / 256.0
+        punct = len(_re.findall(r"[.,;:!?'\"()\[\]{}-]", text)) / len(text)
+        digit = sum(c.isdigit() for c in text) / len(text)
+        want = -2.0 + 20.0 * stop + 3.0 * len_term - 8.0 * punct - 6.0 * digit
+        got = out[doc_id]
+        assert abs(got["logit"] - want) < 1e-9
+        assert got["keep"] == (want > 0)
+    # the fixture must exercise both branches
+    assert {out[0]["keep"], out[1]["keep"]} == {True, False}
