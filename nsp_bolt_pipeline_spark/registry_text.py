@@ -642,3 +642,124 @@ def q_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
         cols["logit"].alias("logit"),
         cols["keep"].alias("keep"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Distributed BPE vocabulary learning + segmentation (operators/bpe).
+# The oracle UNROLLS the merge loop: per round one pair-count CTE,
+# one argmax CTE (ties -> lexicographic), and one merge-apply CTE
+# whose greedy left fold is a list_reduce over a chr(1)-delimited
+# accumulator — the same non-overlapping left-to-right semantics as
+# the Spark-side array fold.
+# ---------------------------------------------------------------------------
+
+N_BPE_MERGES = 6
+
+
+def _bpe_chain_sql(rounds: int) -> str:
+    sep = "chr(1)"
+    last = f"'([^' || {sep} || ']+)$'"
+    parts = [
+        r"""
+    w0 AS (
+        SELECT w, CAST(COUNT(*) AS BIGINT) AS wc FROM (
+            SELECT unnest(regexp_split_to_array(lower(trim(text)), '\s+'))
+                AS w
+            FROM documents
+        ) WHERE regexp_matches(w, '^[a-z]+$') GROUP BY w
+    ),
+    s0 AS (
+        SELECT w, wc,
+               list_transform(range(1, length(w) + 1),
+                   i -> substr(w, i, 1)) AS syms
+        FROM w0
+    )"""
+    ]
+    for r in range(1, rounds + 1):
+        prev = f"s{r - 1}"
+        parts.append(
+            f""",
+    p{r} AS (
+        SELECT p.a AS a, p.b AS b, CAST(SUM(wc) AS BIGINT) AS cnt FROM (
+            SELECT wc, unnest(list_transform(range(1, len(syms)),
+                i -> {{'a': syms[i], 'b': syms[i + 1]}})) AS p
+            FROM {prev} WHERE len(syms) > 1
+        ) GROUP BY p.a, p.b
+    ),
+    b{r} AS (SELECT a, b, cnt FROM p{r}
+             ORDER BY cnt DESC, a ASC, b ASC LIMIT 1),
+    s{r} AS (
+        SELECT w, wc,
+               CASE WHEN len(syms) = 1 THEN syms
+                    ELSE string_split(list_reduce(syms, (acc, x) ->
+                        CASE WHEN regexp_extract(acc, {last}, 1) = br.a
+                                  AND x = br.b
+                             THEN regexp_replace(acc, {last},
+                                                 br.a || br.b)
+                             ELSE acc || {sep} || x END), {sep})
+               END AS syms
+        FROM {prev} CROSS JOIN b{r} br
+    )"""
+        )
+    return "WITH" + "".join(parts)
+
+
+def _bpe_merges_sql() -> str:
+    rows = " UNION ALL ".join(
+        f"SELECT CAST({r} AS BIGINT) AS rank, a AS lhs, b AS rhs,"
+        f" cnt AS pair_count FROM b{r}"
+        for r in range(1, N_BPE_MERGES + 1)
+    )
+    return f"{_bpe_chain_sql(N_BPE_MERGES)}\n    {rows}"
+
+
+@query("text_bpe_merges", _bpe_merges_sql())
+def q_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE tokenizer training as a Spark workload: one corpus scan
+    builds the frequency-weighted word vocabulary, then every round
+    runs vocab-sized (pair explode + map-side-combined count +
+    TakeOrdered argmax + codegen'd greedy merge fold). Only the
+    argmax row per round reaches the driver."""
+    from nsp_bolt_pipeline_spark.operators.bpe import learn_bpe_merges
+
+    docs = read_table(spark, sf_dir, "documents")
+    return learn_bpe_merges(docs, n_merges=N_BPE_MERGES)
+
+
+def _bpe_segment_sql() -> str:
+    n = N_BPE_MERGES
+    return f"""{_bpe_chain_sql(n)},
+    wl AS (SELECT w, CAST(len(syms) AS BIGINT) AS np FROM s{n}),
+    docw AS (
+        SELECT doc_id, w FROM (
+            SELECT doc_id,
+                   unnest(regexp_split_to_array(lower(trim(text)), '\\s+'))
+                       AS w
+            FROM documents
+        ) WHERE regexp_matches(w, '^[a-z]+$')
+    )
+    SELECT d.doc_id,
+           CAST(COUNT(dw.w) AS BIGINT) AS n_words,
+           CAST(COALESCE(SUM(wl.np), 0) AS BIGINT) AS n_pieces
+    FROM documents d
+    LEFT JOIN docw dw ON dw.doc_id = d.doc_id
+    LEFT JOIN wl ON wl.w = dw.w
+    GROUP BY d.doc_id
+    """
+
+
+@query("text_bpe_segment", _bpe_segment_sql())
+def q_bpe_segment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus token accounting under the LEARNED vocabulary: per doc,
+    apply the merge list in rank order to every word (nested codegen
+    fold, no shuffle, no Python) and count the resulting pieces —
+    the real sequence-length model for packing/budgeting, vs the
+    regex token-count estimate (text_token_stats)."""
+    from nsp_bolt_pipeline_spark.operators.bpe import (
+        bpe_segment,
+        learn_merge_list,
+    )
+
+    docs = read_table(spark, sf_dir, "documents")
+    merges = learn_merge_list(docs, n_merges=N_BPE_MERGES)
+    return bpe_segment(docs, [(a, b) for _, a, b, _ in merges])

@@ -50,6 +50,8 @@ EAGER_ENTRIES = {
     "l12_manifest_pruned_scan",
     "ann_pq_topk",
     "ann_pq_recall_eval",
+    "text_bpe_merges",
+    "text_bpe_segment",
 }
 
 # Entries whose global window is acceptable, with the reason. Two
