@@ -496,3 +496,94 @@ def simhash_hex(col: Column | str, *, nibbles: int = 16) -> Column:
 
     # let-bind the token array: 64 vote sums reference it (bind_once)
     return bind_once(tokens(col), from_tokens)
+
+
+# ---------------------------------------------------------------------------
+# Winnowing fingerprints (Schleimer, Wilkerson, Aiken 2003 — the MOSS
+# algorithm): per document, polynomial hashes of every k-gram of the
+# normalized CHARACTER stream, then the minimum hash of each window
+# of w consecutive k-grams. Guarantees: any shared substring of
+# length >= k + w - 1 yields at least one shared fingerprint, so
+# partial overlap / quote detection is robust to edits anywhere else
+# in the document — the property shingle-set MinHash (whole-document
+# similarity) does not give.
+# ---------------------------------------------------------------------------
+
+WINNOW_BASE = 131
+WINNOW_MOD = 1_000_000_007
+
+
+def winnow_fingerprints(
+    col: Column | str, *, k: int = 8, w: int = 4
+) -> Column:
+    """Distinct winnowing fingerprints of the normalized text: all
+    integer arithmetic (each fold term stays far below 2^63), one
+    codegen'd expression per row — no shuffle, no Python."""
+    c = F.col(col) if isinstance(col, str) else col
+    s = F.regexp_replace(F.lower(F.trim(c)), r"\s+", " ")
+
+    def from_norm(sn: Column) -> Column:
+        n_grams = F.length(sn) - k + 1
+        grams_expr = F.transform(
+            F.sequence(F.lit(1), n_grams),
+            lambda i: F.aggregate(
+                F.sequence(F.lit(0), F.lit(k - 1)),
+                F.lit(0).cast("long"),
+                lambda h, j: (
+                    h * WINNOW_BASE
+                    + F.ascii(sn.substr(i + j, F.lit(1))).cast("long")
+                )
+                % WINNOW_MOD,
+            ),
+        )
+
+        # let-bind the gram array: every window slice references it,
+        # and higher-order functions get no common-subexpression
+        # elimination — unbound, each window would re-hash the whole
+        # document (O(n^2 k) per row)
+        def from_grams(grams: Column) -> Column:
+            mins = F.transform(
+                F.sequence(F.lit(1), F.size(grams) - w + 1),
+                lambda i: F.array_min(F.slice(grams, i, w)),
+            )
+            return F.when(F.size(grams) >= w, F.array_distinct(mins)).otherwise(
+                F.array().cast("array<long>")
+            )
+
+        return bind_once(grams_expr, from_grams)
+
+    return bind_once(s, from_norm)
+
+
+def winnowing_pairs(
+    docs: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 8,
+    w: int = 4,
+    min_shared: int = 2,
+) -> DataFrame:
+    """Document pairs sharing >= min_shared winnowing fingerprints —
+    the MOSS overlap detector as a Spark plan: explode (doc,
+    fingerprint), self-equi-join ON THE FINGERPRINT (a bucketed join,
+    the LSH-band shape — never all pairs), count shared prints per
+    pair. At 100 TB the fingerprint table is ~|corpus chars| / w rows
+    and the join only collides documents that actually share a
+    k-gram window; AQE splits hot fingerprints (boilerplate strings)
+    the same way it splits hot LSH buckets."""
+    fps = docs.select(
+        F.col(id_col),
+        F.explode(
+            winnow_fingerprints(text_col, k=k, w=w)
+        ).alias("fp"),
+    )
+    a = fps.select(F.col(id_col).alias("d1"), "fp")
+    b = fps.select(F.col(id_col).alias("d2"), "fp")
+    return (
+        a.join(b, "fp")
+        .filter(F.col("d1") < F.col("d2"))
+        .groupBy("d1", "d2")
+        .agg(F.count(F.lit(1)).alias("n_shared"))
+        .filter(F.col("n_shared") >= min_shared)
+    )

@@ -674,3 +674,68 @@ def q_reconciliation_checksum(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_rows"),
         F.sum(row_hash).alias("content_digest"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Winnowing (MOSS) partial-overlap pairs: per-doc windowed-minimum
+# k-gram fingerprints, then a bucketed self-join ON the fingerprint.
+# Complements MinHash (whole-doc resemblance) and containment
+# (directed n-gram subset): winnowing GUARANTEES any shared substring
+# of length >= k + w - 1 produces a shared fingerprint, so it catches
+# verbatim quotes between otherwise unrelated documents.
+# ---------------------------------------------------------------------------
+
+WINNOW_K = 16
+WINNOW_W = 8
+WINNOW_MIN_SHARED = 8
+
+
+def _winnow_sql() -> str:
+    k, w = WINNOW_K, WINNOW_W
+    return f"""
+    WITH n AS (
+        SELECT doc_id,
+               regexp_replace(lower(trim(text)), '\\s+', ' ', 'g') AS s
+        FROM documents
+    ),
+    g AS (
+        SELECT doc_id,
+               list_transform(range(1, length(s) - {k} + 2),
+                   i -> list_reduce(
+                       list_prepend(CAST(0 AS BIGINT),
+                           list_transform(range(0, {k}),
+                               j -> CAST(ascii(s[i + j]) AS BIGINT))),
+                       (h, c) -> (h * 131 + c) % 1000000007)) AS grams
+        FROM n
+    ),
+    m AS (
+        SELECT doc_id,
+               CASE WHEN len(grams) >= {w}
+                    THEN list_distinct(list_transform(
+                        range(1, len(grams) - {w} + 2),
+                        i -> list_min(list_slice(grams, i, i + {w} - 1))))
+                    ELSE [] END AS fps
+        FROM g
+    ),
+    f AS (SELECT doc_id, unnest(fps) AS fp FROM m)
+    SELECT a.doc_id AS d1, b.doc_id AS d2,
+           CAST(COUNT(*) AS BIGINT) AS n_shared
+    FROM f a JOIN f b ON a.fp = b.fp AND a.doc_id < b.doc_id
+    GROUP BY d1, d2
+    HAVING COUNT(*) >= {WINNOW_MIN_SHARED}
+    """
+
+
+@query("neardup_winnowing_pairs", _winnow_sql())
+def q_winnowing_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Partial-overlap / quote detection via winnowing fingerprints
+    (Schleimer et al. 2003): window-minimum k-gram hashes explode to
+    a (doc, fp) table ~|chars|/w rows, and the self-join collides
+    only documents sharing an actual fingerprint — the LSH-bucket
+    shape, never all pairs; AQE splits boilerplate-hot prints."""
+    from nsp_bolt_pipeline_spark.operators.neardup import winnowing_pairs
+
+    docs = read_table(spark, sf_dir, "documents")
+    return winnowing_pairs(
+        docs, k=WINNOW_K, w=WINNOW_W, min_shared=WINNOW_MIN_SHARED
+    )

@@ -175,3 +175,62 @@ def test_quality_logit_matches_python_model(spark):
         assert got["keep"] == (want > 0)
     # the fixture must exercise both branches
     assert {out[0]["keep"], out[1]["keep"]} == {True, False}
+
+
+# ---------------------------------------------------------------- BPE
+
+
+def test_bpe_learns_and_segments_like_python_model(spark):
+    texts = [
+        (0, "low low low low low"),
+        (1, "lower lower newest newest newest newest"),
+        (2, "newest widest widest widest"),
+    ]
+    df = spark.createDataFrame(texts, ["doc_id", "text"])
+    from nsp_bolt_pipeline_spark.operators.bpe import (
+        bpe_segment,
+        learn_merge_list,
+    )
+
+    def py_learn(word_counts, n):
+        words = {w: [*w] for w in word_counts}
+        merges = []
+        for _ in range(n):
+            counts = {}
+            for w, syms in words.items():
+                for i in range(len(syms) - 1):
+                    p = (syms[i], syms[i + 1])
+                    counts[p] = counts.get(p, 0) + word_counts[w]
+            if not counts:
+                break
+            (a, b), c = min(
+                counts.items(), key=lambda kv: (-kv[1], kv[0][0], kv[0][1])
+            )
+            merges.append((a, b, c))
+            for w, syms in words.items():
+                out = []
+                for s in syms:
+                    if out and out[-1] == a and s == b:
+                        out[-1] = a + b
+                    else:
+                        out.append(s)
+                words[w] = out
+        return merges, words
+
+    wc = {}
+    for _, t in texts:
+        for w in t.split():
+            wc[w] = wc.get(w, 0) + 1
+    want_merges, want_words = py_learn(wc, 4)
+
+    got = learn_merge_list(df, n_merges=4)
+    assert [(a, b, c) for _, a, b, c in got] == want_merges
+
+    seg = {
+        r["doc_id"]: (r["n_words"], r["n_pieces"])
+        for r in bpe_segment(df, [(a, b) for _, a, b, _ in got]).collect()
+    }
+    for doc_id, t in texts:
+        words = t.split()
+        pieces = sum(len(want_words[w]) for w in words)
+        assert seg[doc_id] == (len(words), pieces)
