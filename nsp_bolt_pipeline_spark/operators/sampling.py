@@ -437,3 +437,55 @@ def manifest_pruned_scan(
         F.count(F.lit(1)).alias("n_scanned"),
         F.sum(matched.cast("long")).alias("n_matched"),
     )
+
+
+def negative_samples(
+    df: DataFrame,
+    *,
+    id_col: str = "vec_id",
+    n_neg: int = 4,
+    salt: str = "neg",
+) -> DataFrame:
+    """Deterministic uniform negative sampling for contrastive
+    training: each anchor gets ``n_neg`` pseudo-random partner ids
+    drawn content-addressed from md5(salt || anchor || ':' || j) —
+    reproducible across runs, engines, and partitionings (no RNG
+    state). Requires dense ids in [0, n): the draw is
+    h mod (n-1), shifted past the anchor itself, so every negative is
+    uniform over the other n-1 rows and no self-pair can occur.
+    Independent draws may repeat a partner (standard with-replacement
+    sampling; dedupe downstream if required).
+
+    Scale: the id table maps side-by-side with a broadcast one-row
+    count frame — no shuffle to generate, one join to hydrate
+    payloads."""
+    anchors = df.select(F.col(id_col).alias("anchor_id"))
+    n_frame = df.agg(F.count(F.lit(1)).alias("_n"))
+    with_j = anchors.crossJoin(F.broadcast(n_frame)).select(
+        "anchor_id",
+        "_n",
+        F.explode(F.sequence(F.lit(0), F.lit(n_neg - 1))).alias("j"),
+    )
+    h = F.conv(
+        F.substring(
+            F.md5(
+                F.concat(
+                    F.lit(salt),
+                    F.col("anchor_id").cast("string"),
+                    F.lit(":"),
+                    F.col("j").cast("string"),
+                )
+            ),
+            1,
+            8,
+        ),
+        16,
+        10,
+    ).cast("long")
+    raw = h % (F.col("_n") - 1)
+    neg = F.when(raw >= F.col("anchor_id"), raw + 1).otherwise(raw)
+    return with_j.select(
+        "anchor_id",
+        F.col("j").cast("long").alias("j"),
+        neg.cast("long").alias("neg_id"),
+    )

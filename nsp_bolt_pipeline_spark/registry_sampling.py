@@ -499,3 +499,63 @@ def q_manifest_pruned_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
         layout_path=out,
         keep_cols=["l_orderkey", "l_linenumber"],
     )
+
+
+# ---------------------------------------------------------------------------
+# Contrastive negative sampling: content-addressed uniform draws over
+# the other n-1 ids, hydrated with the negative's label via one join.
+# ---------------------------------------------------------------------------
+
+NEG_K = 4
+NEG_SALT = "neg"
+
+
+def _hash32_int_sql(key_sql: str) -> str:
+    m = f"md5({key_sql})"
+    terms = " + ".join(
+        f"(strpos('{HEX}', substr({m}, {i + 1}, 1)) - 1) * {16 ** (7 - i)}"
+        for i in range(8)
+    )
+    return f"CAST({terms} AS BIGINT)"
+
+
+@query(
+    "l13_negative_samples",
+    f"""
+    WITH n AS (SELECT CAST(COUNT(*) AS BIGINT) AS nn FROM embeddings),
+    draws AS (
+        SELECT e.vec_id AS anchor_id, j.j,
+               {_hash32_int_sql(
+                   "'" + NEG_SALT + "' || CAST(e.vec_id AS VARCHAR)"
+                   " || ':' || CAST(j.j AS VARCHAR)"
+               )} % (n.nn - 1) AS raw
+        FROM embeddings e
+        CROSS JOIN (SELECT unnest(range(0, {NEG_K})) AS j) j
+        CROSS JOIN n
+    )
+    SELECT d.anchor_id, CAST(d.j AS BIGINT) AS j,
+           CAST(CASE WHEN d.raw >= d.anchor_id THEN d.raw + 1
+                     ELSE d.raw END AS BIGINT) AS neg_id,
+           neg.label AS neg_label
+    FROM draws d
+    JOIN embeddings neg
+      ON neg.vec_id = (CASE WHEN d.raw >= d.anchor_id THEN d.raw + 1
+                            ELSE d.raw END)
+    """,
+)
+def q_negative_samples(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Contrastive-pair building at corpus scale: draws generate
+    map-side (broadcast one-row count, no RNG state, reproducible on
+    any partitioning); one hash join hydrates each negative's
+    payload. Self-pairs are impossible by construction (draw over
+    n-1, shift past the anchor)."""
+    from nsp_bolt_pipeline_spark.operators.sampling import negative_samples
+
+    emb = read_table(spark, sf_dir, "embeddings")
+    draws = negative_samples(emb, id_col="vec_id", n_neg=NEG_K, salt=NEG_SALT)
+    labels = emb.select(
+        F.col("vec_id").alias("neg_id"), F.col("label").alias("neg_label")
+    )
+    return draws.join(labels, "neg_id").select(
+        "anchor_id", "j", "neg_id", "neg_label"
+    )

@@ -937,3 +937,56 @@ def q_duration_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("mins")
     )
     return equi_width_histogram(dur, col="mins", n_buckets=_DUR_BUCKETS)
+
+
+# ---------------------------------------------------------------------------
+# Time-decayed user score: EWMA (alpha = 1/2) of event values in
+# event order. alpha = 0.5 is deliberate — scaling by powers of two
+# is EXACT in binary floating point, so only the additions carry
+# rounding and both engines run the identical left-to-right fold:
+# the result is bit-portable with no rounding convention needed.
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "t12_ewma_user_score",
+    """
+    SELECT user_id,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           list_reduce(list(value ORDER BY ts, event_id),
+                       (acc, v) -> acc * 0.5 + v * 0.5) AS ewma
+    FROM events
+    GROUP BY user_id
+    """,
+)
+def q_ewma_user_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recency-weighted engagement: s_1 = v_1, s_t = (s_{t-1} + v_t)/2
+    over each user's events in (ts, event_id) order. State is one
+    sorted per-user array (bounded per key — the sessionization
+    shape); one shuffle on user_id, the fold is a codegen'd
+    expression. The streaming twin is a trivial applyInPandasWithState
+    value; batch-side this replaces a pow()-bearing window (pow is
+    libm-dependent; halving is not)."""
+    from nsp_bolt_pipeline_spark.functions.expr import bind_once
+
+    ev = read_table(spark, sf_dir, "events")
+    per = ev.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.array_sort(
+            F.collect_list(F.struct("ts", "event_id", "value"))
+        ).alias("seq"),
+    )
+
+    def ewma_of(vals: F.Column) -> F.Column:
+        return F.aggregate(
+            F.slice(vals, 2, F.size(vals) - 1),
+            F.element_at(vals, 1).cast("double"),
+            lambda acc, v: acc * 0.5 + v * 0.5,
+        )
+
+    vals = F.transform(F.col("seq"), lambda x: x["value"])
+    return per.select(
+        "user_id",
+        "n_events",
+        bind_once(vals, ewma_of).alias("ewma"),
+    )
