@@ -151,31 +151,35 @@ def bpe_segment(
     text_col: str = "text",
     id_col: str = "doc_id",
 ) -> DataFrame:
-    """Tokenize each document with a learned merge list: per word,
-    start from characters and apply every merge in rank order (the
-    same greedy fold the learner used — one nested codegen
-    expression, no shuffle, no Python). Returns (id, n_words,
-    n_pieces): the corpus-wide token accounting a batch planner needs
-    under a REAL learned vocabulary rather than the BPE_SPLIT_PATTERN
-    estimate of operators/text.py."""
-    words = F.filter(
-        F.split(F.lower(F.trim(F.col(text_col))), r"\s+"),
-        lambda w: w.rlike(WORD_RE),
-    )
+    """Tokenize each document with a learned merge list and count the
+    resulting pieces per doc — the corpus-wide token accounting a
+    batch planner needs under a REAL learned vocabulary rather than
+    the BPE_SPLIT_PATTERN estimate of operators/text.py.
 
-    def pieces_of(w: Column) -> Column:
-        syms = _chars(w)
-        for a, b in merges:
-            syms = _apply_merge(syms, a, b)
-        return F.size(syms)
+    The merge fold (greedy, rank order — the same fold the learner
+    used) runs once per DISTINCT word, not once per occurrence: the
+    expensive nested expression is vocab-sized work, and documents
+    get their piece counts back through one hash join on the word
+    (AQE broadcasts it when the vocabulary is small). Same
+    word-counted trick as learning — the corpus pays only the
+    explode."""
+    wl = word_vocab(df, text_col=text_col).select("w")
+    syms = _chars(F.col("w"))
+    for a, b in merges:
+        syms = _apply_merge(syms, a, b)
+    pieces = wl.select("w", F.size(syms).cast("long").alias("np"))
 
-    n_pieces = F.aggregate(
-        words,
-        F.lit(0),
-        lambda acc, w: acc + pieces_of(w),
-    )
-    return df.select(
+    docw = df.select(
         F.col(id_col),
-        F.size(words).cast("long").alias("n_words"),
-        n_pieces.cast("long").alias("n_pieces"),
+        F.explode(
+            F.split(F.lower(F.trim(F.col(text_col))), r"\s+")
+        ).alias("w"),
+    ).filter(F.col("w").rlike(WORD_RE))
+    counted = docw.join(pieces, "w").groupBy(id_col).agg(
+        F.count(F.lit(1)).alias("_nw"), F.sum("np").alias("_np")
+    )
+    return df.select(id_col).join(counted, id_col, "left").select(
+        F.col(id_col),
+        F.coalesce(F.col("_nw"), F.lit(0)).cast("long").alias("n_words"),
+        F.coalesce(F.col("_np"), F.lit(0)).cast("long").alias("n_pieces"),
     )

@@ -509,16 +509,17 @@ def simhash_hex(col: Column | str, *, nibbles: int = 16) -> Column:
 # similarity) does not give.
 # ---------------------------------------------------------------------------
 
-WINNOW_BASE = 131
-WINNOW_MOD = 1_000_000_007
-
-
 def winnow_fingerprints(
     col: Column | str, *, k: int = 8, w: int = 4
 ) -> Column:
-    """Distinct winnowing fingerprints of the normalized text: all
-    integer arithmetic (each fold term stays far below 2^63), one
-    codegen'd expression per row — no shuffle, no Python."""
+    """Distinct winnowing fingerprints of the normalized text — one
+    expression per row, no shuffle, no Python. Gram hashing is
+    md5-based (native JVM digest per k-gram, replayed exactly by the
+    oracle's nibble decode): winnowing needs A deterministic hash per
+    gram, not a rolling one, and the digest runs ~an order of
+    magnitude faster inside the interpreted higher-order transform
+    than a per-character fold (47s -> ~4s at sf0.1). The polynomial
+    rolling-hash primitive lives in operators/text.py::rolling_hash."""
     c = F.col(col) if isinstance(col, str) else col
     s = F.regexp_replace(F.lower(F.trim(c)), r"\s+", " ")
 
@@ -526,15 +527,9 @@ def winnow_fingerprints(
         n_grams = F.length(sn) - k + 1
         grams_expr = F.transform(
             F.sequence(F.lit(1), n_grams),
-            lambda i: F.aggregate(
-                F.sequence(F.lit(0), F.lit(k - 1)),
-                F.lit(0).cast("long"),
-                lambda h, j: (
-                    h * WINNOW_BASE
-                    + F.ascii(sn.substr(i + j, F.lit(1))).cast("long")
-                )
-                % WINNOW_MOD,
-            ),
+            lambda i: F.conv(
+                F.substring(F.md5(sn.substr(i, F.lit(k))), 1, 8), 16, 10
+            ).cast("long"),
         )
 
         # let-bind the gram array: every window slice references it,

@@ -690,6 +690,17 @@ WINNOW_W = 8
 WINNOW_MIN_SHARED = 8
 
 
+def _gram_hash32_sql(g: str) -> str:
+    """First 8 md5 hex nibbles as a BIGINT — the SQL twin of
+    conv(substring(md5(g), 1, 8), 16, 10)."""
+    m = f"md5({g})"
+    terms = " + ".join(
+        f"(strpos('{HEX}', substr({m}, {i + 1}, 1)) - 1) * {16 ** (7 - i)}"
+        for i in range(8)
+    )
+    return f"CAST({terms} AS BIGINT)"
+
+
 def _winnow_sql() -> str:
     k, w = WINNOW_K, WINNOW_W
     return f"""
@@ -701,11 +712,7 @@ def _winnow_sql() -> str:
     g AS (
         SELECT doc_id,
                list_transform(range(1, length(s) - {k} + 2),
-                   i -> list_reduce(
-                       list_prepend(CAST(0 AS BIGINT),
-                           list_transform(range(0, {k}),
-                               j -> CAST(ascii(s[i + j]) AS BIGINT))),
-                       (h, c) -> (h * 131 + c) % 1000000007)) AS grams
+                   i -> {_gram_hash32_sql(f"substr(s, i, {k})")}) AS grams
         FROM n
     ),
     m AS (
