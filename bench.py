@@ -72,6 +72,13 @@ HEADLINE = [
     "semdedup_prune",
     "l12_manifest_pruned_scan",
     "text_quality_classifier",
+    # distributed BPE learning + learned-vocab segmentation, MOSS
+    # winnowing overlap pairs, EWMA decay scores, negative sampling
+    "text_bpe_merges",
+    "text_bpe_segment",
+    "neardup_winnowing_pairs",
+    "t12_ewma_user_score",
+    "l13_negative_samples",
 ]
 
 

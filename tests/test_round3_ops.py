@@ -234,3 +234,47 @@ def test_bpe_learns_and_segments_like_python_model(spark):
         words = t.split()
         pieces = sum(len(want_words[w]) for w in words)
         assert seg[doc_id] == (len(words), pieces)
+
+
+# ------------------------------------------- EWMA + negative samples
+
+
+def test_negative_samples_uniformity_and_no_self_pairs(spark):
+    from nsp_bolt_pipeline_spark.operators.sampling import negative_samples
+
+    n, k = 50, 6
+    df = spark.createDataFrame([(i,) for i in range(n)], ["vec_id"])
+    out = negative_samples(df, id_col="vec_id", n_neg=k).collect()
+    assert len(out) == n * k
+    for r in out:
+        assert r["neg_id"] != r["anchor_id"]
+        assert 0 <= r["neg_id"] < n
+    # deterministic: a second run returns the identical draws
+    again = negative_samples(df, id_col="vec_id", n_neg=k).collect()
+    assert sorted(map(tuple, out)) == sorted(map(tuple, again))
+
+
+def test_ewma_matches_python_fold(spark):
+    from nsp_bolt_pipeline_spark.registry import REGISTRY, load_all
+
+    load_all()
+    fn, _ = REGISTRY["t12_ewma_user_score"]
+    got = {
+        r["user_id"]: (r["n_events"], r["ewma"])
+        for r in fn(spark, SF_DIR).collect()
+    }
+    ev = read_table(spark, SF_DIR, "events").select(
+        "user_id", "ts", "event_id", "value"
+    )
+    rows: dict = {}
+    for r in ev.collect():
+        rows.setdefault(r["user_id"], []).append(
+            (r["ts"], r["event_id"], r["value"])
+        )
+    for uid, seq in rows.items():
+        seq.sort()
+        s = seq[0][2]
+        for _, _, v in seq[1:]:
+            s = s * 0.5 + v * 0.5
+        assert got[uid][0] == len(seq)
+        assert got[uid][1] == s  # bit-exact: alpha=1/2 scaling is exact
