@@ -509,17 +509,18 @@ def simhash_hex(col: Column | str, *, nibbles: int = 16) -> Column:
 # similarity) does not give.
 # ---------------------------------------------------------------------------
 
-def winnow_fingerprints(
+def winnow_fingerprint_ints(
     col: Column | str, *, k: int = 8, w: int = 4
 ) -> Column:
-    """Distinct winnowing fingerprints of the normalized text — one
-    expression per row, no shuffle, no Python. Gram hashing is
-    md5-based (native JVM digest per k-gram, replayed exactly by the
-    oracle's nibble decode): winnowing needs A deterministic hash per
-    gram, not a rolling one, and the digest runs ~an order of
-    magnitude faster inside the interpreted higher-order transform
-    than a per-character fold (47s -> ~4s at sf0.1). The polynomial
-    rolling-hash primitive lives in operators/text.py::rolling_hash."""
+    """Integer-hash variant of :func:`winnow_fingerprints` feeding
+    the pair detector: same window-minimum scheme, but each k-gram
+    hashes to a BIGINT (first 8 md5 nibbles) so the downstream
+    fingerprint self-join keys on 8-byte ints instead of 32-char hex
+    strings. One native digest per gram — ~an order of magnitude
+    faster inside the interpreted higher-order transform than a
+    per-character fold (47s -> 8s at sf0.1); the per-doc fingerprint
+    LIST form for storage/indexing stays in
+    :func:`winnow_fingerprints`."""
     c = F.col(col) if isinstance(col, str) else col
     s = F.regexp_replace(F.lower(F.trim(c)), r"\s+", " ")
 
@@ -570,8 +571,95 @@ def winnowing_pairs(
     fps = docs.select(
         F.col(id_col),
         F.explode(
-            winnow_fingerprints(text_col, k=k, w=w)
+            winnow_fingerprint_ints(text_col, k=k, w=w)
         ).alias("fp"),
+    )
+    a = fps.select(F.col(id_col).alias("d1"), "fp")
+    b = fps.select(F.col(id_col).alias("d2"), "fp")
+    return (
+        a.join(b, "fp")
+        .filter(F.col("d1") < F.col("d2"))
+        .groupBy("d1", "d2")
+        .agg(F.count(F.lit(1)).alias("n_shared"))
+        .filter(F.col("n_shared") >= min_shared)
+    )
+
+
+WINNOW_BASE = 131
+WINNOW_MOD = 1_000_000_007
+
+
+def winnow_fingerprints_arrow(
+    docs: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 16,
+    w: int = 8,
+) -> DataFrame:
+    """Arrow-vectorized winnowing twin: polynomial (Rabin-Karp)
+    k-gram hashes and sliding-window minima computed with numpy over
+    ``mapInPandas`` batches — k vectorized passes over the position
+    vector per document instead of an interpreted per-element fold.
+    Embarrassingly parallel (no shuffle in the fingerprint stage);
+    this is the per-core-throughput path for corpus-scale runs, while
+    :func:`winnow_fingerprint_ints` stays the pure-JVM expression form.
+    Hash arithmetic is plain int64 mod — deterministic, engine- and
+    batch-size-independent, replayed exactly by the SQL oracle's
+    per-position fold. Returns the exploded (id, fp) table."""
+    import pandas as pd
+
+    from pyspark.sql import types as T
+
+    schema = T.StructType(
+        [
+            T.StructField(id_col, T.LongType()),
+            T.StructField("fp", T.LongType()),
+        ]
+    )
+
+    def batches(it):
+        import numpy as np
+        import re as _re
+
+        for pdf in it:
+            ids: list[int] = []
+            fps: list[int] = []
+            for doc_id, text in zip(pdf[id_col], pdf[text_col]):
+                s = _re.sub(r"\s+", " ", str(text).strip().lower())
+                n = len(s) - k + 1
+                if n < w:
+                    continue
+                codes = np.fromiter(
+                    map(ord, s), dtype=np.int64, count=len(s)
+                )
+                h = np.zeros(n, dtype=np.int64)
+                for j in range(k):
+                    h = (h * WINNOW_BASE + codes[j : j + n]) % WINNOW_MOD
+                mins = np.lib.stride_tricks.sliding_window_view(h, w).min(
+                    axis=1
+                )
+                u = np.unique(mins)
+                ids.extend([int(doc_id)] * len(u))
+                fps.extend(int(x) for x in u)
+            yield pd.DataFrame({id_col: ids, "fp": fps})
+
+    return docs.select(id_col, text_col).mapInPandas(batches, schema)
+
+
+def winnowing_pairs_arrow(
+    docs: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 16,
+    w: int = 8,
+    min_shared: int = 2,
+) -> DataFrame:
+    """The MOSS pair detector over the Arrow fingerprint table —
+    identical join shape to :func:`winnowing_pairs`."""
+    fps = winnow_fingerprints_arrow(
+        docs, id_col=id_col, text_col=text_col, k=k, w=w
     )
     a = fps.select(F.col(id_col).alias("d1"), "fp")
     b = fps.select(F.col(id_col).alias("d2"), "fp")

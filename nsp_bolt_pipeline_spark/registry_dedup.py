@@ -746,3 +746,62 @@ def q_winnowing_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return winnowing_pairs(
         docs, k=WINNOW_K, w=WINNOW_W, min_shared=WINNOW_MIN_SHARED
     )
+
+
+def _winnow_poly_sql() -> str:
+    """Oracle twin of the ARROW winnowing path: per-position
+    polynomial (Rabin-Karp) gram hash replayed as a per-character
+    fold, then the same windowed minima and bucketed pair join."""
+    k, w = WINNOW_K, WINNOW_W
+    return f"""
+    WITH n AS (
+        SELECT doc_id,
+               regexp_replace(lower(trim(text)), '\\s+', ' ', 'g') AS s
+        FROM documents
+    ),
+    g AS (
+        SELECT doc_id,
+               list_transform(range(1, length(s) - {k} + 2),
+                   i -> list_reduce(
+                       list_prepend(CAST(0 AS BIGINT),
+                           list_transform(range(0, {k}),
+                               j -> CAST(ascii(s[i + j]) AS BIGINT))),
+                       (h, c) -> (h * 131 + c) % 1000000007)) AS grams
+        FROM n
+    ),
+    m AS (
+        SELECT doc_id,
+               CASE WHEN len(grams) >= {w}
+                    THEN list_distinct(list_transform(
+                        range(1, len(grams) - {w} + 2),
+                        i -> list_min(list_slice(grams, i, i + {w} - 1))))
+                    ELSE [] END AS fps
+        FROM g
+    ),
+    f AS (SELECT doc_id, unnest(fps) AS fp FROM m)
+    SELECT a.doc_id AS d1, b.doc_id AS d2,
+           CAST(COUNT(*) AS BIGINT) AS n_shared
+    FROM f a JOIN f b ON a.fp = b.fp AND a.doc_id < b.doc_id
+    GROUP BY d1, d2
+    HAVING COUNT(*) >= {WINNOW_MIN_SHARED}
+    """
+
+
+@query("neardup_winnowing_arrow", _winnow_poly_sql())
+def q_winnowing_arrow(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The Arrow-vectorized winnowing path: numpy Rabin-Karp gram
+    hashes + sliding-window minima inside mapInPandas (k vectorized
+    passes per doc, no interpreted per-element fold), then the same
+    fingerprint-bucketed pair join. Per-core throughput path for
+    corpus scale; the JVM expression form (neardup_winnowing_pairs)
+    stays the zero-Python twin. Integer hash arithmetic makes the
+    Python stage exactly replayable — the oracle folds the identical
+    recurrence per position."""
+    from nsp_bolt_pipeline_spark.operators.neardup import (
+        winnowing_pairs_arrow,
+    )
+
+    docs = read_table(spark, sf_dir, "documents")
+    return winnowing_pairs_arrow(
+        docs, k=WINNOW_K, w=WINNOW_W, min_shared=WINNOW_MIN_SHARED
+    )

@@ -278,3 +278,30 @@ def test_ewma_matches_python_fold(spark):
             s = s * 0.5 + v * 0.5
         assert got[uid][0] == len(seq)
         assert got[uid][1] == s  # bit-exact: alpha=1/2 scaling is exact
+
+
+def test_winnowing_jvm_and_arrow_find_planted_quote(spark):
+    from nsp_bolt_pipeline_spark.operators.neardup import (
+        winnowing_pairs,
+        winnowing_pairs_arrow,
+    )
+
+    quote = "the quick brown fox jumps over the lazy dog tonight"
+    docs = [
+        (0, f"alpha beta gamma {quote} delta epsilon zeta eta theta"),
+        (1, f"one two three four five {quote} six seven eight nine"),
+        (2, "completely unrelated text with none of those words in it"),
+        (3, "another disjoint document speaking of other matters only"),
+    ]
+    df = spark.createDataFrame(docs, ["doc_id", "text"])
+    kw = dict(k=16, w=8, min_shared=2)
+    got_jvm = {(r["d1"], r["d2"]) for r in winnowing_pairs(df, **kw).collect()}
+    got_arrow = {
+        (r["d1"], r["d2"]) for r in winnowing_pairs_arrow(df, **kw).collect()
+    }
+    # different gram hash families, same guarantee: the planted
+    # 51-char shared substring (>= k+w-1 = 23) must collide in both
+    assert (0, 1) in got_jvm
+    assert (0, 1) in got_arrow
+    for pair in got_jvm | got_arrow:
+        assert pair == (0, 1)
