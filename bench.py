@@ -79,6 +79,8 @@ HEADLINE = [
     "neardup_winnowing_pairs",
     "t12_ewma_user_score",
     "l13_negative_samples",
+    "neardup_winnowing_arrow",
+    "ann_ivfpq_topk",
 ]
 
 

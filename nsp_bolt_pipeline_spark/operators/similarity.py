@@ -740,3 +740,131 @@ def pq_topk(
         )
     )
     return _topk_per_query(scored, k)
+
+
+def ivfpq_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    *,
+    k: int,
+    m: int,
+    k_sub: int,
+    dim: int,
+    n_centroids: int = 16,
+    nprobe: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """IVF-PQ: the standard billion-vector serving layout — a coarse
+    inverted index bounds WHICH vectors are scored (nprobe/n_centroids
+    of the corpus), and PQ/ADC bounds WHAT is read per vector (M
+    one-byte codes instead of dim floats). Composition of
+    :func:`ivf_topk`'s probe stage and :func:`pq_topk`'s ADC scoring:
+    candidates come from the probed lists only, each scored by the
+    M-step lookup fold against the query's broadcast table.
+
+    Simplification vs Jégou et al.'s IVFADC: codes quantize the RAW
+    vectors with one shared codebook rather than per-list residuals —
+    one training pass, engine-replayable, at some recall cost
+    (recoverable by raising nprobe/M). Memory per vector in the
+    scoring join: M codes + a list id."""
+    codebooks = pq_train_codebooks(
+        corpus, m=m, k_sub=k_sub, dim=dim, id_col=id_col, vec_col=vec_col
+    )
+    codes = pq_encode(
+        corpus, codebooks, m=m, dim=dim, id_col=id_col, vec_col=vec_col
+    )
+    centroids = corpus.filter(F.col(id_col) < n_centroids)
+    assign = ivf_assignments(
+        corpus, centroids, id_col=id_col, vec_col=vec_col
+    )
+
+    c = centroids.select(
+        F.col(id_col).alias("cid"), F.col(vec_col).alias("cv")
+    )
+    q = queries.select(
+        F.col(id_col).alias("query_id"), F.col(vec_col).alias("qv")
+    )
+    probe_w = W.partitionBy("query_id").orderBy(
+        F.col("csim").desc(), F.col("cid").asc()
+    )
+    probes = (
+        q.crossJoin(F.broadcast(c))
+        .withColumn("csim", cosine(F.col("qv"), F.col("cv")))
+        .withColumn("prb", F.row_number().over(probe_w))
+        .filter(F.col("prb") <= nprobe)
+        .select("query_id", "cid")
+    )
+
+    cents = _pq_cents_df(corpus.sparkSession, codebooks)
+    d_sub = dim // m
+    qsub = _subspaces(
+        queries.select(F.col(id_col).alias("query_id"), F.col(vec_col)),
+        m=m,
+        d_sub=d_sub,
+        id_col="query_id",
+        vec_col=vec_col,
+    )
+    lut_rows = qsub.join(F.broadcast(cents), "m").select(
+        "query_id",
+        "m",
+        "cid",
+        dot(F.col("sv"), F.col("cv")).alias("pdot"),
+        dot(F.col("cv"), F.col("cv")).alias("n2"),
+    )
+    luts = lut_rows.groupBy("query_id").agg(
+        F.transform(
+            F.array_sort(
+                F.collect_list(
+                    F.struct("m", "cid", F.col("pdot").alias("x"))
+                )
+            ),
+            lambda s: s["x"],
+        ).alias("lut_dot"),
+        F.transform(
+            F.array_sort(
+                F.collect_list(F.struct("m", "cid", F.col("n2").alias("x")))
+            ),
+            lambda s: s["x"],
+        ).alias("lut_n2"),
+    )
+    qnorm = queries.select(
+        F.col(id_col).alias("query_id"),
+        F.sqrt(dot(F.col(vec_col), F.col(vec_col))).alias("qn"),
+    )
+    lutq = luts.join(qnorm, "query_id")
+
+    cand = (
+        codes.join(assign, id_col)
+        .join(probes, "cid")
+        .filter(F.col(id_col) != F.col("query_id"))
+        .join(F.broadcast(lutq), "query_id")
+    )
+
+    def _fold(lut: str) -> Column:
+        return F.aggregate(
+            F.sequence(F.lit(0), F.lit(m - 1)),
+            F.lit(0.0),
+            lambda acc, mi: acc
+            + F.element_at(
+                F.col(lut),
+                (
+                    mi * k_sub
+                    + F.element_at(F.col("codes"), mi + 1)
+                    + 1
+                ).cast("int"),
+            ),
+        )
+
+    scored = (
+        cand.withColumn("_dot", _fold("lut_dot"))
+        .withColumn("_cn2", _fold("lut_n2"))
+        .select(
+            "query_id",
+            id_col,
+            (F.col("_dot") / (F.col("qn") * F.sqrt(F.col("_cn2")))).alias(
+                "sim"
+            ),
+        )
+    )
+    return _topk_per_query(scored, k)

@@ -447,7 +447,10 @@ def _pq_mean_sql() -> str:
     return f"[{comps}]"
 
 
-def _pq_sql() -> str:
+def _pq_chain_sql() -> str:
+    """The shared PQ replay prefix: subspace k-means, encoding, LUT
+    build, query norms — everything before candidate scoring. Used by
+    the flat ADC scan (ann_pq_topk) and the IVF-PQ composition."""
     return f"""
     WITH vecs AS (
         SELECT vec_id,
@@ -506,13 +509,21 @@ def _pq_sql() -> str:
                sqrt(list_sum(list_transform(range(1, {DIM} + 1),
                    i -> v[i] * v[i]))) AS qn
         FROM q
-    ),
-    scored AS (
-        SELECT l.query_id, c.vec_id,
+    )"""
+
+
+_PQ_ADC_SIM = f"""
                list_sum(list_transform(range(0, {PQ_M}),
                    mi -> ld[mi * {PQ_KSUB} + codes[mi + 1] + 1]))
                / (qn.qn * sqrt(list_sum(list_transform(range(0, {PQ_M}),
-                   mi -> ln[mi * {PQ_KSUB} + codes[mi + 1] + 1])))) AS sim
+                   mi -> ln[mi * {PQ_KSUB} + codes[mi + 1] + 1]))))
+"""
+
+
+def _pq_sql() -> str:
+    return f"""{_pq_chain_sql()},
+    scored AS (
+        SELECT l.query_id, c.vec_id, {_PQ_ADC_SIM} AS sim
         FROM codes c
         CROSS JOIN luts l
         JOIN qn ON qn.query_id = l.query_id
@@ -579,4 +590,79 @@ def q_pq_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     return joined.groupBy(F.col("e.query_id").alias("query_id")).agg(
         F.count(F.col("a.vec_id")).alias("n_hits"),
         (F.count(F.col("a.vec_id")).cast("double") / K).alias("recall_at_k"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# IVF-PQ: coarse list pruning (WHICH vectors, nprobe/n_centroids of
+# the corpus) composed with ADC scoring over codes (WHAT is read per
+# vector, M bytes not dim floats) — the standard billion-vector
+# serving layout. The oracle nests the PQ chain and the IVF
+# probe/assignment replay.
+# ---------------------------------------------------------------------------
+
+
+def _ivfpq_sql() -> str:
+    return f"""{_pq_chain_sql()},
+    cent AS (SELECT vec_id AS ccid, v AS cv FROM vecs
+             WHERE vec_id < {N_CENTROIDS}),
+    assign AS (
+        SELECT vec_id, ccid FROM (
+            SELECT v.vec_id, cent.ccid,
+                   row_number() OVER (
+                       PARTITION BY v.vec_id
+                       ORDER BY {_cos_sql("v.v", "cent.cv")} DESC,
+                                cent.ccid ASC
+                   ) AS rn
+            FROM vecs v, cent
+        ) WHERE rn = 1
+    ),
+    probes AS (
+        SELECT query_id, ccid FROM (
+            SELECT q.query_id, cent.ccid,
+                   row_number() OVER (
+                       PARTITION BY q.query_id
+                       ORDER BY {_cos_sql("q.v", "cent.cv")} DESC,
+                                cent.ccid ASC
+                   ) AS prb
+            FROM q, cent
+        ) WHERE prb <= {NPROBE}
+    ),
+    scored AS (
+        SELECT l.query_id, c.vec_id, {_PQ_ADC_SIM} AS sim
+        FROM codes c
+        JOIN assign a ON a.vec_id = c.vec_id
+        JOIN probes p ON p.ccid = a.ccid
+        JOIN luts l ON l.query_id = p.query_id
+        JOIN qn ON qn.query_id = l.query_id
+        WHERE c.vec_id <> l.query_id
+    )
+    SELECT query_id, vec_id, sim, rnk FROM (
+        SELECT query_id, vec_id, sim,
+               row_number() OVER (PARTITION BY query_id
+                                  ORDER BY sim DESC, vec_id ASC) AS rnk
+        FROM scored
+    ) WHERE rnk <= {K}
+    """
+
+
+@query("ann_ivfpq_topk", _ivfpq_sql())
+def q_ann_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-PQ serving layout: probe {NPROBE}/{N_CENTROIDS} coarse
+    lists, score only those candidates via the broadcast ADC lookup
+    fold over {PQ_M} codes. Full vectors appear in training, the LUT
+    build, and nowhere else."""
+    from nsp_bolt_pipeline_spark.operators.similarity import ivfpq_topk
+
+    emb = read_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(emb.vec_id < N_QUERIES)
+    return ivfpq_topk(
+        emb,
+        queries,
+        k=K,
+        m=PQ_M,
+        k_sub=PQ_KSUB,
+        dim=DIM,
+        n_centroids=N_CENTROIDS,
+        nprobe=NPROBE,
     )

@@ -52,6 +52,7 @@ EAGER_ENTRIES = {
     "ann_pq_recall_eval",
     "text_bpe_merges",
     "text_bpe_segment",
+    "ann_ivfpq_topk",
 }
 
 # Entries whose global window is acceptable, with the reason. Two
