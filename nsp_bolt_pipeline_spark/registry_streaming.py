@@ -905,3 +905,75 @@ def q_stream_d3(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.read.parquet(latest).select(
         "user_id", "event_type", "event_id", "ts", "value"
     )
+
+
+# ---------------------------------------------------------------------------
+# Streaming EWMA (stateful twin of t12_ewma_user_score): buffer per
+# user, fold in event-time order at event-time-timeout emission, flush
+# end-of-stream state via the far-future sentinel event. Same oracle
+# as the batch entry — arrival order must not matter.
+# ---------------------------------------------------------------------------
+
+from datetime import timedelta  # noqa: E402
+
+from nsp_bolt_pipeline_spark.streaming.decay import (  # noqa: E402
+    SENTINEL_USER,
+    track_user_ewma,
+)
+
+_EWMA_HORIZON_MS = 3_600_000  # 1 h past a user's last event
+
+
+@query(
+    "stream_t12_ewma",
+    """
+    SELECT user_id,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           list_reduce(list(value ORDER BY ts, event_id),
+                       (acc, v) -> acc * 0.5 + v * 0.5) AS ewma
+    FROM events
+    GROUP BY user_id
+    """,
+)
+def q_stream_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Replay the event dump through the buffered stateful EWMA and
+    hash-match the batch fold: per-user state is flushed by the
+    event-time timeout once the sentinel pushes the final watermark
+    past every real user's last event + horizon. The emitted score is
+    the same bit-exact alpha=1/2 fold the batch entry and the DuckDB
+    oracle run."""
+    dirs = _workdir("stream_ewma")
+    ev = read_table(spark, sf_dir, "events").select(
+        "event_id", "ts", "user_id", "value"
+    )
+    max_ts = ev.agg(F.max("ts")).first()[0]
+    sentinel = spark.createDataFrame(
+        [(0, max_ts + timedelta(hours=3), SENTINEL_USER, 0.0)],
+        "event_id long, ts timestamp, user_id long, value double",
+    )
+    _dump_events_df(ev.unionByName(sentinel), dirs["src"])
+
+    wire_schema = T.StructType(
+        [
+            T.StructField("event_id", T.LongType()),
+            T.StructField("ts", T.LongType()),
+            T.StructField("user_id", T.LongType()),
+            T.StructField("value", T.DoubleType()),
+        ]
+    )
+    stream = _event_stream(spark, dirs["src"], schema=wire_schema)
+    out = track_user_ewma(
+        stream, horizon_ms=_EWMA_HORIZON_MS, watermark_delay="1 hour"
+    )
+    q = (
+        out.writeStream.format("parquet")
+        .option("path", dirs["out"])
+        .option("checkpointLocation", dirs["ckpt"])
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.read.parquet(dirs["out"]).select(
+        "user_id", "n_events", "ewma"
+    )

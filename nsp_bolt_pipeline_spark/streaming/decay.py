@@ -1,0 +1,128 @@
+"""Streaming EWMA user scores: the stateful twin of the batch
+``t12_ewma_user_score`` entry (registry_temporal).
+
+Semantics: the score folds over events in EVENT-TIME order
+(s_1 = v_1, s_t = (s_{t-1} + v_t)/2 by (ts, event_id)), so arrival
+order must not matter. The operator therefore buffers each user's
+events in state and folds at emission time — exactness over
+incrementality, the right trade for a replay/backfill path; a purely
+incremental variant would fold in arrival order and drift under
+out-of-order delivery. alpha = 1/2 keeps the fold bit-portable
+(halving is exact in binary floating point; Python, the JVM, and
+DuckDB produce the identical double).
+
+Emission: event-time timeout. Each batch extends the user's timeout
+to last_event + horizon; when the watermark passes it, the buffer is
+sorted, folded, emitted once, and the state dropped. End-of-stream
+replays flush via the far-future sentinel-event pattern
+(streaming/sessions.py) — the sentinel key itself is filtered out of
+the output.
+
+Scale notes (100 TB): state is one (ts, id, value) triple per event
+inside the horizon per ACTIVE user — bounded by horizon, not
+history; keys shuffle once into the state store; Python runs per
+key-group over Arrow batches.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+from typing import TYPE_CHECKING
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+if TYPE_CHECKING:
+    import pandas as pd
+
+EWMA_SCHEMA = T.StructType(
+    [
+        T.StructField("user_id", T.LongType()),
+        T.StructField("n_events", T.LongType()),
+        T.StructField("ewma", T.DoubleType()),
+    ]
+)
+
+#: buffered events: parallel arrays (ts_us, event_id, value).
+_STATE_SCHEMA = T.StructType(
+    [
+        T.StructField("ts_us", T.ArrayType(T.LongType())),
+        T.StructField("event_ids", T.ArrayType(T.LongType())),
+        T.StructField("values", T.ArrayType(T.DoubleType())),
+    ]
+)
+
+#: sentinel key (outside the real non-negative user id domain) whose
+#: far-future event pushes the final watermark; never emitted.
+SENTINEL_USER = -1
+
+
+def _fold_sorted(ts_us: list, event_ids: list, values: list) -> tuple:
+    order = sorted(range(len(values)), key=lambda i: (ts_us[i], event_ids[i]))
+    s = float(values[order[0]])
+    for i in order[1:]:
+        s = s * 0.5 + float(values[i]) * 0.5
+    return len(values), s
+
+
+def track_user_ewma(
+    stream: DataFrame,
+    *,
+    ts_col: str = "ts",
+    horizon_ms: int = 3_600_000,
+    watermark_delay: str = "1 hour",
+) -> DataFrame:
+    """Per-user buffered EWMA with event-time-timeout emission."""
+
+    def update(
+        key: tuple,
+        pdfs: Iterator["pd.DataFrame"],
+        state: GroupState,
+    ) -> Iterator["pd.DataFrame"]:
+        import pandas as pd
+
+        (user_id,) = key
+        if state.hasTimedOut:
+            ts_us, event_ids, values = state.get
+            state.remove()
+            if user_id != SENTINEL_USER and values:
+                n, s = _fold_sorted(ts_us, event_ids, values)
+                yield pd.DataFrame(
+                    {
+                        "user_id": [user_id],
+                        "n_events": [n],
+                        "ewma": [s],
+                    }
+                )
+            return
+
+        ts_us, event_ids, values = (
+            state.get if state.exists else ([], [], [])
+        )
+        ts_us, event_ids, values = list(ts_us), list(event_ids), list(values)
+        for pdf in pdfs:
+            for t, e, v in zip(pdf[ts_col], pdf["event_id"], pdf["value"]):
+                ts_us.append(int(pd.Timestamp(t).value // 1000))
+                event_ids.append(int(e))
+                values.append(float(v))
+        state.update((ts_us, event_ids, values))
+        if values:
+            last_ms = max(ts_us) // 1000
+            state.setTimeoutTimestamp(last_ms + horizon_ms)
+        return
+        yield  # pragma: no cover — makes `update` a generator
+
+    watermarked = stream.withWatermark(ts_col, watermark_delay)
+    return (
+        watermarked.groupBy("user_id")
+        .applyInPandasWithState(
+            update,
+            EWMA_SCHEMA,
+            _STATE_SCHEMA,
+            "append",
+            GroupStateTimeout.EventTimeTimeout,
+        )
+        .filter(F.col("user_id") != SENTINEL_USER)
+    )
