@@ -81,6 +81,7 @@ HEADLINE = [
     "l13_negative_samples",
     "neardup_winnowing_arrow",
     "ann_ivfpq_topk",
+    "corpus_curation_budget",
 ]
 
 

@@ -449,3 +449,101 @@ def q_temperature_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(_hb("doc_id", salt=TMIX_SALT) < F.col("rate"))
         .select("doc_id", "lang")
     )
+
+
+# ---------------------------------------------------------------------------
+# Curation capstone v2: model-based quality gate -> exact dedup ->
+# token budget under the LEARNED BPE vocabulary, reported per source.
+# One plan composes three operator families; the oracle nests the
+# classifier, the fingerprint dedup, and the unrolled BPE chain.
+# ---------------------------------------------------------------------------
+
+
+def _curation_budget_sql() -> str:
+    from nsp_bolt_pipeline_spark.registry_text import (
+        N_BPE_MERGES,
+        _bpe_chain_sql,
+        _quality_clf_sql,
+    )
+
+    chain = _bpe_chain_sql(N_BPE_MERGES)
+    body = chain[len("WITH") :]
+    return f"""
+    WITH {body},
+    wl AS (SELECT w, CAST(len(syms) AS BIGINT) AS np
+           FROM s{N_BPE_MERGES}),
+    keepq AS (
+        SELECT doc_id FROM ({_quality_clf_sql()}) WHERE keep
+    ),
+    surv AS (
+        SELECT MIN(d.doc_id) AS doc_id
+        FROM documents d JOIN keepq USING (doc_id)
+        GROUP BY md5(regexp_replace(lower(trim(d.text)), '\\s+', ' ', 'g'))
+    ),
+    docw AS (
+        SELECT doc_id, w FROM (
+            SELECT d.doc_id,
+                   unnest(regexp_split_to_array(lower(trim(d.text)),
+                                                '\\s+')) AS w
+            FROM documents d JOIN surv USING (doc_id)
+        ) WHERE regexp_matches(w, '^[a-z]+$')
+    ),
+    per_doc AS (
+        SELECT dw.doc_id, SUM(wl.np) AS np
+        FROM docw dw JOIN wl USING (w)
+        GROUP BY dw.doc_id
+    )
+    SELECT d.source,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(COALESCE(SUM(p.np), 0) AS BIGINT) AS n_pieces
+    FROM surv s
+    JOIN documents d USING (doc_id)
+    LEFT JOIN per_doc p USING (doc_id)
+    GROUP BY d.source
+    """
+
+
+@query("corpus_curation_budget", _curation_budget_sql())
+def q_curation_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The curation loop a data team actually runs before a training
+    mix decision: score every doc with the distilled quality model
+    (codegen'd logit, no Python), drop rejects, collapse exact
+    duplicates (content fingerprint, keep lowest id), then price the
+    surviving corpus in REAL tokenizer pieces — merges learned on the
+    full corpus, applied per distinct word — and report docs/tokens
+    per source. Three operator families in one plan; every stage
+    individually oracle-pinned elsewhere, the composition pinned
+    here."""
+    from nsp_bolt_pipeline_spark.operators.bpe import (
+        bpe_segment,
+        learn_merge_list,
+    )
+    from nsp_bolt_pipeline_spark.operators.text import (
+        LANGUAGE_PROFILES,
+        fingerprint,
+        quality_logit,
+    )
+    from nsp_bolt_pipeline_spark.registry_text import N_BPE_MERGES
+
+    docs = read_table(spark, sf_dir, "documents")
+    cols = quality_logit("text", stopwords=LANGUAGE_PROFILES["en"])
+    kept = docs.filter(cols["keep"])
+    surv_ids = (
+        kept.withColumn("fp", fingerprint("text"))
+        .groupBy("fp")
+        .agg(F.min("doc_id").alias("doc_id"))
+        .select("doc_id")
+    )
+    surv = docs.join(surv_ids, "doc_id")
+
+    merges = learn_merge_list(docs, n_merges=N_BPE_MERGES)
+    seg = bpe_segment(surv, [(a, b) for _, a, b, _ in merges])
+    return (
+        surv.select("doc_id", "source")
+        .join(seg, "doc_id")
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_pieces").alias("n_pieces"),
+        )
+    )

@@ -53,6 +53,7 @@ EAGER_ENTRIES = {
     "text_bpe_merges",
     "text_bpe_segment",
     "ann_ivfpq_topk",
+    "corpus_curation_budget",
 }
 
 # Entries whose global window is acceptable, with the reason. Two
