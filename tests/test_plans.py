@@ -80,3 +80,41 @@ def test_filtered_scans_push_predicates(plans):
     plan = plans["trip_daily_kpi"]
     assert "PushedFilters: [" in plan
     assert "EqualTo(event_type" in plan
+
+
+def test_runtime_bloom_filter_join_pruning_engages(spark):
+    """At 100 TB the fact side of a selective dim join is pre-pruned
+    by Spark's runtime bloom filter (a semi-join pushdown built from
+    the filtered creation side). The rewrite is size-gated, so test
+    scale never triggers it organically — pin the production-relevant
+    knobs and assert the might_contain predicate lands in the fact
+    scan's plan."""
+    confs = {
+        "spark.sql.autoBroadcastJoinThreshold": "-1",  # force shuffle join
+        "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold": "0",
+        "spark.sql.optimizer.runtimeFilter.semiJoinReduction.enabled": "false",
+    }
+    saved = {k: spark.conf.get(k, None) for k in confs}
+    try:
+        for k, v in confs.items():
+            spark.conf.set(k, v)
+        li = spark.read.parquet(f"{SF_DIR}/lineitem.parquet")
+        orders = spark.read.parquet(f"{SF_DIR}/orders.parquet").filter(
+            "o_orderpriority = '1-URGENT'"
+        )
+        j = (
+            li.join(orders, li.l_orderkey == orders.o_orderkey)
+            .groupBy("o_orderpriority")
+            .count()
+        )
+        plan = j._jdf.queryExecution().executedPlan().toString()
+        assert "might_contain" in plan, (
+            "runtime bloom filter did not inject; plan head:\n"
+            + plan[:2000]
+        )
+    finally:
+        for k, v in saved.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
