@@ -118,3 +118,40 @@ def test_runtime_bloom_filter_join_pruning_engages(spark):
                 spark.conf.unset(k)
             else:
                 spark.conf.set(k, v)
+
+
+def test_dynamic_partition_pruning_engages_on_bronze_layout(spark, tmp_path):
+    """The bronze table is date-partitioned so a filtered dim join
+    must prune partitions at RUNTIME (the filter value is only known
+    after the dim side runs) — Spark's dynamic partition pruning.
+    Assert the partition filter carries a dynamicpruning expression
+    when a selective dim drives the join."""
+    fact_dir = str(tmp_path / "fact")
+    ev = spark.read.parquet(f"{SF_DIR}/events.parquet").selectExpr(
+        "event_id", "user_id", "value", "CAST(ts AS DATE) AS date"
+    )
+    ev.write.mode("overwrite").partitionBy("date").parquet(fact_dir)
+    # DPP requires a SELECTIVE PREDICATE on the dim side — the filter
+    # is what makes runtime pruning worth injecting
+    dim = (
+        ev.select("date", "event_id")
+        .distinct()
+        .filter("event_id % 97 = 0")
+        .select("date")
+    )
+    saved = spark.conf.get("spark.sql.autoBroadcastJoinThreshold", None)
+    try:
+        # broadcast the dim so DPP reuses its result for the prune
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "10485760")
+        fact = spark.read.parquet(fact_dir)
+        j = fact.join(dim, "date").groupBy("date").count()
+        plan = j._jdf.queryExecution().executedPlan().toString().lower()
+        assert "dynamicpruning" in plan, (
+            "dynamic partition pruning did not engage; plan head:\n"
+            + plan[:2000]
+        )
+    finally:
+        if saved is None:
+            spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+        else:
+            spark.conf.set("spark.sql.autoBroadcastJoinThreshold", saved)
