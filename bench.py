@@ -82,6 +82,7 @@ HEADLINE = [
     "neardup_winnowing_arrow",
     "ann_ivfpq_topk",
     "corpus_curation_budget",
+    "d8_cdc_dedup_stats",
 ]
 
 

@@ -670,3 +670,111 @@ def winnowing_pairs_arrow(
         .agg(F.count(F.lit(1)).alias("n_shared"))
         .filter(F.col("n_shared") >= min_shared)
     )
+
+
+# ---------------------------------------------------------------------------
+# Content-defined chunking (LBFS/rsync lineage): chunk boundaries
+# fall where a windowed content hash hits 0 mod DIVISOR, so an edit
+# moves only the boundaries inside its own chunk neighborhood —
+# unlike fixed-size chunking, where one inserted byte shifts every
+# later boundary and destroys all downstream dedup. The primitive
+# under content-addressed storage, delta sync, and byte-level corpus
+# dedup.
+# ---------------------------------------------------------------------------
+
+CDC_DIVISOR = 64  # expected chunk length in characters
+
+
+def cdc_chunks(
+    col: Column | str, *, k: int = 16, divisor: int = CDC_DIVISOR
+) -> Column:
+    """Array of (fp, length) structs: the document's content-defined
+    chunks, fingerprinted. Pure per-row expression — gram hashes are
+    one native md5 per position (the winnowing primitive), cut
+    points are ``hash % divisor == 0``, chunks are the substrings
+    between consecutive cuts. No min/max chunk clamp: the clamp is a
+    sequential dependency that would break the declarative form, and
+    the divisor already sets the expected length (geometric tail)."""
+    c = F.col(col) if isinstance(col, str) else col
+    s = F.regexp_replace(F.lower(F.trim(c)), r"\s+", " ")
+
+    def from_norm(sn: Column) -> Column:
+        n_grams = F.length(sn) - k + 1
+        grams_expr = F.transform(
+            F.sequence(F.lit(1), n_grams),
+            lambda i: F.conv(
+                F.substring(F.md5(sn.substr(i, F.lit(k))), 1, 8), 16, 10
+            ).cast("long"),
+        )
+
+        def from_grams(grams: Column) -> Column:
+            cuts = F.filter(
+                F.sequence(F.lit(2), F.size(grams)),
+                lambda i: F.element_at(grams, i) % divisor == 0,
+            )
+            bounds = F.concat(
+                F.array(F.lit(1)),
+                cuts,
+                F.array(F.length(sn) + 1),
+            )
+            return F.filter(
+                F.transform(
+                    F.sequence(F.lit(1), F.size(bounds) - 1),
+                    lambda i: bind_once(
+                        sn.substr(
+                            F.element_at(bounds, i),
+                            F.element_at(bounds, i + 1)
+                            - F.element_at(bounds, i),
+                        ),
+                        lambda chunk: F.struct(
+                            F.md5(chunk).alias("fp"),
+                            F.length(chunk).cast("long").alias("length"),
+                        ),
+                    ),
+                ),
+                lambda st: st["length"] > 0,
+            )
+
+        return F.when(n_grams >= 1, bind_once(grams_expr, from_grams)).otherwise(
+            F.array(
+                F.struct(
+                    F.md5(sn).alias("fp"),
+                    F.length(sn).cast("long").alias("length"),
+                )
+            )
+        )
+
+    return bind_once(s, from_norm)
+
+
+def cdc_dedup_stats(
+    docs: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    group_col: str = "source",
+    k: int = 16,
+    divisor: int = CDC_DIVISOR,
+) -> DataFrame:
+    """What content-addressed storage would save, per group: explode
+    chunk fingerprints, collapse duplicates with two partial-agg
+    shuffles ((group, fp) then group), report chunk/byte totals and
+    the dedup ratio. The corpus is scanned once; the chunk table is
+    ~chars/divisor rows."""
+    ch = docs.select(
+        F.col(group_col),
+        F.explode(cdc_chunks(text_col, k=k, divisor=divisor)).alias("c"),
+    ).select(group_col, F.col("c.fp").alias("fp"), F.col("c.length").alias("length"))
+    per_fp = ch.groupBy(group_col, "fp").agg(
+        F.count(F.lit(1)).alias("n_occ"), F.min("length").alias("length")
+    )
+    return per_fp.groupBy(group_col).agg(
+        F.sum("n_occ").alias("n_chunks"),
+        F.count(F.lit(1)).alias("n_distinct"),
+        F.sum(F.col("n_occ") * F.col("length")).alias("total_chars"),
+        F.sum("length").alias("distinct_chars"),
+        (
+            F.sum("length").cast("double")
+            / F.sum(F.col("n_occ") * F.col("length")).cast("double")
+        ).alias("dedup_ratio"),
+    )

@@ -805,3 +805,83 @@ def q_winnowing_arrow(spark: SparkSession, sf_dir: str) -> DataFrame:
     return winnowing_pairs_arrow(
         docs, k=WINNOW_K, w=WINNOW_W, min_shared=WINNOW_MIN_SHARED
     )
+
+
+# ---------------------------------------------------------------------------
+# Content-defined chunking dedup stats: boundaries at hash-mod cut
+# points (shift-resistant, unlike fixed-size chunks), chunk
+# fingerprints collapsed per source — the content-addressed-storage
+# savings analysis.
+# ---------------------------------------------------------------------------
+
+CDC_K = 16
+CDC_DIV = 64
+
+
+def _cdc_sql() -> str:
+    k, d = CDC_K, CDC_DIV
+    return f"""
+    WITH n AS (
+        SELECT doc_id, source,
+               regexp_replace(lower(trim(text)), '\\s+', ' ', 'g') AS s
+        FROM documents
+    ),
+    g AS (
+        SELECT doc_id, source, s,
+               CASE WHEN length(s) >= {k}
+                    THEN list_transform(range(1, length(s) - {k} + 2),
+                        i -> {_gram_hash32_sql(f"substr(s, i, {k})")})
+                    ELSE [] END AS grams
+        FROM n
+    ),
+    b AS (
+        SELECT source, s,
+               list_concat(list_concat(
+                   [CAST(1 AS BIGINT)],
+                   list_filter(range(2, len(grams) + 1),
+                               i -> grams[i] % {d} = 0)),
+                   [CAST(length(s) + 1 AS BIGINT)]) AS bounds
+        FROM g WHERE len(grams) >= 1
+    ),
+    ch AS (
+        SELECT source, c.fp AS fp, c.length AS length FROM (
+            SELECT source,
+                   unnest(list_transform(range(1, len(bounds)),
+                       i -> {{'fp': md5(substr(s, CAST(bounds[i] AS INT),
+                                  CAST(bounds[i + 1] - bounds[i] AS INT))),
+                              'length': bounds[i + 1] - bounds[i]}})) AS c
+            FROM b
+        ) WHERE c.length > 0
+        UNION ALL
+        SELECT source, md5(s) AS fp, CAST(length(s) AS BIGINT) AS length
+        FROM g WHERE len(grams) = 0
+    ),
+    per_fp AS (
+        SELECT source, fp, CAST(COUNT(*) AS BIGINT) AS n_occ,
+               MIN(length) AS length
+        FROM ch GROUP BY source, fp
+    )
+    SELECT source,
+           CAST(SUM(n_occ) AS BIGINT) AS n_chunks,
+           CAST(COUNT(*) AS BIGINT) AS n_distinct,
+           CAST(SUM(n_occ * length) AS BIGINT) AS total_chars,
+           CAST(SUM(length) AS BIGINT) AS distinct_chars,
+           CAST(SUM(length) AS DOUBLE) / CAST(SUM(n_occ * length) AS DOUBLE)
+               AS dedup_ratio
+    FROM per_fp
+    GROUP BY source
+    """
+
+
+@query("d8_cdc_dedup_stats", _cdc_sql())
+def q_cdc_dedup_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Content-defined chunking (LBFS/rsync lineage): cut where the
+    windowed content hash = 0 mod {CDC_DIV}, so an edit disturbs only
+    its own chunk neighborhood — fixed-size chunking loses all
+    downstream dedup after one inserted byte. Per-source
+    content-addressed storage savings in one scan + two partial-agg
+    shuffles."""
+    from nsp_bolt_pipeline_spark.operators.neardup import cdc_dedup_stats
+
+    docs = read_table(spark, sf_dir, "documents")
+    return cdc_dedup_stats(docs, k=CDC_K, divisor=CDC_DIV)

@@ -305,3 +305,37 @@ def test_winnowing_jvm_and_arrow_find_planted_quote(spark):
     assert (0, 1) in got_arrow
     for pair in got_jvm | got_arrow:
         assert pair == (0, 1)
+
+
+# ------------------------------------------------------- CDC chunking
+
+
+def test_cdc_chunk_fingerprints_survive_a_prefix_edit(spark):
+    """The reason content-defined beats fixed-size: an insertion at
+    the front must disturb only the first chunk neighborhood, leaving
+    the rest of the fingerprints identical."""
+    from nsp_bolt_pipeline_spark.operators.neardup import cdc_chunks
+
+    rng = __import__("numpy").random.default_rng(5)
+    words = ["".join(chr(97 + c) for c in rng.integers(0, 26, size=6))
+             for _ in range(200)]
+    base = " ".join(words)
+    edited = "zzz inserted prefix " + base
+    df = spark.createDataFrame(
+        [(0, base), (1, edited)], ["doc_id", "text"]
+    )
+    out = df.select(
+        "doc_id", F.explode(cdc_chunks("text", k=16, divisor=32)).alias("c")
+    ).collect()
+    fps: dict[int, list] = {0: [], 1: []}
+    for r in out:
+        fps[r["doc_id"]].append(r["c"]["fp"])
+    shared = set(fps[0]) & set(fps[1])
+    assert len(fps[0]) >= 10  # sane chunking granularity
+    assert len(shared) / len(set(fps[0])) >= 0.8, (
+        len(shared),
+        len(set(fps[0])),
+    )
+    # chunk lengths must tile the document exactly
+    total = sum(r["c"]["length"] for r in out if r["doc_id"] == 0)
+    assert total == len(base)
