@@ -197,3 +197,58 @@ def pagerank(
     e.unpersist()
     nodes.unpersist()
     return ranks
+
+
+def triangle_counts(
+    edges: DataFrame,
+    *,
+    src_col: str = "d1",
+    dst_col: str = "d2",
+) -> DataFrame:
+    """Per-node triangle participation over an undirected edge list —
+    the local clustering signal that separates dense duplicate
+    cliques from chance pair collisions in a near-dup graph.
+
+    Degree-ordered orientation (the standard skew-proof form): every
+    edge points from the (degree, id)-smaller endpoint to the larger,
+    so each triangle {a < b < c} is found exactly once as the wedge
+    a->b, a->c closed by b->c, and the wedge join fans out on the
+    LOW-degree vertex — a hub of degree d contributes d wedges as a
+    source only if d is small, which bounds the join at
+    sum(min_deg(u, v)) instead of sum(deg^2). Two self-joins of the
+    oriented edge list, both on keys; no windows, no driver state."""
+    e = edges.select(F.col(src_col).alias("u"), F.col(dst_col).alias("v"))
+    und = e.unionByName(
+        e.select(F.col("v").alias("u"), F.col("u").alias("v"))
+    )
+    deg = und.groupBy("u").agg(F.count(F.lit(1)).alias("deg"))
+
+    with_deg = (
+        und.join(deg, "u")
+        .withColumnRenamed("deg", "du")
+        .join(deg.withColumnRenamed("u", "v").withColumnRenamed("deg", "dv"), "v")
+    )
+    oriented = with_deg.filter(
+        (F.col("du") < F.col("dv"))
+        | ((F.col("du") == F.col("dv")) & (F.col("u") < F.col("v")))
+    ).select("u", "v")
+
+    a = oriented.select(F.col("u").alias("a"), F.col("v").alias("b"))
+    b = oriented.select(F.col("u").alias("a"), F.col("v").alias("c"))
+    # both (b, c) permutations of each wedge exist, but the closing
+    # edge is oriented exactly one way — the equi-join keeps exactly
+    # one permutation, so every triangle is counted exactly once
+    wedges = a.join(b, "a").filter(F.col("b") != F.col("c"))
+    closing = oriented.select(
+        F.col("u").alias("b"), F.col("v").alias("c")
+    )
+    tris = wedges.join(closing, ["b", "c"])
+
+    members = (
+        tris.select(F.col("a").alias("node"))
+        .unionByName(tris.select(F.col("b").alias("node")))
+        .unionByName(tris.select(F.col("c").alias("node")))
+    )
+    return members.groupBy("node").agg(
+        F.count(F.lit(1)).alias("n_triangles")
+    )

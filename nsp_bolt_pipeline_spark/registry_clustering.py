@@ -313,3 +313,70 @@ def q_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return semantic_dedup(
         emb, k=k, dim=DIM, rounds=ROUNDS, threshold=SEMDEDUP_TAU
     )
+
+
+# ---------------------------------------------------------------------------
+# Triangle participation over the MinHash near-dup graph: local
+# clustering evidence (duplicate groups are cliques; chance LSH
+# collisions are not). Degree-ordered orientation bounds the wedge
+# join by the LOW-degree endpoint.
+# ---------------------------------------------------------------------------
+
+
+def _triangles_sql() -> str:
+    from nsp_bolt_pipeline_spark.registry_dedup import _minhash_lsh_sql
+
+    return f"""
+    WITH edges AS (SELECT d1, d2 FROM ({_minhash_lsh_sql()})),
+    und AS (SELECT d1 AS u, d2 AS v FROM edges
+            UNION ALL
+            SELECT d2 AS u, d1 AS v FROM edges),
+    deg AS (SELECT u, CAST(COUNT(*) AS BIGINT) AS deg
+            FROM und GROUP BY u),
+    oriented AS (
+        SELECT e.u, e.v
+        FROM und e
+        JOIN deg a ON a.u = e.u
+        JOIN deg b ON b.u = e.v
+        WHERE (a.deg < b.deg) OR (a.deg = b.deg AND e.u < e.v)
+    ),
+    wedges AS (
+        SELECT x.u AS a, x.v AS b, y.v AS c
+        FROM oriented x JOIN oriented y ON x.u = y.u AND x.v <> y.v
+    ),
+    tris AS (
+        SELECT w.a, w.b, w.c
+        FROM wedges w JOIN oriented o ON o.u = w.b AND o.v = w.c
+    ),
+    members AS (
+        SELECT a AS node FROM tris
+        UNION ALL SELECT b FROM tris
+        UNION ALL SELECT c FROM tris
+    )
+    SELECT node, CAST(COUNT(*) AS BIGINT) AS n_triangles
+    FROM members GROUP BY node
+    """
+
+
+@query("graph_triangles", _triangles_sql())
+def q_graph_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count each node's triangles in the near-dup pair graph —
+    degree-ordered orientation finds every triangle exactly once via
+    a wedge join that fans out only on low-degree vertices (bounded
+    by sum(min_deg) not sum(deg^2); the hub-skew-proof classic).
+    Near-dup clusters are cliques, so triangle participation
+    separates true duplicate groups from chance band collisions."""
+    from nsp_bolt_pipeline_spark.operators.graph import triangle_counts
+    from nsp_bolt_pipeline_spark.operators.neardup import minhash_lsh_pairs
+    from nsp_bolt_pipeline_spark.registry_dedup import (
+        BANDS,
+        N,
+        NUM_HASHES,
+        THRESHOLD,
+    )
+
+    docs = read_table(spark, sf_dir, "documents")
+    pairs = minhash_lsh_pairs(
+        docs, n=N, num_hashes=NUM_HASHES, bands=BANDS, threshold=THRESHOLD
+    )
+    return triangle_counts(pairs.select("d1", "d2"))

@@ -339,3 +339,27 @@ def test_cdc_chunk_fingerprints_survive_a_prefix_edit(spark):
     # chunk lengths must tile the document exactly
     total = sum(r["c"]["length"] for r in out if r["doc_id"] == 0)
     assert total == len(base)
+
+
+# ----------------------------------------------------------- triangles
+
+
+def test_triangle_counts_on_known_graph(spark):
+    from nsp_bolt_pipeline_spark.operators.graph import triangle_counts
+
+    # K4 on {0,1,2,3} (4 triangles, each node in 3) plus a pendant
+    # edge 3-4 and an isolated edge 5-6 (no triangles)
+    edges = [(0, 1), (0, 2), (0, 3), (1, 2), (1, 3), (2, 3), (3, 4), (5, 6)]
+    df = spark.createDataFrame(edges, ["d1", "d2"])
+    got = {r["node"]: r["n_triangles"] for r in triangle_counts(df).collect()}
+    assert got == {0: 3, 1: 3, 2: 3, 3: 3}
+
+
+def test_triangle_counts_skew_orientation_handles_hub(spark):
+    from nsp_bolt_pipeline_spark.operators.graph import triangle_counts
+
+    # star hub 0 with 20 leaves + one closed pair -> exactly 1 triangle
+    edges = [(0, i) for i in range(1, 21)] + [(1, 2)]
+    df = spark.createDataFrame(edges, ["d1", "d2"])
+    got = {r["node"]: r["n_triangles"] for r in triangle_counts(df).collect()}
+    assert got == {0: 1, 1: 1, 2: 1}
