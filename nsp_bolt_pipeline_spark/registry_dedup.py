@@ -885,3 +885,92 @@ def q_cdc_dedup_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = read_table(spark, sf_dir, "documents")
     return cdc_dedup_stats(docs, k=CDC_K, divisor=CDC_DIV)
+
+
+# ---------------------------------------------------------------------------
+# Fellegi-Sunter probabilistic linkage over nation-blocked customer
+# pairs: log2(m/u) agreement weights (literals computed once in
+# Python — no transcendental in the data plane) summed and
+# thresholded into match / possible.
+# ---------------------------------------------------------------------------
+
+from nsp_bolt_pipeline_spark.operators.fuzzy import (  # noqa: E402
+    fs_match_scores,
+    fs_weights,
+)
+
+_FS_FIELDS = [
+    # (name, m, u): name tail digits, market segment, balance bucket
+    ("name3", 0.9, 0.001),
+    ("seg", 0.95, 0.2),
+    ("bal", 0.8, 0.1),
+]
+_FS_UPPER = 6.0
+_FS_LOWER = 0.0
+
+
+def _fs_sql() -> str:
+    w = {name: fs_weights(m, u) for name, m, u in _FS_FIELDS}
+    terms = " + ".join(
+        f"(CASE WHEN {cond} THEN CAST({w[name][0]!r} AS DOUBLE)"
+        f" ELSE CAST({w[name][1]!r} AS DOUBLE) END)"
+        for name, cond in [
+            ("name3", "substr(a.c_name, -3) = substr(b.c_name, -3)"),
+            ("seg", "a.c_mktsegment = b.c_mktsegment"),
+            ("bal", "FLOOR(a.c_acctbal / 1000.0) = FLOOR(b.c_acctbal / 1000.0)"),
+        ]
+    )
+    return f"""
+    SELECT id1, id2, score,
+           CASE WHEN score >= CAST({_FS_UPPER!r} AS DOUBLE) THEN 'match'
+                ELSE 'possible' END AS decision
+    FROM (
+        SELECT a.c_custkey AS id1, b.c_custkey AS id2,
+               FLOOR((0.0 + {terms}) * 1000000.0 + 0.5) / 1000000.0
+                   AS score
+        FROM customer a
+        JOIN customer b ON a.c_nationkey = b.c_nationkey
+                       AND a.c_custkey < b.c_custkey
+    ) WHERE score >= CAST({_FS_LOWER!r} AS DOUBLE)
+    """
+
+
+@query("fs_record_linkage", _fs_sql())
+def q_fs_linkage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Probabilistic record linkage (Fellegi-Sunter 1969): blocked
+    candidate pairs scored by summed per-field log2(m/u) agreement
+    weights, thresholded into the match set and the clerical-review
+    queue. Weights are literals (the log never runs in the data
+    plane), agreement predicates are engine-exact, the sum is the
+    same left-to-right fold — scores hash-match bit-for-bit."""
+    cust = read_table(spark, sf_dir, "customer")
+    fields = [
+        (
+            "name3",
+            lambda a, b: F.substring(F.col("a.c_name"), -3, 3)
+            == F.substring(F.col("b.c_name"), -3, 3),
+            0.9,
+            0.001,
+        ),
+        (
+            "seg",
+            lambda a, b: F.col("a.c_mktsegment") == F.col("b.c_mktsegment"),
+            0.95,
+            0.2,
+        ),
+        (
+            "bal",
+            lambda a, b: F.floor(F.col("a.c_acctbal") / 1000.0)
+            == F.floor(F.col("b.c_acctbal") / 1000.0),
+            0.8,
+            0.1,
+        ),
+    ]
+    return fs_match_scores(
+        cust,
+        id_col="c_custkey",
+        block_col="c_nationkey",
+        fields=fields,
+        upper=_FS_UPPER,
+        lower=_FS_LOWER,
+    )
