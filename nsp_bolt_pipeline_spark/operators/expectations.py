@@ -1,0 +1,125 @@
+"""Declarative data-quality expectations: evaluate a suite of column
+checks in ONE aggregation pass per table and emit (expectation,
+metric, passed) rows — the contract-testing layer (Great
+Expectations / dbt-test shape) a pipeline runs on every load before
+publishing a partition.
+
+Scale design: every column expectation folds into a single
+``agg`` over the scan (conditional sums — partial aggregation
+collapses map-side, one reduce of k counters, no shuffle of data
+rows). Referential checks are anti-join counts — broadcast when the
+parent side is a dim. Nothing here collects more than the one-row
+metrics frame.
+
+Reference scope note: the reference's hand-rolled Lambda validators
+(TripStartProcessor.py:29-45 required-field/type checks) are the
+degenerate one-table case; this generalizes them to a declarative,
+engine-evaluated suite.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def expect_not_null(col: str, *, max_null_frac: float = 0.0) -> dict:
+    return {
+        "name": f"not_null({col})",
+        "kind": "agg",
+        "metric": F.avg(F.col(col).isNull().cast("double")),
+        "threshold": max_null_frac,
+        "cmp": "le",
+    }
+
+
+def expect_unique(col: str) -> dict:
+    return {
+        "name": f"unique({col})",
+        "kind": "agg",
+        "metric": (
+            F.count(F.col(col)) - F.count_distinct(F.col(col))
+        ).cast("double"),
+        "threshold": 0.0,
+        "cmp": "le",
+    }
+
+
+def expect_between(
+    col: str, lo: float, hi: float, *, max_viol_frac: float = 0.0
+) -> dict:
+    out_of_range = (
+        (F.col(col) < lo) | (F.col(col) > hi)
+    ).cast("double")
+    return {
+        "name": f"between({col},{lo},{hi})",
+        "kind": "agg",
+        "metric": F.avg(out_of_range),
+        "threshold": max_viol_frac,
+        "cmp": "le",
+    }
+
+
+def expect_accepted_values(col: str, values: Sequence[str]) -> dict:
+    bad = (~F.col(col).isin(*values)).cast("double")
+    vals = ",".join(sorted(values))
+    return {
+        "name": f"accepted_values({col},[{vals}])",
+        "kind": "agg",
+        "metric": F.sum(bad).cast("double"),
+        "threshold": 0.0,
+        "cmp": "le",
+    }
+
+
+def run_expectations(df: DataFrame, suite: Sequence[dict]) -> DataFrame:
+    """All 'agg'-kind expectations in ONE aggregation over the scan.
+    Output: (expectation, metric, threshold, passed)."""
+    aggs = [
+        F.coalesce(e["metric"], F.lit(0.0)).alias(f"m{i}")
+        for i, e in enumerate(suite)
+    ]
+    row = df.agg(*aggs)
+    parts = []
+    for i, e in enumerate(suite):
+        parts.append(
+            F.struct(
+                F.lit(e["name"]).alias("expectation"),
+                F.col(f"m{i}").alias("metric"),
+                F.lit(float(e["threshold"])).alias("threshold"),
+                (F.col(f"m{i}") <= F.lit(float(e["threshold"]))).alias(
+                    "passed"
+                ),
+            )
+        )
+    return row.select(
+        F.explode(F.array(*parts)).alias("e")
+    ).select("e.expectation", "e.metric", "e.threshold", "e.passed")
+
+
+def expect_foreign_key(
+    child: DataFrame,
+    parent: DataFrame,
+    *,
+    child_col: str,
+    parent_col: str,
+) -> DataFrame:
+    """Referential integrity as one anti-join count (broadcast the
+    parent key set when it is dim-sized): orphan rows in the child
+    whose key has no parent. Output matches run_expectations rows."""
+    orphans = child.select(F.col(child_col).alias("k")).join(
+        F.broadcast(parent.select(F.col(parent_col).alias("k")).distinct()),
+        "k",
+        "left_anti",
+    )
+    name = f"foreign_key({child_col}->{parent_col})"
+    return orphans.agg(
+        F.count(F.lit(1)).cast("double").alias("metric")
+    ).select(
+        F.lit(name).alias("expectation"),
+        "metric",
+        F.lit(0.0).alias("threshold"),
+        (F.col("metric") <= 0.0).alias("passed"),
+    )

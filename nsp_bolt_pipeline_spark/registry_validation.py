@@ -580,3 +580,84 @@ def q_p14_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
         .parquet(_os.path.join(base, "gen=old"), _os.path.join(base, "gen=new"))
         .select("event_id", "ts", "value", "user_id")
     )
+
+
+# ---------------------------------------------------------------------------
+# Declarative data-quality suite (operators/expectations): five
+# column expectations in ONE aggregation pass plus a broadcast
+# anti-join referential check — the pre-publish contract test.
+# ---------------------------------------------------------------------------
+
+_PRIORITIES = ["1-URGENT", "2-HIGH", "3-MEDIUM", "4-NOT SPECIFIED", "5-LOW"]
+
+
+def _dq_sql() -> str:
+    vals = ",".join(sorted(_PRIORITIES))
+    in_list = ", ".join(f"'{v}'" for v in _PRIORITIES)
+    return f"""
+    WITH m AS (
+        SELECT 'not_null(o_custkey)' AS expectation,
+               AVG(CASE WHEN o_custkey IS NULL THEN 1.0 ELSE 0.0 END)
+                   AS metric,
+               0.0 AS threshold
+        FROM orders
+        UNION ALL
+        SELECT 'unique(o_orderkey)',
+               CAST(COUNT(o_orderkey) - COUNT(DISTINCT o_orderkey)
+                    AS DOUBLE),
+               0.0
+        FROM orders
+        UNION ALL
+        SELECT 'between(o_totalprice,0.0,1000000.0)',
+               AVG(CASE WHEN o_totalprice < 0.0 OR o_totalprice > 1000000.0
+                        THEN 1.0 ELSE 0.0 END),
+               0.0
+        FROM orders
+        UNION ALL
+        SELECT 'accepted_values(o_orderpriority,[{vals}])',
+               CAST(SUM(CASE WHEN o_orderpriority NOT IN ({in_list})
+                             THEN 1 ELSE 0 END) AS DOUBLE),
+               0.0
+        FROM orders
+        UNION ALL
+        SELECT 'foreign_key(o_custkey->c_custkey)',
+               CAST((SELECT COUNT(*) FROM orders o
+                     WHERE NOT EXISTS (SELECT 1 FROM customer c
+                                       WHERE c.c_custkey = o.o_custkey))
+                    AS DOUBLE),
+               0.0
+    )
+    SELECT expectation, metric, threshold, metric <= threshold AS passed
+    FROM m
+    """
+
+
+@query("dq_expectation_suite", _dq_sql())
+def q_dq_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Contract tests before publishing a load: four column
+    expectations fold into ONE aggregation over the scan (conditional
+    sums, map-side partial agg — no data shuffle) and referential
+    integrity is one broadcast anti-join count. All metrics are exact
+    sums of 0/1 doubles — no fold-order sensitivity."""
+    from nsp_bolt_pipeline_spark.operators.expectations import (
+        expect_accepted_values,
+        expect_between,
+        expect_foreign_key,
+        expect_not_null,
+        expect_unique,
+        run_expectations,
+    )
+
+    orders = read_table(spark, sf_dir, "orders")
+    cust = read_table(spark, sf_dir, "customer")
+    suite = [
+        expect_not_null("o_custkey"),
+        expect_unique("o_orderkey"),
+        expect_between("o_totalprice", 0.0, 1000000.0),
+        expect_accepted_values("o_orderpriority", _PRIORITIES),
+    ]
+    agg_rows = run_expectations(orders, suite)
+    fk_row = expect_foreign_key(
+        orders, cust, child_col="o_custkey", parent_col="c_custkey"
+    )
+    return agg_rows.unionByName(fk_row)
