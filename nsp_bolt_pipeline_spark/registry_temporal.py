@@ -990,3 +990,74 @@ def q_ewma_user_score(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_events",
         bind_once(vals, ewma_of).alias("ewma"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Robust (MAD) twin of t5: median/median-absolute-deviation replace
+# mean/std, so a single extreme day cannot mask other outliers by
+# inflating the std — the robust-statistics upgrade every volume
+# monitor eventually ships.
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "t13_robust_anomaly_mad",
+    f"""
+    WITH d AS (
+        SELECT CAST(ts AS DATE) AS date, COUNT(*) AS count_trips
+        FROM events WHERE event_type = '{END_EVENT}'
+        GROUP BY 1
+    ),
+    med AS (
+        SELECT quantile_cont(CAST(count_trips AS DOUBLE), 0.5) AS med
+        FROM d
+    ),
+    mad AS (
+        SELECT quantile_cont(abs(CAST(count_trips AS DOUBLE) - med.med),
+                             0.5) AS mad
+        FROM d, med
+    )
+    SELECT d.date, d.count_trips,
+           CASE WHEN mad.mad > 0
+                THEN (CAST(d.count_trips AS DOUBLE) - med.med)
+                     / (CAST(1.4826 AS DOUBLE) * mad.mad)
+           END AS robust_z,
+           CASE WHEN mad.mad > 0
+                THEN abs((CAST(d.count_trips AS DOUBLE) - med.med)
+                     / (CAST(1.4826 AS DOUBLE) * mad.mad)) > 3.0
+           END AS is_outlier
+    FROM d, med, mad
+    """,
+)
+def q_t13_robust_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MAD-based volume anomaly: robust_z = (c - median) /
+    (1.4826 * MAD). Medians run over the DAY-cardinality post-agg
+    frame (exact percentile is oracle-portable there: integer counts
+    interpolate to exact binary halves); the fact table is scanned
+    once. A 10x traffic spike day moves mean and std enough to hide
+    a second outlier from t5's z-score; it cannot move the median."""
+    ev = read_table(spark, sf_dir, "events")
+    daily = (
+        ev.filter(F.col("event_type") == END_EVENT)
+        .groupBy(F.to_date("ts").alias("date"))
+        .agg(F.count(F.lit(1)).alias("count_trips"))
+    )
+    med = daily.agg(
+        F.expr("percentile(CAST(count_trips AS DOUBLE), 0.5)").alias("med")
+    )
+    with_med = daily.crossJoin(F.broadcast(med))
+    mad = with_med.withColumn(
+        "absdev", F.abs(F.col("count_trips").cast("double") - F.col("med"))
+    ).agg(F.expr("percentile(absdev, 0.5)").alias("mad"))
+    j = with_med.crossJoin(F.broadcast(mad))
+    rz = F.when(
+        F.col("mad") > 0,
+        (F.col("count_trips").cast("double") - F.col("med"))
+        / (F.lit(1.4826) * F.col("mad")),
+    )
+    return j.select(
+        "date",
+        "count_trips",
+        rz.alias("robust_z"),
+        F.when(F.col("mad") > 0, F.abs(rz) > 3.0).alias("is_outlier"),
+    )
