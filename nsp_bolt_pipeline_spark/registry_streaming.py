@@ -977,3 +977,102 @@ def q_stream_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.read.parquet(dirs["out"]).select(
         "user_id", "n_events", "ewma"
     )
+
+
+# ---------------------------------------------------------------------------
+# Streaming DQ gate: per-micro-batch expectation evaluation with
+# whole-batch quarantine (streaming/dq_gate). The replay dumps one
+# file per event DAY and triggers one batch per file, so the gate
+# decision is per-day and the oracle replays it as a day-level HAVING
+# — the published table is exactly the union of passing days,
+# independent of batch arrival order.
+# ---------------------------------------------------------------------------
+
+import json as _json  # noqa: E402
+
+_DQ_V_HI = 350.0
+
+
+@query(
+    "stream_dq_gated_ingest",
+    f"""
+    WITH bad_days AS (
+        SELECT CAST(ts AS DATE) AS d
+        FROM events
+        GROUP BY 1
+        HAVING SUM(CASE WHEN value < 0.0 OR value > {_DQ_V_HI}
+                        THEN 1 ELSE 0 END) > 0
+            OR SUM(CASE WHEN user_id IS NULL THEN 1 ELSE 0 END) > 0
+    )
+    SELECT event_id, ts, user_id, event_type, value
+    FROM events
+    WHERE CAST(ts AS DATE) NOT IN (SELECT d FROM bad_days)
+    """,
+)
+def q_stream_dq_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Run the day-file replay through the gated ingest: every
+    micro-batch is one day, the expectation suite (not-null user_id,
+    value in [0, {_DQ_V_HI}]) evaluates in one aggregation per batch,
+    and failing days land whole in quarantine — the published table
+    must equal the batch-order-independent union of passing days."""
+    from nsp_bolt_pipeline_spark.operators.expectations import (
+        expect_between,
+        expect_not_null,
+    )
+    from nsp_bolt_pipeline_spark.streaming.dq_gate import (
+        run_dq_gated_ingest,
+    )
+
+    dirs = _workdir("stream_dq")
+    ev = read_table(spark, sf_dir, "events").select(
+        "event_id", "ts", "user_id", "event_type", "value"
+    )
+    # one wire file per event day (harness-side replay shaping: the
+    # rows collect once to cut the dump into deterministic day
+    # batches; the gated pipeline itself never collects data)
+    wire_rows = encode_event_times(ev, ["ts"]).collect()
+    by_day: dict[int, list] = {}
+    for r in wire_rows:
+        by_day.setdefault(int(r["ts"]) // 86_400_000_000, []).append(r)
+    os.makedirs(dirs["src"], exist_ok=True)
+    for i, day in enumerate(sorted(by_day)):
+        rows = sorted(
+            by_day[day], key=lambda r: (int(r["ts"]), int(r["event_id"]))
+        )
+        with open(
+            os.path.join(dirs["src"], f"day_{i:03d}.json"), "w"
+        ) as f:
+            for r in rows:
+                f.write(_json.dumps(r.asDict()) + "\n")
+
+    wire_schema = T.StructType(
+        [
+            T.StructField("event_id", T.LongType()),
+            T.StructField("ts", T.LongType()),
+            T.StructField("user_id", T.LongType()),
+            T.StructField("event_type", T.StringType()),
+            T.StructField("value", T.DoubleType()),
+        ]
+    )
+    stream = decode_event_times(
+        spark.readStream.schema(wire_schema)
+        .option("maxFilesPerTrigger", 1)
+        .json(dirs["src"]),
+        ["ts"],
+    )
+    suite = [
+        expect_not_null("user_id"),
+        expect_between("value", 0.0, _DQ_V_HI),
+    ]
+    q = run_dq_gated_ingest(
+        stream,
+        suite,
+        good_dir=dirs["out"],
+        quarantine_dir=dirs["dlq"],
+        metrics_dir=os.path.join(dirs["out"] + "_metrics"),
+        checkpoint_dir=dirs["ckpt"],
+    )
+    q.awaitTermination()
+    return spark.read.parquet(dirs["out"]).select(
+        "event_id", "ts", "user_id", "event_type", "value"
+    )
