@@ -83,3 +83,55 @@ def test_out_of_order_arrival_matches_event_time_fold(spark, tmp_path):
 
     assert in_order == scrambled == {1: (3, expect)}
     assert SENTINEL_USER not in in_order
+
+
+def test_ewma_state_survives_checkpoint_restart(spark, tmp_path):
+    """Two availableNow runs over one checkpoint: the user's buffered
+    state from run 1 must combine with run 2's events — the fold sees
+    all five values even though the query restarted in between."""
+    src, ckpt, out = (
+        str(tmp_path / "s"),
+        str(tmp_path / "c"),
+        str(tmp_path / "o"),
+    )
+    events = [
+        {"event_id": i, "ts": T0 + i * HOUR_US, "user_id": 7,
+         "value": float(i + 1)}
+        for i in range(5)
+    ]
+    sentinel = {
+        "event_id": 99,
+        "ts": T0 + 200 * HOUR_US,
+        "user_id": SENTINEL_USER,
+        "value": 0.0,
+    }
+
+    def run_once():
+        # parquet sink: the memory sink cannot recover a checkpoint
+        stream = decode_event_times(
+            read_wire_stream(spark, src, WIRE), ["ts"]
+        )
+        q = (
+            track_user_ewma(stream, horizon_ms=3_600_000)
+            .writeStream.format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", ckpt)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        return {
+            r["user_id"]: (r["n_events"], r["ewma"])
+            for r in spark.read.parquet(out).collect()
+        }
+
+    _write(src, "b0.json", events[:2])
+    assert run_once() == {}  # no timeout fired: state buffered only
+
+    _write(src, "b1.json", events[2:])
+    _write(src, "b2.json", [sentinel])
+    s = 1.0
+    for v in [2.0, 3.0, 4.0, 5.0]:
+        s = s * 0.5 + v * 0.5
+    assert run_once() == {7: (5, s)}

@@ -363,3 +363,84 @@ def test_triangle_counts_skew_orientation_handles_hub(spark):
     df = spark.createDataFrame(edges, ["d1", "d2"])
     got = {r["node"]: r["n_triangles"] for r in triangle_counts(df).collect()}
     assert got == {0: 1, 1: 1, 2: 1}
+
+
+# -------------------------------------------- FS linkage / properties
+
+
+def test_fs_scores_match_python_model(spark):
+    from nsp_bolt_pipeline_spark.registry import REGISTRY, load_all
+    from nsp_bolt_pipeline_spark.operators.fuzzy import fs_weights
+
+    load_all()
+    fn, _ = REGISTRY["fs_record_linkage"]
+    got = {
+        (r["id1"], r["id2"]): (r["score"], r["decision"])
+        for r in fn(spark, SF_DIR).collect()
+    }
+    cust = {
+        r["c_custkey"]: r
+        for r in read_table(spark, SF_DIR, "customer").collect()
+    }
+    import math
+
+    w = {
+        "name3": fs_weights(0.9, 0.001),
+        "seg": fs_weights(0.95, 0.2),
+        "bal": fs_weights(0.8, 0.1),
+    }
+    want = {}
+    keys = sorted(cust)
+    by_nation: dict[int, list] = {}
+    for k in keys:
+        by_nation.setdefault(cust[k]["c_nationkey"], []).append(k)
+    for nation, members in by_nation.items():
+        for i, k1 in enumerate(members):
+            for k2 in members[i + 1 :]:
+                a, b = cust[k1], cust[k2]
+                s = 0.0
+                s += w["name3"][a["c_name"][-3:] != b["c_name"][-3:]]
+                s += w["seg"][a["c_mktsegment"] != b["c_mktsegment"]]
+                s += w["bal"][
+                    math.floor(a["c_acctbal"] / 1000.0)
+                    != math.floor(b["c_acctbal"] / 1000.0)
+                ]
+                s = math.floor(s * 1e6 + 0.5) / 1e6
+                if s >= 0.0:
+                    want[(min(k1, k2), max(k1, k2))] = (
+                        s,
+                        "match" if s >= 6.0 else "possible",
+                    )
+    assert got == want
+
+
+def test_cdc_chunks_tile_any_string(spark):
+    from hypothesis import given, settings, HealthCheck
+    from hypothesis import strategies as st
+    from nsp_bolt_pipeline_spark.operators.neardup import cdc_chunks
+
+    @settings(
+        max_examples=6,
+        deadline=None,
+        suppress_health_check=[HealthCheck.function_scoped_fixture],
+    )
+    @given(
+        st.text(
+            alphabet="abcdef gh",
+            min_size=1,
+            max_size=400,
+        ).filter(lambda t: t.strip())
+    )
+    def check(text):
+        import re as _re
+
+        df = spark.createDataFrame([(0, text)], ["doc_id", "text"])
+        out = df.select(
+            F.explode(cdc_chunks("text", k=8, divisor=16)).alias("c")
+        ).collect()
+        norm = _re.sub(r"\s+", " ", text.strip().lower())
+        # chunks tile the normalized text exactly, in any input
+        assert sum(r["c"]["length"] for r in out) == len(norm)
+        assert all(r["c"]["length"] > 0 for r in out)
+
+    check()
