@@ -661,3 +661,77 @@ def q_dq_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
         orders, cust, child_col="o_custkey", parent_col="c_custkey"
     )
     return agg_rows.unionByName(fk_row)
+
+
+# ---------------------------------------------------------------------------
+# Quantile normalization across sources: map each source's score
+# distribution onto the GLOBAL distribution (normalized = G^-1(F_s(x))
+# with rational percent_rank and a nearest-position lookup) — the
+# harmonization step before cross-source mix thresholds, since a raw
+# score cutoff means different things in different sources.
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "f_quantile_normalize",
+    """
+    WITH r AS (
+        SELECT doc_id, source, n_chars,
+               CASE WHEN COUNT(*) OVER (PARTITION BY source) = 1 THEN 0.0
+                    ELSE CAST(rank() OVER (
+                             PARTITION BY source
+                             ORDER BY n_chars, doc_id) - 1 AS DOUBLE)
+                         / CAST(COUNT(*) OVER (PARTITION BY source) - 1
+                                AS DOUBLE) END AS r_src
+        FROM documents
+    ),
+    g AS (
+        SELECT n_chars AS g_val,
+               row_number() OVER (ORDER BY n_chars, doc_id) AS pos,
+               COUNT(*) OVER () AS n
+        FROM documents
+    )
+    SELECT r.doc_id, r.source, r.n_chars,
+           g.g_val AS normalized
+    FROM r
+    JOIN g ON g.pos = CAST(FLOOR(r.r_src * (g.n - 1) + 0.5) AS BIGINT) + 1
+    """,
+)
+def q_quantile_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """normalized = G^-1(F_source(x)): within-source percent_rank
+    (rational — engine-exact) looked up at the nearest global order
+    statistic. The global row_number window is ORACLE-DUTY exactness
+    (same class as f_winsorize); at 100 TB the lookup side becomes an
+    approx-quantile grid broadcast map-side (f_winsorize_scale shows
+    the pattern) while the per-source window already partitions."""
+    from pyspark.sql import Window as W
+
+    docs = read_table(spark, sf_dir, "documents").select(
+        "doc_id", "source", "n_chars"
+    )
+    sw = W.partitionBy("source").orderBy("n_chars", "doc_id")
+    n_src = F.count(F.lit(1)).over(W.partitionBy("source"))
+    r_src = F.when(n_src == 1, F.lit(0.0)).otherwise(
+        (F.rank().over(sw) - 1).cast("double") / (n_src - 1).cast("double")
+    )
+    ranked = docs.select(
+        "doc_id", "source", "n_chars", r_src.alias("r_src")
+    )
+    gw = W.orderBy("n_chars", "doc_id")
+    g = docs.select(
+        F.col("n_chars").alias("g_val"),
+        F.row_number().over(gw).alias("pos"),
+    )
+    # the scalar N rides a broadcast one-row frame onto the ranked
+    # side FIRST, so the position lookup is a plain equi-join on pos
+    # (left-only target expression) — mixing N into the join condition
+    # makes Catalyst fall back to a nested-loop join
+    n_frame = docs.agg(F.count(F.lit(1)).alias("n"))
+    with_target = ranked.crossJoin(F.broadcast(n_frame)).withColumn(
+        "pos",
+        F.floor(F.col("r_src") * (F.col("n") - 1) + F.lit(0.5)).cast("long")
+        + 1,
+    )
+    return with_target.join(g, "pos").select(
+        "doc_id", "source", "n_chars", F.col("g_val").alias("normalized")
+    )

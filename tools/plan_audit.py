@@ -76,6 +76,10 @@ GLOBAL_WINDOW_OK: dict[str, str] = {
     "profile_equidepth_bins": "oracle-duty (exact ntile is the"
     " verification contract; profile_equidepth_scale is the"
     " sketch-based scale twin with no sort)",
+    "f_quantile_normalize": "oracle-duty (exact global order"
+    " statistics are the verification contract; the scale path swaps"
+    " the lookup side for a broadcast approx-quantile grid, same"
+    " pattern as f_winsorize_scale)",
 }
 
 _GLOBAL_WINDOW_RE = re.compile(
