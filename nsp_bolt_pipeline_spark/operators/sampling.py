@@ -489,3 +489,72 @@ def negative_samples(
         F.col("j").cast("long").alias("j"),
         neg.cast("long").alias("neg_id"),
     )
+
+
+def group_kfold(
+    df: DataFrame,
+    *,
+    group_col: str,
+    k: int,
+    salt: str = "fold",
+) -> DataFrame:
+    """Leakage-safe k-fold assignment: the fold is a content hash of
+    the GROUP key (e.g. user), so every row of a group lands in the
+    same fold and a model evaluated on fold i has never seen that
+    group during training — the grouped CV that per-row splits
+    silently violate. Map-side, reproducible, no RNG state."""
+    h = F.conv(
+        F.substring(
+            F.md5(F.concat(F.lit(salt), F.col(group_col).cast("string"))),
+            1,
+            8,
+        ),
+        16,
+        10,
+    ).cast("long")
+    return df.withColumn("fold", (h % k).cast("long"))
+
+
+def oof_target_encoding(
+    df: DataFrame,
+    *,
+    cat_col: str,
+    target_col: str,
+    group_col: str,
+    k: int,
+    salt: str = "fold",
+) -> DataFrame:
+    """Out-of-fold target encoding: each row's category feature is
+    the mean target of the OTHER folds — computing it from the row's
+    own fold leaks the label into the feature (the classic target-
+    encoding bug). Two partial-agg shuffles: (category, fold) sums,
+    then the per-category totals broadcast back; the out-of-fold mean
+    is (total - own_fold) / (n_total - n_own), pure arithmetic.
+
+    Exactness: the target accumulates as INTEGER CENTS (the repo
+    money convention), so partial-agg fold order cannot move a bit;
+    the single final division is the only float op."""
+    folded = group_kfold(df, group_col=group_col, k=k, salt=salt)
+    cents = F.floor(F.col(target_col) * 100 + F.lit(0.5)).cast("long")
+    with_cents = folded.withColumn("_cents", cents)
+    per_cf = with_cents.groupBy(cat_col, "fold").agg(
+        F.sum("_cents").alias("f_sum"), F.count(F.lit(1)).alias("f_cnt")
+    )
+    per_c = per_cf.groupBy(cat_col).agg(
+        F.sum("f_sum").alias("t_sum"), F.sum("f_cnt").alias("t_cnt")
+    )
+    enc = (
+        per_cf.join(per_c, cat_col)
+        .withColumn("oof_cnt", F.col("t_cnt") - F.col("f_cnt"))
+        .withColumn(
+            "oof_mean",
+            F.when(
+                F.col("oof_cnt") > 0,
+                (F.col("t_sum") - F.col("f_sum")).cast("double")
+                / F.col("oof_cnt").cast("double")
+                / 100.0,
+            ),
+        )
+        .select(cat_col, "fold", "oof_cnt", "oof_mean")
+    )
+    return enc

@@ -559,3 +559,141 @@ def q_negative_samples(spark: SparkSession, sf_dir: str) -> DataFrame:
     return draws.join(labels, "neg_id").select(
         "anchor_id", "j", "neg_id", "neg_label"
     )
+
+
+# ---------------------------------------------------------------------------
+# Leakage-safe model prep: grouped k-fold assignment (fold is a hash
+# of the GROUP, so no user spans folds) and out-of-fold target
+# encoding (each fold's category feature is the mean target of the
+# OTHER folds — integer-cents accumulation, one final division).
+# ---------------------------------------------------------------------------
+
+KFOLD_K = 5
+KFOLD_SALT = "fold"
+
+
+@query(
+    "l14_oof_target_encoding",
+    f"""
+    WITH folded AS (
+        SELECT event_type,
+               {_hash32_int_sql(
+                   "'" + KFOLD_SALT + "' || CAST(user_id AS VARCHAR)"
+               )} % {KFOLD_K} AS fold,
+               CAST(FLOOR(value * 100 + 0.5) AS BIGINT) AS cents
+        FROM events
+    ),
+    per_cf AS (
+        SELECT event_type, fold,
+               CAST(SUM(cents) AS BIGINT) AS f_sum,
+               CAST(COUNT(*) AS BIGINT) AS f_cnt
+        FROM folded GROUP BY event_type, fold
+    ),
+    per_c AS (
+        SELECT event_type,
+               CAST(SUM(f_sum) AS BIGINT) AS t_sum,
+               CAST(SUM(f_cnt) AS BIGINT) AS t_cnt
+        FROM per_cf GROUP BY event_type
+    )
+    SELECT per_cf.event_type, per_cf.fold,
+           t_cnt - f_cnt AS oof_cnt,
+           CASE WHEN t_cnt - f_cnt > 0
+                THEN CAST(t_sum - f_sum AS DOUBLE)
+                     / CAST(t_cnt - f_cnt AS DOUBLE) / 100.0
+           END AS oof_mean
+    FROM per_cf JOIN per_c USING (event_type)
+    """,
+)
+def q_oof_target_encoding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Grouped-CV feature engineering without label leakage: folds
+    hash the USER (no group spans folds), and each (event_type, fold)
+    cell's encoding is the mean value of the other folds — total
+    minus own-fold, never the row's own label. Cents accumulation
+    keeps every sum exact at any partition count; the single final
+    division is the only float op."""
+    from nsp_bolt_pipeline_spark.operators.sampling import (
+        oof_target_encoding,
+    )
+
+    ev = read_table(spark, sf_dir, "events")
+    return oof_target_encoding(
+        ev,
+        cat_col="event_type",
+        target_col="value",
+        group_col="user_id",
+        k=KFOLD_K,
+        salt=KFOLD_SALT,
+    )
+
+
+# ---------------------------------------------------------------------------
+# Feature hashing (the hashing trick): categorical values map to a
+# fixed-width index space via content hash, with a +/-1 sign bit to
+# de-bias collisions — unbounded vocabularies become fixed-width
+# model inputs with no dictionary to build, ship, or keep in sync.
+# ---------------------------------------------------------------------------
+
+FEAT_DIM = 64
+
+
+@query(
+    "f_feature_hashing",
+    f"""
+    WITH feats AS (
+        SELECT event_id, 'event_type' AS feature,
+               'event_type:' || event_type AS fv
+        FROM events
+        UNION ALL
+        SELECT event_id, 'user_bucket',
+               'user_bucket:' || CAST(user_id % 100 AS VARCHAR)
+        FROM events
+    )
+    SELECT event_id, feature,
+           {_hash32_int_sql("fv")} % {FEAT_DIM} AS idx,
+           CASE WHEN ({_hash32_int_sql("'sign:' || fv")} % 2) = 0
+                THEN 1 ELSE -1 END AS sign
+    FROM feats
+    """,
+)
+def q_feature_hashing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-width categorical encoding with no dictionary: index =
+    h(col:value) mod {FEAT_DIM}, sign from an independent hash bit
+    (Weinberger et al. 2009 — the sign makes collision noise
+    zero-mean). Pure map-side expression; a new category value needs
+    no vocabulary rebuild anywhere in the fleet."""
+    ev = read_table(spark, sf_dir, "events")
+
+    def h32(col: F.Column) -> F.Column:
+        return F.conv(F.substring(F.md5(col), 1, 8), 16, 10).cast("long")
+
+    feats = ev.select(
+        "event_id",
+        F.explode(
+            F.array(
+                F.struct(
+                    F.lit("event_type").alias("feature"),
+                    F.concat(
+                        F.lit("event_type:"), F.col("event_type")
+                    ).alias("fv"),
+                ),
+                F.struct(
+                    F.lit("user_bucket").alias("feature"),
+                    F.concat(
+                        F.lit("user_bucket:"),
+                        (F.col("user_id") % 100).cast("string"),
+                    ).alias("fv"),
+                ),
+            )
+        ).alias("s"),
+    ).select("event_id", F.col("s.feature").alias("feature"), F.col("s.fv").alias("fv"))
+    return feats.select(
+        "event_id",
+        "feature",
+        (h32(F.col("fv")) % FEAT_DIM).alias("idx"),
+        F.when(
+            h32(F.concat(F.lit("sign:"), F.col("fv"))) % 2 == 0, F.lit(1)
+        )
+        .otherwise(F.lit(-1))
+        .cast("long")
+        .alias("sign"),
+    )
