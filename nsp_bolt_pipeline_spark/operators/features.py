@@ -20,6 +20,8 @@ engine-dependent last ULP of the mean fold cannot surface.
 
 from __future__ import annotations
 
+import math
+
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
@@ -70,3 +72,73 @@ def standardize_embeddings(
         .otherwise(0.0)
         .alias("z"),
     )
+
+
+def pca_top_component(
+    df: DataFrame,
+    *,
+    dim: int,
+    iterations: int = 3,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Top principal direction by power iteration on the (uncentered)
+    Gram matrix, never materializing it: each round scores every row
+    (s_i = <x_i, v>, map-side against the broadcast direction) and
+    re-aggregates w = sum_i s_i * x_i as one (dim, partial-sum)
+    shuffle — the classic X^T(Xv) factorization that keeps the work
+    linear in rows. Deterministic: init = 1/sqrt(dim) in every
+    component, each aggregated component and the normalized direction
+    round to 6 decimals (the kmeans convention — partial-agg fold
+    order moves sums by ~1e-14, far inside the 1e-6 grid), fixed
+    iteration count. Returns (dim, component) rows of the final unit
+    direction."""
+    from pyspark.sql import types as T
+
+    spark = df.sparkSession
+    v = [1.0 / math.sqrt(dim)] * dim
+
+    def _round6f(x: float) -> float:
+        return math.floor(x * 1e6 + 0.5) / 1e6
+
+    for _ in range(iterations):
+        vlit = F.array(*[F.lit(float(c)) for c in v])
+        score = F.aggregate(
+            F.zip_with(
+                F.col(vec_col),
+                vlit,
+                lambda x, c: x.cast("double") * c,
+            ),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+        scored = df.select(
+            F.col(vec_col).alias("x"), score.alias("s")
+        )
+        ex = scored.select(
+            F.posexplode("x").alias("d", "xd"), "s"
+        )
+        sums = (
+            ex.groupBy("d")
+            .agg(
+                F.floor(
+                    F.sum(F.col("xd").cast("double") * F.col("s")) * 1e6
+                    + F.lit(0.5)
+                ).alias("w6")
+            )
+            .collect()
+        )
+        w = [0.0] * dim
+        for r in sums:
+            w[int(r["d"])] = float(r["w6"]) / 1e6
+        norm = math.sqrt(sum(c * c for c in w))
+        v = [_round6f(c / norm) for c in w] if norm > 0 else v
+
+    rows = [(i, float(c)) for i, c in enumerate(v)]
+    schema = T.StructType(
+        [
+            T.StructField("dim", T.IntegerType()),
+            T.StructField("component", T.DoubleType()),
+        ]
+    )
+    return spark.createDataFrame(rows, schema)

@@ -380,3 +380,67 @@ def q_graph_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
         docs, n=N, num_hashes=NUM_HASHES, bands=BANDS, threshold=THRESHOLD
     )
     return triangle_counts(pairs.select("d1", "d2"))
+
+
+# ---------------------------------------------------------------------------
+# PCA top component by power iteration: X^T(Xv) per round — the Gram
+# matrix is never materialized; the oracle unrolls all three rounds.
+# ---------------------------------------------------------------------------
+
+_PCA_ITERS = 3
+
+
+def _pca_iter_sql(prev: str, out: str) -> str:
+    return f"""
+    s_{out} AS (
+        SELECT v.vec_id,
+               list_sum(list_transform(range(1, {DIM} + 1),
+                   i -> v.v[i] * {prev}.v[i])) AS s
+        FROM vecs v CROSS JOIN {prev}
+    ),
+    w_{out} AS (
+        SELECT i.i AS d,
+               FLOOR(SUM(v.v[i.i] * s.s) * 1e6 + 0.5) / 1e6 AS w
+        FROM vecs v
+        JOIN s_{out} s ON s.vec_id = v.vec_id
+        CROSS JOIN (SELECT unnest(range(1, {DIM} + 1)) AS i) i
+        GROUP BY i.i
+    ),
+    {out} AS (
+        SELECT list_transform(wl, x ->
+            FLOOR(x / sqrt(list_sum(list_transform(wl, y -> y * y)))
+                  * 1e6 + 0.5) / 1e6) AS v
+        FROM (SELECT list(w ORDER BY d) AS wl FROM w_{out})
+    )"""
+
+
+@query(
+    "emb_pca_top_component",
+    f"""
+    WITH vecs AS (
+        SELECT vec_id,
+               list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+        FROM embeddings
+    ),
+    v0 AS (SELECT list_transform(range(1, {DIM} + 1),
+                  i -> CAST(0.125 AS DOUBLE)) AS v),
+    {_pca_iter_sql("v0", "v1")},
+    {_pca_iter_sql("v1", "v2")},
+    {_pca_iter_sql("v2", "v3")}
+    SELECT CAST(i.i - 1 AS INT) AS dim, v3.v[i.i] AS component
+    FROM v3 CROSS JOIN (SELECT unnest(range(1, {DIM} + 1)) AS i) i
+    """,
+)
+def q_pca_top(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dominant principal direction without ever building the Gram
+    matrix: per round, score rows against the broadcast direction
+    map-side and re-aggregate one (dim, partial-sum) shuffle —
+    linear in rows, model state is dim doubles. Round-6 on every
+    aggregated component and on the normalized direction makes the
+    three unrolled rounds engine-replayable."""
+    from nsp_bolt_pipeline_spark.operators.features import (
+        pca_top_component,
+    )
+
+    emb = read_table(spark, sf_dir, "embeddings")
+    return pca_top_component(emb, dim=DIM, iterations=_PCA_ITERS)

@@ -444,3 +444,38 @@ def test_cdc_chunks_tile_any_string(spark):
         assert all(r["c"]["length"] > 0 for r in out)
 
     check()
+
+
+# ---------------------------------------------------------------- PCA
+
+
+def test_pca_power_iteration_aligns_with_numpy(spark):
+    """Planted-spike data: isotropic noise has no dominant direction
+    (the real embeddings table is ~N(0, I), where ANY unit vector is
+    a valid answer), so the test plants one and checks the iteration
+    finds it."""
+    from nsp_bolt_pipeline_spark.operators.features import pca_top_component
+
+    rng = np.random.default_rng(17)
+    dim, n = 16, 200
+    u = rng.normal(size=dim)
+    u /= np.linalg.norm(u)
+    X = (
+        rng.normal(size=(n, 1)) * 3.0 * u[None, :]
+        + rng.normal(size=(n, dim)) * 0.3
+    )
+    df = spark.createDataFrame(
+        [(i, row.tolist()) for i, row in enumerate(X)],
+        ["vec_id", "embedding"],
+    )
+    got = {
+        r["dim"]: r["component"]
+        for r in pca_top_component(df, dim=dim, iterations=3).collect()
+    }
+    v = np.array([got[d] for d in range(dim)])
+    gram = X.T @ X
+    evals, evecs = np.linalg.eigh(gram)
+    top = evecs[:, -1]
+    cos = abs(float(v @ top) / (np.linalg.norm(v) * np.linalg.norm(top)))
+    assert cos > 0.99, cos
+    assert abs(np.linalg.norm(v) - 1.0) < 1e-5

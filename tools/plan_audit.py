@@ -54,6 +54,7 @@ EAGER_ENTRIES = {
     "text_bpe_segment",
     "ann_ivfpq_topk",
     "corpus_curation_budget",
+    "emb_pca_top_component",
 }
 
 # Entries whose global window is acceptable, with the reason. Two
