@@ -1061,3 +1061,61 @@ def q_t13_robust_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
         rz.alias("robust_z"),
         F.when(F.col("mad") > 0, F.abs(rz) > 3.0).alias("is_outlier"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Event-type transition matrix: per-user lag pairs -> global
+# (from, to) counts and row-normalized probabilities — the Markov
+# statistics sequence models and journey analyses start from.
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "t14_event_transitions",
+    """
+    WITH seq AS (
+        SELECT user_id, event_type,
+               lag(event_type) OVER (PARTITION BY user_id
+                                     ORDER BY ts, event_id) AS prev_type
+        FROM events
+    ),
+    c AS (
+        SELECT prev_type AS from_type, event_type AS to_type,
+               CAST(COUNT(*) AS BIGINT) AS n
+        FROM seq WHERE prev_type IS NOT NULL
+        GROUP BY 1, 2
+    )
+    SELECT from_type, to_type, n,
+           CAST(n AS DOUBLE)
+               / CAST(SUM(n) OVER (PARTITION BY from_type) AS DOUBLE)
+               AS p
+    FROM c
+    """,
+)
+def q_event_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-order Markov transition statistics: the lag window runs
+    per user (bounded partitions, one shuffle on user_id), counts
+    collapse with map-side combine, and the row normalization is a
+    window over the TYPE-cardinality aggregate — integer counts and
+    one exact division everywhere."""
+    from pyspark.sql import Window as W
+
+    ev = read_table(spark, sf_dir, "events")
+    uw = W.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = ev.select(
+        "event_type",
+        F.lag("event_type").over(uw).alias("prev_type"),
+    ).filter(F.col("prev_type").isNotNull())
+    c = seq.groupBy(
+        F.col("prev_type").alias("from_type"),
+        F.col("event_type").alias("to_type"),
+    ).agg(F.count(F.lit(1)).alias("n"))
+    fw = W.partitionBy("from_type")
+    return c.select(
+        "from_type",
+        "to_type",
+        "n",
+        (
+            F.col("n").cast("double") / F.sum("n").over(fw).cast("double")
+        ).alias("p"),
+    )
