@@ -1,0 +1,131 @@
+"""Exact set-similarity join with prefix filtering (PPJoin-style).
+
+Complements the dedup family (operators.neardup): MinHash-LSH is the
+*probabilistic* scale path (tunable recall < 1); this operator is the
+*exact* scale path — every token-set pair with Jaccard >= t, no more,
+no less — using the prefix-filter principle (Chaudhuri et al. SSJoin
+ICDE'06; Xiao et al. PPJoin WWW'08, both public literature): order
+each document's tokens by ascending global document frequency and two
+documents can only reach Jaccard >= t if they share a token in their
+*rare-token prefixes*, so the candidate join runs over short rare-token
+inverted lists instead of all pairs.
+
+Reference parity: the reference deduplicates events by key only
+(TripStartProcessor.py:61-66, attribute_not_exists guard); content-level
+similarity joins are part of the training-data extension surface.
+
+Scale design (100 TB):
+
+- Document frequencies: one token-count shuffle with map-side partial
+  aggregation (heavy-tailed, but counts collapse per partition first).
+- Global token order WITHOUT a global rank: tokens sort by the tuple
+  (df, token) via ``array_sort`` over ``struct(df, token)`` — a pure
+  map-side array sort per document, no vocabulary-wide window, no
+  driver-side dictionary.
+- The df join back onto the exploded corpus is a shuffle join keyed by
+  token; stop-word keys are skewed, which AQE's skew-join splitting
+  handles (the join is 1:N on the df side, so splitting is safe).
+- Prefix explode: each document emits only its ``n - floor(t*n) + 1``
+  *rarest* tokens (one longer than the tight PPJoin prefix — floor is
+  used instead of ceil so the bound is conservative for every t*n,
+  trading a few extra candidates for provable losslessness). Inverted
+  lists for rare tokens are short by construction, so the candidate
+  self-join touches a tiny fraction of the all-pairs space.
+- Length filter: |A| >= t*|B| (and symmetrically) prunes candidates
+  before the verify join — a pair can't reach Jaccard t when the size
+  ratio is below t.
+- Verify: exact Jaccard by ``array_intersect`` on the candidate pairs
+  only. Precision and recall are both exactly 1.0 — the DuckDB oracle
+  computes the naive all-pairs definition and the driver's hash compare
+  proves the filtered plan returns the identical pair set.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from nsp_bolt_pipeline_spark.operators.text import tokens
+
+
+def prefix_filtered_jaccard_join(
+    docs: DataFrame,
+    threshold: float = 0.5,
+    id_col: str = "doc_id",
+    set_expr: Column | None = None,
+) -> DataFrame:
+    """All (d1, d2, jaccard) pairs with set Jaccard >= threshold,
+    d1 < d2, via the lossless prefix filter. ``set_expr`` is the
+    per-document element-set expression (default: distinct whitespace
+    tokens; pass ``word_ngrams(...)`` for shingle-grain joins — on
+    small-vocabulary corpora unigram sets are non-discriminative, so
+    shingles are the grain that makes the threshold meaningful).
+    Documents with empty sets drop (they cannot reach a positive
+    Jaccard). Output matches the naive all-pairs definition exactly."""
+    if set_expr is None:
+        set_expr = F.array_distinct(tokens("text"))
+    sets = (
+        docs.select(F.col(id_col).alias("d"), set_expr.alias("toks"))
+        .withColumn("n", F.size("toks"))
+        .filter(F.col("n") >= 1)
+    )
+
+    # document frequency of every distinct token (per-doc distinct,
+    # so a token repeated within one doc counts once)
+    inv = sets.select("d", "n", F.explode("toks").alias("tok"))
+    df_counts = inv.groupBy("tok").agg(F.count("*").alias("df"))
+
+    # rarity-ordered token arrays: sort struct(df, token) map-side
+    ordered = (
+        inv.join(df_counts, "tok")
+        .groupBy("d", "n")
+        .agg(
+            F.array_sort(
+                F.collect_list(F.struct(F.col("df"), F.col("tok")))
+            ).alias("by_rarity")
+        )
+        .withColumn(
+            "prefix_len",
+            F.greatest(
+                F.lit(1),
+                (
+                    F.col("n")
+                    - F.floor(F.lit(threshold) * F.col("n")).cast("int")
+                    + F.lit(1)
+                ),
+            ),
+        )
+        .select(
+            "d",
+            "n",
+            F.transform(
+                F.slice("by_rarity", F.lit(1), F.col("prefix_len")),
+                lambda s: s["tok"],
+            ).alias("prefix"),
+        )
+    )
+
+    pre = ordered.select("d", "n", F.explode("prefix").alias("tok"))
+    cands = (
+        pre.alias("a")
+        .join(pre.alias("b"), "tok")
+        .filter(F.col("a.d") < F.col("b.d"))
+        # length filter: min(|A|,|B|) >= t * max(|A|,|B|) is necessary
+        .filter(
+            F.least("a.n", "b.n").cast("double")
+            >= F.lit(threshold) * F.greatest("a.n", "b.n").cast("double")
+        )
+        .select(F.col("a.d").alias("d1"), F.col("b.d").alias("d2"))
+        .distinct()
+    )
+
+    inter = F.size(F.array_intersect("sa.toks", "sb.toks"))
+    jac = inter.cast("double") / (
+        F.col("sa.n") + F.col("sb.n") - inter
+    ).cast("double")
+    return (
+        cands.join(sets.alias("sa"), F.col("d1") == F.col("sa.d"))
+        .join(sets.alias("sb"), F.col("d2") == F.col("sb.d"))
+        .filter(jac >= F.lit(threshold))
+        .select("d1", "d2", jac.alias("jaccard"))
+    )

@@ -974,3 +974,48 @@ def q_fs_linkage(spark: SparkSession, sf_dir: str) -> DataFrame:
         upper=_FS_UPPER,
         lower=_FS_LOWER,
     )
+
+
+# ---------------------------------------------------------------------------
+# Exact set-similarity join via the lossless prefix filter (PPJoin).
+# The oracle is the NAIVE ALL-PAIRS definition; the Spark side runs the
+# rare-token-prefix candidate plan — the driver's exact hash compare is
+# the losslessness proof (identical pair sets from different plans).
+# ---------------------------------------------------------------------------
+
+PPJOIN_THRESHOLD = 0.5
+
+
+@query(
+    "neardup_ppjoin_shingles",
+    f"""
+    WITH {_GRAMS_CTE},
+    pairs AS (
+        SELECT a.doc_id AS d1, b.doc_id AS d2,
+               len(list_intersect(a.g, b.g)) AS inter,
+               len(a.g) AS na, len(b.g) AS nb
+        FROM grams a JOIN grams b ON a.doc_id < b.doc_id
+    )
+    SELECT d1, d2,
+           CAST(inter AS DOUBLE) / CAST(na + nb - inter AS DOUBLE) AS jaccard
+    FROM pairs
+    WHERE CAST(inter AS DOUBLE) / CAST(na + nb - inter AS DOUBLE)
+              >= {PPJOIN_THRESHOLD}
+    """,
+)
+def q_ppjoin_shingles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact Jaccard >= t pairs on 3-gram shingle sets WITHOUT an
+    all-pairs scan and WITHOUT the any-shared-gram candidate blowup of
+    ``neardup_ngram_jaccard``: ascending-df prefix filter + length
+    filter + candidate-only verify (operators/setjoin.py). Same result
+    set as the naive definition — the oracle IS the naive all-pairs
+    definition, so the driver's hash compare proves losslessness."""
+    from nsp_bolt_pipeline_spark.operators.neardup import word_ngrams
+    from nsp_bolt_pipeline_spark.operators.setjoin import (
+        prefix_filtered_jaccard_join,
+    )
+
+    docs = read_table(spark, sf_dir, "documents")
+    return prefix_filtered_jaccard_join(
+        docs, threshold=PPJOIN_THRESHOLD, set_expr=word_ngrams("text", n=N)
+    )

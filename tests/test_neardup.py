@@ -198,3 +198,67 @@ def test_dedup_plans_are_udf_free(spark):
         .toString()
     )
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_ppjoin_matches_naive_all_pairs(spark):
+    """The prefix filter is lossless: on a corpus where most docs share
+    common tokens but few share rare ones, the filtered join must
+    return exactly the naive-definition pair set at every threshold."""
+    from itertools import combinations
+
+    from nsp_bolt_pipeline_spark.operators.setjoin import (
+        prefix_filtered_jaccard_join,
+    )
+
+    rows = [
+        (1, BASE),
+        (2, NEAR),
+        (3, OTHER),
+        (4, BASE + " with a small appended suffix"),
+        (5, "the quick brown fox naps"),
+        (6, "unrelated singleton document"),
+        (7, ""),  # empty set must drop, not crash
+    ]
+    texts = dict(rows)
+
+    def naive(threshold):
+        out = set()
+        for a, b in combinations(sorted(texts), 2):
+            sa, sb = set(texts[a].split()), set(texts[b].split())
+            if not sa or not sb:
+                continue
+            jac = len(sa & sb) / len(sa | sb)
+            if jac >= threshold:
+                out.add((a, b))
+        return out
+
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    for t in (0.3, 0.5, 0.75, 0.9):
+        got = {
+            (r["d1"], r["d2"])
+            for r in prefix_filtered_jaccard_join(df, threshold=t).collect()
+        }
+        assert got == naive(t), f"threshold {t}"
+
+
+def test_ppjoin_shingle_grain_agrees_with_gram_join(spark):
+    """Same exact semantics, different candidate plan: PPJoin on
+    shingle sets must equal ngram_jaccard_pairs (any-shared-gram
+    candidates) pair-for-pair."""
+    from nsp_bolt_pipeline_spark.operators.setjoin import (
+        prefix_filtered_jaccard_join,
+    )
+
+    docs = _docs(spark)
+    via_gram_join = {
+        (r["d1"], r["d2"], r["jaccard"])
+        for r in ngram_jaccard_pairs(docs, threshold=0.5).collect()
+    }
+    via_ppjoin = {
+        (r["d1"], r["d2"], r["jaccard"])
+        for r in prefix_filtered_jaccard_join(
+            docs, threshold=0.5, set_expr=word_ngrams("text", n=3)
+        ).collect()
+    }
+    assert via_ppjoin == via_gram_join
+    assert {(d1, d2) for d1, d2, _ in via_ppjoin} == {(1, 2)}
