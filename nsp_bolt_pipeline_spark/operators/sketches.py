@@ -1,0 +1,236 @@
+"""Deterministic mergeable sketches as DataFrames: Count-Min and Bloom.
+
+The engine already exposes Spark's native approximate aggregates
+(``approx_count_distinct`` / HLL sketch merge — registry entry
+``agg_approx_sketches``); those sketch bytes are engine-internal and
+not oracle-comparable. This module builds the two classic mergeable
+summaries *as plain integer relations*, so they are (a) bit-identical
+on any engine — the DuckDB oracle replays the full construction — and
+(b) mergeable by the engine's own aggregates (counts add; bitmaps OR),
+which is the property that matters at 100 TB: per-partition partial
+sketches collapse map-side and the shuffle carries only the bounded
+sketch key space, never the corpus.
+
+- Count-Min (Cormode & Muthukrishnan '05): d hash rows x w buckets of
+  token counts. Build = one groupBy over (row, bucket) — at most d*w
+  output rows regardless of corpus size. Point estimate = min over
+  rows of the bucket count; always an overestimate, error <= 2N/w with
+  probability 1-(1/2)^d.
+- Bloom (Bloom '70): m bits as m/32 32-bit words packed in BIGINTs
+  (32-bit chunks sidestep engine differences in signed 64-bit shift
+  overflow), k md5-derived bit positions per element, built by a
+  ``bit_or`` groupBy — order-independent, hence deterministic under
+  any partitioning. The membership probe is a join against the tiny
+  (source, word) relation — exactly the broadcast-able structure a
+  100 TB anti-join prune would ship to every executor.
+
+Reference parity: the reference has no sketch surface (its dedup is an
+exact DynamoDB conditional write, TripStartProcessor.py:61-66); these
+are part of the training-data extension surface the brief asks for.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from nsp_bolt_pipeline_spark.operators.text import fingerprint, tokens
+
+CMS_DEPTH = 4
+CMS_WIDTH = 512
+
+BLOOM_BITS = 4096  # m
+BLOOM_WORDS = BLOOM_BITS // 32
+BLOOM_K = 3
+
+
+def _hash48(c: Column, salt: str) -> Column:
+    """48-bit integer hash: first 12 hex chars of md5(salt || value),
+    parsed base 16 — the same engine-portable primitive the MinHash
+    family uses (operators/neardup.py)."""
+    return F.conv(
+        F.substring(F.md5(F.concat(F.lit(salt), c)), 1, 12), 16, 10
+    ).cast("long")
+
+
+def cms_build(
+    docs: DataFrame,
+    text_col: str = "text",
+    depth: int = CMS_DEPTH,
+    width: int = CMS_WIDTH,
+) -> DataFrame:
+    """Count-Min sketch of the corpus token stream as a
+    (row, bucket, cnt) relation. One explode + one bounded-key groupBy;
+    partial aggregation collapses per-partition counts before the
+    shuffle, so the wire carries <= depth*width rows per partition."""
+    toks = docs.select(F.explode(tokens(text_col)).alias("tok"))
+    rows = toks.select(
+        "tok",
+        F.explode(
+            F.array(*[F.lit(j) for j in range(depth)])
+        ).alias("row"),
+    )
+    return (
+        rows.withColumn("bucket", cms_bucket(F.col("tok"), F.col("row"), width))
+        .groupBy("row", "bucket")
+        .agg(F.count("*").alias("cnt"))
+    )
+
+
+def cms_bucket(tok: Column, row: Column | int, width: int = CMS_WIDTH) -> Column:
+    r = F.lit(row) if isinstance(row, int) else row
+    return _hash48(
+        F.concat(r.cast("string"), F.lit("|"), tok), "cms-"
+    ) % F.lit(width)
+
+
+def cms_estimate_topk(
+    docs: DataFrame,
+    k: int = 20,
+    text_col: str = "text",
+    depth: int = CMS_DEPTH,
+    width: int = CMS_WIDTH,
+) -> DataFrame:
+    """True count vs CMS estimate for the top-k tokens (ties broken by
+    token asc — deterministic). The probe side is tiny (k*depth rows)
+    and joins the <=d*w-row sketch: at scale both sides broadcast."""
+    sketch = cms_build(docs, text_col, depth, width)
+    true_counts = (
+        docs.select(F.explode(tokens(text_col)).alias("tok"))
+        .groupBy("tok")
+        .agg(F.count("*").alias("true_cnt"))
+        .orderBy(F.desc("true_cnt"), F.asc("tok"))
+        .limit(k)
+    )
+    probes = true_counts.select(
+        "tok",
+        "true_cnt",
+        F.explode(F.array(*[F.lit(j) for j in range(depth)])).alias("row"),
+    ).withColumn("bucket", cms_bucket(F.col("tok"), F.col("row"), width))
+    return (
+        probes.join(F.broadcast(sketch), ["row", "bucket"])
+        .groupBy("tok", "true_cnt")
+        .agg(F.min("cnt").alias("cms_est"))
+        .withColumn("overcount", F.col("cms_est") - F.col("true_cnt"))
+    )
+
+
+def bloom_bit(c: Column, j: int, bits: int = BLOOM_BITS) -> Column:
+    """Bit index of hash function j for element c."""
+    return _hash48(c, f"bloom-{j}-") % F.lit(bits)
+
+
+def bloom_build(
+    df: DataFrame,
+    group_col: str,
+    elem: Column,
+    k: int = BLOOM_K,
+    bits: int = BLOOM_BITS,
+) -> DataFrame:
+    """Per-group Bloom filter as a (group, word, bits32) relation:
+    word = bit_idx div 32, bits32 = OR of (1 << (bit_idx mod 32)).
+    bit_or is order- and duplicate-insensitive, so the build is
+    deterministic under any partitioning and filters from disjoint
+    corpus shards union by the same groupBy."""
+    hashed = df.select(
+        F.col(group_col).alias("grp"),
+        F.explode(
+            F.array(*[bloom_bit(elem, j, bits) for j in range(k)])
+        ).alias("bit_idx"),
+    )
+    return (
+        hashed.withColumn("word", (F.col("bit_idx") / 32).cast("int"))
+        .withColumn(
+            "mask", F.expr("shiftleft(CAST(1 AS BIGINT), CAST(bit_idx % 32 AS INT))")
+        )
+        .groupBy("grp", "word")
+        .agg(F.bit_or("mask").alias("bits32"))
+    )
+
+
+def bloom_membership_stats(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    group_col: str = "source",
+    text_col: str = "text",
+    k: int = BLOOM_K,
+    bits: int = BLOOM_BITS,
+) -> DataFrame:
+    """Probe every document's content fingerprint against every OTHER
+    source's Bloom filter and score the filter against exact truth:
+    (probe_source, filter_source, n_probes, n_claimed, n_true,
+    n_false_positive). A Bloom filter never misses a true member, so
+    n_claimed >= n_true and the delta is the measured FP count — the
+    number a 100 TB pre-join prune would pay in wasted lookups."""
+    fps = docs.select(
+        F.col(id_col).alias("d"),
+        F.col(group_col).alias("probe_source"),
+        fingerprint(text_col).alias("fp"),
+    )
+    bloom = bloom_build(
+        docs.select(group_col, fingerprint(text_col).alias("fp")),
+        group_col,
+        F.col("fp"),
+        k,
+        bits,
+    )
+    # probe rows: one per (fp, filter group, hash j)
+    groups = bloom.select(F.col("grp").alias("filter_source")).distinct()
+    probe = (
+        fps.crossJoin(F.broadcast(groups))
+        .filter(F.col("probe_source") != F.col("filter_source"))
+        .select(
+            "d",
+            "probe_source",
+            "filter_source",
+            "fp",
+            F.explode(
+                F.array(*[bloom_bit(F.col("fp"), j, bits) for j in range(k)])
+            ).alias("bit_idx"),
+        )
+        .withColumn("word", (F.col("bit_idx") / 32).cast("int"))
+        .withColumn(
+            "mask",
+            F.expr("shiftleft(CAST(1 AS BIGINT), CAST(bit_idx % 32 AS INT))"),
+        )
+    )
+    hit = (
+        probe.join(
+            F.broadcast(bloom),
+            (probe["filter_source"] == bloom["grp"])
+            & (probe["word"] == bloom["word"]),
+            "left",
+        )
+        .withColumn(
+            "bit_set",
+            F.when(
+                F.col("bits32").isNotNull()
+                & (F.col("bits32").bitwiseAND(F.col("mask")) != 0),
+                1,
+            ).otherwise(0),
+        )
+        .groupBy("d", "probe_source", "filter_source", "fp")
+        .agg((F.sum("bit_set") == F.lit(k)).alias("claimed"))
+    )
+    # exact truth: does this fp exist in the filter source?
+    truth = (
+        docs.select(
+            F.col(group_col).alias("filter_source"),
+            fingerprint(text_col).alias("fp"),
+        )
+        .distinct()
+        .withColumn("truly_present", F.lit(True))
+    )
+    return (
+        hit.join(F.broadcast(truth), ["filter_source", "fp"], "left")
+        .na.fill({"truly_present": False})
+        .groupBy("probe_source", "filter_source")
+        .agg(
+            F.count("*").alias("n_probes"),
+            F.sum(F.col("claimed").cast("long")).alias("n_claimed"),
+            F.sum(F.col("truly_present").cast("long")).alias("n_true"),
+            F.sum(
+                (F.col("claimed") & ~F.col("truly_present")).cast("long")
+            ).alias("n_false_positive"),
+        )
+    )

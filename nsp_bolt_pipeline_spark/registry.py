@@ -640,6 +640,7 @@ def load_all() -> None:
         "registry_corpus",
         "registry_tpch",
         "registry_clustering",
+        "registry_sketches",
     ):
         importlib.import_module(f"nsp_bolt_pipeline_spark.{mod}")
     _ALL_LOADED = True

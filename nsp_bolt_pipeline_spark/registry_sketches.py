@@ -1,0 +1,142 @@
+"""Oracle-backed registry entries for the mergeable-sketch operators
+(operators.sketches) over the ``documents`` table.
+
+Both sketches are plain integer relations built from md5-derived
+hashes, so the DuckDB oracle replays the FULL construction (hashing,
+bucketing, bit-packing) and the driver's exact hash compare verifies
+the sketches bit-for-bit — not just their summary statistics.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+from nsp_bolt_pipeline_spark.operators.sketches import (
+    BLOOM_BITS,
+    BLOOM_K,
+    CMS_DEPTH,
+    CMS_WIDTH,
+    bloom_membership_stats,
+    cms_estimate_topk,
+)
+from nsp_bolt_pipeline_spark.registry import query
+from nsp_bolt_pipeline_spark.sources.readers import read_table
+
+HEX = "0123456789abcdef"
+
+CMS_TOPK = 20
+
+
+def _h48_sql(expr: str) -> str:
+    """DuckDB twin of operators.sketches._hash48: first 12 hex chars
+    of md5(expr) decoded by nibble arithmetic into a 48-bit BIGINT."""
+    return f"""CAST(list_sum(list_transform(range(0, 12), k ->
+        (strpos('{HEX}', substr(md5({expr}), k + 1, 1)) - 1)
+            * (1::BIGINT << (4 * (11 - k))))) AS BIGINT)"""
+
+
+_CMS_HASH = _h48_sql("'cms-' || CAST(row AS VARCHAR) || '|' || tok")
+
+_CMS_SQL = f"""
+WITH toks AS (
+    SELECT unnest(regexp_split_to_array(trim(text), '\\s+')) AS tok
+    FROM documents
+),
+rws AS (
+    SELECT tok, j.j AS row
+    FROM toks, (SELECT unnest(range(0, {CMS_DEPTH})) AS j) j
+),
+sketch AS (
+    SELECT row, {_CMS_HASH} % {CMS_WIDTH} AS bucket, COUNT(*) AS cnt
+    FROM rws GROUP BY 1, 2
+),
+truec AS (
+    SELECT tok, COUNT(*) AS true_cnt FROM toks GROUP BY tok
+    ORDER BY true_cnt DESC, tok ASC LIMIT {CMS_TOPK}
+),
+probes AS (
+    SELECT tok, true_cnt, j.j AS row,
+           {_CMS_HASH} % {CMS_WIDTH} AS bucket
+    FROM truec, (SELECT unnest(range(0, {CMS_DEPTH})) AS j) j
+)
+SELECT p.tok, p.true_cnt, MIN(s.cnt) AS cms_est,
+       MIN(s.cnt) - p.true_cnt AS overcount
+FROM probes p JOIN sketch s ON p.row = s.row AND p.bucket = s.bucket
+GROUP BY p.tok, p.true_cnt
+"""
+
+
+@query("sketch_cms_topk", _CMS_SQL)
+def q_sketch_cms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-Min token-count estimates vs exact truth for the top-20
+    terms: build = one bounded-key groupBy (<= depth*width rows out),
+    probe = broadcast join. overcount >= 0 always (CMS one-sided)."""
+    docs = read_table(spark, sf_dir, "documents")
+    return cms_estimate_topk(docs, k=CMS_TOPK)
+
+
+def _bloom_hash(fp_expr: str) -> str:
+    return _h48_sql(f"'bloom-' || CAST(j.j AS VARCHAR) || '-' || {fp_expr}")
+
+
+_FP_SQL = r"md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'))"
+
+_BLOOM_SQL = f"""
+WITH fps AS (
+    SELECT doc_id AS d, source AS probe_source, {_FP_SQL} AS fp
+    FROM documents
+),
+elems AS (SELECT DISTINCT source AS grp, {_FP_SQL} AS fp FROM documents),
+hashed AS (
+    SELECT grp, {_bloom_hash('fp')} % {BLOOM_BITS} AS bit_idx
+    FROM (SELECT source AS grp, {_FP_SQL} AS fp FROM documents),
+         (SELECT unnest(range(0, {BLOOM_K})) AS j) j
+),
+bloom AS (
+    SELECT grp, bit_idx // 32 AS word,
+           bit_or((1::BIGINT) << CAST(bit_idx % 32 AS INT)) AS bits32
+    FROM hashed GROUP BY 1, 2
+),
+srcs AS (SELECT DISTINCT source AS filter_source FROM documents),
+probe AS (
+    SELECT f.d, f.probe_source, s.filter_source, f.fp,
+           {_bloom_hash('f.fp')} % {BLOOM_BITS} AS bit_idx
+    FROM fps f, srcs s, (SELECT unnest(range(0, {BLOOM_K})) AS j) j
+    WHERE f.probe_source <> s.filter_source
+),
+hits AS (
+    SELECT p.d, p.probe_source, p.filter_source, p.fp,
+           CASE WHEN b.bits32 IS NOT NULL
+                     AND (b.bits32 & ((1::BIGINT) << CAST(p.bit_idx % 32 AS INT))) <> 0
+                THEN 1 ELSE 0 END AS bit_set
+    FROM probe p
+    LEFT JOIN bloom b
+      ON b.grp = p.filter_source AND b.word = p.bit_idx // 32
+),
+claims AS (
+    SELECT d, probe_source, filter_source, fp,
+           (SUM(bit_set) = {BLOOM_K}) AS claimed
+    FROM hits GROUP BY 1, 2, 3, 4
+)
+SELECT c.probe_source, c.filter_source,
+       COUNT(*) AS n_probes,
+       CAST(SUM(CASE WHEN c.claimed THEN 1 ELSE 0 END) AS BIGINT) AS n_claimed,
+       CAST(SUM(CASE WHEN e.fp IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_true,
+       CAST(SUM(CASE WHEN c.claimed AND e.fp IS NULL THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_false_positive
+FROM claims c
+LEFT JOIN elems e ON e.grp = c.filter_source AND e.fp = c.fp
+GROUP BY 1, 2
+"""
+
+
+@query("sketch_bloom_membership", _BLOOM_SQL)
+def q_sketch_bloom(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-source Bloom membership probe scored against exact truth:
+    per (probe_source, filter_source), how many fingerprints the
+    filter claims vs truly contains. The filter relation is tiny
+    (sources x 128 words) and broadcasts — the shape of a 100 TB
+    pre-join prune."""
+    docs = read_table(spark, sf_dir, "documents")
+    return bloom_membership_stats(docs)

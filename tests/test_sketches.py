@@ -1,0 +1,85 @@
+"""Mergeable-sketch invariants (operators.sketches): CMS one-sided
+error + count-mergeability, Bloom no-false-negatives + OR-merge."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from nsp_bolt_pipeline_spark.operators.sketches import (
+    bloom_build,
+    bloom_membership_stats,
+    cms_build,
+    cms_estimate_topk,
+)
+
+DOCS = [
+    (1, "alpha beta gamma alpha", "web"),
+    (2, "alpha delta epsilon", "web"),
+    (3, "zeta eta theta iota kappa", "books"),
+    (4, "alpha beta gamma alpha", "books"),  # exact dup of doc 1 content
+    (5, "entirely disjoint lexicon here", "wiki"),
+]
+
+
+def _docs(spark):
+    return spark.createDataFrame(DOCS, ["doc_id", "text", "source"])
+
+
+def test_cms_estimates_are_one_sided_overestimates(spark):
+    rows = cms_estimate_topk(_docs(spark), k=10).collect()
+    assert rows, "top-k probe returned nothing"
+    for r in rows:
+        assert r["cms_est"] >= r["true_cnt"], r
+        assert r["overcount"] == r["cms_est"] - r["true_cnt"]
+    # with 17 distinct tokens in 512*4 buckets, collisions are ~0:
+    # every estimate should in fact be exact here
+    assert all(r["overcount"] == 0 for r in rows)
+
+
+def test_cms_sketches_merge_by_count_addition(spark):
+    """sketch(A ∪ B) == per-bucket sum of sketch(A) and sketch(B) —
+    the property that lets partial sketches collapse map-side."""
+    docs = _docs(spark)
+    whole = {
+        (r["row"], r["bucket"]): r["cnt"] for r in cms_build(docs).collect()
+    }
+    merged: dict = {}
+    for src in ("web", "books", "wiki"):
+        part = cms_build(docs.filter(F.col("source") == src))
+        for r in part.collect():
+            key = (r["row"], r["bucket"])
+            merged[key] = merged.get(key, 0) + r["cnt"]
+    assert merged == whole
+
+
+def test_bloom_has_no_false_negatives_and_counts_add_up(spark):
+    rows = bloom_membership_stats(_docs(spark)).collect()
+    # doc 4's content exists in 'web' (doc 1) -> probing web from books
+    # must claim it; all true members must be claimed (no false negs)
+    for r in rows:
+        assert r["n_claimed"] >= r["n_true"], r
+        assert r["n_false_positive"] == r["n_claimed"] - r["n_true"], r
+    by_pair = {(r["probe_source"], r["filter_source"]): r for r in rows}
+    assert by_pair[("books", "web")]["n_true"] == 1
+    assert by_pair[("web", "books")]["n_true"] == 1
+    assert by_pair[("wiki", "web")]["n_true"] == 0
+
+
+def test_bloom_filters_merge_by_bit_or(spark):
+    """Filter built over the whole corpus == per-word OR of filters
+    built over disjoint shards (order/duplicate-insensitive build)."""
+    docs = _docs(spark).select(
+        F.lit("all").alias("g"), F.col("text").alias("fp")
+    )
+    whole = {
+        (r["grp"], r["word"]): r["bits32"]
+        for r in bloom_build(docs, "g", F.col("fp")).collect()
+    }
+    shard1 = bloom_build(docs.limit(2), "g", F.col("fp"))
+    shard2 = bloom_build(docs.subtract(docs.limit(2)), "g", F.col("fp"))
+    merged: dict = {}
+    for part in (shard1, shard2):
+        for r in part.collect():
+            key = (r["grp"], r["word"])
+            merged[key] = merged.get(key, 0) | r["bits32"]
+    assert merged == whole
