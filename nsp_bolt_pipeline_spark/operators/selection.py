@@ -1,0 +1,141 @@
+"""Training-data selection operators: importance weighting against a
+target domain (DSIR-inspired) and vocabulary-coverage scoring.
+
+Published basis (public literature): Xie et al. 2023, "Data Selection
+for Language Models via Importance Resampling" (DSIR) — estimate
+per-document importance from hashed n-gram feature distributions of a
+target domain vs the raw pool, then sample by weight. This module
+implements the distribution estimation and ranking with one deliberate
+change: the per-document weight is the *ratio of integer feature-mass
+sums* (target mass / raw mass) rather than a sum of per-feature log
+ratios. Integer sums are associative — exact under any partitioning or
+fold order — so the weight is bit-identical on every engine and
+oracle-verifiable; the log-sum form is a one-line swap where last-ULP
+reproducibility is not required.
+
+Scale design (100 TB):
+
+- Hashed features (Weinberger et al. 2009 hashing trick): fixed DIM
+  buckets, no vocabulary dictionary, no driver state — a new corpus
+  shard needs nothing rebuilt.
+- The two distribution tables are DIM rows each — broadcast to the
+  scoring join; the corpus is scanned once for counting (bounded-key
+  groupBy with map-side partials) and once for scoring.
+- OOV scoring joins a top-V vocab (V rows, broadcast) against the
+  exploded token stream; the per-doc aggregate is integer counts.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from nsp_bolt_pipeline_spark.operators.text import tokens
+
+DSIR_DIM = 1024
+
+
+def _h32(c: Column) -> Column:
+    """32-bit md5-prefix hash (the feature-hashing primitive,
+    registry_sampling.f_feature_hashing)."""
+    return F.conv(F.substring(F.md5(c), 1, 8), 16, 10).cast("long")
+
+
+def hashed_bigrams(text_col: str, dim: int = DSIR_DIM) -> Column:
+    """Word-bigram feature buckets for one document (with repeats —
+    DSIR counts occurrences, not distinct features)."""
+    toks = tokens(text_col)
+    grams = F.transform(
+        F.slice(toks, 1, F.greatest(F.lit(0), F.size(toks) - 1)),
+        lambda t, i: F.concat(t, F.lit(" "), F.element_at(toks, i + 2)),
+    )
+    return F.transform(grams, lambda g: _h32(g) % dim)
+
+
+def dsir_importance_weights(
+    docs: DataFrame,
+    target_pred: Column,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    dim: int = DSIR_DIM,
+    top_n: int = 100,
+) -> DataFrame:
+    """Rank raw-pool documents by affinity to the target domain:
+    weight = (Σ_f target_count[f] + n_f) / (Σ_f raw_count[f] + n_f)
+    over the doc's hashed-bigram features f (the +n_f terms are +1
+    Laplace smoothing applied per feature occurrence). Top ``top_n``
+    by (weight desc, id asc). Docs with no bigram drop."""
+    feats = docs.select(
+        F.col(id_col).alias("d"),
+        target_pred.alias("is_target"),
+        F.explode(hashed_bigrams(text_col, dim)).alias("f"),
+    )
+    dist = feats.groupBy("f").agg(
+        F.sum(F.col("is_target").cast("long")).alias("target_cnt"),
+        F.count("*").alias("raw_cnt"),
+    )
+    scored = (
+        feats.join(F.broadcast(dist), "f")
+        .groupBy("d")
+        .agg(
+            F.count("*").alias("n_feats"),
+            F.sum("target_cnt").alias("target_mass"),
+            F.sum("raw_cnt").alias("raw_mass"),
+        )
+        .withColumn(
+            "weight",
+            (F.col("target_mass") + F.col("n_feats")).cast("double")
+            / (F.col("raw_mass") + F.col("n_feats")).cast("double"),
+        )
+    )
+    return (
+        scored.orderBy(F.desc("weight"), F.asc("d"))
+        .limit(top_n)
+        .select(
+            F.col("d").alias(id_col),
+            "n_feats",
+            "target_mass",
+            "raw_mass",
+            "weight",
+        )
+    )
+
+
+def oov_rate(
+    docs: DataFrame,
+    vocab_size: int = 1000,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Per-document out-of-vocabulary rate against the corpus top-V
+    vocabulary (ties broken token asc): (id, n_tokens, n_oov,
+    oov_rate). High OOV on a trained vocab is the standard cheap
+    proxy for noisy / non-linguistic content."""
+    toks = docs.select(
+        F.col(id_col).alias("d"), F.explode(tokens(text_col)).alias("tok")
+    )
+    vocab = (
+        toks.groupBy("tok")
+        .agg(F.count("*").alias("cnt"))
+        .orderBy(F.desc("cnt"), F.asc("tok"))
+        .limit(vocab_size)
+        .select("tok", F.lit(True).alias("in_vocab"))
+    )
+    return (
+        toks.join(F.broadcast(vocab), "tok", "left")
+        .groupBy("d")
+        .agg(
+            F.count("*").alias("n_tokens"),
+            F.sum(F.when(F.col("in_vocab").isNull(), 1).otherwise(0)).alias(
+                "n_oov"
+            ),
+        )
+        .select(
+            F.col("d").alias(id_col),
+            "n_tokens",
+            F.col("n_oov").cast("long").alias("n_oov"),
+            (
+                F.col("n_oov").cast("double") / F.col("n_tokens").cast("double")
+            ).alias("oov_rate"),
+        )
+    )

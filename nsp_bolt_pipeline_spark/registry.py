@@ -641,6 +641,7 @@ def load_all() -> None:
         "registry_tpch",
         "registry_clustering",
         "registry_sketches",
+        "registry_selection",
     ):
         importlib.import_module(f"nsp_bolt_pipeline_spark.{mod}")
     _ALL_LOADED = True

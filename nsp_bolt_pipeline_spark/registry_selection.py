@@ -1,0 +1,109 @@
+"""Oracle-backed registry entries for the data-selection operators
+(operators.selection): DSIR-inspired importance ranking and OOV-rate
+scoring over the ``documents`` table.
+
+The importance weight is a ratio of integer feature-mass sums (exact
+under any fold order — see operators/selection.py for why the log-sum
+form was traded away), so the oracle replays the full hashing-trick
+pipeline and the driver hash compare is bit-exact.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from nsp_bolt_pipeline_spark.operators.selection import (
+    DSIR_DIM,
+    dsir_importance_weights,
+    oov_rate,
+)
+from nsp_bolt_pipeline_spark.registry import query
+from nsp_bolt_pipeline_spark.sources.readers import read_table
+
+HEX = "0123456789abcdef"
+
+DSIR_TOP_N = 100
+OOV_VOCAB = 1000
+
+
+def _h32_sql(key_sql: str) -> str:
+    m = f"md5({key_sql})"
+    terms = " + ".join(
+        f"(strpos('{HEX}', substr({m}, {i + 1}, 1)) - 1) * {16 ** (7 - i)}"
+        for i in range(8)
+    )
+    return f"CAST({terms} AS BIGINT)"
+
+
+_DSIR_SQL = f"""
+WITH feats AS (
+    SELECT doc_id AS d, (lang = 'en') AS is_target,
+           unnest(list_transform(range(1, len(t)), i ->
+               {_h32_sql("t[i] || ' ' || t[i + 1]")} % {DSIR_DIM})) AS f
+    FROM (SELECT doc_id, lang,
+                 regexp_split_to_array(trim(text), '\\s+') AS t
+          FROM documents)
+),
+dist AS (
+    SELECT f,
+           CAST(SUM(CASE WHEN is_target THEN 1 ELSE 0 END) AS BIGINT)
+               AS target_cnt,
+           COUNT(*) AS raw_cnt
+    FROM feats GROUP BY f
+),
+scored AS (
+    SELECT d, COUNT(*) AS n_feats,
+           CAST(SUM(target_cnt) AS BIGINT) AS target_mass,
+           CAST(SUM(raw_cnt) AS BIGINT) AS raw_mass
+    FROM feats JOIN dist USING (f) GROUP BY d
+)
+SELECT d AS doc_id, n_feats, target_mass, raw_mass,
+       CAST(target_mass + n_feats AS DOUBLE)
+           / CAST(raw_mass + n_feats AS DOUBLE) AS weight
+FROM scored
+ORDER BY weight DESC, doc_id ASC
+LIMIT {DSIR_TOP_N}
+"""
+
+
+@query("sel_dsir_importance", _DSIR_SQL)
+def q_sel_dsir(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-{N} raw-pool documents by hashed-bigram affinity to the
+    target domain (lang='en'): the DSIR selection shape with
+    engine-exact ratio-of-sums weights. Both distribution tables are
+    DIM rows and broadcast."""
+    docs = read_table(spark, sf_dir, "documents")
+    return dsir_importance_weights(
+        docs, target_pred=F.col("lang") == "en", top_n=DSIR_TOP_N
+    )
+
+
+_OOV_SQL = f"""
+WITH toks AS (
+    SELECT doc_id AS d,
+           unnest(regexp_split_to_array(trim(text), '\\s+')) AS tok
+    FROM documents
+),
+vocab AS (
+    SELECT tok FROM toks GROUP BY tok
+    ORDER BY COUNT(*) DESC, tok ASC LIMIT {OOV_VOCAB}
+)
+SELECT t.d AS doc_id,
+       COUNT(*) AS n_tokens,
+       CAST(SUM(CASE WHEN v.tok IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_oov,
+       CAST(SUM(CASE WHEN v.tok IS NULL THEN 1 ELSE 0 END) AS DOUBLE)
+           / CAST(COUNT(*) AS DOUBLE) AS oov_rate
+FROM toks t LEFT JOIN vocab v ON t.tok = v.tok
+GROUP BY t.d
+"""
+
+
+@query("sel_oov_rate", _OOV_SQL)
+def q_sel_oov(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document OOV rate against the corpus top-{V} vocabulary —
+    the cheap trained-tokenizer noise proxy. Vocab is V rows,
+    broadcast; per-doc aggregate is integer counts."""
+    docs = read_table(spark, sf_dir, "documents")
+    return oov_rate(docs, vocab_size=OOV_VOCAB)

@@ -1,0 +1,51 @@
+"""Behavioral tests for data selection (operators.selection)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from nsp_bolt_pipeline_spark.operators.selection import (
+    dsir_importance_weights,
+    oov_rate,
+)
+
+# target domain: legal-ish english; pool: one on-domain doc, one
+# off-domain doc, one partially-on-domain doc
+DOCS = [
+    (1, "the party of the first part agrees to the terms", "en"),
+    (2, "the party of the second part agrees to the terms", "en"),
+    (3, "el gato duerme en la alfombra todo el dia", "es"),
+    (4, "the party of the first part agrees to pay", "unknown"),
+    (5, "un perro corre por el parque cada manana", "es"),
+    (6, "short", "en"),  # < 2 tokens: no bigrams, must drop
+]
+
+
+def _docs(spark):
+    return spark.createDataFrame(DOCS, ["doc_id", "text", "lang"])
+
+
+def test_dsir_ranks_on_domain_docs_above_off_domain(spark):
+    got = dsir_importance_weights(
+        _docs(spark), target_pred=F.col("lang") == "en", top_n=10
+    ).collect()
+    order = [r["doc_id"] for r in got]
+    assert 6 not in order, "bigram-less doc must drop"
+    # doc 4 shares almost all bigrams with the en target docs -> its
+    # weight must beat both spanish docs
+    w = {r["doc_id"]: r["weight"] for r in got}
+    assert w[4] > w[3] and w[4] > w[5]
+    assert all(0.0 < r["weight"] <= 1.0 for r in got)
+    # mass invariant: target_mass <= raw_mass (targets are a subset)
+    assert all(r["target_mass"] <= r["raw_mass"] for r in got)
+
+
+def test_oov_rate_flags_out_of_vocab_tokens(spark):
+    # vocab_size=5 keeps only the 5 most frequent tokens
+    got = {r["doc_id"]: r for r in oov_rate(_docs(spark), vocab_size=5).collect()}
+    assert len(got) == 6
+    for r in got.values():
+        assert r["n_oov"] <= r["n_tokens"]
+        assert abs(r["oov_rate"] - r["n_oov"] / r["n_tokens"]) < 1e-12
+    # 'short' appears once and cannot be in the top-5 vocab
+    assert got[6]["n_oov"] == 1 and got[6]["n_tokens"] == 1
