@@ -1,0 +1,133 @@
+"""In-engine model evaluation: exact AUC and calibration bins.
+
+A training-data pipeline that scores documents with learned filters
+(operators.text.quality_logit, the fastText/logreg distillation shape)
+needs to evaluate those scores in the same engine, at corpus scale —
+collecting scores to the driver for sklearn is exactly the
+``.collect()`` anti-pattern.
+
+Exact tie-aware AUC (the Mann-Whitney U form): with per-distinct-score
+positive/negative counts (np_s, nn_s) and cum_neg_below(s) the count
+of negatives at strictly smaller scores,
+
+    AUC = Σ_s [ np_s * cum_neg_below(s) + np_s*nn_s/2 ] / (P*N)
+
+The numerator is accumulated in HALF UNITS (x2) so it stays a BIGINT
+sum — associative, exact under any partitioning — and the only
+floating-point op is the final division, which is IEEE-exact on every
+engine. No score sampling, no trapezoid approximation.
+
+Scale design (100 TB): the prefix sum over distinct scores is the only
+ordered step, and a single global ORDER BY window is the classic
+scale-killer (distinct scores ~ corpus size). It is computed two-level
+instead (the same pattern as corpus sequence packing,
+operators/corpus.py): a *partitioned* within-bucket running sum
+(parallel, ordered only within a bucket) plus a cumulative over the
+per-bucket totals — a window over ~tens of rows (buckets are unit
+logit intervals). The DuckDB oracle uses the naive single window; the
+driver hash compare proves the two-level plan computes the same sum.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import Window as W
+
+
+def exact_auc(
+    scored: DataFrame, score_col: str = "score", label_col: str = "y"
+) -> DataFrame:
+    """One-row exact AUC: (n_pos, n_neg, auc_num2, auc). ``label_col``
+    is 0/1; null scores are excluded (they rank nowhere)."""
+    per = (
+        scored.filter(F.col(score_col).isNotNull())
+        .groupBy(F.col(score_col).alias("s"))
+        .agg(
+            F.sum(F.col(label_col).cast("long")).alias("np"),
+            (F.count("*") - F.sum(F.col(label_col).cast("long"))).alias("nn"),
+        )
+    )
+    # two-level exact prefix sum of negatives over ascending score
+    per = per.withColumn("bucket", F.floor("s").cast("long"))
+    within = F.coalesce(
+        F.sum("nn").over(
+            W.partitionBy("bucket")
+            .orderBy("s")
+            .rowsBetween(W.unboundedPreceding, -1)
+        ),
+        F.lit(0),
+    )
+    bucket_tot = per.groupBy("bucket").agg(F.sum("nn").alias("bnn"))
+    bucket_cum = bucket_tot.withColumn(
+        "cum_before_bucket",
+        F.coalesce(
+            F.sum("bnn").over(
+                W.orderBy("bucket").rowsBetween(W.unboundedPreceding, -1)
+            ),
+            F.lit(0),
+        ),
+    ).select("bucket", "cum_before_bucket")
+    cum = (
+        per.withColumn("within", within)
+        .join(F.broadcast(bucket_cum), "bucket")
+        .withColumn("cnb", F.col("within") + F.col("cum_before_bucket"))
+    )
+    agg = cum.agg(
+        F.sum("np").alias("n_pos"),
+        F.sum("nn").alias("n_neg"),
+        F.sum(
+            F.lit(2) * F.col("np") * F.col("cnb") + F.col("np") * F.col("nn")
+        ).alias("auc_num2"),
+    )
+    return agg.select(
+        "n_pos",
+        "n_neg",
+        "auc_num2",
+        (
+            F.col("auc_num2").cast("double")
+            / (F.lit(2) * F.col("n_pos") * F.col("n_neg")).cast("double")
+        ).alias("auc"),
+    )
+
+
+def calibration_bins(
+    scored: DataFrame,
+    score_col: str = "score",
+    label_col: str = "y",
+    lo: float = -16.0,
+    hi: float = 24.0,
+    n_bins: int = 10,
+) -> DataFrame:
+    """Reliability-diagram bins over a fixed score range: per bin,
+    (bin, bin_lo, bin_hi, n, n_pos, pos_rate). Scores outside
+    [lo, hi) clamp to the edge bins; null scores are excluded (the
+    profile-histogram lesson: least() would silently file them in the
+    top bin). Pure groupBy — no ordered step at all."""
+    width = (hi - lo) / n_bins
+    b = F.least(
+        F.lit(n_bins - 1),
+        F.greatest(
+            F.lit(0), F.floor((F.col(score_col) - lo) / width).cast("int")
+        ),
+    ).cast("long")
+    return (
+        scored.filter(F.col(score_col).isNotNull())
+        .groupBy(b.alias("bin"))
+        .agg(
+            F.count("*").alias("n"),
+            F.sum(F.col(label_col).cast("long")).alias("n_pos"),
+        )
+        .select(
+            "bin",
+            (F.lit(lo) + F.col("bin").cast("double") * width).alias("bin_lo"),
+            (F.lit(lo) + (F.col("bin") + 1).cast("double") * width).alias(
+                "bin_hi"
+            ),
+            "n",
+            "n_pos",
+            (F.col("n_pos").cast("double") / F.col("n").cast("double")).alias(
+                "pos_rate"
+            ),
+        )
+    )

@@ -379,7 +379,14 @@ def q_graph_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
     pairs = minhash_lsh_pairs(
         docs, n=N, num_hashes=NUM_HASHES, bands=BANDS, threshold=THRESHOLD
     )
-    return triangle_counts(pairs.select("d1", "d2"))
+    # the triangle wedge joins reference the edge list three times;
+    # checkpointing the (tiny) pair set runs the LSH pipeline once and
+    # keeps the self-joins off the deep plan — without this, a
+    # memory-tight driver session re-derives + re-broadcasts the whole
+    # LSH DAG per self-join arm (observed OOM after a ~170-entry
+    # battery in a default-1g heap)
+    edges = pairs.select("d1", "d2").localCheckpoint(eager=True)
+    return triangle_counts(edges)
 
 
 # ---------------------------------------------------------------------------

@@ -107,3 +107,116 @@ def q_sel_oov(spark: SparkSession, sf_dir: str) -> DataFrame:
     broadcast; per-doc aggregate is integer counts."""
     docs = read_table(spark, sf_dir, "documents")
     return oov_rate(docs, vocab_size=OOV_VOCAB)
+
+
+# ---------------------------------------------------------------------------
+# In-engine model evaluation of the linear quality classifier against
+# the lang='en' ground truth: exact tie-aware AUC (two-level prefix
+# sum on the Spark side, naive single window in the oracle — the hash
+# compare proves the scale-safe plan computes the same sum) and
+# calibration bins.
+# ---------------------------------------------------------------------------
+
+from nsp_bolt_pipeline_spark.operators.evalmetrics import (  # noqa: E402
+    calibration_bins,
+    exact_auc,
+)
+
+CAL_LO, CAL_HI, CAL_BINS = -16.0, 24.0, 10
+
+
+def _scored_sql() -> str:
+    from nsp_bolt_pipeline_spark.registry_text import _quality_clf_sql
+
+    return f"""
+    scored AS (
+        SELECT c.logit AS s,
+               CASE WHEN d.lang = 'en' THEN 1 ELSE 0 END AS y
+        FROM ({_quality_clf_sql()}) c
+        JOIN documents d USING (doc_id)
+        WHERE c.logit IS NOT NULL
+    )
+    """
+
+
+def _auc_sql() -> str:
+    return f"""
+    WITH {_scored_sql()},
+    per AS (
+        SELECT s, CAST(SUM(y) AS BIGINT) AS np,
+               CAST(COUNT(*) - SUM(y) AS BIGINT) AS nn
+        FROM scored GROUP BY s
+    ),
+    cum AS (
+        SELECT s, np, nn,
+               CAST(COALESCE(SUM(nn) OVER (
+                   ORDER BY s ROWS BETWEEN UNBOUNDED PRECEDING
+                   AND 1 PRECEDING), 0) AS BIGINT) AS cnb
+        FROM per
+    )
+    SELECT CAST(SUM(np) AS BIGINT) AS n_pos,
+           CAST(SUM(nn) AS BIGINT) AS n_neg,
+           CAST(SUM(2 * np * cnb + np * nn) AS BIGINT) AS auc_num2,
+           CAST(CAST(SUM(2 * np * cnb + np * nn) AS BIGINT) AS DOUBLE)
+               / CAST(CAST(2 * SUM(np) * SUM(nn) AS BIGINT) AS DOUBLE)
+               AS auc
+    FROM cum
+    """
+
+
+def _spark_scored(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from nsp_bolt_pipeline_spark.operators.text import (
+        LANGUAGE_PROFILES,
+        quality_logit,
+    )
+
+    docs = read_table(spark, sf_dir, "documents")
+    cols = quality_logit("text", stopwords=LANGUAGE_PROFILES["en"])
+    return docs.select(
+        cols["logit"].alias("s"),
+        (F.col("lang") == "en").cast("int").alias("y"),
+    )
+
+
+@query("eval_quality_auc", _auc_sql())
+def q_eval_auc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact Mann-Whitney AUC of the quality logit vs lang='en' —
+    integer half-unit numerator (associative, partition-order-proof),
+    one final division; the ordered step is a two-level prefix sum,
+    never a full-corpus global window."""
+    return exact_auc(_spark_scored(spark, sf_dir), score_col="s", label_col="y")
+
+
+@query(
+    "eval_quality_calibration",
+    f"""
+    WITH {_scored_sql()}
+    SELECT bin,
+           {CAL_LO} + CAST(bin AS DOUBLE) * {(CAL_HI - CAL_LO) / CAL_BINS}
+               AS bin_lo,
+           {CAL_LO} + CAST(bin + 1 AS DOUBLE) * {(CAL_HI - CAL_LO) / CAL_BINS}
+               AS bin_hi,
+           COUNT(*) AS n,
+           CAST(SUM(y) AS BIGINT) AS n_pos,
+           CAST(SUM(y) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS pos_rate
+    FROM (
+        SELECT least({CAL_BINS - 1}, greatest(0,
+                   CAST(floor((s - ({CAL_LO}))
+                        / {(CAL_HI - CAL_LO) / CAL_BINS}) AS INT))) AS bin,
+               y
+        FROM scored
+    )
+    GROUP BY bin
+    """,
+)
+def q_eval_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reliability bins of the quality logit vs lang='en' over the
+    fixed [-16, 24) logit range: pure groupBy, no ordered step."""
+    return calibration_bins(
+        _spark_scored(spark, sf_dir),
+        score_col="s",
+        label_col="y",
+        lo=CAL_LO,
+        hi=CAL_HI,
+        n_bins=CAL_BINS,
+    )

@@ -16,6 +16,13 @@ from pyspark.sql import SparkSession
 #: skew-join splitting protects the completion join from hot trip keys,
 #: Arrow makes the (rare) pandas-UDF path batch-vectorized.
 _SCALE_CONF = {
+    # local mode: one JVM is driver AND executor, but spark.driver.memory
+    # defaults to 1g — a 179-entry battery in one session exhausts it at
+    # the first deep AQE broadcast (observed: graph_triangles failing
+    # "Not enough memory to build and broadcast" after ~170 green
+    # queries). Only effective when WE launch the JVM (tests, bench,
+    # verify tools); a driver-owned session sizes itself.
+    "spark.driver.memory": "6g",
     "spark.sql.adaptive.enabled": "true",
     "spark.sql.adaptive.coalescePartitions.enabled": "true",
     "spark.sql.adaptive.skewJoin.enabled": "true",

@@ -1,0 +1,64 @@
+"""Hand-computed checks for exact AUC and calibration bins."""
+
+from __future__ import annotations
+
+from itertools import product
+
+from nsp_bolt_pipeline_spark.operators.evalmetrics import (
+    calibration_bins,
+    exact_auc,
+)
+
+
+def _auc_reference(pairs):
+    """Naive O(P*N) Mann-Whitney with half-credit ties."""
+    pos = [s for s, y in pairs if y == 1 and s is not None]
+    neg = [s for s, y in pairs if y == 0 and s is not None]
+    num = 0.0
+    for p, n in product(pos, neg):
+        num += 1.0 if p > n else (0.5 if p == n else 0.0)
+    return num / (len(pos) * len(neg)), len(pos), len(neg)
+
+
+def test_exact_auc_matches_naive_with_ties_and_nulls(spark):
+    pairs = [
+        (3.2, 1),
+        (3.2, 0),  # tie across classes -> half credit
+        (1.0, 0),
+        (2.5, 1),
+        (0.5, 0),
+        (-1.5, 0),
+        (2.5, 1),  # tie within class
+        (-0.5, 1),
+        (None, 0),  # null score must be excluded entirely
+    ]
+    df = spark.createDataFrame(pairs, "score double, y int")
+    row = exact_auc(df).collect()[0]
+    want_auc, want_p, want_n = _auc_reference(pairs)
+    assert row["n_pos"] == want_p and row["n_neg"] == want_n
+    assert abs(row["auc"] - want_auc) < 1e-12
+    assert row["auc_num2"] == round(want_auc * 2 * want_p * want_n)
+
+
+def test_exact_auc_perfect_and_random_separation(spark):
+    perfect = [(float(i), 1) for i in range(5, 10)] + [
+        (float(i), 0) for i in range(5)
+    ]
+    df = spark.createDataFrame(perfect, "score double, y int")
+    assert exact_auc(df).collect()[0]["auc"] == 1.0
+    # all scores identical -> AUC exactly 0.5 by tie half-credit
+    flat = [(1.0, y) for y in (1, 0, 1, 0)]
+    df = spark.createDataFrame(flat, "score double, y int")
+    assert exact_auc(df).collect()[0]["auc"] == 0.5
+
+
+def test_calibration_bins_clamp_and_rates(spark):
+    rows = [(-100.0, 0), (0.1, 1), (0.2, 0), (99.0, 1), (None, 1)]
+    df = spark.createDataFrame(rows, "score double, y int")
+    got = {r["bin"]: r for r in calibration_bins(df, lo=0.0, hi=1.0, n_bins=5).collect()}
+    assert set(got) == {0, 1, 4}  # -100 clamps to bin 0, 99 to bin 4
+    assert got[0]["n"] == 2 and got[0]["n_pos"] == 1  # -100.0 and 0.1
+    assert got[0]["pos_rate"] == 0.5
+    assert got[1]["n"] == 1 and got[1]["n_pos"] == 0  # 0.2 on the boundary
+    assert got[4]["n"] == 1 and got[4]["pos_rate"] == 1.0
+    assert got[0]["bin_lo"] == 0.0 and abs(got[0]["bin_hi"] - 0.2) < 1e-12

@@ -37,6 +37,7 @@ sys.path.insert(0, ".")
 # post-action plan.
 EAGER_ENTRIES = {
     "dedup_recall_eval",
+    "graph_triangles",
     "s9_orc_roundtrip",
     "p14_schema_evolution_read",
     "kmeans_clusters",
