@@ -220,3 +220,68 @@ def q_eval_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
         hi=CAL_HI,
         n_bins=CAL_BINS,
     )
+
+
+# ---------------------------------------------------------------------------
+# Leakage-safe train/validation/test split: near-duplicates must land
+# on the SAME side (a test doc with a train near-dup is contamination
+# — the published train/test leakage concern behind corpus dedup), so
+# the split key is the near-dup CLUSTER id, not the doc id.
+# ---------------------------------------------------------------------------
+
+LSPLIT_SALT = "lsplit"
+LSPLIT_WEIGHTS = {"train": 0.8, "validation": 0.1, "test": 0.1}
+
+
+def _lsplit_sql() -> str:
+    from nsp_bolt_pipeline_spark.registry_dedup import _minhash_lsh_sql
+    from nsp_bolt_pipeline_spark.registry_sampling import _bucket_sql
+
+    b = _bucket_sql("cluster_id", LSPLIT_SALT)
+    return f"""
+    WITH RECURSIVE
+    edges AS (SELECT d1, d2 FROM ({_minhash_lsh_sql()})),
+    und AS (SELECT d1 AS a, d2 AS b FROM edges
+            UNION ALL
+            SELECT d2 AS a, d1 AS b FROM edges),
+    walk(node, comp) AS (
+        SELECT doc_id, doc_id FROM documents
+        UNION
+        SELECT e.b, w.comp FROM walk w JOIN und e ON w.node = e.a
+    ),
+    clusters AS (
+        SELECT node AS doc_id, MIN(comp) AS cluster_id
+        FROM walk GROUP BY node
+    )
+    SELECT doc_id, cluster_id,
+           CASE WHEN {b} < 0.8 THEN 'train'
+                WHEN {b} < 0.9 THEN 'validation'
+                ELSE 'test' END AS split
+    FROM clusters
+    """
+
+
+@query("sel_leakage_safe_split", _lsplit_sql())
+def q_leakage_safe_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Content-addressed split keyed by near-dup cluster id: LSH pairs
+    -> connected components -> hash-bucket split of the CLUSTER, so
+    every near-duplicate family is co-assigned by construction and
+    the assignment is reproducible at any parallelism."""
+    from nsp_bolt_pipeline_spark.operators.graph import dedup_clusters
+    from nsp_bolt_pipeline_spark.operators.neardup import minhash_lsh_pairs
+    from nsp_bolt_pipeline_spark.operators.sampling import assign_split
+    from nsp_bolt_pipeline_spark.registry_dedup import (
+        BANDS,
+        N,
+        NUM_HASHES,
+        THRESHOLD,
+    )
+
+    docs = read_table(spark, sf_dir, "documents")
+    pairs = minhash_lsh_pairs(
+        docs, n=N, num_hashes=NUM_HASHES, bands=BANDS, threshold=THRESHOLD
+    )
+    clusters = dedup_clusters(docs, pairs).select("doc_id", "cluster_id")
+    return assign_split(
+        clusters, key="cluster_id", weights=LSPLIT_WEIGHTS, salt=LSPLIT_SALT
+    ).select("doc_id", "cluster_id", "split")

@@ -1076,3 +1076,55 @@ def q_stream_dq_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.read.parquet(dirs["out"]).select(
         "event_id", "ts", "user_id", "event_type", "value"
     )
+
+
+# ---------------------------------------------------------------------------
+# Streaming sketch maintenance: per-micro-batch partial Count-Min
+# segments, merged by an associative per-(row, bucket) sum — so the
+# result is bit-identical to the batch-built sketch no matter how the
+# stream was chopped, and the BATCH oracle verifies the STREAMING
+# path exactly.
+# ---------------------------------------------------------------------------
+
+
+def _cms_sketch_sql() -> str:
+    from nsp_bolt_pipeline_spark.registry_sketches import _CMS_HASH
+    from nsp_bolt_pipeline_spark.operators.sketches import CMS_DEPTH, CMS_WIDTH
+
+    return f"""
+    WITH toks AS (
+        SELECT unnest(regexp_split_to_array(trim(text), '\\s+')) AS tok
+        FROM documents
+    ),
+    rws AS (
+        SELECT tok, j.j AS row
+        FROM toks, (SELECT unnest(range(0, {CMS_DEPTH})) AS j) j
+    )
+    SELECT row, {_CMS_HASH} % {CMS_WIDTH} AS bucket, COUNT(*) AS cnt
+    FROM rws GROUP BY 1, 2
+    """
+
+
+@query("stream_sketch_cms", _cms_sketch_sql())
+def q_stream_sketch_cms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """availableNow CMS maintenance over a 4-file JSON dump of
+    ``documents`` (maxFilesPerTrigger=1 forces 4 separate partial
+    segments); the merged sketch must hash-match the one-shot batch
+    build — the mergeability proof, driver-checked."""
+    from nsp_bolt_pipeline_spark.streaming.ingest import run_cms_ingest
+
+    dirs = _workdir("stream_cms")
+    docs = read_table(spark, sf_dir, "documents").select(
+        "doc_id", "text", "lang", "source"
+    )
+    dump_json_batches(docs, dirs["src"], order_cols=["doc_id"], n_files=4)
+    stream = (
+        spark.readStream.schema(DOC_WIRE_SCHEMA)
+        .option("maxFilesPerTrigger", "1")
+        .json(dirs["src"])
+    )
+    run_cms_ingest(
+        stream, sketch_dir=dirs["out"], checkpoint_dir=dirs["ckpt"]
+    )
+    segments = spark.read.parquet(dirs["out"])
+    return segments.groupBy("row", "bucket").agg(F.sum("cnt").alias("cnt"))

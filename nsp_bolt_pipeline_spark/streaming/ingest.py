@@ -291,3 +291,43 @@ def run_corpus_ingest(
         .start()
     )
     query.awaitTermination()
+
+
+def run_cms_ingest(
+    stream: DataFrame,
+    *,
+    sketch_dir: str,
+    checkpoint_dir: str,
+    depth: int | None = None,
+    width: int | None = None,
+) -> None:
+    """Streaming Count-Min maintenance: each micro-batch writes its
+    OWN partial sketch (an immutable <= depth*width-row parquet
+    segment); the live sketch is the per-(row, bucket) SUM over
+    segments. Counts are associative, so the merged sketch is
+    bit-identical to the batch-built one regardless of how the stream
+    was chopped into batches — which is exactly what the oracle
+    compare proves. Append-only segments avoid the read-modify-write
+    race of updating a sketch table in place; at 100 TB this is the
+    standard segment-plus-compaction layout (compaction = the same
+    groupBy sum, run whenever segment count grows)."""
+    from nsp_bolt_pipeline_spark.operators.sketches import (
+        CMS_DEPTH,
+        CMS_WIDTH,
+        cms_build,
+    )
+
+    d = depth if depth is not None else CMS_DEPTH
+    w = width if width is not None else CMS_WIDTH
+
+    def process_batch(batch: DataFrame, _batch_id: int) -> None:
+        part = cms_build(batch, text_col="text", depth=d, width=w)
+        part.write.mode("append").parquet(sketch_dir)
+
+    query = (
+        stream.writeStream.foreachBatch(process_batch)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    query.awaitTermination()

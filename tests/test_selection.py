@@ -49,3 +49,26 @@ def test_oov_rate_flags_out_of_vocab_tokens(spark):
         assert abs(r["oov_rate"] - r["n_oov"] / r["n_tokens"]) < 1e-12
     # 'short' appears once and cannot be in the top-5 vocab
     assert got[6]["n_oov"] == 1 and got[6]["n_tokens"] == 1
+
+
+def test_leakage_safe_split_coassigns_near_dups(spark):
+    """Every member of a near-dup cluster must land in the same split."""
+    from nsp_bolt_pipeline_spark.operators.graph import dedup_clusters
+    from nsp_bolt_pipeline_spark.operators.sampling import assign_split
+
+    docs = spark.createDataFrame(
+        [(i, f"doc {i}") for i in range(1, 9)], ["doc_id", "text"]
+    )
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (5, 6)], ["d1", "d2"]
+    )
+    clusters = dedup_clusters(docs, pairs).select("doc_id", "cluster_id")
+    out = assign_split(
+        clusters, key="cluster_id", weights={"train": 0.8, "validation": 0.1, "test": 0.1}, salt="lsplit"
+    ).collect()
+    by_cluster: dict = {}
+    for r in out:
+        by_cluster.setdefault(r["cluster_id"], set()).add(r["split"])
+    assert all(len(s) == 1 for s in by_cluster.values())
+    # 1-2-3 chain is one cluster; 5-6 another; 4,7,8 singletons
+    assert len(by_cluster) == 5

@@ -83,3 +83,48 @@ def test_bloom_filters_merge_by_bit_or(spark):
             key = (r["grp"], r["word"])
             merged[key] = merged.get(key, 0) | r["bits32"]
     assert merged == whole
+
+
+def test_streaming_cms_segments_merge_to_batch_sketch(spark, tmp_path):
+    """4 micro-batches write 4 partial segments; the per-key sum must
+    equal the one-shot batch sketch (associative merge)."""
+    from pyspark.sql import types as T
+
+    from nsp_bolt_pipeline_spark.streaming.ingest import run_cms_ingest
+    from nsp_bolt_pipeline_spark.streaming.replay import dump_json_batches
+
+    docs = _docs(spark)
+    src, out, ckpt = (
+        str(tmp_path / "src"),
+        str(tmp_path / "out"),
+        str(tmp_path / "ckpt"),
+    )
+    dump_json_batches(docs, src, order_cols=["doc_id"], n_files=4)
+    schema = T.StructType(
+        [
+            T.StructField("doc_id", T.LongType()),
+            T.StructField("text", T.StringType()),
+            T.StructField("source", T.StringType()),
+        ]
+    )
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1")
+        .json(src)
+    )
+    run_cms_ingest(stream, sketch_dir=out, checkpoint_dir=ckpt)
+
+    segments = spark.read.parquet(out)
+    merged = {
+        (r["row"], r["bucket"]): r["cnt"]
+        for r in segments.groupBy("row", "bucket")
+        .agg(F.sum("cnt").alias("cnt"))
+        .collect()
+    }
+    batch = {
+        (r["row"], r["bucket"]): r["cnt"] for r in cms_build(docs).collect()
+    }
+    assert merged == batch
+    # the merge must have been real: multiple segments contributed
+    # partials for at least one shared key
+    assert segments.count() > len(merged)

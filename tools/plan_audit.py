@@ -70,6 +70,9 @@ EAGER_ENTRIES = {
 GLOBAL_WINDOW_OK: dict[str, str] = {
     "corpus_pack_sequences": "post-agg (coarse bucket subtotals of the"
     " two-level prefix sum; fine-level is partitioned by bucket)",
+    "eval_quality_auc": "post-agg (cumulative over per-unit-logit bucket"
+    " totals — tens of rows; the per-score prefix sum is partitioned"
+    " by bucket)",
     "corpus_length_trim": "post-agg (cumsum over DISTINCT token-count"
     " values, domain-sized; corpus itself is broadcast-semi-join"
     " filtered, never sorted)",
