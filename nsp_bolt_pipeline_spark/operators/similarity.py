@@ -296,6 +296,7 @@ def srp_neardup_pairs(
     dim: int = 64,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    multiprobe: bool = False,
 ) -> DataFrame:
     """Embedding near-duplicate pairs via signed random projections:
     sign-bit signature -> banded bucket join -> exact cosine on
@@ -317,7 +318,18 @@ def srp_neardup_pairs(
 
     Sign bits are deterministic across engines: the projection fold is
     the same left-to-right IEEE sequence as DuckDB ``list_sum``, so
-    even a last-ULP-from-zero projection gets the same sign."""
+    even a last-ULP-from-zero projection gets the same sign.
+
+    ``multiprobe=True`` turns on multi-probe LSH (Lv et al. VLDB'07,
+    public literature): each vector additionally probes the r
+    one-bit-flip neighbors of each band key, recovering pairs that
+    differ by exactly one sign bit in an otherwise-matching band. The
+    recall lever WITHOUT widening the index: the index stays ``bands``
+    rows per vector; only the probe stream fans out (r+1)x, and the
+    probe shuffle keys remain uniform. Near-threshold pairs are the
+    ones most likely to miss by a single flipped bit, so this lifts
+    recall precisely where the S-curve is weakest; exact rescoring
+    keeps precision 1.0 as always."""
     if n_planes % bands:
         raise ValueError("n_planes must divide evenly into bands")
     r = n_planes // bands
@@ -362,14 +374,39 @@ def srp_neardup_pairs(
         .agg(F.sum("bitval").cast("int").alias("bkey"))
         .persist()
     )
-    a, b2 = keyed.alias("a"), keyed.alias("b")
-    cand = (
-        a.join(
-            b2,
+    if multiprobe:
+        # probe side fans out to the base key + its r one-bit flips;
+        # the index side stays the exact keys, so a pair is a
+        # candidate iff some band differs by <= 1 sign bit. Flipping
+        # is symmetric, so a.d < b.d still sees every such pair once.
+        probe = keyed.select(
+            "d",
+            "band",
+            F.explode(
+                F.array(
+                    F.col("bkey"),
+                    *[
+                        F.col("bkey").bitwiseXOR(F.lit(1 << i))
+                        for i in range(r)
+                    ],
+                )
+            ).alias("pkey"),
+        )
+        a, b2 = probe.alias("a"), keyed.alias("b")
+        join_cond = (
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.pkey") == F.col("b.bkey"))
+            & (F.col("a.d") < F.col("b.d"))
+        )
+    else:
+        a, b2 = keyed.alias("a"), keyed.alias("b")
+        join_cond = (
             (F.col("a.band") == F.col("b.band"))
             & (F.col("a.bkey") == F.col("b.bkey"))
-            & (F.col("a.d") < F.col("b.d")),
+            & (F.col("a.d") < F.col("b.d"))
         )
+    cand = (
+        a.join(b2, join_cond)
         .select(F.col("a.d").alias("d1"), F.col("b.d").alias("d2"))
         .distinct()
     )

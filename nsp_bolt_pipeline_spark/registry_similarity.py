@@ -190,10 +190,19 @@ def _planes_values_sql() -> str:
     return ",\n               ".join(rows)
 
 
-def _srp_pairs_sql() -> str:
+def _srp_pairs_sql(*, multiprobe: bool = False) -> str:
     """DuckDB replay of the full SRP-LSH pipeline (planes, sign bits,
     band keys, candidate join, exact-cosine rescore) — shared by the
-    pairs entry and the clusters composition."""
+    pairs entry, the clusters composition, and (with
+    ``multiprobe=True``, which widens the candidate condition to
+    band keys within Hamming distance 1) the multi-probe entry."""
+    if multiprobe:
+        flips = ", ".join(str(1 << i) for i in range(_SRP_R))
+        key_cond = (
+            f"(a.bkey = b.bkey OR xor(a.bkey, b.bkey) IN ({flips}))"
+        )
+    else:
+        key_cond = "a.bkey = b.bkey"
     return f"""
     WITH vecs AS (
         SELECT vec_id,
@@ -220,7 +229,7 @@ def _srp_pairs_sql() -> str:
     cand AS (
         SELECT DISTINCT a.vec_id AS d1, b.vec_id AS d2
         FROM keys a
-        JOIN keys b ON a.band = b.band AND a.bkey = b.bkey
+        JOIN keys b ON a.band = b.band AND {key_cond}
                    AND a.vec_id < b.vec_id
     )
     SELECT d1, d2, sim FROM (
@@ -241,6 +250,24 @@ def q_srp_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
         n_planes=SRP_PLANES,
         bands=SRP_BANDS,
         dim=DIM,
+    )
+
+
+@query("srp_multiprobe_pairs", _srp_pairs_sql(multiprobe=True))
+def q_srp_multiprobe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-probe SRP-LSH (Lv et al. VLDB'07 shape): each band key
+    also probes its r one-bit-flip neighbors, recovering
+    near-threshold pairs a single flipped sign bit would otherwise
+    hide — a strict superset of srp_neardup_pairs at identical index
+    size and precision (exact rescore)."""
+    emb = read_table(spark, sf_dir, "embeddings")
+    return srp_neardup_pairs(
+        emb,
+        threshold=NEARDUP_THRESHOLD,
+        n_planes=SRP_PLANES,
+        bands=SRP_BANDS,
+        dim=DIM,
+        multiprobe=True,
     )
 
 

@@ -169,3 +169,27 @@ def test_quantized_topk_agrees_with_exact(spark):
     for qid, want in exact_sets.items():
         got = quant_sets[qid]
         assert len(want & got) >= 8, (qid, want, got)
+
+
+def test_multiprobe_is_superset_of_single_probe_and_exact_precision(spark):
+    from nsp_bolt_pipeline_spark.operators.similarity import srp_neardup_pairs
+
+    emb = read_table(spark, SF_DIR, "embeddings").limit(120)
+    single = {
+        (r["d1"], r["d2"]) for r in
+        srp_neardup_pairs(emb, threshold=0.35, dim=64).collect()
+    }
+    multi = {
+        (r["d1"], r["d2"]): r["sim"] for r in
+        srp_neardup_pairs(emb, threshold=0.35, dim=64, multiprobe=True).collect()
+    }
+    full = {
+        (r["d1"], r["d2"]): r["sim"]
+        for r in cosine_neardup_pairs(emb, threshold=0.35).collect()
+    }
+    # multi-probe candidates strictly contain the single-probe set...
+    assert single <= set(multi)
+    # ...and stay a subset of ground truth with identical sims
+    assert set(multi) <= set(full)
+    for k, v in multi.items():
+        assert v == full[k]
