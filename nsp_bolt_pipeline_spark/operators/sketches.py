@@ -31,6 +31,8 @@ are part of the training-data extension surface the brief asks for.
 
 from __future__ import annotations
 
+import math
+
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
@@ -233,4 +235,218 @@ def bloom_membership_stats(
                 (F.col("claimed") & ~F.col("truly_present")).cast("long")
             ).alias("n_false_positive"),
         )
+    )
+
+
+# ---------------------------------------------------------------------------
+# HyperLogLog registers as a relation (Flajolet et al. '07): register
+# value = MAX over elements of rho (leading-zero rank of the hash
+# suffix) — MAX is associative/commutative/idempotent, so the build is
+# one groupBy and sketches merge by the same MAX. The harmonic sum
+# Z = sum(2^-M_j) is EXACT in doubles here (every term is a dyadic
+# rational within 53 bits of the total's exponent range), so even the
+# floating-point estimate is order-independent and oracle-portable.
+# ---------------------------------------------------------------------------
+
+HLL_P = 6  # 2^6 = 64 registers
+HLL_M = 1 << HLL_P
+HLL_ALPHA = 0.709  # alpha_64 (Flajolet et al., table for m = 64)
+_HLL_SUFFIX_BITS = 48 - HLL_P
+
+
+def hll_registers(
+    df: DataFrame,
+    group_col: str,
+    elem: Column,
+    p: int = HLL_P,
+) -> DataFrame:
+    """Per-group HLL registers: (grp, bucket, max_rho). bucket = top p
+    bits of the 48-bit hash; rho = 1 + count of leading zeros in the
+    remaining bits (capped at suffix_bits + 1 when the suffix is 0)."""
+    suffix_bits = 48 - p
+    h = _hash48(elem, "hll-")
+    bucket = F.shiftright(h, suffix_bits)
+    suffix = h.bitwiseAND(F.lit((1 << suffix_bits) - 1))
+    # rho = suffix_bits - floor(log2(suffix)) for suffix > 0: the
+    # number of leading zeros + 1. floor(log2) via BIGINT bit length
+    # would need a loop; instead use the numeric identity with
+    # floor(ln(x)/ln(2))? ln is bit-stable but the RATIO at exact
+    # powers of two risks an off-by-one on either engine. Use a
+    # portable arithmetic form instead: the largest k such that
+    # suffix < 2^(suffix_bits - k) == rho > k; computed as a sum of
+    # boolean comparisons — exact integer arithmetic on both engines.
+    rho = (
+        F.lit(1)
+        + sum(
+            (suffix < F.lit(1 << (suffix_bits - k))).cast("int")
+            for k in range(1, suffix_bits + 1)
+        )
+    ).cast("int")
+    return (
+        df.select(F.col(group_col).alias("grp"), bucket.alias("bucket"), rho.alias("rho"))
+        .groupBy("grp", "bucket")
+        .agg(F.max("rho").alias("max_rho"))
+    )
+
+
+def hll_distinct_estimates(
+    docs: DataFrame,
+    group_col: str = "source",
+    text_col: str = "text",
+    p: int = HLL_P,
+) -> DataFrame:
+    """Per-group distinct-token estimate vs exact truth:
+    (grp, n_zero_registers, z, est_raw, est, exact_distinct). The
+    small-range correction (linear counting, est <= 2.5m with empty
+    registers) matches the published algorithm; `est` carries it,
+    `est_raw` is the uncorrected harmonic estimate."""
+    m = 1 << p
+    toks = docs.select(
+        F.col(group_col).alias("g"), F.explode(tokens(text_col)).alias("tok")
+    )
+    regs = hll_registers(toks, "g", F.col("tok"), p)
+    # empty buckets contribute 2^0 = 1 to Z and count as zero registers
+    per = regs.groupBy("grp").agg(
+        F.count("*").alias("n_filled"),
+        F.sum(F.pow(F.lit(2.0), -F.col("max_rho"))).alias("z_filled"),
+    )
+    z = F.col("z_filled") + (F.lit(m) - F.col("n_filled")).cast("double")
+    v = (F.lit(m) - F.col("n_filled")).cast("long")
+    est_raw = F.lit(HLL_ALPHA * m * m) / z
+    # linear counting m*ln(m/V): JVM Math.log and DuckDB ln disagree
+    # in the last ULP for some arguments (observed at V=40), but V has
+    # only m possible values — so the m*ln(m/V) table is computed ONCE
+    # in Python and embedded as identical literals on both engines
+    ln_table = F.array(
+        *[F.lit(m * math.log(m / vv)) for vv in range(1, m + 1)]
+    )
+    est = F.when(
+        (est_raw <= F.lit(2.5 * m)) & (v > 0),
+        F.element_at(ln_table, v.cast("int")),
+    ).otherwise(est_raw)
+    exact = toks.groupBy(F.col("g").alias("grp")).agg(
+        F.count_distinct("tok").alias("exact_distinct")
+    )
+    return (
+        per.join(exact, "grp")
+        .select(
+            "grp",
+            v.alias("n_zero_registers"),
+            z.alias("z"),
+            est_raw.alias("est_raw"),
+            est.alias("est"),
+            "exact_distinct",
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# KMV (k minimum values, Bar-Yossef et al. '02): keep the k smallest
+# element hashes per group — merge = k smallest of the union (min-
+# based, order/duplicate-insensitive). Jaccard between two groups is
+# estimated on the combined sketch; everything is integer hashes and
+# one final division.
+# ---------------------------------------------------------------------------
+
+KMV_K = 64
+
+
+def kmv_sketch(
+    df: DataFrame,
+    group_col: str,
+    elem: Column,
+    k: int = KMV_K,
+) -> DataFrame:
+    """Per-group KMV sketch: the k smallest distinct 48-bit element
+    hashes as (grp, h, r) rows, r = 1..k by ascending hash. Build =
+    distinct + one per-group top-k (partitioned window over the
+    already-deduplicated hash stream)."""
+    from pyspark.sql import Window as W
+
+    hashed = df.select(
+        F.col(group_col).alias("grp"), _hash48(elem, "kmv-").alias("h")
+    ).distinct()
+    w = W.partitionBy("grp").orderBy("h")
+    return (
+        hashed.withColumn("r", F.row_number().over(w))
+        .filter(F.col("r") <= k)
+        .select("grp", "h", "r")
+    )
+
+
+def kmv_jaccard_matrix(
+    docs: DataFrame,
+    group_col: str = "source",
+    text_col: str = "text",
+    k: int = KMV_K,
+) -> DataFrame:
+    """Pairwise source similarity from KMV sketches vs exact truth:
+    (g1, g2, kmv_jaccard, exact_jaccard). The estimator: merge the two
+    sketches, keep the k smallest of the union, and count how many of
+    those appear in both — |common among k-min of union| / k estimates
+    Jaccard (Bar-Yossef et al.). Sketches are k rows per group: the
+    pairwise comparison touches k*|groups|^2 rows, never the corpus."""
+    from pyspark.sql import Window as W
+
+    sk = kmv_sketch(
+        docs.select(group_col, F.explode(tokens(text_col)).alias("tok")),
+        group_col,
+        F.col("tok"),
+        k,
+    ).select("grp", "h")
+    a = sk.select(F.col("grp").alias("g1"), "h")
+    b = sk.select(F.col("grp").alias("g2"), "h")
+    # for every (g1, g2) pair, the union of their sketch hashes with
+    # per-side membership flags
+    pairs = (
+        a.select("g1").distinct()
+        .join(b.select("g2").distinct())
+        .filter(F.col("g1") < F.col("g2"))
+    )
+    u = (
+        pairs.join(a, "g1")
+        .select("g1", "g2", "h", F.lit(1).alias("in1"), F.lit(0).alias("in2"))
+        .unionByName(
+            pairs.join(b, "g2").select(
+                "g1", "g2", "h", F.lit(0).alias("in1"), F.lit(1).alias("in2")
+            )
+        )
+        .groupBy("g1", "g2", "h")
+        .agg(F.max("in1").alias("in1"), F.max("in2").alias("in2"))
+    )
+    w = W.partitionBy("g1", "g2").orderBy("h")
+    kmin = u.withColumn("r", F.row_number().over(w)).filter(F.col("r") <= k)
+    est = kmin.groupBy("g1", "g2").agg(
+        (
+            F.sum((F.col("in1") * F.col("in2")).cast("long")).cast("double")
+            / F.count("*").cast("double")
+        ).alias("kmv_jaccard")
+    )
+    # exact truth over distinct token sets
+    dtok = docs.select(
+        F.col(group_col).alias("g"), F.explode(tokens(text_col)).alias("tok")
+    ).distinct()
+    ga = dtok.select(F.col("g").alias("g1"), "tok")
+    gb = dtok.select(F.col("g").alias("g2"), "tok")
+    inter = (
+        ga.join(gb, "tok")
+        .filter(F.col("g1") < F.col("g2"))
+        .groupBy("g1", "g2")
+        .agg(F.count("*").alias("n_inter"))
+    )
+    sizes = dtok.groupBy("g").agg(F.count("*").alias("n"))
+    exact = (
+        inter.join(sizes.withColumnRenamed("g", "g1").withColumnRenamed("n", "n1"), "g1")
+        .join(sizes.withColumnRenamed("g", "g2").withColumnRenamed("n", "n2"), "g2")
+        .select(
+            "g1",
+            "g2",
+            (
+                F.col("n_inter").cast("double")
+                / (F.col("n1") + F.col("n2") - F.col("n_inter")).cast("double")
+            ).alias("exact_jaccard"),
+        )
+    )
+    return est.join(exact, ["g1", "g2"]).select(
+        "g1", "g2", "kmv_jaccard", "exact_jaccard"
     )

@@ -140,3 +140,167 @@ def q_sketch_bloom(spark: SparkSession, sf_dir: str) -> DataFrame:
     pre-join prune."""
     docs = read_table(spark, sf_dir, "documents")
     return bloom_membership_stats(docs)
+
+
+# ---------------------------------------------------------------------------
+# HLL distinct estimates per source: registers merge by MAX; the
+# harmonic sum is exact dyadic-rational double arithmetic, so even
+# the floating-point estimate hash-matches across engines.
+# ---------------------------------------------------------------------------
+
+from nsp_bolt_pipeline_spark.operators.sketches import (  # noqa: E402
+    HLL_ALPHA,
+    HLL_M,
+    HLL_P,
+    KMV_K,
+    hll_distinct_estimates,
+    kmv_jaccard_matrix,
+)
+
+_SUF = 48 - HLL_P
+
+
+
+def _ln_table_sql() -> str:
+    """The m*ln(m/V) linear-counting table as literals identical to
+    the Spark side's (operators/sketches.py): JVM and DuckDB libm ln
+    disagree in the last ULP, so both engines index one Python-
+    computed table instead of calling ln at runtime."""
+    import math
+
+    # CAST from the repr string, not a bare numeric literal: DuckDB
+    # types bare literals as DECIMAL and the list's common-type
+    # unification re-rounds them; parsing the shortest-repr string
+    # straight to DOUBLE is the exact round-trip.
+    return ", ".join(
+        f"CAST('{HLL_M * math.log(HLL_M / v)!r}' AS DOUBLE)"
+        for v in range(1, HLL_M + 1)
+    )
+
+
+def _hll_sql() -> str:
+    rho_terms = " + ".join(
+        f"(CASE WHEN suffix < {1 << (_SUF - k)} THEN 1 ELSE 0 END)"
+        for k in range(1, _SUF + 1)
+    )
+    alpha_m2 = repr(HLL_ALPHA * HLL_M * HLL_M)
+    return f"""
+    WITH toks AS (
+        SELECT source AS g,
+               unnest(regexp_split_to_array(trim(text), '\\s+')) AS tok
+        FROM documents
+    ),
+    hashed AS (
+        SELECT g, {_h48_sql("'hll-' || tok")} AS h FROM toks
+    ),
+    regs AS (
+        SELECT g AS grp, h >> {_SUF} AS bucket,
+               MAX(1 + {rho_terms}) AS max_rho
+        FROM (SELECT g, h, h & {(1 << _SUF) - 1} AS suffix FROM hashed)
+        GROUP BY 1, 2
+    ),
+    per AS (
+        SELECT grp, COUNT(*) AS n_filled,
+               SUM(pow(2.0, -max_rho)) AS z_filled
+        FROM regs GROUP BY grp
+    ),
+    est0 AS (
+        SELECT grp,
+               CAST({HLL_M} - n_filled AS BIGINT) AS n_zero_registers,
+               z_filled + CAST({HLL_M} - n_filled AS DOUBLE) AS z,
+               {alpha_m2} / (z_filled + CAST({HLL_M} - n_filled AS DOUBLE))
+                   AS est_raw
+        FROM per
+    ),
+    exact AS (
+        SELECT g AS grp, CAST(COUNT(DISTINCT tok) AS BIGINT)
+                   AS exact_distinct
+        FROM toks GROUP BY g
+    )
+    SELECT e.grp, e.n_zero_registers, e.z, e.est_raw,
+           CASE WHEN e.est_raw <= {2.5 * HLL_M} AND e.n_zero_registers > 0
+                THEN ([{_ln_table_sql()}])[CAST(e.n_zero_registers AS INT)]
+                ELSE e.est_raw END AS est,
+           x.exact_distinct
+    FROM est0 e JOIN exact x USING (grp)
+    """
+
+
+@query("sketch_hll_distinct", _hll_sql())
+def q_sketch_hll(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source distinct-token HLL estimate vs exact truth —
+    64 registers built by one bounded-key MAX groupBy (mergeable by
+    the same MAX across corpus shards), with the published
+    linear-counting small-range correction."""
+    docs = read_table(spark, sf_dir, "documents")
+    return hll_distinct_estimates(docs)
+
+
+@query(
+    "sketch_kmv_jaccard",
+    f"""
+    WITH toks AS (
+        SELECT source AS g,
+               unnest(regexp_split_to_array(trim(text), '\\s+')) AS tok
+        FROM documents
+    ),
+    hashed AS (
+        SELECT DISTINCT g, {_h48_sql("'kmv-' || tok")} AS h FROM toks
+    ),
+    sk AS (
+        SELECT g, h FROM (
+            SELECT g, h, row_number() OVER (PARTITION BY g ORDER BY h) AS r
+            FROM hashed
+        ) WHERE r <= {KMV_K}
+    ),
+    pairs AS (
+        SELECT a.g AS g1, b.g AS g2
+        FROM (SELECT DISTINCT g FROM sk) a, (SELECT DISTINCT g FROM sk) b
+        WHERE a.g < b.g
+    ),
+    u AS (
+        SELECT g1, g2, h, MAX(in1) AS in1, MAX(in2) AS in2
+        FROM (
+            SELECT p.g1, p.g2, s.h, 1 AS in1, 0 AS in2
+            FROM pairs p JOIN sk s ON s.g = p.g1
+            UNION ALL
+            SELECT p.g1, p.g2, s.h, 0, 1
+            FROM pairs p JOIN sk s ON s.g = p.g2
+        )
+        GROUP BY 1, 2, 3
+    ),
+    kmin AS (
+        SELECT g1, g2, in1, in2 FROM (
+            SELECT g1, g2, in1, in2,
+                   row_number() OVER (PARTITION BY g1, g2 ORDER BY h) AS r
+            FROM u
+        ) WHERE r <= {KMV_K}
+    ),
+    est AS (
+        SELECT g1, g2,
+               CAST(SUM(in1 * in2) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE)
+                   AS kmv_jaccard
+        FROM kmin GROUP BY 1, 2
+    ),
+    dtok AS (SELECT DISTINCT g, tok FROM toks),
+    sizes AS (SELECT g, CAST(COUNT(*) AS BIGINT) AS n FROM dtok GROUP BY g),
+    inter AS (
+        SELECT a.g AS g1, b.g AS g2, CAST(COUNT(*) AS BIGINT) AS n_inter
+        FROM dtok a JOIN dtok b ON a.tok = b.tok AND a.g < b.g
+        GROUP BY 1, 2
+    )
+    SELECT e.g1, e.g2, e.kmv_jaccard,
+           CAST(i.n_inter AS DOUBLE)
+               / CAST(s1.n + s2.n - i.n_inter AS DOUBLE) AS exact_jaccard
+    FROM est e
+    JOIN inter i ON i.g1 = e.g1 AND i.g2 = e.g2
+    JOIN sizes s1 ON s1.g = e.g1
+    JOIN sizes s2 ON s2.g = e.g2
+    """,
+)
+def q_sketch_kmv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pairwise source Jaccard from k-minimum-values sketches vs exact
+    truth: sketches are 64 rows per source (merge = k smallest of the
+    union), so the comparison never touches the corpus."""
+    docs = read_table(spark, sf_dir, "documents")
+    return kmv_jaccard_matrix(docs)

@@ -128,3 +128,66 @@ def test_streaming_cms_segments_merge_to_batch_sketch(spark, tmp_path):
     # the merge must have been real: multiple segments contributed
     # partials for at least one shared key
     assert segments.count() > len(merged)
+
+
+def test_hll_registers_merge_by_max_and_estimate_tracks_truth(spark):
+    from nsp_bolt_pipeline_spark.operators.sketches import (
+        hll_distinct_estimates,
+        hll_registers,
+    )
+
+    rows = [("all", f"tok{i}") for i in range(500)]
+    df = spark.createDataFrame(rows, ["g", "tok"])
+    whole = {
+        (r["grp"], r["bucket"]): r["max_rho"]
+        for r in hll_registers(df, "g", F.col("tok")).collect()
+    }
+    merged: dict = {}
+    for lo, hi in ((0, 250), (250, 500)):
+        shard = spark.createDataFrame(rows[lo:hi], ["g", "tok"])
+        for r in hll_registers(shard, "g", F.col("tok")).collect():
+            key = (r["grp"], r["bucket"])
+            merged[key] = max(merged.get(key, 0), r["max_rho"])
+    assert merged == whole
+
+    docs = spark.createDataFrame(
+        [(1, " ".join(f"tok{i}" for i in range(500)), "all")],
+        ["doc_id", "text", "source"],
+    )
+    row = hll_distinct_estimates(docs).collect()[0]
+    assert row["exact_distinct"] == 500
+    # m=64 registers -> relative std error ~ 1.04/sqrt(64) = 13%
+    assert abs(row["est"] - 500) / 500 < 0.35
+
+
+def test_kmv_jaccard_estimates_planted_overlap(spark):
+    from nsp_bolt_pipeline_spark.operators.sketches import (
+        kmv_jaccard_matrix,
+        kmv_sketch,
+    )
+
+    # two sources sharing exactly half their 400-token vocabularies:
+    # true Jaccard = 200 / 600 = 1/3
+    shared = [f"s{i}" for i in range(200)]
+    a_only = [f"a{i}" for i in range(200)]
+    b_only = [f"b{i}" for i in range(200)]
+    docs = spark.createDataFrame(
+        [
+            (1, " ".join(shared + a_only), "srcA"),
+            (2, " ".join(shared + b_only), "srcB"),
+        ],
+        ["doc_id", "text", "source"],
+    )
+    row = kmv_jaccard_matrix(docs).collect()[0]
+    assert abs(row["exact_jaccard"] - 1 / 3) < 1e-12
+    assert abs(row["kmv_jaccard"] - row["exact_jaccard"]) < 0.15
+
+    # sketch is capped at k rows per group
+    sk = kmv_sketch(
+        docs.select("source", F.explode(F.split("text", " ")).alias("t")),
+        "source",
+        F.col("t"),
+        k=64,
+    )
+    sizes = {r["grp"]: r["n"] for r in sk.groupBy("grp").agg(F.count("*").alias("n")).collect()}
+    assert all(v == 64 for v in sizes.values())
