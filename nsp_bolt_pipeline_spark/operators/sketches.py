@@ -450,3 +450,51 @@ def kmv_jaccard_matrix(
     return est.join(exact, ["g1", "g2"]).select(
         "g1", "g2", "kmv_jaccard", "exact_jaccard"
     )
+
+
+def cms_frequent_terms(
+    docs: DataFrame,
+    min_count: int,
+    text_col: str = "text",
+    depth: int = CMS_DEPTH,
+    width: int = CMS_WIDTH,
+) -> DataFrame:
+    """EXACT frequent-term mining with a CMS prefilter — the sketch
+    version of candidates-then-verify: CMS estimates are one-sided
+    (est >= true), so ``est >= min_count`` admits every truly-frequent
+    token plus a few collision false positives, and the exact recount
+    runs only on that candidate set. Output (tok, cnt) is exactly the
+    naive ``HAVING count >= min_count`` result — the oracle states the
+    naive definition and the hash compare proves it.
+
+    Scale shape: pass 1 is the bounded-key sketch build (<= d*w rows
+    out); the candidate filter is a broadcast join of per-token bucket
+    probes against the sketch; pass 2 recounts ONLY candidates — at a
+    heavy-tailed 100 TB corpus that is the difference between
+    aggregating the full vocabulary and aggregating the (tiny)
+    plausibly-frequent head."""
+    toks = docs.select(F.explode(tokens(text_col)).alias("tok"))
+    sketch = cms_build(docs, text_col, depth, width)
+    probes = (
+        toks.distinct()
+        .select(
+            "tok",
+            F.explode(
+                F.array(*[F.lit(j) for j in range(depth)])
+            ).alias("row"),
+        )
+        .withColumn("bucket", cms_bucket(F.col("tok"), F.col("row"), width))
+    )
+    cand = (
+        probes.join(F.broadcast(sketch), ["row", "bucket"])
+        .groupBy("tok")
+        .agg(F.min("cnt").alias("est"))
+        .filter(F.col("est") >= min_count)
+        .select("tok")
+    )
+    return (
+        toks.join(F.broadcast(cand), "tok")
+        .groupBy("tok")
+        .agg(F.count("*").alias("cnt"))
+        .filter(F.col("cnt") >= min_count)
+    )

@@ -304,3 +304,27 @@ def q_sketch_kmv(spark: SparkSession, sf_dir: str) -> DataFrame:
     union), so the comparison never touches the corpus."""
     docs = read_table(spark, sf_dir, "documents")
     return kmv_jaccard_matrix(docs)
+
+
+FREQ_MIN_COUNT = 200
+
+
+@query(
+    "sketch_cms_frequent_terms",
+    f"""
+    SELECT tok, COUNT(*) AS cnt
+    FROM (SELECT unnest(regexp_split_to_array(trim(text), '\\s+')) AS tok
+          FROM documents)
+    GROUP BY tok
+    HAVING COUNT(*) >= {FREQ_MIN_COUNT}
+    """,
+)
+def q_cms_frequent(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact frequent terms mined through a CMS prefilter: the
+    one-sided sketch admits a candidate superset, the exact recount
+    runs only on candidates, and the result equals the naive HAVING
+    — stated as the oracle, proven by the hash compare."""
+    from nsp_bolt_pipeline_spark.operators.sketches import cms_frequent_terms
+
+    docs = read_table(spark, sf_dir, "documents")
+    return cms_frequent_terms(docs, min_count=FREQ_MIN_COUNT)

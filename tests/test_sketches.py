@@ -191,3 +191,21 @@ def test_kmv_jaccard_estimates_planted_overlap(spark):
     )
     sizes = {r["grp"]: r["n"] for r in sk.groupBy("grp").agg(F.count("*").alias("n")).collect()}
     assert all(v == 64 for v in sizes.values())
+
+
+def test_cms_frequent_terms_exactly_matches_naive_having(spark):
+    from collections import Counter
+
+    from nsp_bolt_pipeline_spark.operators.sketches import cms_frequent_terms
+
+    docs = _docs(spark)
+    counts = Counter(
+        tok for _, text, _ in DOCS for tok in text.split()
+    )
+    for t in (1, 2, 3):
+        got = {
+            (r["tok"], r["cnt"])
+            for r in cms_frequent_terms(docs, min_count=t).collect()
+        }
+        want = {(tok, c) for tok, c in counts.items() if c >= t}
+        assert got == want, f"min_count={t}"
