@@ -83,6 +83,17 @@ HEADLINE = [
     "ann_ivfpq_topk",
     "corpus_curation_budget",
     "d8_cdc_dedup_stats",
+    # round-3 additions: PPJoin lossless prefix-filter set-similarity
+    # join, mergeable sketches (Bloom FP measurement, streaming CMS
+    # segment merge), DSIR importance selection, exact in-engine AUC,
+    # multi-probe SRP-LSH, and the leakage-safe cluster-keyed split
+    "neardup_ppjoin_shingles",
+    "sketch_bloom_membership",
+    "stream_sketch_cms",
+    "sel_dsir_importance",
+    "eval_quality_auc",
+    "srp_multiprobe_pairs",
+    "sel_leakage_safe_split",
 ]
 
 
