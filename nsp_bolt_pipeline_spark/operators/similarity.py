@@ -905,3 +905,110 @@ def ivfpq_topk(
         )
     )
     return _topk_per_query(scored, k)
+
+
+# ---------------------------------------------------------------------------
+# MMR diverse re-ranking (Carbonell & Goldstein, SIGIR'98): greedy
+# relevance-vs-redundancy selection over an ANN candidate pool.
+# ---------------------------------------------------------------------------
+
+MMR_LAMBDA = 0.7
+#: 1 - lambda as its OWN literal: computing 1.0 - 0.7 at runtime gives
+#: 0.30000000000000004 and the oracle must embed the identical double.
+MMR_MU = 0.3
+
+
+def mmr_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    *,
+    k: int = 5,
+    pool: int = 20,
+    lam: float = MMR_LAMBDA,
+    mu: float = MMR_MU,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Maximal-marginal-relevance top-k per query:
+    greedily pick argmax lam*sim(q, d) - mu*max_{s in S} sim(d, s)
+    (ties -> smallest id; the round-1 redundancy term is 0). Returns
+    (query_id, vec_id, round, mmr_score).
+
+    Scale design: the greedy loop is k rounds over the CANDIDATE POOL
+    (pool rows per query from exact/ANN top-``pool``), never the
+    corpus — re-ranking is downstream of retrieval by construction.
+    Each round is one join of the pool against the selected set
+    (<= k rows per query, collected driver-side like k-means
+    centroids — k*|queries| ids per round, not data). All arithmetic
+    is the engine-portable dot/argmax used everywhere else, so the
+    DuckDB oracle unrolls the identical rounds."""
+    spark = corpus.sparkSession
+    cand = (
+        exact_topk(corpus, queries, k=pool, id_col=id_col, vec_col=vec_col)
+        .join(
+            corpus.select(
+                F.col(id_col).alias("vec_id"), F.col(vec_col).alias("cv")
+            ),
+            "vec_id",
+        )
+        .select("query_id", "vec_id", "sim", "cv")
+        .localCheckpoint(eager=True)  # k rounds re-read this tiny pool
+    )
+    sel_rows: list[tuple] = []  # (query_id, vec_id, round, mmr_score)
+    for rnd in range(1, k + 1):
+        if not sel_rows:
+            scored = cand.select(
+                "query_id",
+                "vec_id",
+                (F.lit(lam) * F.col("sim")).alias("mmr_score"),
+            )
+        else:
+            sel_df = spark.createDataFrame(
+                [(q, v) for q, v, _, _ in sel_rows],
+                ["query_id", "sel_id"],
+            )
+            sel_vec = sel_df.join(
+                cand.select(
+                    "query_id",
+                    F.col("vec_id").alias("sel_id"),
+                    F.col("cv").alias("sv"),
+                ),
+                ["query_id", "sel_id"],
+            )
+            remaining = cand.join(
+                sel_df.withColumnRenamed("sel_id", "vec_id"),
+                ["query_id", "vec_id"],
+                "left_anti",
+            )
+            scored = (
+                remaining.join(F.broadcast(sel_vec), "query_id")
+                .withColumn("pair_sim", cosine(F.col("cv"), F.col("sv")))
+                .groupBy("query_id", "vec_id", "sim")
+                .agg(F.max("pair_sim").alias("pen"))
+                .select(
+                    "query_id",
+                    "vec_id",
+                    (
+                        F.lit(lam) * F.col("sim") - F.lit(mu) * F.col("pen")
+                    ).alias("mmr_score"),
+                )
+            )
+        w = W.partitionBy("query_id").orderBy(
+            F.col("mmr_score").desc(), F.col("vec_id").asc()
+        )
+        picks = (
+            scored.withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") == 1)
+            .collect()
+        )
+        sel_rows.extend(
+            (r["query_id"], r["vec_id"], rnd, r["mmr_score"]) for r in picks
+        )
+    return spark.createDataFrame(
+        sel_rows, ["query_id", "vec_id", "round", "mmr_score"]
+    ).select(
+        F.col("query_id").cast("long"),
+        F.col("vec_id").cast("long"),
+        F.col("round").cast("long"),
+        F.col("mmr_score").cast("double"),
+    )

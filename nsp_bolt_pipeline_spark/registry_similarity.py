@@ -693,3 +693,98 @@ def q_ann_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
         n_centroids=N_CENTROIDS,
         nprobe=NPROBE,
     )
+
+
+# ---------------------------------------------------------------------------
+# MMR diverse re-ranking: greedy relevance-vs-redundancy over the
+# exact top-POOL candidate pool; the oracle unrolls every round (the
+# kmeans/PCA replay pattern).
+# ---------------------------------------------------------------------------
+
+from nsp_bolt_pipeline_spark.operators.similarity import (  # noqa: E402
+    MMR_LAMBDA,
+    MMR_MU,
+    mmr_topk,
+)
+
+MMR_QUERIES = 3
+MMR_K = 5
+MMR_POOL = 20
+
+
+def _mmr_sql() -> str:
+    lam, mu = repr(MMR_LAMBDA), repr(MMR_MU)
+    parts = [
+        f"""
+    q AS (SELECT vec_id AS query_id, embedding AS qv
+          FROM embeddings WHERE vec_id < {MMR_QUERIES}),
+    c AS (SELECT vec_id, embedding AS cv FROM embeddings),
+    cand AS (
+        SELECT query_id, vec_id, sim, cv FROM (
+            SELECT q.query_id, c.vec_id, {_cos_sql("q.qv", "c.cv")} AS sim,
+                   c.cv,
+                   row_number() OVER (
+                       PARTITION BY q.query_id
+                       ORDER BY {_cos_sql("q.qv", "c.cv")} DESC, c.vec_id ASC
+                   ) AS rnk
+            FROM q JOIN c ON c.vec_id <> q.query_id
+        ) WHERE rnk <= {MMR_POOL}
+    ),
+    sel1 AS (
+        SELECT query_id, vec_id, 1 AS round, mmr_score FROM (
+            SELECT query_id, vec_id, {lam} * sim AS mmr_score,
+                   row_number() OVER (
+                       PARTITION BY query_id
+                       ORDER BY {lam} * sim DESC, vec_id ASC
+                   ) AS rn
+            FROM cand
+        ) WHERE rn = 1
+    )"""
+    ]
+    for r in range(2, MMR_K + 1):
+        prev = f"sel{r - 1}"
+        parts.append(
+            f"""
+    pick{r} AS (
+        SELECT query_id, vec_id, {r} AS round, mmr_score FROM (
+            SELECT s.query_id, s.vec_id, s.mmr_score,
+                   row_number() OVER (
+                       PARTITION BY s.query_id
+                       ORDER BY s.mmr_score DESC, s.vec_id ASC
+                   ) AS rn
+            FROM (
+                SELECT x.query_id, x.vec_id,
+                       {lam} * x.sim - {mu} * MAX({_cos_sql("x.cv", "sc.cv")})
+                           AS mmr_score
+                FROM cand x
+                JOIN {prev} s0 ON s0.query_id = x.query_id
+                JOIN cand sc ON sc.query_id = s0.query_id
+                            AND sc.vec_id = s0.vec_id
+                WHERE x.vec_id NOT IN (
+                    SELECT vec_id FROM {prev} WHERE query_id = x.query_id
+                )
+                GROUP BY x.query_id, x.vec_id, x.sim
+            ) s
+        ) WHERE rn = 1
+    ),
+    sel{r} AS (
+        SELECT * FROM {prev} UNION ALL SELECT * FROM pick{r}
+    )"""
+        )
+    body = ",".join(parts)
+    return f"""
+    WITH {body}
+    SELECT query_id, vec_id, CAST(round AS BIGINT) AS round, mmr_score
+    FROM sel{MMR_K}
+    """
+
+
+@query("ann_mmr_rerank", _mmr_sql())
+def q_ann_mmr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MMR diverse top-5 per query over the exact top-20 pool:
+    greedy argmax of lam*relevance - mu*max-redundancy, ties to the
+    smallest id. k rounds over the POOL (never the corpus); the
+    oracle replays all five rounds."""
+    emb = read_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(emb.vec_id < MMR_QUERIES)
+    return mmr_topk(emb, queries, k=MMR_K, pool=MMR_POOL)

@@ -193,3 +193,29 @@ def test_multiprobe_is_superset_of_single_probe_and_exact_precision(spark):
     assert set(multi) <= set(full)
     for k, v in multi.items():
         assert v == full[k]
+
+
+def test_mmr_prefers_diverse_over_redundant_second_pick(spark):
+    import numpy as np
+
+    from nsp_bolt_pipeline_spark.operators.similarity import mmr_topk
+
+    q = np.array([1.0, 0.0, 0.0, 0.0])
+    a = np.array([0.8, 0.6, 0.0, 0.0])    # relevant (sim 0.8)
+    a2 = np.array([0.79, 0.61, 0.0, 0.0])  # near-clone of a
+    b = np.array([0.8, -0.6, 0.0, 0.0])    # equally relevant, diverse
+    # round-1 tie between a and b (both sim 0.8) -> smallest id wins
+    rows = [
+        (0, q.tolist()),
+        (10, a.tolist()),
+        (11, a2.tolist()),
+        (12, b.tolist()),
+    ]
+    df = spark.createDataFrame(rows, ["vec_id", "embedding"])
+    queries = df.filter(F.col("vec_id") == 0)
+    got = {
+        r["round"]: r["vec_id"]
+        for r in mmr_topk(df, queries, k=2, pool=3).collect()
+    }
+    assert got[1] == 10          # tie on relevance -> smallest id
+    assert got[2] == 12          # diversity beats the near-clone 11
