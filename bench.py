@@ -94,6 +94,10 @@ HEADLINE = [
     "eval_quality_auc",
     "srp_multiprobe_pairs",
     "sel_leakage_safe_split",
+    # round-3 additions: Gopher rule filter (scan-speed projection)
+    # and CCNet-style LM cross-entropy (broadcast unigram model)
+    "text_gopher_rules",
+    "text_lm_cross_entropy",
 ]
 
 

@@ -1,0 +1,131 @@
+"""N-gram language-model quality scoring (CCNet-style perplexity
+filtering).
+
+Published basis: Wenzek et al. 2020, "CCNet: Extracting High Quality
+Monolingual Datasets from Web Crawl Data" — score every document by
+the perplexity of a language model trained on a trusted reference
+corpus; low-perplexity documents read like the reference and are kept,
+high-perplexity ones are boilerplate/gibberish. CCNet uses a KenLM
+5-gram model; the engine-native form here is an add-one-smoothed
+unigram LM — the *shape* (train token counts on a reference slice →
+broadcast the model → score the full corpus in one pass) is identical,
+and the n-gram order is a one-line change to the token expression.
+
+The reference pipeline has no LM scoring; this is a scale-extension
+operator (build brief: "quality scoring" under text analysis).
+
+Exactness across engines: a per-document cross-entropy is a *sum of
+logs*, and float sums are not associative — a plain ``SUM(DOUBLE)``
+can differ in the last ULP between Spark's and DuckDB's fold orders.
+Following the repo convention (operators/selection.py), each
+per-token log term is rounded once to integer micro-nats
+(``round(ln(c+1) * 1e6)`` as BIGINT); the per-document aggregate is
+then an integer sum — associative, bit-identical under any partition
+or fold order — and the final division back to nats is a single
+scalar float op per row.
+
+Scale design (100 TB):
+
+- The LM is ``|vocabulary|`` rows of (token, count) — broadcast-sized
+  for any natural-language vocabulary (same argument as TF-IDF's DF
+  table, operators/text.py). The corpus side never re-shuffles for
+  the model join.
+- Training scans only the reference slice (a filter pushed to the
+  scan); scoring is explode → per-(doc, token) count (map-side
+  partial agg) → broadcast join → per-doc integer sum. Two shuffles
+  total, both on keys with bounded cardinality growth.
+- Add-one smoothing makes out-of-vocabulary terms exactly 0 in
+  micro-nat space (ln 1 = 0), so the OOV path needs no special-case
+  join handling — a missed broadcast lookup contributes nothing.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from nsp_bolt_pipeline_spark.operators.text import tokens
+
+#: micro-nat scale: one rounding per distinct (token) log-count,
+#: applied identically in the DuckDB oracle.
+MU = 1_000_000
+
+
+def _lower_tokens(text_col: str) -> Column:
+    return tokens(F.lower(F.col(text_col)))
+
+
+def unigram_lm(
+    ref: DataFrame, *, text_col: str = "text"
+) -> tuple[DataFrame, DataFrame]:
+    """Train the unigram model on the reference slice.
+
+    Returns ``(lm, scalars)``: ``lm`` is (tok, c, log_mu) with
+    ``log_mu = round(ln(c + 1) * 1e6)`` precomputed once per vocab
+    entry; ``scalars`` is a 1-row frame with total mass ``n`` and
+    vocabulary size ``v`` (the add-one denominator ``n + v``).
+    """
+    tok = ref.select(F.explode(_lower_tokens(text_col)).alias("tok"))
+    lm = (
+        tok.groupBy("tok")
+        .agg(F.count("*").cast("long").alias("c"))
+        .withColumn(
+            "log_mu",
+            F.round(F.log(F.col("c") + F.lit(1).cast("long")) * MU, 0).cast(
+                "long"
+            ),
+        )
+    )
+    scalars = lm.agg(
+        F.sum("c").cast("long").alias("n"),
+        F.count("*").cast("long").alias("v"),
+    )
+    return lm, scalars
+
+
+def cross_entropy_scores(
+    docs: DataFrame,
+    ref_pred: Column,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Per-document add-one unigram cross-entropy against the LM
+    trained on ``docs.filter(ref_pred)``.
+
+    H(d) = ln(N + V) - (1/n_d) * sum_t c_dt * ln(c_t + 1)
+
+    (the standard add-one form, with the constant denominator pulled
+    out of the per-token sum so the sum is over integer micro-nats).
+    Output: (doc_id, n_tokens, lm_mu, cross_entropy) — ``lm_mu`` is
+    the exact integer micro-nat sum the float score derives from, so
+    downstream consumers needing bit-exact ordering can sort on it.
+    """
+    lm, scalars = unigram_lm(docs.filter(ref_pred), text_col=text_col)
+
+    doc_tok = docs.select(
+        F.col(id_col), F.explode(_lower_tokens(text_col)).alias("tok")
+    )
+    counts = doc_tok.groupBy(id_col, "tok").agg(
+        F.count("*").cast("long").alias("c_dt")
+    )
+    terms = counts.join(F.broadcast(lm.select("tok", "log_mu")), "tok", "left")
+    per_doc = terms.groupBy(id_col).agg(
+        F.sum("c_dt").cast("long").alias("n_tokens"),
+        F.sum(
+            F.col("c_dt") * F.coalesce(F.col("log_mu"), F.lit(0).cast("long"))
+        )
+        .cast("long")
+        .alias("lm_mu"),
+    )
+    return per_doc.crossJoin(F.broadcast(scalars)).select(
+        id_col,
+        "n_tokens",
+        "lm_mu",
+        F.round(
+            F.log(F.col("n") + F.col("v"))
+            - (F.col("lm_mu") / F.lit(float(MU)))
+            / F.col("n_tokens").cast("double"),
+            6,
+        ).alias("cross_entropy"),
+    )

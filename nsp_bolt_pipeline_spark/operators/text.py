@@ -486,3 +486,96 @@ def quality_logit(
         "logit": packed["logit"],
         "keep": packed["keep"],
     }
+
+
+# ---------------------------------------------------------------------------
+# Gopher-style rule filter
+# ---------------------------------------------------------------------------
+
+#: Rule thresholds — Rae et al. 2021 ("Scaling Language Models:
+#: Methods, Analysis & Insights from Training Gopher", appendix A)
+#: define the canonical web-text rule set; the word-count floor is
+#: lowered to fit the synthetic corpus' short documents (the rule
+#: *shapes* are the operator; thresholds are config).
+GOPHER_MIN_WORDS = 5
+GOPHER_MAX_WORDS = 100_000
+GOPHER_MIN_MEAN_WORD_LEN = 3.0
+GOPHER_MAX_MEAN_WORD_LEN = 10.0
+GOPHER_MIN_ALPHA_FRAC = 0.8
+GOPHER_MAX_SYMBOL_RATIO = 0.1
+GOPHER_MIN_STOP_HITS = 2
+
+
+def gopher_flags(
+    col: Column | str, *, stopwords: Sequence[str]
+) -> dict[str, Column]:
+    """Gopher rule-based quality flags: one boolean per rule plus the
+    conjunction, as a single whole-stage-codegen'd projection (zero
+    shuffles, zero UDFs — the filter runs at scan speed, which is the
+    entire point of rule-based filtering at 100 TB).
+
+    Rules (Rae et al. 2021 §A1.1): word count in band, mean word
+    length in band, symbol-to-word ratio (``#`` and ``...``) below
+    cap, fraction of words containing an alphabetic character above
+    floor, and at least ``GOPHER_MIN_STOP_HITS`` function words.
+    Measures are exact integer/char counts — bit-identical on any
+    engine — and each flag is exposed so downstream can audit *why* a
+    document was dropped, not just that it was.
+    """
+    c = F.col(col) if isinstance(col, str) else col
+
+    def from_tokens(toks: Column) -> Column:
+        n_words = F.size(toks).cast("long")
+        mean_wl = F.length(F.trim(c)).cast("double") / n_words.cast("double")
+        hash_n = F.length(c) - F.length(F.regexp_replace(c, "#", ""))
+        ell_n = (
+            F.length(c) - F.length(F.regexp_replace(c, r"\.\.\.", ""))
+        ) / F.lit(3)
+        symbol_ratio = (hash_n + ell_n).cast("double") / n_words.cast("double")
+        alpha_frac = (
+            F.size(F.filter(toks, lambda t: t.rlike(r"\p{L}"))).cast("double")
+            / n_words.cast("double")
+        )
+        stop_hits = F.size(
+            F.filter(toks, lambda t: F.lower(t).isin(*stopwords))
+        ).cast("long")
+        r_words = (n_words >= GOPHER_MIN_WORDS) & (
+            n_words <= GOPHER_MAX_WORDS
+        )
+        r_wl = (mean_wl >= GOPHER_MIN_MEAN_WORD_LEN) & (
+            mean_wl <= GOPHER_MAX_MEAN_WORD_LEN
+        )
+        r_sym = symbol_ratio <= GOPHER_MAX_SYMBOL_RATIO
+        r_alpha = alpha_frac >= GOPHER_MIN_ALPHA_FRAC
+        r_stop = stop_hits >= GOPHER_MIN_STOP_HITS
+        return F.struct(
+            n_words.alias("n_words"),
+            mean_wl.alias("mean_word_len"),
+            symbol_ratio.alias("symbol_ratio"),
+            alpha_frac.alias("alpha_frac"),
+            stop_hits.alias("stop_hits"),
+            r_words.alias("rule_word_count"),
+            r_wl.alias("rule_mean_word_len"),
+            r_sym.alias("rule_symbol_ratio"),
+            r_alpha.alias("rule_alpha_words"),
+            r_stop.alias("rule_stopwords"),
+            (r_words & r_wl & r_sym & r_alpha & r_stop).alias("keep"),
+        )
+
+    packed = bind_once(tokens(c), from_tokens)
+    return {
+        k: packed[k]
+        for k in (
+            "n_words",
+            "mean_word_len",
+            "symbol_ratio",
+            "alpha_frac",
+            "stop_hits",
+            "rule_word_count",
+            "rule_mean_word_len",
+            "rule_symbol_ratio",
+            "rule_alpha_words",
+            "rule_stopwords",
+            "keep",
+        )
+    }

@@ -763,3 +763,135 @@ def q_bpe_segment(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = read_table(spark, sf_dir, "documents")
     merges = learn_merge_list(docs, n_merges=N_BPE_MERGES)
     return bpe_segment(docs, [(a, b) for _, a, b, _ in merges])
+
+
+# ---------------------------------------------------------------------------
+# Gopher rule filter: per-rule booleans + conjunction, scan-speed.
+# ---------------------------------------------------------------------------
+
+from nsp_bolt_pipeline_spark.operators.text import (  # noqa: E402
+    GOPHER_MAX_MEAN_WORD_LEN,
+    GOPHER_MAX_SYMBOL_RATIO,
+    GOPHER_MAX_WORDS,
+    GOPHER_MIN_ALPHA_FRAC,
+    GOPHER_MIN_MEAN_WORD_LEN,
+    GOPHER_MIN_STOP_HITS,
+    GOPHER_MIN_WORDS,
+    gopher_flags,
+)
+
+
+def _gopher_sql() -> str:
+    en = _sql_list(LANGUAGE_PROFILES["en"])
+    return f"""
+    SELECT doc_id, n_words, mean_word_len, symbol_ratio, alpha_frac,
+           stop_hits,
+           rule_word_count, rule_mean_word_len, rule_symbol_ratio,
+           rule_alpha_words, rule_stopwords,
+           rule_word_count AND rule_mean_word_len AND rule_symbol_ratio
+             AND rule_alpha_words AND rule_stopwords AS keep
+    FROM (
+        SELECT doc_id, n_words, mean_word_len, symbol_ratio, alpha_frac,
+               stop_hits,
+               n_words >= {GOPHER_MIN_WORDS}
+                 AND n_words <= {GOPHER_MAX_WORDS} AS rule_word_count,
+               mean_word_len >= {GOPHER_MIN_MEAN_WORD_LEN}
+                 AND mean_word_len <= {GOPHER_MAX_MEAN_WORD_LEN}
+                 AS rule_mean_word_len,
+               symbol_ratio <= {GOPHER_MAX_SYMBOL_RATIO}
+                 AS rule_symbol_ratio,
+               alpha_frac >= {GOPHER_MIN_ALPHA_FRAC} AS rule_alpha_words,
+               stop_hits >= {GOPHER_MIN_STOP_HITS} AS rule_stopwords
+        FROM (
+            SELECT doc_id,
+                   CAST(len({_TOKENS_SQL}) AS BIGINT) AS n_words,
+                   CAST(length(trim(text)) AS DOUBLE)
+                     / CAST(len({_TOKENS_SQL}) AS DOUBLE) AS mean_word_len,
+                   CAST((length(text)
+                          - length(regexp_replace(text, '#', '', 'g')))
+                        + (length(text)
+                           - length(regexp_replace(text, '\\.\\.\\.', '',
+                                                   'g'))) / 3
+                        AS DOUBLE)
+                     / CAST(len({_TOKENS_SQL}) AS DOUBLE) AS symbol_ratio,
+                   CAST(len(list_filter({_TOKENS_SQL},
+                            t -> regexp_matches(t, '\\p{{L}}'))) AS DOUBLE)
+                     / CAST(len({_TOKENS_SQL}) AS DOUBLE) AS alpha_frac,
+                   CAST(len(list_filter({_TOKENS_SQL},
+                            t -> lower(t) IN ({en}))) AS BIGINT) AS stop_hits
+            FROM documents
+        )
+    )
+    """
+
+
+@query("text_gopher_rules", _gopher_sql())
+def q_gopher_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher rule-based corpus filter (Rae et al. 2021 §A1.1): five
+    exact-arithmetic rules with per-rule audit flags, evaluated in one
+    whole-stage-codegen'd projection — the filter runs at scan speed
+    with zero shuffles, which is what makes rule filtering viable as
+    the FIRST pass over 100 TB (before any model-based scoring)."""
+    docs = read_table(spark, sf_dir, "documents")
+    cols = gopher_flags("text", stopwords=LANGUAGE_PROFILES["en"])
+    return docs.select("doc_id", *[cols[k].alias(k) for k in cols])
+
+
+# ---------------------------------------------------------------------------
+# CCNet-style LM cross-entropy scoring (operators/lm.py): unigram LM
+# trained on the lang='en' slice, broadcast, scored corpus-wide. The
+# per-doc sum is over integer micro-nats, so it is fold-order exact.
+# ---------------------------------------------------------------------------
+
+from nsp_bolt_pipeline_spark.operators.lm import MU  # noqa: E402
+from nsp_bolt_pipeline_spark.operators.lm import (  # noqa: E402
+    cross_entropy_scores,
+)
+
+_LTOKENS_SQL = r"regexp_split_to_array(trim(lower(text)), '\s+')"
+
+_LM_CE_SQL = f"""
+WITH ref_tok AS (
+    SELECT unnest({_LTOKENS_SQL}) AS tok FROM documents WHERE lang = 'en'
+),
+lm AS (
+    SELECT tok, CAST(COUNT(*) AS BIGINT) AS c,
+           CAST(round(ln(COUNT(*) + 1) * {MU}) AS BIGINT) AS log_mu
+    FROM ref_tok GROUP BY tok
+),
+sc AS (
+    SELECT CAST(SUM(c) AS BIGINT) AS n, CAST(COUNT(*) AS BIGINT) AS v
+    FROM lm
+),
+doc_tok AS (
+    SELECT doc_id, unnest({_LTOKENS_SQL}) AS tok FROM documents
+),
+cnt AS (
+    SELECT doc_id, tok, CAST(COUNT(*) AS BIGINT) AS c_dt
+    FROM doc_tok GROUP BY doc_id, tok
+),
+agg AS (
+    SELECT cnt.doc_id,
+           CAST(SUM(cnt.c_dt) AS BIGINT) AS n_tokens,
+           CAST(SUM(cnt.c_dt * COALESCE(lm.log_mu, 0)) AS BIGINT) AS lm_mu
+    FROM cnt LEFT JOIN lm ON cnt.tok = lm.tok
+    GROUP BY cnt.doc_id
+)
+SELECT agg.doc_id, agg.n_tokens, agg.lm_mu,
+       round(ln(sc.n + sc.v)
+             - (agg.lm_mu / {float(MU)}) / CAST(agg.n_tokens AS DOUBLE),
+             6) AS cross_entropy
+FROM agg, sc
+"""
+
+
+@query("text_lm_cross_entropy", _LM_CE_SQL)
+def q_lm_cross_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet-style perplexity filtering (Wenzek et al. 2020), engine-
+    native: train an add-one unigram LM on the trusted slice
+    (lang='en'), broadcast the |vocab|-row model, and score every
+    document's cross-entropy in one corpus pass. Per-token log terms
+    are integer micro-nats, so the per-doc sum is associative and
+    bit-exact under any fold order (see operators/lm.py)."""
+    docs = read_table(spark, sf_dir, "documents")
+    return cross_entropy_scores(docs, F.col("lang") == "en")

@@ -735,3 +735,60 @@ def q_quantile_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
     return with_target.join(g, "pos").select(
         "doc_id", "source", "n_chars", F.col("g_val").alias("normalized")
     )
+
+
+# ---------------------------------------------------------------------------
+# Governance: k-anonymity / l-diversity audit. Quasi-identifier (QI)
+# combos whose group is small re-identify individuals; groups with no
+# diversity in the sensitive attribute disclose it outright (Sweeney
+# 2002; Machanavajjhala et al. 2006). One bounded-cardinality groupBy
+# with map-side partials — at 100 TB the QI-combo table is tiny
+# relative to the scan, and the audit runs at aggregation speed.
+# ---------------------------------------------------------------------------
+
+_K_ANON_K = 5
+_L_DIV_L = 2
+
+_K_ANON_SQL = f"""
+SELECT c_nationkey AS nationkey,
+       CAST(floor(c_acctbal / 2000.0) AS BIGINT) AS acctbal_band,
+       CAST(COUNT(*) AS BIGINT) AS k,
+       CAST(COUNT(DISTINCT c_mktsegment) AS BIGINT) AS l,
+       COUNT(*) < {_K_ANON_K}
+         OR COUNT(DISTINCT c_mktsegment) < {_L_DIV_L} AS at_risk
+FROM customer
+GROUP BY 1, 2
+"""
+
+
+@query("dq_k_anonymity", _K_ANON_SQL)
+def q_k_anonymity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-anonymity + l-diversity audit over the customer table: QI =
+    (nation, account-balance band), sensitive = market segment. Emits
+    per-QI-group size k, sensitive-value diversity l, and the at-risk
+    flag (k < 5 or l < 2) so a release gate can suppress or coarsen
+    exactly the flagged combos. COUNT(DISTINCT) over a low-cardinality
+    sensitive column partial-aggregates map-side; the output is
+    |QI-combos| rows — audit cost stays flat as the table scales."""
+    cust = read_table(spark, sf_dir, "customer")
+    return (
+        cust.groupBy(
+            F.col("c_nationkey").alias("nationkey"),
+            F.floor(F.col("c_acctbal") / 2000.0)
+            .cast("long")
+            .alias("acctbal_band"),
+        )
+        .agg(
+            F.count("*").cast("long").alias("k"),
+            F.countDistinct("c_mktsegment").cast("long").alias("l"),
+        )
+        .select(
+            "nationkey",
+            "acctbal_band",
+            "k",
+            "l",
+            ((F.col("k") < _K_ANON_K) | (F.col("l") < _L_DIV_L)).alias(
+                "at_risk"
+            ),
+        )
+    )

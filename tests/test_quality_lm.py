@@ -1,0 +1,122 @@
+"""Tests for the quality-filter additions: Gopher rule flags and the
+CCNet-style unigram-LM cross-entropy — each checked against a plain
+Python model on small inputs."""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import functions as F
+
+from nsp_bolt_pipeline_spark.operators.lm import MU, cross_entropy_scores
+from nsp_bolt_pipeline_spark.operators.text import (
+    LANGUAGE_PROFILES,
+    gopher_flags,
+)
+
+EN = LANGUAGE_PROFILES["en"]
+
+
+def _docs(spark, rows):
+    return spark.createDataFrame(rows, ["doc_id", "text", "lang"])
+
+
+# ------------------------------------------------------------- gopher
+
+
+def test_gopher_rules_flag_each_failure_mode(spark):
+    rows = [
+        (1, "the cat sat on the mat and it was happy there", "en"),
+        (2, "too short", "en"),  # word-count floor
+        (3, "# # # the list of it # # # # # # #", "en"),  # symbol ratio
+        (4, "1 2 3 4 5 6 7 8 9 10 the of", "en"),  # alpha fraction
+        (5, "xqzt blorp fwip zzz glorb snark wibble quux", "en"),  # stop
+    ]
+    out = {
+        r["doc_id"]: r
+        for r in _docs(spark, rows)
+        .select(
+            "doc_id",
+            *[
+                c.alias(k)
+                for k, c in gopher_flags("text", stopwords=EN).items()
+            ],
+        )
+        .collect()
+    }
+    assert out[1]["keep"]
+    assert not out[2]["rule_word_count"] and not out[2]["keep"]
+    assert not out[3]["rule_symbol_ratio"] and not out[3]["keep"]
+    assert not out[4]["rule_alpha_words"] and not out[4]["keep"]
+    assert not out[5]["rule_stopwords"] and not out[5]["keep"]
+    # every doc keeps its audit measures regardless of the verdict
+    assert out[2]["n_words"] == 2
+    assert out[3]["symbol_ratio"] > 0.1
+
+
+def test_gopher_ellipsis_counts_as_three_char_symbol(spark):
+    # 4 words, one '...' occurrence -> symbol_ratio = 1/4
+    rows = [(1, "wait for it ...", "en")]
+    row = (
+        _docs(spark, rows)
+        .select(
+            gopher_flags("text", stopwords=EN)["symbol_ratio"].alias("r")
+        )
+        .collect()[0]
+    )
+    assert abs(row["r"] - 0.25) < 1e-12
+
+
+# ----------------------------------------------------------------- lm
+
+
+def test_lm_cross_entropy_matches_python_model(spark):
+    rows = [
+        (1, "the cat sat", "en"),
+        (2, "the dog sat on the cat", "en"),
+        (3, "el perro grande", "es"),
+        (4, "the the the", "de"),
+    ]
+    # python model: unigram counts over lang='en' docs, micro-nat terms
+    ref_toks = "the cat sat".split() + "the dog sat on the cat".split()
+    counts: dict[str, int] = {}
+    for t in ref_toks:
+        counts[t] = counts.get(t, 0) + 1
+    n, v = sum(counts.values()), len(counts)
+
+    def model(text):
+        toks = text.split()
+        mu = sum(
+            round(math.log(counts.get(t, 0) + 1) * MU) for t in toks
+        )
+        ce = round(math.log(n + v) - (mu / MU) / len(toks), 6)
+        return len(toks), mu, ce
+
+    out = {
+        r["doc_id"]: r
+        for r in cross_entropy_scores(
+            _docs(spark, rows), F.col("lang") == "en"
+        ).collect()
+    }
+    for doc_id, text, _ in rows:
+        n_tok, mu, ce = model(text)
+        assert out[doc_id]["n_tokens"] == n_tok
+        assert out[doc_id]["lm_mu"] == mu
+        assert abs(out[doc_id]["cross_entropy"] - ce) < 1e-9
+    # in-domain text scores lower (better) than out-of-domain
+    assert (
+        out[1]["cross_entropy"] < out[3]["cross_entropy"]
+    ), "reference-like doc must have lower cross-entropy"
+
+
+def test_lm_oov_terms_contribute_zero_micronats(spark):
+    rows = [(1, "the cat", "en"), (2, "zzz qqq", "fr")]
+    out = {
+        r["doc_id"]: r
+        for r in cross_entropy_scores(
+            _docs(spark, rows), F.col("lang") == "en"
+        ).collect()
+    }
+    # doc 2 is fully OOV: lm_mu = 0, ce = ln(n + v) exactly
+    assert out[2]["lm_mu"] == 0
+    assert abs(out[2]["cross_entropy"] - round(math.log(2 + 2), 6)) < 1e-9
