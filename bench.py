@@ -98,6 +98,9 @@ HEADLINE = [
     # and CCNet-style LM cross-entropy (broadcast unigram model)
     "text_gopher_rules",
     "text_lm_cross_entropy",
+    # ExactSubstr dedup spans: corpus-wide window fingerprints ->
+    # per-doc island merge
+    "neardup_exact_substring",
 ]
 
 

@@ -42,6 +42,7 @@ import hashlib
 
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql import Window as W
 
 from nsp_bolt_pipeline_spark.functions.expr import bind_once
 from nsp_bolt_pipeline_spark.operators.text import fingerprint, tokens
@@ -777,4 +778,100 @@ def cdc_dedup_stats(
             F.sum("length").cast("double")
             / F.sum(F.col("n_occ") * F.col("length")).cast("double")
         ).alias("dedup_ratio"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Exact-substring duplicate spans (ExactSubstr)
+# ---------------------------------------------------------------------------
+
+#: window length for exact-substring span detection, in word tokens.
+EXACT_SUBSTR_L = 5
+
+
+def exact_substring_spans(
+    docs: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    gram_len: int = EXACT_SUBSTR_L,
+    min_docs: int = 2,
+) -> DataFrame:
+    """Cross-document exact-substring duplicate spans, per document.
+
+    Published basis: Lee et al. 2022, "Deduplicating Training Data
+    Makes Language Models Better" — their ExactSubstr pass removes
+    any span repeated verbatim elsewhere in the corpus. The suffix-
+    array construction they use is replaced here by the distributed
+    equivalent at word grain: every length-``gram_len`` token window
+    is fingerprinted (md5 of the space-joined window); a window whose
+    fingerprint occurs in >= ``min_docs`` distinct documents is
+    duplicated; overlapping duplicated windows merge into maximal
+    spans (gaps-and-islands) so the caller gets cut-ranges, not
+    confetti. Any duplicated run of >= gram_len tokens is covered by
+    at least one window, so recall at the span level is exact; span
+    boundaries are quantized to the window grain.
+
+    Scale (100 TB): window fingerprints are a map-side array
+    expression (one row per token, ~|corpus tokens| rows); the
+    duplicate-fingerprint filter is a bounded-key groupBy with
+    map-side partials; the island merge windows are partitioned BY
+    DOCUMENT (never global), so the sort is per-doc-length — bounded
+    by the longest document, not the corpus.
+
+    Returns (id, span_start, span_end, n_span_tokens): 1-based
+    inclusive token positions.
+    """
+    toks = docs.select(
+        F.col(id_col), tokens(text_col).alias("t")
+    ).select(
+        id_col,
+        F.when(
+            F.size("t") >= gram_len,
+            F.transform(
+                F.sequence(F.lit(1), F.size("t") - gram_len + 1),
+                lambda i: F.md5(
+                    F.concat_ws(" ", F.slice("t", i, gram_len))
+                ),
+            ),
+        )
+        .otherwise(F.array().cast("array<string>"))
+        .alias("grams"),
+    )
+    windows = toks.select(
+        id_col, F.posexplode("grams").alias("pos0", "g")
+    ).select(id_col, (F.col("pos0") + 1).alias("pos"), "g")
+
+    dup = (
+        windows.groupBy("g")
+        .agg(F.countDistinct(id_col).alias("n_docs"))
+        .filter(F.col("n_docs") >= min_docs)
+        .select("g")
+    )
+    hits = windows.join(dup, "g").select(id_col, "pos")
+
+    w_order = W.partitionBy(id_col).orderBy("pos")
+    run_max_end = F.max(F.col("pos") + gram_len - 1).over(
+        w_order.rowsBetween(W.unboundedPreceding, -1)
+    )
+    flagged = hits.withColumn(
+        "new_island",
+        F.when(
+            run_max_end.isNull() | (F.col("pos") > run_max_end), 1
+        ).otherwise(0),
+    ).withColumn("island", F.sum("new_island").over(w_order))
+    return (
+        flagged.groupBy(id_col, "island")
+        .agg(
+            F.min("pos").cast("long").alias("span_start"),
+            (F.max("pos") + gram_len - 1).cast("long").alias("span_end"),
+        )
+        .select(
+            id_col,
+            "span_start",
+            "span_end",
+            (F.col("span_end") - F.col("span_start") + 1).alias(
+                "n_span_tokens"
+            ),
+        )
     )

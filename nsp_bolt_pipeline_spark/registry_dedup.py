@@ -1019,3 +1019,66 @@ def q_ppjoin_shingles(spark: SparkSession, sf_dir: str) -> DataFrame:
     return prefix_filtered_jaccard_join(
         docs, threshold=PPJOIN_THRESHOLD, set_expr=word_ngrams("text", n=N)
     )
+
+
+# ---------------------------------------------------------------------------
+# ExactSubstr duplicate spans (operators/neardup.py): any 5-token
+# window shared verbatim by >= 2 documents, merged into maximal
+# per-document spans. Integer positions only — hash-exact.
+# ---------------------------------------------------------------------------
+
+from nsp_bolt_pipeline_spark.operators.neardup import (  # noqa: E402
+    EXACT_SUBSTR_L,
+    exact_substring_spans,
+)
+
+_ESS_L = EXACT_SUBSTR_L
+
+_ESS_SQL = f"""
+WITH toks AS (
+    SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS t
+    FROM documents
+),
+windows AS (
+    SELECT doc_id, pos,
+           md5(array_to_string(t[pos:pos+{_ESS_L}-1], ' ')) AS g
+    FROM toks, unnest(range(1, greatest(len(t)-{_ESS_L}+2, 1))) AS r(pos)
+),
+dup AS (
+    SELECT g FROM windows GROUP BY g HAVING COUNT(DISTINCT doc_id) >= 2
+),
+hits AS (
+    SELECT doc_id, pos FROM windows WHERE g IN (SELECT g FROM dup)
+),
+flagged AS (
+    SELECT doc_id, pos,
+           CASE WHEN max(pos + {_ESS_L} - 1) OVER prev IS NULL
+                  OR pos > max(pos + {_ESS_L} - 1) OVER prev
+                THEN 1 ELSE 0 END AS new_island
+    FROM hits
+    WINDOW prev AS (PARTITION BY doc_id ORDER BY pos
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+),
+isl AS (
+    SELECT doc_id, pos,
+           SUM(new_island) OVER (PARTITION BY doc_id ORDER BY pos)
+               AS island
+    FROM flagged
+)
+SELECT doc_id,
+       CAST(MIN(pos) AS BIGINT) AS span_start,
+       CAST(MAX(pos) + {_ESS_L} - 1 AS BIGINT) AS span_end,
+       CAST(MAX(pos) + {_ESS_L} - MIN(pos) AS BIGINT) AS n_span_tokens
+FROM isl GROUP BY doc_id, island
+"""
+
+
+@query("neardup_exact_substring", _ESS_SQL)
+def q_exact_substring(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ExactSubstr dedup spans (Lee et al. 2022), distributed at word
+    grain: fingerprint every 5-token window, keep fingerprints seen in
+    >= 2 distinct documents, merge overlapping duplicated windows into
+    maximal cut-ranges per document (per-doc gaps-and-islands — the
+    window sort is partitioned by document, never global)."""
+    docs = read_table(spark, sf_dir, "documents")
+    return exact_substring_spans(docs)

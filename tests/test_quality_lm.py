@@ -120,3 +120,49 @@ def test_lm_oov_terms_contribute_zero_micronats(spark):
     # doc 2 is fully OOV: lm_mu = 0, ce = ln(n + v) exactly
     assert out[2]["lm_mu"] == 0
     assert abs(out[2]["cross_entropy"] - round(math.log(2 + 2), 6)) < 1e-9
+
+
+# ------------------------------------------------------ exact substr
+
+
+def test_exact_substring_spans_find_planted_duplicate_run(spark):
+    from nsp_bolt_pipeline_spark.operators.neardup import (
+        exact_substring_spans,
+    )
+
+    shared = "alpha bravo charlie delta echo foxtrot golf"  # 7 tokens
+    rows = [
+        (1, "u1 u2 " + shared + " tail1 tail2"),
+        (2, shared + " other stuff here"),
+        (3, "totally unrelated words nothing shared at all"),
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    spans = {
+        r["doc_id"]: (r["span_start"], r["span_end"], r["n_span_tokens"])
+        for r in exact_substring_spans(df).collect()
+    }
+    # doc1: shared run at token 3..9; doc2: tokens 1..7; doc3: nothing
+    assert spans[1] == (3, 9, 7)
+    assert spans[2] == (1, 7, 7)
+    assert 3 not in spans
+
+
+def test_exact_substring_merges_disjoint_islands(spark):
+    from nsp_bolt_pipeline_spark.operators.neardup import (
+        exact_substring_spans,
+    )
+
+    run_a = "one two three four five"
+    run_b = "six seven eight nine ten"
+    rows = [
+        (1, run_a + " gapw1 gapw2 gapw3 gapw4 gapw5 " + run_b),
+        (2, run_a + " x " + run_b),
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    out = exact_substring_spans(df)
+    doc1 = sorted(
+        (r["span_start"], r["span_end"])
+        for r in out.filter(F.col("doc_id") == 1).collect()
+    )
+    # the 5-token gap words are unique -> two separate islands
+    assert doc1 == [(1, 5), (11, 15)]
