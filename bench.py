@@ -101,6 +101,9 @@ HEADLINE = [
     # ExactSubstr dedup spans: corpus-wide window fingerprints ->
     # per-doc island merge
     "neardup_exact_substring",
+    # C4-style corpus-wide repeated-segment stripping (count on
+    # segment content, broadcast anti-join back)
+    "corpus_boilerplate_strip",
 ]
 
 

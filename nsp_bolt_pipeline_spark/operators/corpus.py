@@ -352,3 +352,79 @@ def percentile_trim(
     ).otherwise(F.lit(0.0))
     keep = ranked.filter((pr >= lower) & (pr <= upper)).select(count_col)
     return df.join(F.broadcast(keep), count_col).select(*df.columns)
+
+
+def boilerplate_strip(
+    df: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    seg_words: int = 4,
+    min_df: int = 3,
+) -> DataFrame:
+    """Corpus-wide repeated-segment removal (the C4 "remove any line
+    that occurs verbatim across the corpus" rule, at a fixed
+    ``seg_words``-word segment grain because the synthetic corpus has
+    no newlines): split every document into consecutive
+    non-overlapping word segments, count each distinct segment's
+    corpus frequency, and strip every occurrence of segments appearing
+    in >= ``min_df`` places — navbars, cookie banners, license
+    footers. Output: (id, clean_text with survivors rejoined in
+    original order, n_segments, n_removed).
+
+    Scale design (100 TB): the segment explode is map-side; the
+    frequency count shuffles on segment CONTENT (balanced by
+    construction — identical segments co-locate, which is the point);
+    the boilerplate set is tiny relative to the corpus (frequency >=
+    min_df collapses it) and returns as a BROADCAST anti-join, so the
+    corpus-side reassembly shuffles once on doc id. No window touches
+    the full corpus.
+    """
+    c = F.col(text_col)
+    nseg = F.when(F.length(F.trim(c)) > 0, F.floor(
+        (F.size(tokens(text_col)) + F.lit(seg_words - 1)) / seg_words
+    )).otherwise(F.lit(0)).cast("int")
+    seg_structs = F.when(
+        F.length(F.trim(c)) > 0,
+        bind_once(
+            tokens(text_col),
+            lambda toks: F.transform(
+                F.sequence(F.lit(0), nseg - 1),
+                lambda i: F.struct(
+                    i.alias("seg_idx"),
+                    F.concat_ws(
+                        " ", F.slice(toks, i * seg_words + 1, seg_words)
+                    ).alias("seg"),
+                ),
+            ),
+        ),
+    ).otherwise(F.array().cast("array<struct<seg_idx:int,seg:string>>"))
+    segs = df.select(F.col(id_col), F.explode(seg_structs).alias("s")).select(
+        id_col, "s.seg_idx", "s.seg"
+    )
+    boiler = (
+        segs.groupBy("seg")
+        .agg(F.count(F.lit(1)).alias("_df"))
+        .filter(F.col("_df") >= min_df)
+        .select("seg")
+    )
+    kept = segs.join(F.broadcast(boiler), "seg", "left_anti")
+    rebuilt = kept.groupBy(id_col).agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("seg_idx", "seg"))),
+                lambda s: s.seg,
+            ),
+            " ",
+        ).alias("clean_text"),
+        F.count(F.lit(1)).alias("_n_kept"),
+    )
+    base = df.select(F.col(id_col), nseg.cast("long").alias("n_segments"))
+    return base.join(rebuilt, id_col, "left").select(
+        id_col,
+        F.coalesce(F.col("clean_text"), F.lit("")).alias("clean_text"),
+        "n_segments",
+        (F.col("n_segments") - F.coalesce(F.col("_n_kept"), F.lit(0)))
+        .cast("long")
+        .alias("n_removed"),
+    )

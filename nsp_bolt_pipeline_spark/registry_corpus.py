@@ -547,3 +547,56 @@ def q_curation_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("n_pieces").alias("n_pieces"),
         )
     )
+
+
+SEG_WORDS = 4  # boilerplate segment grain (words)
+SEG_MIN_DF = 3  # corpus frequency at which a segment is boilerplate
+
+
+@query(
+    "corpus_boilerplate_strip",
+    f"""
+    WITH t AS (SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS toks
+               FROM documents),
+    segs AS (
+        SELECT doc_id, CAST(i AS INTEGER) AS seg_idx,
+               array_to_string(
+                   toks[(i*{SEG_WORDS}+1):(i*{SEG_WORDS}+{SEG_WORDS})], ' '
+               ) AS seg
+        FROM t, LATERAL (
+            SELECT unnest(range(0,
+                CASE WHEN len(trim(t.toks[1])) = 0 AND len(toks) = 1 THEN 0
+                     ELSE CAST(floor((len(toks) + {SEG_WORDS - 1})
+                               / {SEG_WORDS}) AS BIGINT) END)) AS i)
+    ),
+    boiler AS (SELECT seg FROM segs GROUP BY seg
+               HAVING COUNT(*) >= {SEG_MIN_DF}),
+    kept AS (SELECT segs.* FROM segs ANTI JOIN boiler USING (seg)),
+    re AS (SELECT doc_id, string_agg(seg, ' ' ORDER BY seg_idx) AS clean_text,
+                  COUNT(*) AS n_kept
+           FROM kept GROUP BY doc_id),
+    tot AS (SELECT doc_id, COUNT(*) AS n_seg FROM segs GROUP BY doc_id)
+    SELECT d.doc_id,
+           COALESCE(re.clean_text, '') AS clean_text,
+           CAST(COALESCE(tot.n_seg, 0) AS BIGINT) AS n_segments,
+           CAST(COALESCE(tot.n_seg, 0) - COALESCE(re.n_kept, 0) AS BIGINT)
+               AS n_removed
+    FROM documents d
+    LEFT JOIN tot USING (doc_id)
+    LEFT JOIN re USING (doc_id)
+    """,
+)
+def q_boilerplate_strip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C4-style corpus-wide repeated-segment stripping at a 4-word
+    segment grain: any segment occurring verbatim in >= 3 places
+    across the corpus is boilerplate and removed from every document;
+    survivors are rejoined in original order. The frequency count
+    shuffles on segment content, the boilerplate set broadcasts back,
+    and reassembly is one doc-keyed shuffle — no corpus-wide window.
+    """
+    from nsp_bolt_pipeline_spark.operators.corpus import boilerplate_strip
+
+    docs = read_table(spark, sf_dir, "documents")
+    return boilerplate_strip(
+        docs, seg_words=SEG_WORDS, min_df=SEG_MIN_DF
+    )

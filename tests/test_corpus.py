@@ -196,3 +196,45 @@ def test_percentile_trim_single_row(spark):
     # exactly DuckDB's percent_rank semantics.
     assert percentile_trim(df, count_col="n", lower=0.0).count() == 1
     assert percentile_trim(df, count_col="n").count() == 0
+
+
+def test_boilerplate_strip_removes_repeated_segments(spark):
+    from nsp_bolt_pipeline_spark.operators.corpus import boilerplate_strip
+
+    banner = "all rights reserved worldwide"
+    docs = spark.createDataFrame(
+        [
+            (1, f"{banner} alpha beta gamma delta"),
+            (2, f"{banner} epsilon zeta eta theta"),
+            (3, f"{banner} iota kappa lamda muon"),
+            (4, "unique words only here today"),
+        ],
+        ["doc_id", "text"],
+    )
+    out = {
+        r["doc_id"]: r
+        for r in boilerplate_strip(docs, seg_words=4, min_df=3).collect()
+    }
+    # the 4-word banner segment appears 3x -> stripped everywhere
+    assert out[1]["clean_text"] == "alpha beta gamma delta"
+    assert out[1]["n_segments"] == 2 and out[1]["n_removed"] == 1
+    # below-threshold segments survive verbatim, in original order
+    assert out[4]["clean_text"].startswith("unique words only here")
+    assert out[4]["n_removed"] == 0
+
+
+def test_boilerplate_strip_fully_boilerplate_doc(spark):
+    from nsp_bolt_pipeline_spark.operators.corpus import boilerplate_strip
+
+    seg = "one two three four"
+    docs = spark.createDataFrame(
+        [(i, seg) for i in range(3)] + [(9, "")], ["doc_id", "text"]
+    )
+    out = {
+        r["doc_id"]: r
+        for r in boilerplate_strip(docs, seg_words=4, min_df=3).collect()
+    }
+    # a doc that is 100% boilerplate still appears, emptied
+    assert out[0]["clean_text"] == "" and out[0]["n_removed"] == 1
+    # an empty doc has zero segments and zero removals
+    assert out[9]["n_segments"] == 0 and out[9]["n_removed"] == 0
