@@ -104,6 +104,8 @@ HEADLINE = [
     # C4-style corpus-wide repeated-segment stripping (count on
     # segment content, broadcast anti-join back)
     "corpus_boilerplate_strip",
+    # MRR/nDCG ranking eval of the IVF path vs exact ground truth
+    "eval_retrieval_ranking",
 ]
 
 

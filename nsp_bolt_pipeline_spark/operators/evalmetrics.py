@@ -131,3 +131,62 @@ def calibration_bins(
             ),
         )
     )
+
+
+def ranking_metrics(
+    relevant: DataFrame,
+    ranking: DataFrame,
+    *,
+    k: int,
+    disc_micro: list[int],
+) -> DataFrame:
+    """Per-query retrieval ranking quality: first-hit rank, MRR@k
+    reciprocal-rank term, binary-relevance DCG/nDCG@k, and hit count —
+    the evaluation pass a retrieval deployment runs over a sampled
+    query set (relevant = exact ground-truth top-k, ranking = the ANN
+    system's ranked top-k with a ``rnk`` column).
+
+    Cross-engine exactness: nDCG's 1/log2(rank+1) discounts are NOT
+    computed in the data plane (libm log2 differs in the last ULP
+    across engines). ``disc_micro`` is a list of integer micro-unit
+    discount literals computed ONCE in Python and embedded identically
+    in both the Spark plan and the oracle SQL (the HLL ln-table
+    pattern, operators/sketches.py); DCG is then an exact BIGINT sum
+    under any fold order, and nDCG/RR are each one IEEE division of
+    exact integers.
+
+    Scale: one (query_id, vec_id) equi-join of two k-row-per-query
+    frames, then a query-keyed aggregate — shuffle size is O(queries
+    x k), independent of corpus size.
+    """
+    idcg = sum(disc_micro[:k])
+    disc = F.array([F.lit(d).cast("long") for d in disc_micro[:k]])
+    j = relevant.select("query_id", "vec_id").join(
+        ranking.select("query_id", "vec_id", "rnk"),
+        ["query_id", "vec_id"],
+        "left",
+    )
+    # NB: Spark's element_at resolves a NULL index like -1 (last
+    # element), NOT NULL — the miss rows must be guarded explicitly
+    hit_disc = F.when(
+        F.col("rnk").isNotNull(), F.element_at(disc, F.col("rnk").cast("int"))
+    ).otherwise(F.lit(0).cast("long"))
+    agg = j.groupBy("query_id").agg(
+        F.min("rnk").alias("_first"),
+        F.sum(hit_disc).alias("dcg_micro"),
+        F.count("rnk").alias("n_hits"),
+    )
+    return agg.select(
+        "query_id",
+        F.coalesce(F.col("_first"), F.lit(0)).cast("long").alias(
+            "first_hit_rank"
+        ),
+        F.when(
+            F.col("_first").isNotNull(), F.lit(1.0) / F.col("_first")
+        ).otherwise(F.lit(0.0)).alias("rr_at_k"),
+        F.col("dcg_micro").cast("long").alias("dcg_micro"),
+        (F.col("dcg_micro").cast("double") / F.lit(float(idcg))).alias(
+            "ndcg_at_k"
+        ),
+        F.col("n_hits").cast("long").alias("n_hits"),
+    )

@@ -788,3 +788,60 @@ def q_ann_mmr(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = read_table(spark, sf_dir, "embeddings")
     queries = emb.filter(emb.vec_id < MMR_QUERIES)
     return mmr_topk(emb, queries, k=MMR_K, pool=MMR_POOL)
+
+
+# ---------------------------------------------------------------------------
+# Retrieval ranking quality: MRR@k / nDCG@k of the IVF ranking vs the
+# exact ground truth, entirely in-engine. The nDCG discount table is
+# integer micro-unit literals embedded identically in both plans (the
+# HLL ln-table pattern) so DCG is an exact BIGINT sum; RR and nDCG are
+# one IEEE division each.
+# ---------------------------------------------------------------------------
+
+import math  # noqa: E402
+
+#: 1/log2(r+1) discounts in micro-units, rank 1..K — computed once in
+#: Python, embedded as identical literals in BOTH engines' plans.
+NDCG_DISC_MICRO = [round(1_000_000 / math.log2(r + 1)) for r in range(1, K + 1)]
+_IDCG_MICRO = sum(NDCG_DISC_MICRO)
+
+
+def _ranking_eval_sql() -> str:
+    exact_sql = _REGISTRY["ann_exact_topk"][1]
+    ivf_sql = _REGISTRY["ann_ivf_topk"][1]
+    disc = ", ".join(str(d) for d in NDCG_DISC_MICRO)
+    return f"""
+    WITH e AS ({exact_sql}),
+    a AS ({ivf_sql}),
+    j AS (
+        SELECT e.query_id, e.vec_id, a.rnk
+        FROM e LEFT JOIN a
+          ON e.query_id = a.query_id AND e.vec_id = a.vec_id
+    )
+    SELECT query_id,
+           CAST(COALESCE(MIN(rnk), 0) AS BIGINT) AS first_hit_rank,
+           CASE WHEN MIN(rnk) IS NOT NULL THEN 1.0 / MIN(rnk)
+                ELSE 0.0 END AS rr_at_k,
+           CAST(SUM(COALESCE(([{disc}])[rnk], 0)) AS BIGINT) AS dcg_micro,
+           CAST(SUM(COALESCE(([{disc}])[rnk], 0)) AS DOUBLE)
+               / CAST({_IDCG_MICRO} AS DOUBLE) AS ndcg_at_k,
+           CAST(COUNT(rnk) AS BIGINT) AS n_hits
+    FROM j
+    GROUP BY query_id
+    """
+
+
+@query("eval_retrieval_ranking", _ranking_eval_sql())
+def q_eval_retrieval_ranking(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-query first-hit rank, MRR@{K} reciprocal rank, DCG/nDCG@{K}
+    (binary relevance = membership in the exact top-{K}), and hit
+    count for the IVF(nprobe={NPROBE}) ranking — the ranking-quality
+    twin of ann_recall_eval. Join size is O(queries x k); the corpus
+    is never touched beyond the two already-oracled rankings."""
+    from nsp_bolt_pipeline_spark.operators.evalmetrics import ranking_metrics
+
+    emb = read_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(emb.vec_id < N_QUERIES)
+    rel = exact_topk(emb, queries, k=K)
+    sys = ivf_topk(emb, queries, k=K, n_centroids=N_CENTROIDS, nprobe=NPROBE)
+    return ranking_metrics(rel, sys, k=K, disc_micro=NDCG_DISC_MICRO)

@@ -62,3 +62,31 @@ def test_calibration_bins_clamp_and_rates(spark):
     assert got[1]["n"] == 1 and got[1]["n_pos"] == 0  # 0.2 on the boundary
     assert got[4]["n"] == 1 and got[4]["pos_rate"] == 1.0
     assert got[0]["bin_lo"] == 0.0 and abs(got[0]["bin_hi"] - 0.2) < 1e-12
+
+
+def test_ranking_metrics_hand_computed(spark):
+    from nsp_bolt_pipeline_spark.operators.evalmetrics import ranking_metrics
+
+    disc = [1000, 600, 500]  # micro-unit discounts for ranks 1..3
+    rel = spark.createDataFrame(
+        [(1, 10), (1, 11), (1, 12), (2, 20), (2, 21), (2, 22)],
+        "query_id long, vec_id long",
+    )
+    # q1: system found 10 at rank 2 and 12 at rank 3 (11 missed);
+    # q2: nothing relevant retrieved
+    sysr = spark.createDataFrame(
+        [(1, 99, 1), (1, 10, 2), (1, 12, 3), (2, 98, 1), (2, 97, 2), (2, 96, 3)],
+        "query_id long, vec_id long, rnk long",
+    )
+    got = {
+        r["query_id"]: r
+        for r in ranking_metrics(rel, sysr, k=3, disc_micro=disc).collect()
+    }
+    assert got[1]["first_hit_rank"] == 2 and got[1]["rr_at_k"] == 0.5
+    # misses MUST contribute 0, not the last discount (element_at
+    # resolves a NULL index as -1) — this pins the regression
+    assert got[1]["dcg_micro"] == 600 + 500
+    assert got[1]["ndcg_at_k"] == 1100 / 2100
+    assert got[1]["n_hits"] == 2
+    assert got[2]["first_hit_rank"] == 0 and got[2]["rr_at_k"] == 0.0
+    assert got[2]["dcg_micro"] == 0 and got[2]["ndcg_at_k"] == 0.0
