@@ -106,6 +106,8 @@ HEADLINE = [
     "corpus_boilerplate_strip",
     # MRR/nDCG ranking eval of the IVF path vs exact ground truth
     "eval_retrieval_ranking",
+    # JL +-1 projection 64->16: pure scan-speed literal-matrix map
+    "emb_jl_project",
 ]
 
 

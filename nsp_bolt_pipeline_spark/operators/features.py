@@ -142,3 +142,73 @@ def pca_top_component(
         ]
     )
     return spark.createDataFrame(rows, schema)
+
+
+def jl_signs(k: int, dim: int) -> list[list[float]]:
+    """Deterministic Achlioptas +-1 projection matrix: sign of the md5
+    of "jl-j-d" (top bit of the first hex char). Derived driver-side
+    so the operator and the DuckDB oracle embed bit-identical
+    literals — the srp_planes convention."""
+    import hashlib
+
+    return [
+        [
+            1.0
+            if int(hashlib.md5(f"jl-{j}-{d}".encode()).hexdigest()[0], 16) < 8
+            else -1.0
+            for d in range(dim)
+        ]
+        for j in range(k)
+    ]
+
+
+def _arr_lit(xs: list[float]) -> Column:
+    """A literal double array built with ONE parser call (F.expr), not
+    one py4j round-trip per element (the F.lit-storm srp_neardup_pairs
+    documents). 'D' suffix pins each literal to DOUBLE."""
+    return F.expr("array(" + ", ".join(f"{x!r}D" for x in xs) + ")")
+
+
+def jl_project(
+    df: DataFrame,
+    *,
+    k: int = 16,
+    dim: int = 64,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Johnson-Lindenstrauss random projection dim -> k with a +-1
+    sign matrix and 1/sqrt(k) scaling: the standard cheap
+    dimensionality reduction before clustering / ANN indexing when the
+    raw embedding width dominates shuffle volume.
+
+    Scale design (100 TB): the projection is a pure scan-speed map —
+    k sign-flip folds per row embedded as literal arrays (one parsed
+    expression, no broadcast, no shuffle, no py4j literal storm). At
+    k=16 the projected table is 4x narrower than dim=64, which is the
+    point: every downstream shuffle moves 4x less.
+
+    The 1/sqrt(k) scale is exact in binary floating point for
+    power-of-4 k (1/sqrt(16) = 0.25), so cross-engine replay has no
+    sqrt-ULP hazard; each projected component is the same
+    left-to-right IEEE fold DuckDB's list_sum produces.
+    """
+    signs = jl_signs(k, dim)
+    scale = 1.0 / math.sqrt(k)
+    v = F.col(vec_col)
+    comps = [
+        (
+            F.lit(scale)
+            * F.aggregate(
+                F.zip_with(
+                    v, _arr_lit(signs[j]), lambda x, s: x.cast("double") * s
+                ),
+                F.lit(0.0),
+                lambda acc, x: acc + x,
+            )
+        ).alias(f"_p{j}")
+        for j in range(k)
+    ]
+    return df.select(F.col(id_col), *comps).select(
+        id_col, F.array(*[F.col(f"_p{j}") for j in range(k)]).alias("proj")
+    )

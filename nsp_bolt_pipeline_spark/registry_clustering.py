@@ -451,3 +451,131 @@ def q_pca_top(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     emb = read_table(spark, sf_dir, "embeddings")
     return pca_top_component(emb, dim=DIM, iterations=_PCA_ITERS)
+
+
+# ---------------------------------------------------------------------------
+# Johnson-Lindenstrauss +-1 random projection (operators.features):
+# scan-speed width reduction 64 -> 16 plus the pairwise-distance
+# distortion eval that justifies using the projected table downstream.
+# Sign literals are md5-derived driver-side and embedded identically
+# in both engines (the srp_planes convention); 1/sqrt(16) = 0.25 is
+# exact, so every projected component is the same IEEE left fold.
+# ---------------------------------------------------------------------------
+
+from nsp_bolt_pipeline_spark.operators.features import (  # noqa: E402
+    jl_project,
+    jl_signs,
+)
+
+JL_K = 16
+JL_SAMPLE = 32  # vectors in the pairwise distortion sample
+
+_JL_SIGNS = jl_signs(JL_K, DIM)
+_JL_SCALE = "0.25"  # 1/sqrt(16), exact in binary
+
+
+def _jl_comp_sql(j: int, v: str = "embedding") -> str:
+    lits = ", ".join(repr(x) for x in _JL_SIGNS[j])
+    return (
+        f"{_JL_SCALE} * list_sum(list_transform(range(1, {DIM} + 1), "
+        f"i -> CAST({v}[i] AS DOUBLE) * ([{lits}])[i]))"
+    )
+
+
+@query(
+    "emb_jl_project",
+    "SELECT vec_id, "
+    + ", ".join(f"{_jl_comp_sql(j)} AS p{j}" for j in range(JL_K))
+    + " FROM embeddings",
+)
+def q_emb_jl_project(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full-corpus JL projection, one scalar column per projected
+    dimension — a pure scan-speed map (no shuffle, no broadcast; the
+    sign matrix is a parsed literal)."""
+    emb = read_table(spark, sf_dir, "embeddings")
+    proj = jl_project(emb, k=JL_K, dim=DIM)
+    return proj.select(
+        "vec_id",
+        *[F.col("proj")[j].alias(f"p{j}") for j in range(JL_K)],
+    )
+
+
+def _jl_distortion_sql() -> str:
+    mat = ", ".join(
+        "[" + ", ".join(repr(x) for x in row) + "]" for row in _JL_SIGNS
+    )
+    return f"""
+    WITH s AS (SELECT vec_id, embedding FROM embeddings
+               WHERE vec_id < {JL_SAMPLE}),
+    p AS (
+        SELECT vec_id, embedding,
+               list_transform(range(1, {JL_K} + 1),
+                   j -> {_JL_SCALE} * list_sum(list_transform(
+                        range(1, {DIM} + 1),
+                        i -> CAST(embedding[i] AS DOUBLE) * ([{mat}])[j][i])))
+                   AS proj
+        FROM s
+    )
+    SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+           list_sum(list_transform(range(1, {DIM} + 1),
+               i -> (CAST(a.embedding[i] AS DOUBLE)
+                     - CAST(b.embedding[i] AS DOUBLE))
+                  * (CAST(a.embedding[i] AS DOUBLE)
+                     - CAST(b.embedding[i] AS DOUBLE)))) AS d2_orig,
+           list_sum(list_transform(range(1, {JL_K} + 1),
+               j -> (a.proj[j] - b.proj[j]) * (a.proj[j] - b.proj[j])))
+               AS d2_proj,
+           list_sum(list_transform(range(1, {JL_K} + 1),
+               j -> (a.proj[j] - b.proj[j]) * (a.proj[j] - b.proj[j])))
+           / list_sum(list_transform(range(1, {DIM} + 1),
+               i -> (CAST(a.embedding[i] AS DOUBLE)
+                     - CAST(b.embedding[i] AS DOUBLE))
+                  * (CAST(a.embedding[i] AS DOUBLE)
+                     - CAST(b.embedding[i] AS DOUBLE)))) AS dist_ratio
+    FROM p a JOIN p b ON a.vec_id < b.vec_id
+    WHERE list_sum(list_transform(range(1, {DIM} + 1),
+               i -> (CAST(a.embedding[i] AS DOUBLE)
+                     - CAST(b.embedding[i] AS DOUBLE))
+                  * (CAST(a.embedding[i] AS DOUBLE)
+                     - CAST(b.embedding[i] AS DOUBLE)))) > 0
+    """
+
+
+@query("emb_jl_distortion", _jl_distortion_sql())
+def q_emb_jl_distortion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pairwise distance distortion of the JL projection over a
+    {JL_SAMPLE}-vector sample: ||Pa - Pb||^2 / ||a - b||^2 per pair —
+    the acceptance eval for swapping the projected table into
+    downstream k-means/ANN. The sample side is broadcast; the corpus
+    is untouched."""
+    emb = read_table(spark, sf_dir, "embeddings")
+    s = emb.filter(F.col("vec_id") < JL_SAMPLE)
+    withp = s.join(jl_project(s, k=JL_K, dim=DIM), "vec_id").select(
+        "vec_id", "embedding", "proj"
+    )
+    a = withp.alias("a")
+    b = withp.alias("b")
+
+    def _sq_fold(x: F.Column, y: F.Column) -> F.Column:
+        return F.aggregate(
+            F.zip_with(
+                x, y, lambda u, v: (u.cast("double") - v.cast("double"))
+                * (u.cast("double") - v.cast("double"))
+            ),
+            F.lit(0.0),
+            lambda acc, t: acc + t,
+        )
+
+    d2o = _sq_fold(F.col("a.embedding"), F.col("b.embedding"))
+    d2p = _sq_fold(F.col("a.proj"), F.col("b.proj"))
+    return (
+        a.join(F.broadcast(b), F.col("a.vec_id") < F.col("b.vec_id"))
+        .select(
+            F.col("a.vec_id").alias("id_a"),
+            F.col("b.vec_id").alias("id_b"),
+            d2o.alias("d2_orig"),
+            d2p.alias("d2_proj"),
+            (d2p / d2o).alias("dist_ratio"),
+        )
+        .filter(F.col("d2_orig") > 0)
+    )

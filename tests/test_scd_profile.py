@@ -268,3 +268,33 @@ class TestIncrementalRefresh:
         got = {r.date.day: r for r in inc.collect()}
         assert got[1].count_trips == 2 and got[1].total_fare == 15.0
         assert got[2].count_trips == 1
+
+
+def test_jl_project_matches_numpy_and_preserves_distance(spark):
+    import numpy as np
+
+    from nsp_bolt_pipeline_spark.operators.features import jl_project, jl_signs
+
+    rng = np.random.RandomState(7)
+    vecs = rng.randn(40, 64).astype("float64")
+    df = spark.createDataFrame(
+        [(i, [float(x) for x in vecs[i]]) for i in range(40)],
+        "vec_id long, embedding array<double>",
+    )
+    got = {
+        r["vec_id"]: np.array(r["proj"])
+        for r in jl_project(df, k=16, dim=64).collect()
+    }
+    signs = np.array(jl_signs(16, 64))
+    want = vecs @ signs.T * 0.25
+    for i in range(40):
+        assert np.allclose(got[i], want[i], atol=1e-9)
+    # JL property: squared-distance ratios concentrate around 1
+    ratios = []
+    for i in range(0, 40, 3):
+        for j in range(i + 1, 40, 7):
+            d_o = np.sum((vecs[i] - vecs[j]) ** 2)
+            d_p = np.sum((got[i] - got[j]) ** 2)
+            ratios.append(d_p / d_o)
+    assert 0.25 < min(ratios) and max(ratios) < 4.0
+    assert abs(float(np.mean(ratios)) - 1.0) < 0.35
