@@ -1128,3 +1128,71 @@ def q_stream_sketch_cms(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     segments = spark.read.parquet(dirs["out"])
     return segments.groupBy("row", "bucket").agg(F.sum("cnt").alias("cnt"))
+
+
+# ---------------------------------------------------------------------------
+# Streaming bounded bottom-k daily sample: min-k by content hash is a
+# commutative idempotent fold, so the streaming maintenance (bounded
+# applyInPandasWithState buffer, k rows per day no matter the volume)
+# must hash-match the batch rule exactly — which is what the oracle
+# pins. Streaming twin of l6_bottomk_sample's fixed-size-sample duty.
+# ---------------------------------------------------------------------------
+
+from nsp_bolt_pipeline_spark.streaming.sampler import (  # noqa: E402
+    SENTINEL_EVENT,
+    track_daily_bottomk,
+)
+
+_DAILY_K = 20
+
+_DAILY_SAMPLE_ORACLE = f"""
+    WITH e AS (
+        SELECT event_id, CAST(ts AS DATE) AS day,
+               md5(CAST(event_id AS VARCHAR)) AS h
+        FROM events
+    ),
+    r AS (
+        SELECT *, row_number() OVER (PARTITION BY day
+                                     ORDER BY h ASC, event_id ASC) AS rn
+        FROM e
+    )
+    SELECT day, event_id, h FROM r WHERE rn <= {_DAILY_K}
+"""
+
+
+@query("stream_l6_daily_sample", _DAILY_SAMPLE_ORACLE)
+def q_stream_daily_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Replay the event dump through the bounded streaming sampler:
+    per-day state is k (hash, id) pairs merged and truncated every
+    micro-batch, flushed by event-time timeout once the sentinel
+    pushes the final watermark past each day's last event + horizon.
+    Emitted samples must equal the batch bottom-k-per-day rule."""
+    dirs = _workdir("stream_bottomk")
+    ev = read_table(spark, sf_dir, "events").select("event_id", "ts")
+    max_ts = ev.agg(F.max("ts")).first()[0]
+    sentinel = spark.createDataFrame(
+        [(SENTINEL_EVENT, max_ts + timedelta(hours=72))],
+        "event_id long, ts timestamp",
+    )
+    _dump_events_df(ev.unionByName(sentinel), dirs["src"])
+
+    wire_schema = T.StructType(
+        [
+            T.StructField("event_id", T.LongType()),
+            T.StructField("ts", T.LongType()),
+        ]
+    )
+    stream = _event_stream(spark, dirs["src"], schema=wire_schema)
+    out = track_daily_bottomk(
+        stream, k=_DAILY_K, horizon_ms=3_600_000, watermark_delay="1 hour"
+    )
+    q = (
+        out.writeStream.format("parquet")
+        .option("path", dirs["out"])
+        .option("checkpointLocation", dirs["ckpt"])
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.read.parquet(dirs["out"]).select("day", "event_id", "h")
