@@ -108,6 +108,10 @@ HEADLINE = [
     "eval_retrieval_ranking",
     # JL +-1 projection 64->16: pure scan-speed literal-matrix map
     "emb_jl_project",
+    # context-aware add-one bigram LM scoring (two broadcast tables)
+    "text_lm_bigram_entropy",
+    # bounded-state streaming daily bottom-k sample
+    "stream_l6_daily_sample",
 ]
 
 

@@ -129,3 +129,114 @@ def cross_entropy_scores(
             6,
         ).alias("cross_entropy"),
     )
+
+
+def _bigrams(text_col: str) -> Column:
+    """Adjacent lowercase token pairs "w1 w2" (docs below 2 tokens
+    produce none) — the KenLM-direction n-gram order step up."""
+    toks = _lower_tokens(text_col)
+    return F.when(
+        F.size(toks) >= 2,
+        F.zip_with(
+            F.slice(toks, 1, F.size(toks) - 1),
+            F.slice(toks, 2, F.size(toks) - 1),
+            lambda a, b: F.concat_ws(" ", a, b),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+
+
+def bigram_cross_entropy_scores(
+    docs: DataFrame,
+    ref_pred: Column,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Per-document add-one BIGRAM cross-entropy against the model
+    trained on ``docs.filter(ref_pred)`` — one n-gram order above
+    :func:`cross_entropy_scores`, which is the whole CCNet/KenLM
+    direction (context makes gibberish with plausible unigrams score
+    badly).
+
+        H(d) = (1/m_d) * sum_pos [ ln(c(w1) + V) - ln(c(w1 w2) + 1) ]
+
+    where m_d = bigram positions, c(w1 w2)/c(w1) are reference
+    counts, and V is the reference unigram vocabulary (the add-one
+    denominator; unseen contexts fall back to ln(V)). Unlike the
+    unigram form the denominator varies per context, so BOTH log
+    terms ride as per-vocab-entry integer micro-nats: the numerator
+    table keyed by bigram, the denominator table keyed by context
+    token, each rounded ONCE at model-build time. The per-doc
+    aggregate is then an associative BIGINT sum, and the only float
+    ops are one division and one subtraction-free final scale per row.
+
+    Scale design: both model tables are broadcast-sized (bigram vocab
+    of a reference slice, not the corpus); scoring is explode ->
+    per-(doc, bigram) count -> two broadcast joins -> integer sum.
+    The 1-row scalar frame rides a broadcast nested-loop join, never
+    a shuffle.
+    """
+    ref = docs.filter(ref_pred)
+    uni = (
+        ref.select(F.explode(_lower_tokens(text_col)).alias("tok"))
+        .groupBy("tok")
+        .agg(F.count("*").cast("long").alias("c1"))
+    )
+    scalars = uni.agg(F.count("*").cast("long").alias("v"))
+    den = uni.crossJoin(F.broadcast(scalars)).select(
+        "tok",
+        F.round(F.log(F.col("c1") + F.col("v")) * MU, 0)
+        .cast("long")
+        .alias("den_mu"),
+    )
+    bi = (
+        ref.select(F.explode(_bigrams(text_col)).alias("bg"))
+        .groupBy("bg")
+        .agg(
+            F.round(F.log(F.count("*") + F.lit(1).cast("long")) * MU, 0)
+            .cast("long")
+            .alias("num_mu")
+        )
+    )
+
+    doc_bg = docs.select(
+        F.col(id_col), F.explode(_bigrams(text_col)).alias("bg")
+    )
+    counts = doc_bg.groupBy(id_col, "bg").agg(
+        F.count("*").cast("long").alias("c_db")
+    )
+    terms = (
+        counts.withColumn(
+            "ctx", F.substring_index(F.col("bg"), " ", 1)
+        )
+        .join(F.broadcast(bi), "bg", "left")
+        .join(F.broadcast(den), F.col("ctx") == F.col("tok"), "left")
+        .crossJoin(F.broadcast(scalars))
+        .select(
+            F.col(id_col),
+            F.col("c_db"),
+            (
+                F.coalesce(
+                    F.col("den_mu"),
+                    F.round(F.log(F.col("v").cast("double")) * MU, 0).cast(
+                        "long"
+                    ),
+                )
+                - F.coalesce(F.col("num_mu"), F.lit(0).cast("long"))
+            ).alias("term_mu"),
+        )
+    )
+    per_doc = terms.groupBy(id_col).agg(
+        F.sum("c_db").cast("long").alias("n_bigrams"),
+        F.sum(F.col("c_db") * F.col("term_mu")).cast("long").alias("lm_mu"),
+    )
+    return per_doc.select(
+        id_col,
+        "n_bigrams",
+        "lm_mu",
+        F.round(
+            (F.col("lm_mu") / F.lit(float(MU)))
+            / F.col("n_bigrams").cast("double"),
+            6,
+        ).alias("cross_entropy"),
+    )

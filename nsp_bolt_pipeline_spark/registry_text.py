@@ -895,3 +895,75 @@ def q_lm_cross_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
     bit-exact under any fold order (see operators/lm.py)."""
     docs = read_table(spark, sf_dir, "documents")
     return cross_entropy_scores(docs, F.col("lang") == "en")
+
+
+_BIGRAMS_SQL = (
+    f"CASE WHEN len({_LTOKENS_SQL}) >= 2 THEN "
+    f"list_transform(range(1, len({_LTOKENS_SQL})), "
+    f"i -> {_LTOKENS_SQL}[i] || ' ' || {_LTOKENS_SQL}[i+1]) "
+    f"ELSE [] END"
+)
+
+_LM_BIGRAM_SQL = f"""
+WITH ref_tok AS (
+    SELECT unnest({_LTOKENS_SQL}) AS tok FROM documents WHERE lang = 'en'
+),
+uni AS (
+    SELECT tok, CAST(COUNT(*) AS BIGINT) AS c1 FROM ref_tok GROUP BY tok
+),
+sc AS (SELECT CAST(COUNT(*) AS BIGINT) AS v FROM uni),
+den AS (
+    SELECT tok, CAST(round(ln(c1 + sc.v) * {MU}) AS BIGINT) AS den_mu
+    FROM uni, sc
+),
+ref_bg AS (
+    SELECT unnest({_BIGRAMS_SQL}) AS bg FROM documents WHERE lang = 'en'
+),
+bi AS (
+    SELECT bg, CAST(round(ln(COUNT(*) + 1) * {MU}) AS BIGINT) AS num_mu
+    FROM ref_bg GROUP BY bg
+),
+doc_bg AS (
+    SELECT doc_id, unnest({_BIGRAMS_SQL}) AS bg FROM documents
+),
+cnt AS (
+    SELECT doc_id, bg, CAST(COUNT(*) AS BIGINT) AS c_db
+    FROM doc_bg GROUP BY doc_id, bg
+),
+terms AS (
+    SELECT cnt.doc_id, cnt.c_db,
+           COALESCE(den.den_mu,
+                    CAST(round(ln(CAST(sc.v AS DOUBLE)) * {MU}) AS BIGINT))
+           - COALESCE(bi.num_mu, 0) AS term_mu
+    FROM cnt
+    LEFT JOIN bi ON cnt.bg = bi.bg
+    LEFT JOIN den ON split_part(cnt.bg, ' ', 1) = den.tok
+    CROSS JOIN sc
+),
+agg AS (
+    SELECT doc_id,
+           CAST(SUM(c_db) AS BIGINT) AS n_bigrams,
+           CAST(SUM(c_db * term_mu) AS BIGINT) AS lm_mu
+    FROM terms GROUP BY doc_id
+)
+SELECT doc_id, n_bigrams, lm_mu,
+       round((lm_mu / {float(MU)}) / CAST(n_bigrams AS DOUBLE), 6)
+           AS cross_entropy
+FROM agg
+"""
+
+
+@query("text_lm_bigram_entropy", _LM_BIGRAM_SQL)
+def q_lm_bigram_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Add-one BIGRAM cross-entropy against the trusted-slice model
+    (lang='en') — the n-gram order step toward CCNet's KenLM scoring:
+    context-aware, so plausible-unigram gibberish scores badly. Both
+    log tables (bigram numerator, per-context denominator) are
+    broadcast integer micro-nats; the per-doc sum is associative and
+    bit-exact under any fold order (operators/lm.py)."""
+    from nsp_bolt_pipeline_spark.operators.lm import (
+        bigram_cross_entropy_scores,
+    )
+
+    docs = read_table(spark, sf_dir, "documents")
+    return bigram_cross_entropy_scores(docs, F.col("lang") == "en")

@@ -166,3 +166,42 @@ def test_exact_substring_merges_disjoint_islands(spark):
     )
     # the 5-token gap words are unique -> two separate islands
     assert doc1 == [(1, 5), (11, 15)]
+
+
+def test_bigram_entropy_prefers_reference_like_order(spark):
+    from nsp_bolt_pipeline_spark.operators.lm import (
+        bigram_cross_entropy_scores,
+    )
+    import pyspark.sql.functions as F
+
+    ref = "the quick brown fox jumps over the lazy dog"
+    rows = [(i, ref, "en") for i in range(5)]
+    # same unigrams as the reference but scrambled order -> unigram LM
+    # cannot tell them apart; the bigram LM must
+    rows.append((100, ref, "xx"))
+    rows.append((101, "dog the over quick lazy fox brown jumps the", "xx"))
+    df = spark.createDataFrame(rows, "doc_id long, text string, lang string")
+    got = {
+        r["doc_id"]: r
+        for r in bigram_cross_entropy_scores(
+            df, F.col("lang") == "en"
+        ).collect()
+    }
+    assert got[100]["cross_entropy"] < got[101]["cross_entropy"]
+    assert got[100]["n_bigrams"] == 8
+    # integer micro-nat sums are exact: identical docs score equal
+    assert got[100]["lm_mu"] == got[0]["lm_mu"]
+
+
+def test_bigram_entropy_short_docs_drop_out(spark):
+    from nsp_bolt_pipeline_spark.operators.lm import (
+        bigram_cross_entropy_scores,
+    )
+    import pyspark.sql.functions as F
+
+    df = spark.createDataFrame(
+        [(1, "a b c", "en"), (2, "single", "en"), (3, "", "en")],
+        "doc_id long, text string, lang string",
+    )
+    out = bigram_cross_entropy_scores(df, F.col("lang") == "en")
+    assert [r["doc_id"] for r in out.collect()] == [1]
