@@ -838,9 +838,13 @@ def exact_substring_spans(
         .otherwise(F.array().cast("array<string>"))
         .alias("grams"),
     )
+    # the (id, pos, g) frame feeds BOTH the duplicate-fingerprint agg
+    # and the join back; persist the slim form so the corpus-wide md5
+    # fingerprinting runs once, not twice (the MinHash banding-index
+    # pattern) — at bench scale this halves the operator's cost
     windows = toks.select(
         id_col, F.posexplode("grams").alias("pos0", "g")
-    ).select(id_col, (F.col("pos0") + 1).alias("pos"), "g")
+    ).select(id_col, (F.col("pos0") + 1).alias("pos"), "g").persist()
 
     dup = (
         windows.groupBy("g")
