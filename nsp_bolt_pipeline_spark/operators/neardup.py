@@ -569,12 +569,15 @@ def winnowing_pairs(
     and the join only collides documents that actually share a
     k-gram window; AQE splits hot fingerprints (boilerplate strings)
     the same way it splits hot LSH buckets."""
+    # persist the slim (id, fp) table: the rolling-hash fingerprint
+    # fold is the expensive stage and feeds BOTH sides of the
+    # self-join (the MinHash banding-index pattern)
     fps = docs.select(
         F.col(id_col),
         F.explode(
             winnow_fingerprint_ints(text_col, k=k, w=w)
         ).alias("fp"),
-    )
+    ).persist()
     a = fps.select(F.col(id_col).alias("d1"), "fp")
     b = fps.select(F.col(id_col).alias("d2"), "fp")
     return (

@@ -69,7 +69,8 @@ def dsir_importance_weights(
         F.col(id_col).alias("d"),
         target_pred.alias("is_target"),
         F.explode(hashed_bigrams(text_col, dim)).alias("f"),
-    )
+    ).persist()  # feeds the distribution agg AND the scoring join —
+    # the hashed-bigram explode is the expensive stage, run it once
     dist = feats.groupBy("f").agg(
         F.sum(F.col("is_target").cast("long")).alias("target_cnt"),
         F.count("*").alias("raw_cnt"),

@@ -64,10 +64,15 @@ def prefix_filtered_jaccard_join(
     Jaccard). Output matches the naive all-pairs definition exactly."""
     if set_expr is None:
         set_expr = F.array_distinct(tokens("text"))
+    # persist both reused frames (the MinHash banding-index pattern):
+    # `sets` feeds the df count, the rarity ordering, and both verify
+    # sides; `pre` feeds both sides of the candidate self-join — the
+    # shingle explode is the expensive stage and must run once
     sets = (
         docs.select(F.col(id_col).alias("d"), set_expr.alias("toks"))
         .withColumn("n", F.size("toks"))
         .filter(F.col("n") >= 1)
+        .persist()
     )
 
     # document frequency of every distinct token (per-doc distinct,
@@ -105,7 +110,7 @@ def prefix_filtered_jaccard_join(
         )
     )
 
-    pre = ordered.select("d", "n", F.explode("prefix").alias("tok"))
+    pre = ordered.select("d", "n", F.explode("prefix").alias("tok")).persist()
     cands = (
         pre.alias("a")
         .join(pre.alias("b"), "tok")
