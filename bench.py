@@ -112,6 +112,8 @@ HEADLINE = [
     "text_lm_bigram_entropy",
     # bounded-state streaming daily bottom-k sample
     "stream_l6_daily_sample",
+    # hot-path boilerplate strip: static broadcast set + foreachBatch
+    "stream_boilerplate_ingest",
 ]
 
 

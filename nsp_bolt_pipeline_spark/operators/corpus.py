@@ -380,12 +380,48 @@ def boilerplate_strip(
     corpus-side reassembly shuffles once on doc id. No window touches
     the full corpus.
     """
+    segs = segment_rows(
+        df, id_col=id_col, text_col=text_col, seg_words=seg_words
+    )
+    boiler = (
+        segs.groupBy("seg")
+        .agg(F.count(F.lit(1)).alias("_df"))
+        .filter(F.col("_df") >= min_df)
+        .select("seg")
+    )
+    return strip_segments(
+        df, boiler, id_col=id_col, text_col=text_col, seg_words=seg_words
+    )
+
+
+def segment_count(text_col: str, seg_words: int) -> Column:
+    """Number of ``seg_words``-word segments in the trimmed text (0
+    for empty/whitespace-only docs)."""
     c = F.col(text_col)
-    nseg = F.when(F.length(F.trim(c)) > 0, F.floor(
-        (F.size(tokens(text_col)) + F.lit(seg_words - 1)) / seg_words
-    )).otherwise(F.lit(0)).cast("int")
+    return (
+        F.when(
+            F.length(F.trim(c)) > 0,
+            F.floor(
+                (F.size(tokens(text_col)) + F.lit(seg_words - 1)) / seg_words
+            ),
+        )
+        .otherwise(F.lit(0))
+        .cast("int")
+    )
+
+
+def segment_rows(
+    df: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    seg_words: int = 4,
+) -> DataFrame:
+    """Explode each doc into consecutive non-overlapping word
+    segments: (id, seg_idx, seg). Pure map-side explode."""
+    nseg = segment_count(text_col, seg_words)
     seg_structs = F.when(
-        F.length(F.trim(c)) > 0,
+        F.length(F.trim(F.col(text_col))) > 0,
         bind_once(
             tokens(text_col),
             lambda toks: F.transform(
@@ -399,16 +435,28 @@ def boilerplate_strip(
             ),
         ),
     ).otherwise(F.array().cast("array<struct<seg_idx:int,seg:string>>"))
-    segs = df.select(F.col(id_col), F.explode(seg_structs).alias("s")).select(
+    return df.select(F.col(id_col), F.explode(seg_structs).alias("s")).select(
         id_col, "s.seg_idx", "s.seg"
     )
-    boiler = (
-        segs.groupBy("seg")
-        .agg(F.count(F.lit(1)).alias("_df"))
-        .filter(F.col("_df") >= min_df)
-        .select("seg")
+
+
+def strip_segments(
+    df: DataFrame,
+    boiler: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    seg_words: int = 4,
+) -> DataFrame:
+    """Remove every occurrence of the (small, broadcast) ``boiler``
+    segment set from ``df`` and reassemble survivors in original
+    order — the apply half of :func:`boilerplate_strip`, reusable
+    against a pre-trained boilerplate set (e.g. per micro-batch in
+    the streaming intake)."""
+    segs = segment_rows(
+        df, id_col=id_col, text_col=text_col, seg_words=seg_words
     )
-    kept = segs.join(F.broadcast(boiler), "seg", "left_anti")
+    kept = segs.join(F.broadcast(boiler.select("seg")), "seg", "left_anti")
     rebuilt = kept.groupBy(id_col).agg(
         F.array_join(
             F.transform(
@@ -419,7 +467,10 @@ def boilerplate_strip(
         ).alias("clean_text"),
         F.count(F.lit(1)).alias("_n_kept"),
     )
-    base = df.select(F.col(id_col), nseg.cast("long").alias("n_segments"))
+    base = df.select(
+        F.col(id_col),
+        segment_count(text_col, seg_words).cast("long").alias("n_segments"),
+    )
     return base.join(rebuilt, id_col, "left").select(
         id_col,
         F.coalesce(F.col("clean_text"), F.lit("")).alias("clean_text"),

@@ -1196,3 +1196,58 @@ def q_stream_daily_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     q.awaitTermination()
     return spark.read.parquet(dirs["out"]).select("day", "event_id", "h")
+
+
+# ---------------------------------------------------------------------------
+# Streaming boilerplate-stripping intake: the C4 repeated-segment rule
+# applied on the hot path — boiler set trained offline (the batch
+# count pass), broadcast as static state, applied per micro-batch in
+# foreachBatch. Must hash-match the batch corpus_boilerplate_strip.
+# ---------------------------------------------------------------------------
+
+
+def _boilerplate_stream_sql() -> str:
+    from nsp_bolt_pipeline_spark.registry import REGISTRY as _R
+
+    return _R["corpus_boilerplate_strip"][1]
+
+
+@query("stream_boilerplate_ingest", _boilerplate_stream_sql())
+def q_stream_boilerplate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Replay the documents dump through the boilerplate-stripping
+    intake: the segment-frequency pass runs offline over the same
+    corpus, its >= min_df segments broadcast into every micro-batch's
+    anti-join, cleaned docs append to bronze. Bronze must equal the
+    batch strip bit-for-bit regardless of batch boundaries."""
+    from nsp_bolt_pipeline_spark.operators.corpus import segment_rows
+    from nsp_bolt_pipeline_spark.registry_corpus import (
+        SEG_MIN_DF,
+        SEG_WORDS,
+    )
+    from nsp_bolt_pipeline_spark.streaming.ingest import (
+        run_boilerplate_ingest,
+    )
+
+    dirs = _workdir("stream_boiler")
+    docs = read_table(spark, sf_dir, "documents").select(
+        "doc_id", "text", "lang", "source"
+    )
+    boiler = (
+        segment_rows(docs, seg_words=SEG_WORDS)
+        .groupBy("seg")
+        .agg(F.count(F.lit(1)).alias("_df"))
+        .filter(F.col("_df") >= SEG_MIN_DF)
+        .select("seg")
+    )
+    dump_json_batches(docs, dirs["src"], order_cols=["doc_id"])
+    stream = spark.readStream.schema(DOC_WIRE_SCHEMA).json(dirs["src"])
+    run_boilerplate_ingest(
+        stream,
+        boiler,
+        bronze_dir=dirs["out"],
+        checkpoint_dir=dirs["ckpt"],
+        seg_words=SEG_WORDS,
+    )
+    return spark.read.parquet(dirs["out"]).select(
+        "doc_id", "clean_text", "n_segments", "n_removed"
+    )

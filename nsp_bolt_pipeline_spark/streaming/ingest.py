@@ -331,3 +331,37 @@ def run_cms_ingest(
         .start()
     )
     query.awaitTermination()
+
+
+def run_boilerplate_ingest(
+    stream: DataFrame,
+    boiler: DataFrame,
+    *,
+    bronze_dir: str,
+    checkpoint_dir: str,
+    seg_words: int = 4,
+) -> None:
+    """Streaming corpus intake with boilerplate stripping: every
+    micro-batch is scrubbed against a PRE-TRAINED boilerplate segment
+    set (operators.corpus.boilerplate_strip's count pass, run over a
+    reference corpus offline) and the cleaned docs append to bronze.
+
+    Structure: the boiler set is a static broadcast side (the
+    stream-static enrich shape); segment explode + anti-join +
+    reassembly run per micro-batch inside foreachBatch — documents
+    never span batches, so the per-doc groupBy is batch-local state,
+    not a store. Cleaning is deterministic per doc, so at-least-once
+    redelivery rewrites identical rows."""
+    from nsp_bolt_pipeline_spark.operators.corpus import strip_segments
+
+    def process_batch(batch: DataFrame, _batch_id: int) -> None:
+        cleaned = strip_segments(batch, boiler, seg_words=seg_words)
+        cleaned.write.mode("append").parquet(bronze_dir)
+
+    query = (
+        stream.writeStream.foreachBatch(process_batch)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    query.awaitTermination()
