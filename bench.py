@@ -114,6 +114,8 @@ HEADLINE = [
     "stream_l6_daily_sample",
     # hot-path boilerplate strip: static broadcast set + foreachBatch
     "stream_boilerplate_ingest",
+    # streaming IVF index maintenance vs the frozen coarse codebook
+    "stream_ivf_ingest",
 ]
 
 

@@ -1251,3 +1251,74 @@ def q_stream_boilerplate(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.read.parquet(dirs["out"]).select(
         "doc_id", "clean_text", "n_segments", "n_removed"
     )
+
+
+# ---------------------------------------------------------------------------
+# Streaming IVF index maintenance: new vectors assign to the frozen
+# coarse codebook per micro-batch (static broadcast, stateless map)
+# and append to their inverted lists — how a production ANN serving
+# index absorbs a vector firehose between codebook retrains. Batch
+# boundaries cannot matter (assignment is per-row), which the batch
+# assignment oracle pins.
+# ---------------------------------------------------------------------------
+
+
+def _ivf_ingest_sql() -> str:
+    from nsp_bolt_pipeline_spark.registry_similarity import (
+        N_CENTROIDS,
+        _cos_sql,
+    )
+
+    return f"""
+    WITH cent AS (SELECT vec_id AS cid, embedding AS cv
+                  FROM embeddings WHERE vec_id < {N_CENTROIDS}),
+    vecs AS (SELECT vec_id, embedding AS v FROM embeddings)
+    SELECT vec_id, cid FROM (
+        SELECT v.vec_id, cent.cid,
+               row_number() OVER (
+                   PARTITION BY v.vec_id
+                   ORDER BY {_cos_sql("v.v", "cent.cv")} DESC, cent.cid ASC
+               ) AS rn
+        FROM vecs v, cent
+    ) WHERE rn = 1
+    """
+
+
+@query("stream_ivf_ingest", _ivf_ingest_sql())
+def q_stream_ivf_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Replay the embeddings dump through the streaming IVF ingest:
+    each micro-batch cross-joins the broadcast 16-centroid codebook,
+    max_by-assigns, and appends (vec_id, cid) to the index table.
+    The JSON wire carries the vectors as doubles (exact float32
+    upcast, bit-stable round trip), so streamed assignments must
+    equal the batch assignment of the whole corpus."""
+    from nsp_bolt_pipeline_spark.operators.similarity import ivf_assignments
+    from nsp_bolt_pipeline_spark.registry_similarity import N_CENTROIDS
+
+    dirs = _workdir("stream_ivf")
+    emb = read_table(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("embedding")
+    )
+    centroids = emb.filter(F.col("vec_id") < N_CENTROIDS)
+    dump_json_batches(emb, dirs["src"], order_cols=["vec_id"])
+    wire = T.StructType(
+        [
+            T.StructField("vec_id", T.LongType()),
+            T.StructField("embedding", T.ArrayType(T.DoubleType())),
+        ]
+    )
+    stream = spark.readStream.schema(wire).json(dirs["src"])
+
+    def process_batch(batch: DataFrame, _batch_id: int) -> None:
+        ivf_assignments(batch, centroids).write.mode("append").parquet(
+            dirs["out"]
+        )
+
+    q = (
+        stream.writeStream.foreachBatch(process_batch)
+        .option("checkpointLocation", dirs["ckpt"])
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.read.parquet(dirs["out"]).select("vec_id", "cid")
