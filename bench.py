@@ -116,6 +116,8 @@ HEADLINE = [
     "stream_boilerplate_ingest",
     # streaming IVF index maintenance vs the frozen coarse codebook
     "stream_ivf_ingest",
+    # JL-prefiltered two-stage ANN: 16-dim candidates, exact rescore
+    "ann_jl_topk",
 ]
 
 

@@ -501,20 +501,24 @@ def q_emb_jl_project(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _jl_distortion_sql() -> str:
-    mat = ", ".join(
-        "[" + ", ".join(repr(x) for x in row) + "]" for row in _JL_SIGNS
+    rows = ", ".join(
+        f"({j + 1}, [" + ", ".join(repr(x) for x in _JL_SIGNS[j]) + "])"
+        for j in range(JL_K)
     )
     return f"""
     WITH s AS (SELECT vec_id, embedding FROM embeddings
                WHERE vec_id < {JL_SAMPLE}),
+    m AS (SELECT j, r FROM (VALUES {rows}) AS m(j, r)),
+    pm AS (
+        SELECT s.vec_id, m.j,
+               {_JL_SCALE} * list_sum(list_transform(range(1, {DIM} + 1),
+                   i -> CAST(s.embedding[i] AS DOUBLE) * m.r[i])) AS pj
+        FROM s, m
+    ),
+    pl AS (SELECT vec_id, list(pj ORDER BY j) AS proj FROM pm GROUP BY vec_id),
     p AS (
-        SELECT vec_id, embedding,
-               list_transform(range(1, {JL_K} + 1),
-                   j -> {_JL_SCALE} * list_sum(list_transform(
-                        range(1, {DIM} + 1),
-                        i -> CAST(embedding[i] AS DOUBLE) * ([{mat}])[j][i])))
-                   AS proj
-        FROM s
+        SELECT s.vec_id, s.embedding, pl.proj
+        FROM s JOIN pl USING (vec_id)
     )
     SELECT a.vec_id AS id_a, b.vec_id AS id_b,
            list_sum(list_transform(range(1, {DIM} + 1),
@@ -579,3 +583,141 @@ def q_emb_jl_distortion(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .filter(F.col("d2_orig") > 0)
     )
+
+
+# ---------------------------------------------------------------------------
+# Two-stage ANN through the JL projection: candidates ranked in the
+# 16-dim projected space (4x less compute and shuffle per score),
+# then exact-cosine rescoring of the short candidate list in the
+# original space — the standard coarse-then-exact serving shape, here
+# with the projection as the coarse quantizer.
+# ---------------------------------------------------------------------------
+
+JL_CAND = 50  # candidate pool per query entering exact rescoring
+_ANN_Q = 10  # matches registry_similarity.N_QUERIES / K
+_ANN_K = 10
+
+
+def _jl_proj_list_sql(v: str = "embedding") -> str:
+    mat = ", ".join(
+        "[" + ", ".join(repr(x) for x in row) + "]" for row in _JL_SIGNS
+    )
+    return (
+        f"list_transform(range(1, {JL_K} + 1), "
+        f"j -> {_JL_SCALE} * list_sum(list_transform(range(1, {DIM} + 1), "
+        f"i -> CAST({v}[i] AS DOUBLE) * ([{mat}])[j][i])))"
+    )
+
+
+def _list_cos_sql(a: str, b: str, n: int) -> str:
+    d = (
+        f"list_sum(list_transform(range(1, {n} + 1), "
+        f"i -> CAST({{x}}[i] AS DOUBLE) * CAST({{y}}[i] AS DOUBLE)))"
+    )
+    ab = d.format(x=a, y=b)
+    aa = d.format(x=a, y=a)
+    bb = d.format(x=b, y=b)
+    return f"{ab} / (sqrt({aa}) * sqrt({bb}))"
+
+
+def _jl_matrix_values_sql() -> str:
+    """The sign matrix as a 16-row VALUES CTE — a list literal inside
+    a lambda is REBUILT per evaluation by DuckDB (one 1024-element
+    construction per (row, j, i) = a 500x slowdown observed); as a
+    column value it materializes once per join row."""
+    rows = ", ".join(
+        f"({j + 1}, [" + ", ".join(repr(x) for x in _JL_SIGNS[j]) + "])"
+        for j in range(JL_K)
+    )
+    return f"(VALUES {rows}) AS m(j, r)"
+
+
+def _ann_jl_sql() -> str:
+    return f"""
+    WITH m AS (SELECT j, r FROM {_jl_matrix_values_sql()}),
+    pm AS (
+        SELECT e.vec_id, m.j,
+               {_JL_SCALE} * list_sum(list_transform(range(1, {DIM} + 1),
+                   i -> CAST(e.embedding[i] AS DOUBLE) * m.r[i])) AS pj
+        FROM embeddings e, m
+    ),
+    pl AS (SELECT vec_id, list(pj ORDER BY j) AS proj FROM pm GROUP BY vec_id),
+    p AS (
+        SELECT e.vec_id, e.embedding, pl.proj
+        FROM embeddings e JOIN pl USING (vec_id)
+    ),
+    q AS (SELECT vec_id AS query_id, embedding AS qv, proj AS qp
+          FROM p WHERE vec_id < {_ANN_Q}),
+    cand AS (
+        SELECT query_id, vec_id, embedding, qv FROM (
+            SELECT q.query_id, p.vec_id, p.embedding, q.qv,
+                   row_number() OVER (
+                       PARTITION BY q.query_id
+                       ORDER BY {_list_cos_sql("q.qp", "p.proj", "JLK")} DESC,
+                                p.vec_id ASC
+                   ) AS crnk
+            FROM q, p WHERE p.vec_id <> q.query_id
+        ) WHERE crnk <= {JL_CAND}
+    )
+    SELECT query_id, vec_id, sim, rnk FROM (
+        SELECT query_id, vec_id,
+               {_list_cos_sql("qv", "embedding", "EMBDIM")} AS sim,
+               row_number() OVER (
+                   PARTITION BY query_id
+                   ORDER BY {_list_cos_sql("qv", "embedding", "EMBDIM")} DESC,
+                            vec_id ASC
+               ) AS rnk
+        FROM cand
+    ) WHERE rnk <= {_ANN_K}
+    """.replace("JLK", str(JL_K)).replace("EMBDIM", str(DIM))
+
+
+@query("ann_jl_topk", _ann_jl_sql())
+def q_ann_jl_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JL-prefiltered exact top-k: rank the corpus per query by
+    projected-space cosine (16-dim folds — 4x cheaper than raw),
+    keep {JL_CAND} candidates, rescore exactly in the 64-dim space.
+    Queries ride broadcast through both stages; the corpus shuffles
+    only (query_id, vec_id) candidate pairs."""
+    from nsp_bolt_pipeline_spark.operators.similarity import (
+        _topk_per_query,
+        dot,
+        l2_norm,
+    )
+
+    emb = read_table(spark, sf_dir, "embeddings")
+    proj = jl_project(emb, k=JL_K, dim=DIM).join(emb, "vec_id").select(
+        "vec_id", "embedding", "proj"
+    )
+    q = proj.filter(F.col("vec_id") < _ANN_Q).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("qv"),
+        F.col("proj").alias("qp"),
+        l2_norm(F.col("proj")).alias("qpn"),
+        l2_norm(F.col("embedding")).alias("qn"),
+    )
+    W = Window.partitionBy("query_id").orderBy(
+        F.col("psim").desc(), F.col("vec_id").asc()
+    )
+    cand = (
+        proj.join(F.broadcast(q), F.col("vec_id") != F.col("query_id"))
+        .withColumn(
+            "psim",
+            dot(F.col("qp"), F.col("proj"))
+            / (F.col("qpn") * l2_norm(F.col("proj"))),
+        )
+        .withColumn("crnk", F.row_number().over(W))
+        .filter(F.col("crnk") <= JL_CAND)
+    )
+    scored = cand.select(
+        "query_id",
+        "vec_id",
+        (
+            dot(F.col("qv"), F.col("embedding"))
+            / (F.col("qn") * l2_norm(F.col("embedding")))
+        ).alias("sim"),
+    )
+    return _topk_per_query(scored, _ANN_K)
+
+
+from pyspark.sql import Window  # noqa: E402
