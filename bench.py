@@ -118,6 +118,8 @@ HEADLINE = [
     "stream_ivf_ingest",
     # JL-prefiltered two-stage ANN: 16-dim candidates, exact rescore
     "ann_jl_topk",
+    # GDPR delete cascade: erase at bronze, re-derive silver/gold
+    "d9_delete_propagation",
 ]
 
 

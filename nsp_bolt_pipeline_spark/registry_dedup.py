@@ -1082,3 +1082,110 @@ def q_exact_substring(spark: SparkSession, sf_dir: str) -> DataFrame:
     window sort is partitioned by document, never global)."""
     docs = read_table(spark, sf_dir, "documents")
     return exact_substring_spans(docs)
+
+
+# ---------------------------------------------------------------------------
+# GDPR delete propagation: erase a key set at the source-of-truth
+# layer and re-derive every downstream layer, with a per-layer audit
+# of what the cascade removed — the governance operation a PII-bearing
+# pipeline must be able to run. Deletion is applied ONCE (bronze);
+# silver/gold change only through re-derivation, so the audit also
+# proves no downstream layer retains deleted keys.
+# ---------------------------------------------------------------------------
+
+DELETE_MOD = 37  # content-addressed delete set: user_id % 37 == 0
+
+
+def _d9_sql() -> str:
+    from nsp_bolt_pipeline_spark.pipeline import END_EVENT, START_EVENT
+
+    return f"""
+    WITH bronze AS (
+        SELECT user_id, event_type, event_id, ts, value FROM (
+            SELECT user_id, event_type, event_id, ts, value,
+                   row_number() OVER (PARTITION BY user_id, event_type
+                                      ORDER BY ts, event_id) AS rn
+            FROM events
+        ) WHERE rn = 1
+    ),
+    ba AS (SELECT * FROM bronze WHERE user_id % {DELETE_MOD} <> 0),
+    silver AS (
+        SELECT s.user_id, e.ts AS dropoff, e.value AS fare
+        FROM bronze s JOIN bronze e
+          ON s.user_id = e.user_id
+        WHERE s.event_type = '{START_EVENT}'
+          AND e.event_type = '{END_EVENT}'
+    ),
+    sa AS (
+        SELECT s.user_id, e.ts AS dropoff, e.value AS fare
+        FROM ba s JOIN ba e ON s.user_id = e.user_id
+        WHERE s.event_type = '{START_EVENT}'
+          AND e.event_type = '{END_EVENT}'
+    ),
+    gold AS (SELECT CAST(dropoff AS DATE) AS d FROM silver GROUP BY 1),
+    ga AS (SELECT CAST(dropoff AS DATE) AS d FROM sa GROUP BY 1)
+    SELECT 'bronze' AS layer,
+           CAST((SELECT COUNT(*) FROM bronze) AS BIGINT) AS n_before,
+           CAST((SELECT COUNT(*) FROM ba) AS BIGINT) AS n_after,
+           CAST((SELECT COUNT(*) FROM bronze)
+                - (SELECT COUNT(*) FROM ba) AS BIGINT) AS n_removed
+    UNION ALL
+    SELECT 'silver',
+           CAST((SELECT COUNT(*) FROM silver) AS BIGINT),
+           CAST((SELECT COUNT(*) FROM sa) AS BIGINT),
+           CAST((SELECT COUNT(*) FROM silver)
+                - (SELECT COUNT(*) FROM sa) AS BIGINT)
+    UNION ALL
+    SELECT 'gold',
+           CAST((SELECT COUNT(*) FROM gold) AS BIGINT),
+           CAST((SELECT COUNT(*) FROM ga) AS BIGINT),
+           CAST((SELECT COUNT(*) FROM gold)
+                - (SELECT COUNT(*) FROM ga) AS BIGINT)
+    """
+
+
+@query("d9_delete_propagation", _d9_sql())
+def q_d9_delete_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Erase user_id % {DELETE_MOD} == 0 at bronze, re-derive the
+    completion-join silver and the daily gold, and report per-layer
+    before/after/removed counts. One anti-filter at the source layer;
+    everything downstream is plan reuse — the same derivation run
+    twice, which is exactly how a backfill-after-delete executes."""
+    from nsp_bolt_pipeline_spark.pipeline import END_EVENT, START_EVENT
+
+    ev = read_table(spark, sf_dir, "events").select(
+        "user_id", "event_type", "event_id", "ts", "value"
+    )
+    bronze = _fww(
+        ev, keys=["user_id", "event_type"], order_cols=["ts", "event_id"]
+    ).persist()
+    ba = bronze.filter(F.col("user_id") % DELETE_MOD != 0)
+
+    def silver(src: DataFrame) -> DataFrame:
+        s = src.filter(F.col("event_type") == START_EVENT).select("user_id")
+        e = src.filter(F.col("event_type") == END_EVENT).select(
+            "user_id", F.col("ts").alias("dropoff"), F.col("value").alias("fare")
+        )
+        return s.join(e, "user_id")
+
+    def gold(sil: DataFrame) -> DataFrame:
+        return sil.select(F.to_date("dropoff").alias("d")).dropDuplicates()
+
+    sil, sil_a = silver(bronze).persist(), silver(ba).persist()
+
+    def counts(layer: str, before: DataFrame, after: DataFrame) -> DataFrame:
+        nb = before.agg(F.count(F.lit(1)).alias("n_before"))
+        na = after.agg(F.count(F.lit(1)).alias("n_after"))
+        return nb.crossJoin(na).select(
+            F.lit(layer).alias("layer"),
+            F.col("n_before").cast("long"),
+            F.col("n_after").cast("long"),
+            (F.col("n_before") - F.col("n_after")).cast("long").alias(
+                "n_removed"
+            ),
+        )
+    return (
+        counts("bronze", bronze, ba)
+        .unionByName(counts("silver", sil, sil_a))
+        .unionByName(counts("gold", gold(sil), gold(sil_a)))
+    )
