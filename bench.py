@@ -120,6 +120,8 @@ HEADLINE = [
     "ann_jl_topk",
     # GDPR delete cascade: erase at bronze, re-derive silver/gold
     "d9_delete_propagation",
+    # incremental near-dedup: probe only the new batch vs the index
+    "neardup_incremental",
 ]
 
 

@@ -882,3 +882,57 @@ def exact_substring_spans(
             ),
         )
     )
+
+
+def minhash_lsh_pairs_incremental(
+    df: DataFrame,
+    new_pred,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+    num_hashes: int = 15,
+    bands: int = 5,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """The daily-increment form of :func:`minhash_lsh_pairs`: all
+    near-dup pairs in which at least one side satisfies ``new_pred``
+    (a Column-producing callable over the id column — the freshly
+    ingested batch). The index side is the full banded corpus, the
+    PROBE side only the new docs, so the candidate join fans out on
+    |new| x bucket-size instead of re-pairing the whole corpus —
+    the property that makes near-dedup affordable as a recurring job
+    (in production the banded index is a persisted table maintained
+    by the ingest, exactly like the streaming IVF lists).
+
+    Output contract matches minhash_lsh_pairs (d1 < d2, exact
+    jaccard >= threshold), restricted to pairs touching a new doc;
+    new-new pairs appear once.
+    """
+    rows = num_hashes // bands
+    grams = _grams_df(df, id_col=id_col, text_col=text_col, n=n).persist()
+    banded = (
+        grams.select(
+            F.col(id_col).alias("d"),
+            F.explode(
+                lsh_int_band_structs(F.col("g"), bands=bands, rows=rows)
+            ).alias("bh"),
+        )
+        .select("d", "bh.band_idx", "bh.band_key")
+        .persist()
+    )
+    probe = banded.filter(new_pred(F.col("d"))).alias("a")
+    cands = (
+        probe.join(
+            banded.alias("b"),
+            (F.col("a.band_idx") == F.col("b.band_idx"))
+            & (F.col("a.band_key") == F.col("b.band_key"))
+            & (F.col("a.d") != F.col("b.d")),
+        )
+        .select(
+            F.least("a.d", "b.d").alias("d1"),
+            F.greatest("a.d", "b.d").alias("d2"),
+        )
+        .distinct()
+    )
+    return _pair_jaccard(cands, grams, id_col=id_col, threshold=threshold)

@@ -1189,3 +1189,42 @@ def q_d9_delete_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
         .unionByName(counts("silver", sil, sil_a))
         .unionByName(counts("gold", gold(sil), gold(sil_a)))
     )
+
+
+# ---------------------------------------------------------------------------
+# Incremental near-dedup: the recurring-job form — probe only the new
+# batch against the standing banded index instead of re-pairing the
+# corpus. The oracle is the full LSH replay restricted to pairs that
+# touch a new doc, so the hash compare proves the probe-side-only
+# join loses nothing.
+# ---------------------------------------------------------------------------
+
+INC_MOD = 5  # "new batch" = doc_id % 5 == 0 (content-addressed)
+
+
+def _minhash_incremental_sql() -> str:
+    full = _minhash_lsh_sql()
+    marker = "AND a.d < b.d"
+    assert marker in full
+    return full.replace(
+        marker,
+        f"{marker} AND (a.d % {INC_MOD} = 0 OR b.d % {INC_MOD} = 0)",
+        1,
+    )
+
+
+@query("neardup_incremental", _minhash_incremental_sql())
+def q_neardup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from nsp_bolt_pipeline_spark.operators.neardup import (
+        minhash_lsh_pairs_incremental,
+    )
+
+    docs = read_table(spark, sf_dir, "documents")
+    return minhash_lsh_pairs_incremental(
+        docs,
+        lambda d: d % INC_MOD == 0,
+        n=N,
+        num_hashes=NUM_HASHES,
+        bands=BANDS,
+        threshold=THRESHOLD,
+    )
