@@ -122,6 +122,8 @@ HEADLINE = [
     "d9_delete_propagation",
     # incremental near-dedup: probe only the new batch vs the index
     "neardup_incremental",
+    # MDM survivorship merge over the fuzzy entity clusters
+    "d10_golden_record",
 ]
 
 

@@ -1228,3 +1228,113 @@ def q_neardup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
         bands=BANDS,
         threshold=THRESHOLD,
     )
+
+
+# ---------------------------------------------------------------------------
+# Golden-record survivorship: after entity resolution, merge each
+# cluster's members into ONE master record with per-field rules —
+# most-complete text wins (longest, ties to smallest id), majority
+# language (ties lexicographic), canonical id = smallest member.
+# The MDM step every record-linkage deployment runs after clustering.
+# ---------------------------------------------------------------------------
+
+
+def _golden_record_sql() -> str:
+    clusters = _REG["fuzzy_entity_clusters"][1]
+    return f"""
+    WITH c AS ({clusters}),
+    m AS (
+        SELECT c.entity_id, d.doc_id, d.text, d.lang, d.source, d.n_chars
+        FROM c JOIN documents d USING (doc_id)
+    ),
+    txt AS (
+        SELECT entity_id, doc_id, text,
+               row_number() OVER (PARTITION BY entity_id
+                                  ORDER BY length(text) DESC, doc_id ASC)
+                   AS rn
+        FROM m
+    ),
+    lng AS (
+        SELECT entity_id, lang,
+               row_number() OVER (PARTITION BY entity_id
+                                  ORDER BY COUNT(*) DESC, lang ASC) AS rn
+        FROM m GROUP BY entity_id, lang
+    )
+    SELECT m.entity_id,
+           CAST(MIN(m.doc_id) AS BIGINT) AS golden_doc_id,
+           ANY_VALUE(t.text) AS golden_text,
+           ANY_VALUE(l.lang) AS lang,
+           CAST(COUNT(*) AS BIGINT) AS n_members,
+           CAST(COUNT(DISTINCT m.source) AS BIGINT) AS n_sources,
+           CAST(SUM(m.n_chars) AS BIGINT) AS total_chars
+    FROM m
+    JOIN (SELECT entity_id, text FROM txt WHERE rn = 1) t USING (entity_id)
+    JOIN (SELECT entity_id, lang FROM lng WHERE rn = 1) l USING (entity_id)
+    GROUP BY m.entity_id
+    """
+
+
+@query("d10_golden_record", _golden_record_sql())
+def q_d10_golden_record(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Survivorship merge over the fuzzy entity clusters: per entity,
+    the most-complete text (longest, ties to smallest id), the
+    majority language (ties lexicographic), the smallest member id as
+    the canonical key, plus member/source/char tallies. Field picks
+    are per-entity windows over cluster-sized frames — the global
+    frame never sorts."""
+    from nsp_bolt_pipeline_spark.operators.graph import dedup_clusters
+    from pyspark.sql import Window as _W
+
+    docs = read_table(spark, sf_dir, "documents")
+    blocked = docs.select(
+        "doc_id", F.substring("text", 1, _FUZZY_PREFIX).alias("t")
+    )
+    pairs = fuzzy_match_pairs(
+        blocked,
+        id_col="doc_id",
+        text_col="t",
+        max_distance=_FUZZY_MAXDIST,
+        block_expr=F.split(F.lower(F.col("t")), " ").getItem(0),
+    )
+    clusters = dedup_clusters(
+        blocked, pairs, id_col="doc_id", d1_col="id1", d2_col="id2"
+    ).select("doc_id", F.col("cluster_id").alias("entity_id"))
+    m = clusters.join(docs, "doc_id")
+
+    w_txt = _W.partitionBy("entity_id").orderBy(
+        F.length("text").desc(), F.col("doc_id").asc()
+    )
+    golden_txt = (
+        m.withColumn("rn", F.row_number().over(w_txt))
+        .filter(F.col("rn") == 1)
+        .select("entity_id", F.col("text").alias("golden_text"))
+    )
+    w_lng = _W.partitionBy("entity_id").orderBy(
+        F.col("cnt").desc(), F.col("lang").asc()
+    )
+    golden_lng = (
+        m.groupBy("entity_id", "lang")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .withColumn("rn", F.row_number().over(w_lng))
+        .filter(F.col("rn") == 1)
+        .select("entity_id", "lang")
+    )
+    tallies = m.groupBy("entity_id").agg(
+        F.min("doc_id").cast("long").alias("golden_doc_id"),
+        F.count(F.lit(1)).cast("long").alias("n_members"),
+        F.countDistinct("source").cast("long").alias("n_sources"),
+        F.sum("n_chars").cast("long").alias("total_chars"),
+    )
+    return (
+        tallies.join(golden_txt, "entity_id")
+        .join(golden_lng, "entity_id")
+        .select(
+            "entity_id",
+            "golden_doc_id",
+            "golden_text",
+            "lang",
+            "n_members",
+            "n_sources",
+            "total_chars",
+        )
+    )
