@@ -1119,3 +1119,77 @@ def q_event_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("n").cast("double") / F.sum("n").over(fw).cast("double")
         ).alias("p"),
     )
+
+
+# ---------------------------------------------------------------------------
+# t15: frequent event-type co-occurrence pairs over (user, day)
+# baskets — the A-priori level-2 pass of market-basket analysis.
+# Support counts DISTINCT baskets, so repeated events in a basket
+# count once; pair order is canonical (lexicographic).
+# ---------------------------------------------------------------------------
+
+T15_MIN_SUPPORT = 50
+
+
+@query(
+    "t15_frequent_type_pairs",
+    f"""
+    WITH baskets AS (
+        SELECT DISTINCT user_id, CAST(ts AS DATE) AS day, event_type
+        FROM events
+    ),
+    pairs AS (
+        SELECT a.event_type AS type_a, b.event_type AS type_b
+        FROM baskets a JOIN baskets b
+          ON a.user_id = b.user_id AND a.day = b.day
+         AND a.event_type < b.event_type
+    ),
+    nb AS (SELECT CAST(COUNT(*) AS BIGINT) AS n
+           FROM (SELECT DISTINCT user_id, day FROM baskets))
+    SELECT type_a, type_b,
+           CAST(COUNT(*) AS BIGINT) AS support,
+           CAST(COUNT(*) AS DOUBLE) / nb.n AS support_frac
+    FROM pairs, nb
+    GROUP BY type_a, type_b, nb.n
+    HAVING COUNT(*) >= {T15_MIN_SUPPORT}
+    """,
+)
+def q_t15_frequent_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frequent event-type pairs within (user, day) baskets: distinct
+    basket items, canonical-order self-join WITHIN the basket key (the
+    join fans out only per basket — bounded by the type-cardinality
+    squared, never corpus-squared), support counted over distinct
+    baskets. The A-priori level-2 shape; min-support prunes the tail.
+    """
+    ev = read_table(spark, sf_dir, "events")
+    baskets = ev.select(
+        "user_id", F.to_date("ts").alias("day"), "event_type"
+    ).dropDuplicates()
+    a = baskets.alias("a")
+    b = baskets.alias("b")
+    pairs = a.join(
+        b,
+        (F.col("a.user_id") == F.col("b.user_id"))
+        & (F.col("a.day") == F.col("b.day"))
+        & (F.col("a.event_type") < F.col("b.event_type")),
+    ).select(
+        F.col("a.event_type").alias("type_a"),
+        F.col("b.event_type").alias("type_b"),
+    )
+    nb = baskets.select("user_id", "day").dropDuplicates().agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    return (
+        pairs.groupBy("type_a", "type_b")
+        .agg(F.count(F.lit(1)).cast("long").alias("support"))
+        .filter(F.col("support") >= T15_MIN_SUPPORT)
+        .crossJoin(F.broadcast(nb))
+        .select(
+            "type_a",
+            "type_b",
+            "support",
+            (F.col("support").cast("double") / F.col("n")).alias(
+                "support_frac"
+            ),
+        )
+    )
