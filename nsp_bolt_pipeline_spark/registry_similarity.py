@@ -845,3 +845,84 @@ def q_eval_retrieval_ranking(spark: SparkSession, sf_dir: str) -> DataFrame:
     rel = exact_topk(emb, queries, k=K)
     sys = ivf_topk(emb, queries, k=K, n_centroids=N_CENTROIDS, nprobe=NPROBE)
     return ranking_metrics(rel, sys, k=K, disc_micro=NDCG_DISC_MICRO)
+
+
+# ---------------------------------------------------------------------------
+# LSH recall-vs-threshold sweep: one pass over (ground-truth pairs
+# LEFT JOIN recalled candidates) scored at several similarity cutoffs
+# — the tuning curve that picks bands/planes for a target recall.
+# Thresholds ride as literal doubles identical in both engines.
+# ---------------------------------------------------------------------------
+
+SWEEP_THRESHOLDS = [0.35, 0.45, 0.55, 0.65]
+
+
+def _dedup_sweep_sql() -> str:
+    truth = _REGISTRY["cosine_neardup_pairs"][1]
+    cand = _REGISTRY["srp_neardup_pairs"][1]
+    vals = ", ".join(f"({t!r})" for t in SWEEP_THRESHOLDS)
+    return f"""
+    WITH truth AS ({truth}),
+    cand AS ({cand}),
+    m AS (
+        SELECT truth.d1, truth.d2, truth.sim,
+               cand.d1 IS NOT NULL AS hit
+        FROM truth LEFT JOIN cand USING (d1, d2)
+    ),
+    t AS (SELECT th FROM (VALUES {vals}) AS t(th))
+    SELECT t.th AS threshold,
+           CAST(SUM(CASE WHEN m.sim >= t.th THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_true,
+           CAST(SUM(CASE WHEN m.hit AND m.sim >= t.th THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_recalled,
+           CASE WHEN SUM(CASE WHEN m.sim >= t.th THEN 1 ELSE 0 END) > 0
+                THEN CAST(SUM(CASE WHEN m.hit AND m.sim >= t.th
+                              THEN 1 ELSE 0 END) AS DOUBLE)
+                   / CAST(SUM(CASE WHEN m.sim >= t.th THEN 1 ELSE 0 END)
+                          AS DOUBLE)
+                ELSE 0.0 END AS recall
+    FROM m, t
+    GROUP BY t.th
+    """
+
+
+@query("dedup_threshold_sweep", _dedup_sweep_sql())
+def q_dedup_threshold_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall of the SRP-LSH candidate set against exact all-pairs
+    ground truth at {SWEEP_THRESHOLDS} cutoffs, in one join + one
+    conditional aggregate — the S-curve measurement that tunes
+    bands/planes for a target recall tier. Ground truth is the
+    oracle-duty all-pairs join; production reruns the sweep on a
+    sampled slice."""
+    emb = read_table(spark, sf_dir, "embeddings")
+    truth = cosine_neardup_pairs(emb, threshold=NEARDUP_THRESHOLD)
+    cand = srp_neardup_pairs(
+        emb,
+        threshold=NEARDUP_THRESHOLD,
+        n_planes=SRP_PLANES,
+        bands=SRP_BANDS,
+        dim=DIM,
+    ).select("d1", "d2", F.lit(True).alias("hit"))
+    m = truth.join(cand, ["d1", "d2"], "left").select(
+        "sim", F.coalesce(F.col("hit"), F.lit(False)).alias("hit")
+    )
+    ths = spark.createDataFrame(
+        [(t,) for t in SWEEP_THRESHOLDS], "th double"
+    )
+    n_true = F.sum(F.when(F.col("sim") >= F.col("th"), 1).otherwise(0)).cast(
+        "long"
+    )
+    n_rec = F.sum(
+        F.when(F.col("hit") & (F.col("sim") >= F.col("th")), 1).otherwise(0)
+    ).cast("long")
+    return (
+        m.crossJoin(F.broadcast(ths))
+        .groupBy(F.col("th").alias("threshold"))
+        .agg(
+            n_true.alias("n_true"),
+            n_rec.alias("n_recalled"),
+            F.when(
+                n_true > 0, n_rec.cast("double") / n_true.cast("double")
+            ).otherwise(F.lit(0.0)).alias("recall"),
+        )
+    )
