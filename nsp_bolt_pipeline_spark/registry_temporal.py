@@ -1193,3 +1193,125 @@ def q_t15_frequent_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# eval_ab_lift: two-variant experiment readout over the event log —
+# conversion and revenue-per-user lift with the standard two-
+# proportion z statistic. Revenue folds as INTEGER CENTS (associative,
+# fold-order-free); every float op afterwards is a scalar derivation
+# from bit-identical inputs on both engines.
+# ---------------------------------------------------------------------------
+
+
+AB_CONV_MIN = 14  # conversions = users with >= this many purchases
+
+
+@query(
+    "eval_ab_lift",
+    f"""
+    WITH u AS (
+        SELECT user_id,
+               user_id % 2 AS variant,
+               CASE WHEN SUM(CASE WHEN event_type = '{END_EVENT}'
+                                 THEN 1 ELSE 0 END) >= {AB_CONV_MIN}
+                    THEN 1 ELSE 0 END AS converted,
+               SUM(CASE WHEN event_type = '{END_EVENT}'
+                        THEN CAST(FLOOR(value * 100 + 0.5) AS BIGINT)
+                        ELSE 0 END) AS cents
+        FROM events
+        GROUP BY user_id
+    ),
+    v AS (
+        SELECT variant,
+               CAST(COUNT(*) AS BIGINT) AS n_users,
+               CAST(SUM(converted) AS BIGINT) AS n_converted,
+               CAST(SUM(cents) AS BIGINT) AS revenue_cents
+        FROM u GROUP BY variant
+    ),
+    w AS (
+        SELECT
+            MAX(CASE WHEN variant = 0 THEN n_users END) AS n_a,
+            MAX(CASE WHEN variant = 1 THEN n_users END) AS n_b,
+            MAX(CASE WHEN variant = 0 THEN n_converted END) AS c_a,
+            MAX(CASE WHEN variant = 1 THEN n_converted END) AS c_b,
+            MAX(CASE WHEN variant = 0 THEN revenue_cents END) AS r_a,
+            MAX(CASE WHEN variant = 1 THEN revenue_cents END) AS r_b
+        FROM v
+    )
+    SELECT n_a, n_b, c_a, c_b, r_a, r_b,
+           CAST(c_a AS DOUBLE) / n_a AS conv_a,
+           CAST(c_b AS DOUBLE) / n_b AS conv_b,
+           CAST(c_b AS DOUBLE) / n_b - CAST(c_a AS DOUBLE) / n_a
+               AS abs_lift,
+           (CAST(c_b AS DOUBLE) / n_b - CAST(c_a AS DOUBLE) / n_a)
+             / sqrt((CAST(c_a + c_b AS DOUBLE) / (n_a + n_b))
+                    * (1.0 - CAST(c_a + c_b AS DOUBLE) / (n_a + n_b))
+                    * (1.0 / n_a + 1.0 / n_b)) AS z_score,
+           (CAST(r_b AS DOUBLE) / 100.0) / n_b
+             - (CAST(r_a AS DOUBLE) / 100.0) / n_a AS revenue_lift_per_user
+    FROM w
+    """,
+)
+def q_eval_ab_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Experiment readout: variant = user_id % 2, conversion = any
+    purchase, revenue folded as integer cents. Per-user collapse is
+    one partial-agg shuffle; the variant rollup is 2 rows; z and lift
+    are scalar float derivations of exact integers, bit-identical on
+    both engines."""
+    ev = read_table(spark, sf_dir, "events")
+    cents = F.when(
+        F.col("event_type") == END_EVENT,
+        F.floor(F.col("value") * 100 + F.lit(0.5)).cast("long"),
+    ).otherwise(F.lit(0).cast("long"))
+    n_purch = F.sum(
+        F.when(F.col("event_type") == END_EVENT, 1).otherwise(0)
+    )
+    u = ev.groupBy("user_id").agg(
+        F.when(n_purch >= AB_CONV_MIN, 1).otherwise(0).alias("converted"),
+        F.sum(cents).alias("cents"),
+    ).withColumn("variant", F.col("user_id") % 2)
+    v = u.groupBy("variant").agg(
+        F.count(F.lit(1)).cast("long").alias("n_users"),
+        F.sum("converted").cast("long").alias("n_converted"),
+        F.sum("cents").cast("long").alias("revenue_cents"),
+    )
+    pick = lambda var, col: F.max(  # noqa: E731
+        F.when(F.col("variant") == var, F.col(col))
+    )
+    w = v.agg(
+        pick(0, "n_users").alias("n_a"),
+        pick(1, "n_users").alias("n_b"),
+        pick(0, "n_converted").alias("c_a"),
+        pick(1, "n_converted").alias("c_b"),
+        pick(0, "revenue_cents").alias("r_a"),
+        pick(1, "revenue_cents").alias("r_b"),
+    )
+    conv_a = F.col("c_a").cast("double") / F.col("n_a")
+    conv_b = F.col("c_b").cast("double") / F.col("n_b")
+    pool = (F.col("c_a") + F.col("c_b")).cast("double") / (
+        F.col("n_a") + F.col("n_b")
+    )
+    return w.select(
+        "n_a",
+        "n_b",
+        "c_a",
+        "c_b",
+        "r_a",
+        "r_b",
+        conv_a.alias("conv_a"),
+        conv_b.alias("conv_b"),
+        (conv_b - conv_a).alias("abs_lift"),
+        (
+            (conv_b - conv_a)
+            / F.sqrt(
+                pool
+                * (F.lit(1.0) - pool)
+                * (F.lit(1.0) / F.col("n_a") + F.lit(1.0) / F.col("n_b"))
+            )
+        ).alias("z_score"),
+        (
+            (F.col("r_b").cast("double") / F.lit(100.0)) / F.col("n_b")
+            - (F.col("r_a").cast("double") / F.lit(100.0)) / F.col("n_a")
+        ).alias("revenue_lift_per_user"),
+    )
