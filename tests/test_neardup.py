@@ -262,3 +262,33 @@ def test_ppjoin_shingle_grain_agrees_with_gram_join(spark):
     }
     assert via_ppjoin == via_gram_join
     assert {(d1, d2) for d1, d2, _ in via_ppjoin} == {(1, 2)}
+
+
+def test_incremental_pairs_subset_of_full_and_complete(spark):
+    from nsp_bolt_pipeline_spark.operators.neardup import (
+        minhash_lsh_pairs,
+        minhash_lsh_pairs_incremental,
+    )
+
+    base = "the quick brown fox jumps over the lazy dog again and again"
+    rows = [
+        (1, base),
+        (2, base + " tail"),          # near-dup of 1
+        (5, base + " other tail"),    # near-dup, "new" (id % 5 == 0)
+        (7, "completely different words entirely unrelated content here"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    full = {
+        (r["d1"], r["d2"])
+        for r in minhash_lsh_pairs(docs, threshold=0.3).collect()
+    }
+    inc = {
+        (r["d1"], r["d2"])
+        for r in minhash_lsh_pairs_incremental(
+            docs, lambda d: d % 5 == 0, threshold=0.3
+        ).collect()
+    }
+    # incremental = exactly the full pairs touching a new doc
+    want = {p for p in full if p[0] % 5 == 0 or p[1] % 5 == 0}
+    assert inc == want
+    assert (1, 5) in inc and (1, 2) not in inc
