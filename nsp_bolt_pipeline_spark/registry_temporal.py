@@ -1315,3 +1315,75 @@ def q_eval_ab_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
             - (F.col("r_a").cast("double") / F.lit(100.0)) / F.col("n_a")
         ).alias("revenue_lift_per_user"),
     )
+
+
+# ---------------------------------------------------------------------------
+# t17: day-of-week seasonality decomposition of the daily event
+# volume — level (global mean), seasonal index per weekday, residual
+# per day. All three derive from integer counts by scalar divisions,
+# so both engines produce bit-identical doubles.
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "t17_dow_seasonality",
+    """
+    WITH daily AS (
+        SELECT CAST(ts AS DATE) AS day,
+               CAST(COUNT(*) AS BIGINT) AS n
+        FROM events GROUP BY 1
+    ),
+    d2 AS (SELECT day, n, dayofweek(day) AS dow FROM daily),
+    dow_stats AS (
+        SELECT dow,
+               CAST(SUM(n) AS BIGINT) AS dow_total,
+               CAST(COUNT(*) AS BIGINT) AS dow_days
+        FROM d2 GROUP BY dow
+    ),
+    g AS (SELECT CAST(SUM(n) AS BIGINT) AS total,
+                 CAST(COUNT(*) AS BIGINT) AS days
+          FROM daily)
+    SELECT d2.day, CAST(d2.dow AS INTEGER) AS dow, d2.n,
+           CAST(g.total AS DOUBLE) / g.days AS level,
+           (CAST(s.dow_total AS DOUBLE) / s.dow_days)
+             / (CAST(g.total AS DOUBLE) / g.days) AS seasonal_index,
+           CAST(d2.n AS DOUBLE)
+             - CAST(s.dow_total AS DOUBLE) / s.dow_days AS residual
+    FROM d2 JOIN dow_stats s USING (dow) CROSS JOIN g
+    """,
+)
+def q_t17_dow_seasonality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Classic multiplicative seasonality readout over the daily
+    volume series: per-day count, weekday seasonal index (weekday
+    mean / global mean), residual vs the weekday mean. Post-agg
+    frames are day- and weekday-sized; both helper aggregates ride
+    broadcast."""
+    ev = read_table(spark, sf_dir, "events")
+    daily = ev.groupBy(F.to_date("ts").alias("day")).agg(
+        F.count(F.lit(1)).cast("long").alias("n")
+    )
+    # DuckDB dayofweek: Sunday=0..Saturday=6; Spark dayofweek:
+    # Sunday=1..Saturday=7 — align by subtracting 1
+    d2 = daily.withColumn("dow", (F.dayofweek("day") - 1).cast("int"))
+    dow_stats = d2.groupBy("dow").agg(
+        F.sum("n").cast("long").alias("dow_total"),
+        F.count(F.lit(1)).cast("long").alias("dow_days"),
+    )
+    g = daily.agg(
+        F.sum("n").cast("long").alias("total"),
+        F.count(F.lit(1)).cast("long").alias("days"),
+    )
+    level = F.col("total").cast("double") / F.col("days")
+    dow_mean = F.col("dow_total").cast("double") / F.col("dow_days")
+    return (
+        d2.join(F.broadcast(dow_stats), "dow")
+        .crossJoin(F.broadcast(g))
+        .select(
+            "day",
+            "dow",
+            "n",
+            level.alias("level"),
+            (dow_mean / level).alias("seasonal_index"),
+            (F.col("n").cast("double") - dow_mean).alias("residual"),
+        )
+    )
