@@ -134,6 +134,25 @@ def kmeans_lloyd(
     production run would k-means++ seed offline), then ``rounds``
     assignment passes with a mean update between each pair. Returns
     the final (id, cluster) assignment for every vector."""
+    centroids = _lloyd_centroids(
+        df, k=k, dim=dim, rounds=rounds, id_col=id_col, vec_col=vec_col
+    )
+    return assign_clusters(
+        df, centroids, dim=dim, id_col=id_col, vec_col=vec_col
+    ).select(id_col, "cluster")
+
+
+def _lloyd_centroids(
+    df: DataFrame,
+    *,
+    k: int,
+    dim: int,
+    rounds: int,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> dict[int, list[float]]:
+    """The Lloyd loop up to (but excluding) the final assignment:
+    returns the final centroid dict (k rows of model state)."""
     init_rows = (
         df.filter(F.col(id_col) < k)
         .select(id_col, vec_col)
@@ -149,9 +168,47 @@ def kmeans_lloyd(
         centroids = _update_centroids(
             assigned, centroids, dim=dim, vec_col=vec_col
         )
-    return assign_clusters(
+    return centroids
+
+
+def kmeans_medoids(
+    df: DataFrame,
+    *,
+    k: int,
+    dim: int,
+    rounds: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """The real-document representative of every cluster: the member
+    closest (squared L2, ties -> lowest id) to its FINAL centroid.
+    Centroids are virtual mean vectors; the medoid is the row you
+    show a human or feed to a labeling pass. One broadcast join onto
+    the assignment and a per-cluster min_by — no extra corpus
+    shuffle beyond the assignment itself."""
+    centroids = _lloyd_centroids(
+        df, k=k, dim=dim, rounds=rounds, id_col=id_col, vec_col=vec_col
+    )
+    assigned = assign_clusters(
         df, centroids, dim=dim, id_col=id_col, vec_col=vec_col
-    ).select(id_col, "cluster")
+    )
+    c = _centroids_df(df, centroids)
+    scored = assigned.join(
+        F.broadcast(c), F.col("cluster") == F.col("cid")
+    ).withColumn("d2", sq_dist(F.col(vec_col), F.col("cv")))
+    best = F.min_by(
+        F.struct(F.col(id_col).alias("medoid_id"), F.col("d2")),
+        F.struct(F.col("d2"), F.col(id_col)),
+    )
+    return (
+        scored.groupBy("cluster")
+        .agg(best.alias("b"))
+        .select(
+            F.col("cluster").cast("long"),
+            F.col("b.medoid_id").cast("long").alias("medoid_id"),
+            F.col("b.d2").alias("d2"),
+        )
+    )
 
 
 def cluster_balanced_sample(

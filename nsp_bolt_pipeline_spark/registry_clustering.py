@@ -721,3 +721,39 @@ def q_ann_jl_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 from pyspark.sql import Window  # noqa: E402
+
+
+# ---------------------------------------------------------------------------
+# Cluster medoids: the real-document representative per cluster —
+# nearest member (squared L2, ties lowest id) to the FINAL centroid.
+# ---------------------------------------------------------------------------
+
+from nsp_bolt_pipeline_spark.operators.clustering import kmeans_medoids  # noqa: E402
+
+
+@query(
+    "kmeans_medoids",
+    _KMEANS_CORE
+    + f"""
+    SELECT CAST(cluster AS BIGINT) AS cluster,
+           CAST(vec_id AS BIGINT) AS medoid_id, d2
+    FROM (
+        SELECT fin.cluster, fin.vec_id,
+               {_sqdist_sql("v.v", "u.cv")} AS d2,
+               row_number() OVER (
+                   PARTITION BY fin.cluster
+                   ORDER BY {_sqdist_sql("v.v", "u.cv")} ASC, fin.vec_id ASC
+               ) AS rn
+        FROM fin
+        JOIN vecs v ON v.vec_id = fin.vec_id
+        JOIN upd u ON u.cid = fin.cluster
+    ) WHERE rn = 1
+    """,
+)
+def q_kmeans_medoids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-cluster medoid of the same deterministic Lloyd run the
+    kmeans_clusters entry verifies: the member a human inspects or a
+    labeling pass annotates. The oracle re-ranks members by the same
+    squared-L2 fold against the round-6 final centroids."""
+    emb = read_table(spark, sf_dir, "embeddings")
+    return kmeans_medoids(emb, k=K, dim=DIM, rounds=ROUNDS)
