@@ -1387,3 +1387,85 @@ def q_t17_dow_seasonality(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("n").cast("double") - dow_mean).alias("residual"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# t18: CUSUM changepoint scan over the daily volume series. The
+# statistic stays in INTEGERS — cusum_t = sum_{i<=t}(days*n_i -
+# total) is BIGINT-exact under any fold order (days*n_i - total is
+# the deviation from the mean scaled by `days`, avoiding the
+# rational mean entirely) — so the argmax day is engine-exact.
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "t18_cusum_changepoint",
+    """
+    WITH daily AS (
+        SELECT CAST(ts AS DATE) AS day, CAST(COUNT(*) AS BIGINT) AS n
+        FROM events GROUP BY 1
+    ),
+    g AS (SELECT CAST(SUM(n) AS BIGINT) AS total,
+                 CAST(COUNT(*) AS BIGINT) AS days FROM daily),
+    c AS (
+        SELECT day, n,
+               CAST(SUM(g.days * n - g.total) OVER (
+                   ORDER BY day ROWS UNBOUNDED PRECEDING) AS BIGINT)
+                   AS cusum_scaled
+        FROM daily CROSS JOIN g
+    )
+    SELECT day, n, cusum_scaled,
+           CAST(abs(cusum_scaled) = (SELECT MAX(abs(cusum_scaled)) FROM c)
+                AND day = (SELECT MIN(day) FROM c
+                           WHERE abs(cusum_scaled) =
+                                 (SELECT MAX(abs(cusum_scaled)) FROM c))
+                AS BOOLEAN) AS is_changepoint
+    FROM c
+    """,
+)
+def q_t18_cusum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUSUM level-shift scan: per-day scaled cumulative deviation
+    from the global mean and the argmax |cusum| day flagged as the
+    changepoint (ties -> earliest). The running sum is a window over
+    the POST-AGGREGATION day series (tens of rows), not the event
+    log; all arithmetic is exact integers."""
+    from pyspark.sql import Window as W
+
+    ev = read_table(spark, sf_dir, "events")
+    daily = ev.groupBy(F.to_date("ts").alias("day")).agg(
+        F.count(F.lit(1)).cast("long").alias("n")
+    )
+    g = daily.agg(
+        F.sum("n").cast("long").alias("total"),
+        F.count(F.lit(1)).cast("long").alias("days"),
+    )
+    w = W.orderBy("day").rowsBetween(W.unboundedPreceding, 0)
+    c = (
+        daily.crossJoin(F.broadcast(g))
+        .withColumn(
+            "cusum_scaled",
+            F.sum(F.col("days") * F.col("n") - F.col("total"))
+            .over(w)
+            .cast("long"),
+        )
+        .select("day", "n", "cusum_scaled")
+    )
+    mx = c.agg(F.max(F.abs("cusum_scaled")).alias("mx"))
+    first_day = (
+        c.crossJoin(F.broadcast(mx))
+        .filter(F.abs("cusum_scaled") == F.col("mx"))
+        .agg(F.min("day").alias("cp_day"))
+    )
+    return (
+        c.crossJoin(F.broadcast(mx))
+        .crossJoin(F.broadcast(first_day))
+        .select(
+            "day",
+            "n",
+            "cusum_scaled",
+            (
+                (F.abs("cusum_scaled") == F.col("mx"))
+                & (F.col("day") == F.col("cp_day"))
+            ).alias("is_changepoint"),
+        )
+    )
