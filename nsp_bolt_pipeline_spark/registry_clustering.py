@@ -757,3 +757,71 @@ def q_kmeans_medoids(spark: SparkSession, sf_dir: str) -> DataFrame:
     squared-L2 fold against the round-6 final centroids."""
     emb = read_table(spark, sf_dir, "embeddings")
     return kmeans_medoids(emb, k=K, dim=DIM, rounds=ROUNDS)
+
+
+# ---------------------------------------------------------------------------
+# Embedding outliers by diagonal Mahalanobis distance: sum of squared
+# per-dimension z-scores. The rounded z rides as integer micro-units
+# (recovered with FLOOR(z*1e6+0.5), never a lossy cast) so the
+# per-vector sum is BIGINT-exact under any fold order; the float
+# score is one terminal division.
+# ---------------------------------------------------------------------------
+
+OUTLIER_TOPN = 20
+
+
+def _emb_outlier_sql() -> str:
+    z_sql = _REGISTRY["emb_standardize"][1]
+    return f"""
+    WITH z AS ({z_sql}),
+    s AS (
+        SELECT vec_id,
+               CAST(SUM(CAST(FLOOR(z * 1e6 + 0.5) AS BIGINT)
+                        * CAST(FLOOR(z * 1e6 + 0.5) AS BIGINT)) AS BIGINT)
+                   AS score_mu2
+        FROM z GROUP BY vec_id
+    )
+    SELECT vec_id, score_mu2,
+           CAST(score_mu2 AS DOUBLE) / 1e12 AS mahalanobis2,
+           CAST(rnk AS BIGINT) AS rnk
+    FROM (
+        SELECT *, row_number() OVER (ORDER BY score_mu2 DESC, vec_id ASC)
+                      AS rnk
+        FROM s
+    ) WHERE rnk <= {OUTLIER_TOPN}
+    """
+
+
+from nsp_bolt_pipeline_spark.registry import REGISTRY as _REGISTRY  # noqa: E402
+
+
+@query("emb_outliers_mahalanobis", _emb_outlier_sql())
+def q_emb_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-{OUTLIER_TOPN} embedding outliers by diagonal-covariance
+    Mahalanobis distance — the curation pass that surfaces corrupt or
+    out-of-distribution vectors before they poison k-means/ANN
+    training. Builds on the verified per-dim z-scores; the ranking
+    window runs over the per-vector aggregate (corpus-sized but
+    post-collapse; at 100 TB swap the global row_number for a
+    top-k partial agg like _topk_per_query)."""
+    emb = read_table(spark, sf_dir, "embeddings")
+    z = standardize_embeddings(emb)
+    zmu = F.floor(F.col("z") * 1e6 + F.lit(0.5)).cast("long")
+    s = z.groupBy("vec_id").agg(
+        F.sum(zmu * zmu).cast("long").alias("score_mu2")
+    )
+    from pyspark.sql import Window as _W
+
+    w = _W.orderBy(F.col("score_mu2").desc(), F.col("vec_id").asc())
+    return (
+        s.withColumn("rnk", F.row_number().over(w).cast("long"))
+        .filter(F.col("rnk") <= OUTLIER_TOPN)
+        .select(
+            "vec_id",
+            "score_mu2",
+            (F.col("score_mu2").cast("double") / F.lit(1e12)).alias(
+                "mahalanobis2"
+            ),
+            "rnk",
+        )
+    )
