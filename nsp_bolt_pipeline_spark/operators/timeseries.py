@@ -109,3 +109,54 @@ def gap_fill_forward(
         "day_value",
         F.last("day_value", ignorenulls=True).over(w).alias("filled"),
     )
+
+
+def debounce_events(
+    df: DataFrame,
+    *,
+    min_gap_s: int,
+    key_cols: list[str] | None = None,
+    ts_col: str = "ts",
+    id_col: str = "event_id",
+) -> DataFrame:
+    """Exact greedy debounce: within each key, keep an event iff its
+    timestamp is >= the LAST KEPT event's timestamp + ``min_gap_s``
+    (the first event of a key is always kept). This is the telemetry
+    throttling rule — and it is inherently sequential: whether an
+    event survives depends on which earlier events survived, so no
+    window/lag expression can state it (lag sees the previous EVENT,
+    not the previous KEPT event). It is the legitimate
+    ``applyInPandas`` case: a per-key ordered fold, keys independent
+    and massively parallel.
+
+    Scale (100 TB): one shuffle on the key; Python sees each key
+    group once as an Arrow batch and does a linear scan; state is one
+    timestamp. Skewed keys are bounded by per-key history length, not
+    corpus size. The DuckDB oracle replays the greedy fold with a
+    recursive CTE — different mechanism, same fixpoint.
+
+    Returns the kept rows: key_cols + (id, ts).
+    """
+    import pandas as pd
+
+    keys = key_cols or ["user_id", "event_type"]
+    out_schema = df.select(*keys, id_col, ts_col).schema
+
+    def scan(pdf: "pd.DataFrame") -> "pd.DataFrame":
+        pdf = pdf.sort_values([ts_col, id_col], kind="mergesort")
+        kept = []
+        last_us = None
+        for t, e in zip(pdf[ts_col], pdf[id_col]):
+            t_us = pd.Timestamp(t).value // 1000
+            if last_us is None or t_us >= last_us + min_gap_s * 1_000_000:
+                kept.append(e)
+                last_us = t_us
+        return pdf[pdf[id_col].isin(kept)][
+            [f.name for f in out_schema.fields]
+        ]
+
+    return (
+        df.select(*keys, id_col, ts_col)
+        .groupBy(*keys)
+        .applyInPandas(scan, out_schema)
+    )

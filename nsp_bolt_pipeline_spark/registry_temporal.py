@@ -1469,3 +1469,51 @@ def q_t18_cusum(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("is_changepoint"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# t19: exact greedy debounce — keep an event iff >= min_gap after the
+# last KEPT event of its (user, type) stream. Survival depends on
+# earlier survivals, so no lag/window expression states it: this is
+# the legitimate applyInPandas case (per-key ordered fold, keys
+# independent). The oracle replays the fold with a recursive CTE.
+# ---------------------------------------------------------------------------
+
+T19_GAP_S = 86_400  # 1 day
+
+
+@query(
+    "t19_debounce_throttle",
+    f"""
+    WITH RECURSIVE e AS (
+        SELECT user_id, event_type, event_id, ts,
+               row_number() OVER (PARTITION BY user_id, event_type
+                                  ORDER BY ts, event_id) AS rn
+        FROM events
+    ),
+    walk(user_id, event_type, rn, event_id, ts, kept, last_kept) AS (
+        SELECT user_id, event_type, rn, event_id, ts, TRUE, ts
+        FROM e WHERE rn = 1
+        UNION ALL
+        SELECT e.user_id, e.event_type, e.rn, e.event_id, e.ts,
+               e.ts >= w.last_kept + INTERVAL {T19_GAP_S} SECOND,
+               CASE WHEN e.ts >= w.last_kept + INTERVAL {T19_GAP_S} SECOND
+                    THEN e.ts ELSE w.last_kept END
+        FROM walk w
+        JOIN e ON e.user_id = w.user_id
+              AND e.event_type = w.event_type
+              AND e.rn = w.rn + 1
+    )
+    SELECT user_id, event_type, event_id, ts
+    FROM walk WHERE kept
+    """,
+)
+def q_t19_debounce(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Greedy per-(user, type) debounce at a {T19_GAP_S}s minimum
+    gap: one key shuffle, a linear Arrow-batched scan per key, one
+    timestamp of state. The inherently-sequential semantic the
+    window/lag surface cannot express."""
+    from nsp_bolt_pipeline_spark.operators.timeseries import debounce_events
+
+    ev = read_table(spark, sf_dir, "events")
+    return debounce_events(ev, min_gap_s=T19_GAP_S)

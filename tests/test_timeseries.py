@@ -86,3 +86,52 @@ class TestFuzzyMatch:
         )
         pairs = {(r.id1, r.id2) for r in got.collect()}
         assert pairs == {(1, 2), (1, 4), (2, 4)}
+
+
+def test_debounce_depends_on_kept_not_previous(spark):
+    import datetime as dt
+
+    from nsp_bolt_pipeline_spark.operators.timeseries import debounce_events
+
+    t0 = dt.datetime(2024, 1, 1, 0, 0, 0)
+
+    def ev(i, sec):
+        return (1, "click", i, t0 + dt.timedelta(seconds=sec))
+
+    # gaps: 0, 5, 5, 5 -> with min_gap 8 the greedy keep set is
+    # {0s, 10s} (the 5s event resets NOTHING because it is dropped);
+    # a lag-based filter would wrongly drop the 10s event too
+    rows = [ev(1, 0), ev(2, 5), ev(3, 10), ev(4, 15)]
+    df = spark.createDataFrame(
+        rows, "user_id long, event_type string, event_id long, ts timestamp"
+    )
+    kept = sorted(
+        r["event_id"]
+        for r in debounce_events(df, min_gap_s=8).collect()
+    )
+    assert kept == [1, 3]
+
+
+def test_debounce_first_always_kept_per_key(spark):
+    import datetime as dt
+
+    from nsp_bolt_pipeline_spark.operators.timeseries import debounce_events
+
+    t0 = dt.datetime(2024, 1, 1)
+    rows = [
+        (u, t, 100 * u + i, t0 + dt.timedelta(seconds=i))
+        for u in (1, 2)
+        for t in ("a", "b")
+        for i in range(3)
+    ]
+    df = spark.createDataFrame(
+        rows, "user_id long, event_type string, event_id long, ts timestamp"
+    )
+    out = debounce_events(df, min_gap_s=10_000).collect()
+    # only the first event of each of the 4 keys survives
+    assert sorted((r["user_id"], r["event_type"]) for r in out) == [
+        (1, "a"),
+        (1, "b"),
+        (2, "a"),
+        (2, "b"),
+    ]
