@@ -967,3 +967,72 @@ def q_lm_bigram_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = read_table(spark, sf_dir, "documents")
     return bigram_cross_entropy_scores(docs, F.col("lang") == "en")
+
+
+# ---------------------------------------------------------------------------
+# Pareto-front data selection: the documents not dominated on
+# (quality score: maximize, length: minimize) — the skyline of the
+# quality/cost trade every token-budgeted curation run walks. The
+# logit rides as integer micro-units; the prefix max runs over the
+# DISTINCT-LENGTH frame (domain-sized, like percentile_trim's rank
+# pass), never the corpus.
+# ---------------------------------------------------------------------------
+
+
+def _pareto_sql() -> str:
+    clf = _quality_clf_sql()
+    return f"""
+    WITH q AS ({clf}),
+    d AS (
+        SELECT q.doc_id, doc.n_chars,
+               CAST(FLOOR(q.logit * 1e6 + 0.5) AS BIGINT) AS score_mu
+        FROM q JOIN documents doc USING (doc_id)
+    ),
+    lens AS (
+        SELECT n_chars, MAX(score_mu) AS eq_max
+        FROM d GROUP BY n_chars
+    ),
+    pref AS (
+        SELECT n_chars, eq_max,
+               MAX(eq_max) OVER (ORDER BY n_chars
+                                 ROWS BETWEEN UNBOUNDED PRECEDING
+                                 AND 1 PRECEDING) AS prev_max
+        FROM lens
+    )
+    SELECT d.doc_id, d.n_chars, d.score_mu
+    FROM d JOIN pref USING (n_chars)
+    WHERE d.score_mu = pref.eq_max
+      AND (pref.prev_max IS NULL OR d.score_mu > pref.prev_max)
+    """
+
+
+@query("sel_pareto_front", _pareto_sql())
+def q_sel_pareto_front(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skyline selection: docs where no other doc is both shorter (or
+    equal) and better-scoring (with one strict). Corpus touches: one
+    scan for the logit, one length-keyed partial-agg shuffle; the
+    running max runs over distinct lengths only (domain-sized), then
+    broadcasts back as an equi-join filter."""
+    docs = read_table(spark, sf_dir, "documents")
+    cols = quality_logit("text", stopwords=LANGUAGE_PROFILES["en"])
+    d = docs.select(
+        "doc_id",
+        "n_chars",
+        F.floor(cols["logit"] * 1e6 + F.lit(0.5)).cast("long").alias(
+            "score_mu"
+        ),
+    )
+    lens = d.groupBy("n_chars").agg(F.max("score_mu").alias("eq_max"))
+    w = W.orderBy("n_chars").rowsBetween(W.unboundedPreceding, -1)
+    pref = lens.withColumn("prev_max", F.max("eq_max").over(w))
+    return (
+        d.join(F.broadcast(pref), "n_chars")
+        .filter(
+            (F.col("score_mu") == F.col("eq_max"))
+            & (
+                F.col("prev_max").isNull()
+                | (F.col("score_mu") > F.col("prev_max"))
+            )
+        )
+        .select("doc_id", "n_chars", "score_mu")
+    )
