@@ -124,6 +124,9 @@ HEADLINE = [
     "neardup_incremental",
     # MDM survivorship merge over the fuzzy entity clusters
     "d10_golden_record",
+    # exact sequential debounce: applyInPandas batch + stateful twin
+    "t19_debounce_throttle",
+    "stream_t19_debounce",
 ]
 
 

@@ -1517,3 +1517,80 @@ def q_t19_debounce(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     ev = read_table(spark, sf_dir, "events")
     return debounce_events(ev, min_gap_s=T19_GAP_S)
+
+
+from datetime import timedelta  # noqa: E402
+
+from pyspark.sql import types as T  # noqa: E402
+
+
+# ---------------------------------------------------------------------------
+# Streaming greedy debounce: the sequential keep-if->=gap-after-last-
+# KEPT fold, buffered per (user, type) and folded in EVENT-TIME order
+# at timeout emission — batch boundaries and arrival order provably
+# cannot change the kept set, pinned by the batch t19 oracle.
+# ---------------------------------------------------------------------------
+
+
+def _t19_stream_sql() -> str:
+    from nsp_bolt_pipeline_spark.registry import REGISTRY as _R
+
+    base = _R["t19_debounce_throttle"][1]
+    return f"""
+    SELECT user_id, event_type, event_id,
+           CAST(epoch_us(ts) AS BIGINT) AS ts_us
+    FROM ({base})
+    """
+
+
+@query("stream_t19_debounce", _t19_stream_sql())
+def q_stream_t19_debounce(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Replay the event dump through the buffered streaming debounce:
+    per-key state flushes by event-time timeout once the sentinel
+    pushes the final watermark, and the kept set hash-matches the
+    batch greedy fold."""
+    from nsp_bolt_pipeline_spark.registry_streaming import (
+        _dump_events_df,
+        _event_stream,
+        _workdir,
+    )
+    from nsp_bolt_pipeline_spark.streaming.decay import (
+        SENTINEL_USER,
+        track_debounce,
+    )
+
+    dirs = _workdir("stream_debounce")
+    ev = read_table(spark, sf_dir, "events").select(
+        "event_id", "ts", "user_id", "event_type"
+    )
+    max_ts = ev.agg(F.max("ts")).first()[0]
+    sentinel = spark.createDataFrame(
+        [(0, max_ts + timedelta(hours=72), SENTINEL_USER, "x")],
+        "event_id long, ts timestamp, user_id long, event_type string",
+    )
+    _dump_events_df(ev.unionByName(sentinel), dirs["src"])
+
+    wire_schema = T.StructType(
+        [
+            T.StructField("event_id", T.LongType()),
+            T.StructField("ts", T.LongType()),
+            T.StructField("user_id", T.LongType()),
+            T.StructField("event_type", T.StringType()),
+        ]
+    )
+    stream = _event_stream(spark, dirs["src"], schema=wire_schema)
+    out = track_debounce(
+        stream, min_gap_s=T19_GAP_S, horizon_ms=3_600_000
+    )
+    q = (
+        out.writeStream.format("parquet")
+        .option("path", dirs["out"])
+        .option("checkpointLocation", dirs["ckpt"])
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.read.parquet(dirs["out"]).select(
+        "user_id", "event_type", "event_id", "ts_us"
+    )

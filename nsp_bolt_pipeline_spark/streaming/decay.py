@@ -126,3 +126,93 @@ def track_user_ewma(
         )
         .filter(F.col("user_id") != SENTINEL_USER)
     )
+
+
+DEBOUNCE_SCHEMA = T.StructType(
+    [
+        T.StructField("user_id", T.LongType()),
+        T.StructField("event_type", T.StringType()),
+        T.StructField("event_id", T.LongType()),
+        T.StructField("ts_us", T.LongType()),
+    ]
+)
+
+#: buffered (ts_us, event_id) pairs per (user, type) key.
+_DEBOUNCE_STATE = T.StructType(
+    [
+        T.StructField("ts_us", T.ArrayType(T.LongType())),
+        T.StructField("event_ids", T.ArrayType(T.LongType())),
+    ]
+)
+
+
+def track_debounce(
+    stream: DataFrame,
+    *,
+    min_gap_s: int,
+    ts_col: str = "ts",
+    horizon_ms: int = 3_600_000,
+    watermark_delay: str = "1 hour",
+) -> DataFrame:
+    """Streaming twin of operators.timeseries.debounce_events: the
+    greedy keep-if->=gap-after-last-kept fold is sequential in EVENT
+    TIME, so (exactly like the EWMA twin above) the operator buffers
+    each key's events in state and folds once at event-time-timeout
+    emission — arrival order and batch boundaries provably cannot
+    change the kept set, which the batch oracle's hash compare pins.
+    State is (ts, id) pairs within the horizon per active key."""
+
+    def update(
+        key: tuple,
+        pdfs: Iterator["pd.DataFrame"],
+        state: GroupState,
+    ) -> Iterator["pd.DataFrame"]:
+        import pandas as pd
+
+        user_id, event_type = key
+        if state.hasTimedOut:
+            ts_us, event_ids = state.get
+            state.remove()
+            if user_id != SENTINEL_USER and event_ids:
+                pairs = sorted(zip(ts_us, event_ids))
+                kept_t, kept_e = [], []
+                last = None
+                for t, e in pairs:
+                    if last is None or t >= last + min_gap_s * 1_000_000:
+                        kept_t.append(t)
+                        kept_e.append(e)
+                        last = t
+                yield pd.DataFrame(
+                    {
+                        "user_id": [user_id] * len(kept_e),
+                        "event_type": [event_type] * len(kept_e),
+                        "event_id": kept_e,
+                        "ts_us": kept_t,
+                    }
+                )
+            return
+
+        ts_us, event_ids = state.get if state.exists else ([], [])
+        ts_us, event_ids = list(ts_us), list(event_ids)
+        for pdf in pdfs:
+            for t, e in zip(pdf[ts_col], pdf["event_id"]):
+                ts_us.append(int(pd.Timestamp(t).value // 1000))
+                event_ids.append(int(e))
+        state.update((ts_us, event_ids))
+        if ts_us:
+            state.setTimeoutTimestamp(max(ts_us) // 1000 + horizon_ms)
+        return
+        yield  # pragma: no cover — makes `update` a generator
+
+    watermarked = stream.withWatermark(ts_col, watermark_delay)
+    return (
+        watermarked.groupBy("user_id", "event_type")
+        .applyInPandasWithState(
+            update,
+            DEBOUNCE_SCHEMA,
+            _DEBOUNCE_STATE,
+            "append",
+            GroupStateTimeout.EventTimeTimeout,
+        )
+        .filter(F.col("user_id") != SENTINEL_USER)
+    )
