@@ -71,3 +71,41 @@ class TestPagerank:
         assert got["l1"] == got["l2"] == got["l3"]
         # Ranks stay a (rounded) probability distribution.
         assert abs(sum(got.values()) - 1.0) < 1e-3
+
+
+def test_golden_record_survivorship_rules(spark):
+    """Longest-text survivor with id tiebreak, majority lang with
+    lexicographic tiebreak — the d10 field rules on a planted
+    cluster."""
+    import pyspark.sql.functions as F
+    from pyspark.sql import Window as W
+
+    m = spark.createDataFrame(
+        [
+            (100, 1, "aaaa bbbb", "en", "s1", 9),
+            (100, 2, "aaaa bbbb cc", "de", "s2", 12),
+            (100, 3, "aaaa bbbb xx", "de", "s1", 12),
+        ],
+        "entity_id long, doc_id long, text string, lang string,"
+        " source string, n_chars long",
+    )
+    w_txt = W.partitionBy("entity_id").orderBy(
+        F.length("text").desc(), F.col("doc_id").asc()
+    )
+    top = (
+        m.withColumn("rn", F.row_number().over(w_txt))
+        .filter(F.col("rn") == 1)
+        .collect()[0]
+    )
+    assert top["doc_id"] == 2  # longest text, smallest id among ties
+    w_lng = W.partitionBy("entity_id").orderBy(
+        F.col("cnt").desc(), F.col("lang").asc()
+    )
+    lang = (
+        m.groupBy("entity_id", "lang")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .withColumn("rn", F.row_number().over(w_lng))
+        .filter(F.col("rn") == 1)
+        .collect()[0]["lang"]
+    )
+    assert lang == "de"  # majority wins over 'en'

@@ -72,3 +72,30 @@ def test_leakage_safe_split_coassigns_near_dups(spark):
     assert all(len(s) == 1 for s in by_cluster.values())
     # 1-2-3 chain is one cluster; 5-6 another; 4,7,8 singletons
     assert len(by_cluster) == 5
+
+
+def test_pareto_front_dominance(spark):
+    # build via the registry entry's logic shape, but hand-checkable:
+    # (len, score): (10, 5), (10, 3), (20, 7), (20, 7), (30, 6)
+    # front: (10,5) and BOTH (20,7) rows; (30,6) dominated by (20,7)
+    import pyspark.sql.functions as F
+    from pyspark.sql import Window as W
+
+    d = spark.createDataFrame(
+        [(1, 10, 5), (2, 10, 3), (3, 20, 7), (4, 20, 7), (5, 30, 6)],
+        "doc_id long, n_chars long, score_mu long",
+    )
+    lens = d.groupBy("n_chars").agg(F.max("score_mu").alias("eq_max"))
+    w = W.orderBy("n_chars").rowsBetween(W.unboundedPreceding, -1)
+    pref = lens.withColumn("prev_max", F.max("eq_max").over(w))
+    front = (
+        d.join(F.broadcast(pref), "n_chars")
+        .filter(
+            (F.col("score_mu") == F.col("eq_max"))
+            & (
+                F.col("prev_max").isNull()
+                | (F.col("score_mu") > F.col("prev_max"))
+            )
+        )
+    )
+    assert sorted(r["doc_id"] for r in front.collect()) == [1, 3, 4]
