@@ -127,6 +127,8 @@ HEADLINE = [
     # exact sequential debounce: applyInPandas batch + stateful twin
     "t19_debounce_throttle",
     "stream_t19_debounce",
+    # scorer-agreement eval: two-level-prefix exact Spearman rho
+    "eval_score_rank_correlation",
 ]
 
 

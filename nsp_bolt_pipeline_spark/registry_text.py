@@ -1036,3 +1036,97 @@ def q_sel_pareto_front(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select("doc_id", "n_chars", "score_mu")
     )
+
+
+# ---------------------------------------------------------------------------
+# Spearman rank correlation between two document scorers (the linear
+# quality logit vs bigram-LM cross-entropy) — the agreement check run
+# before swapping one quality gate for another. Ranks are exact
+# permutation positions computed with the two-level bucketed prefix
+# sum (corpus ranks WITHOUT a global single-partition sort); the
+# oracle ranks with the naive global window — the hash compare proves
+# the two-level plan produces identical ranks.
+# ---------------------------------------------------------------------------
+
+
+def _spearman_sql() -> str:
+    clf = _quality_clf_sql()
+    lm = _LM_BIGRAM_SQL
+    return f"""
+    WITH q AS ({clf}),
+    h AS ({lm}),
+    j AS (
+        SELECT q.doc_id,
+               CAST(FLOOR(q.logit * 1e6 + 0.5) AS BIGINT) AS q_mu,
+               CAST(FLOOR(h.cross_entropy * 1e6 + 0.5) AS BIGINT) AS h_mu
+        FROM q JOIN h USING (doc_id)
+    ),
+    r AS (
+        SELECT doc_id,
+               row_number() OVER (ORDER BY q_mu, doc_id) AS rq,
+               row_number() OVER (ORDER BY h_mu, doc_id) AS rh
+        FROM j
+    )
+    SELECT CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM((rq - rh) * (rq - rh)) AS BIGINT) AS sum_d2,
+           1.0 - CAST(6 * SUM((rq - rh) * (rq - rh)) AS DOUBLE)
+               / CAST(COUNT(*) * (COUNT(*) * COUNT(*) - 1) AS DOUBLE)
+               AS spearman_rho
+    FROM r
+    """
+
+
+@query("eval_score_rank_correlation", _spearman_sql())
+def q_eval_spearman(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spearman rho between the quality-logit and bigram-cross-
+    entropy rankings over the joined doc set. Both rank vectors come
+    from the two-level prefix sum (operators.corpus.prefix_sum) over
+    integer micro-unit sort keys — exact permutation ranks, no
+    global window; d^2 sums as BIGINT; rho is one terminal
+    division."""
+    from nsp_bolt_pipeline_spark.operators.corpus import prefix_sum
+    from nsp_bolt_pipeline_spark.operators.lm import (
+        bigram_cross_entropy_scores,
+    )
+
+    docs = read_table(spark, sf_dir, "documents")
+    cols = quality_logit("text", stopwords=LANGUAGE_PROFILES["en"])
+    q = docs.select(
+        "doc_id",
+        F.floor(cols["logit"] * 1e6 + F.lit(0.5)).cast("long").alias("q_mu"),
+    )
+    h = bigram_cross_entropy_scores(docs, F.col("lang") == "en").select(
+        "doc_id",
+        F.floor(F.col("cross_entropy") * 1e6 + F.lit(0.5))
+        .cast("long")
+        .alias("h_mu"),
+    )
+    j = q.join(h, "doc_id").persist()
+
+    def ranks(df, key, out):
+        ranked = prefix_sum(
+            df.withColumn("_one", F.lit(1)),
+            order_cols=[key, "doc_id"],
+            value_col="_one",
+            bucket=F.floor(F.col(key) / F.lit(250_000.0)),
+            out="_off",
+        )
+        return ranked.select(
+            "doc_id", (F.col("_off") + 1).cast("long").alias(out)
+        )
+
+    r = ranks(j, "q_mu", "rq").join(ranks(j, "h_mu", "rh"), "doc_id")
+    d2 = (F.col("rq") - F.col("rh")) * (F.col("rq") - F.col("rh"))
+    agg = r.agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum(d2).cast("long").alias("sum_d2"),
+    )
+    return agg.select(
+        "n",
+        "sum_d2",
+        (
+            F.lit(1.0)
+            - (F.lit(6) * F.col("sum_d2")).cast("double")
+            / (F.col("n") * (F.col("n") * F.col("n") - 1)).cast("double")
+        ).alias("spearman_rho"),
+    )
