@@ -1130,3 +1130,60 @@ def q_eval_spearman(spark: SparkSession, sf_dir: str) -> DataFrame:
             / (F.col("n") * (F.col("n") * F.col("n") - 1)).cast("double")
         ).alias("spearman_rho"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Hard-negative mining for contrastive training: documents the
+# LEXICAL ranker rates highly that the DENSE ground truth does NOT —
+# the standard recipe (BM25-retrieved, semantically non-relevant)
+# for negatives that actually teach the model something. One anti
+# join of two k-row rankings.
+# ---------------------------------------------------------------------------
+
+HARDNEG_DENSE_K = 10  # dense "relevant" set size
+
+
+def _hard_negatives_sql() -> str:
+    return f"""
+    WITH {_bm25_ranked_sql()},
+    denser AS (
+        SELECT doc_id FROM (
+            SELECT vec_id AS doc_id,
+                   row_number() OVER (ORDER BY sim DESC, vec_id ASC)
+                       AS rnk
+            FROM (
+                SELECT c.vec_id, {_cos_sql("q.qv", "c.embedding")} AS sim
+                FROM embeddings c,
+                     (SELECT embedding AS qv FROM embeddings
+                      WHERE vec_id = {HYQ}) q
+                WHERE c.vec_id <> {HYQ}
+            )
+        ) WHERE rnk <= {HARDNEG_DENSE_K}
+    )
+    SELECT a.doc_id, CAST(a.rnk AS BIGINT) AS bm25_rnk
+    FROM bm25r a ANTI JOIN denser b USING (doc_id)
+    """
+
+
+@query("l18_hard_negatives", _hard_negatives_sql())
+def q_l18_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 top-{RETR_K} minus the dense top-{HARDNEG_DENSE_K} for
+    the same query — lexically-confusable, semantically-irrelevant
+    docs, i.e. the hard negatives a contrastive run trains against.
+    Both rankings are the already-oracled retrieval operators; the
+    mining step is one broadcast anti join."""
+    docs = read_table(spark, sf_dir, "documents")
+    bm25_ranked = bm25_topk(
+        docs, query_terms=BM25_TERMS, k=RETR_K, k1=BM25_K1, b=BM25_B
+    ).select(
+        "doc_id",
+        F.row_number()
+        .over(W.orderBy(F.col("score").desc(), F.col("doc_id").asc()))
+        .cast("long")
+        .alias("bm25_rnk"),
+    )
+    emb = read_table(spark, sf_dir, "embeddings")
+    dense = exact_topk(
+        emb, emb.filter(F.col("vec_id") == HYQ), k=HARDNEG_DENSE_K
+    ).select(F.col("vec_id").alias("doc_id"))
+    return bm25_ranked.join(F.broadcast(dense), "doc_id", "left_anti")
