@@ -1594,3 +1594,66 @@ def q_stream_t19_debounce(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.read.parquet(dirs["out"]).select(
         "user_id", "event_type", "event_id", "ts_us"
     )
+
+
+# ---------------------------------------------------------------------------
+# t20: RFM segmentation — recency/frequency/monetary quintiles per
+# user. Monetary folds as integer cents; quintiles are ntile over
+# the USER-dimension frame (orders of magnitude below the event log;
+# ties broken by user_id so the ntile is a deterministic total
+# order).
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "t20_rfm_segmentation",
+    f"""
+    WITH per_user AS (
+        SELECT user_id,
+               MAX(ts) AS last_purchase,
+               CAST(COUNT(*) AS BIGINT) AS frequency,
+               CAST(SUM(CAST(FLOOR(value * 100 + 0.5) AS BIGINT))
+                    AS BIGINT) AS monetary_cents
+        FROM events WHERE event_type = '{END_EVENT}'
+        GROUP BY user_id
+    )
+    SELECT user_id, last_purchase, frequency, monetary_cents,
+           CAST(ntile(5) OVER (ORDER BY last_purchase ASC, user_id ASC)
+                AS INTEGER) AS r_quintile,
+           CAST(ntile(5) OVER (ORDER BY frequency ASC, user_id ASC)
+                AS INTEGER) AS f_quintile,
+           CAST(ntile(5) OVER (ORDER BY monetary_cents ASC, user_id ASC)
+                AS INTEGER) AS m_quintile
+    FROM per_user
+    """,
+)
+def q_t20_rfm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RFM quintiles over the purchase log: one partial-agg shuffle
+    collapses events to the user dimension; the three ntile windows
+    run over that user-sized frame (at 100 TB of events the user
+    table is still ~millions — if even that must scale, swap ntile
+    for the percentile_trim cumulative-rank pattern)."""
+    from pyspark.sql import Window as W
+
+    ev = read_table(spark, sf_dir, "events")
+    per_user = ev.filter(F.col("event_type") == END_EVENT).groupBy(
+        "user_id"
+    ).agg(
+        F.max("ts").alias("last_purchase"),
+        F.count(F.lit(1)).cast("long").alias("frequency"),
+        F.sum(
+            F.floor(F.col("value") * 100 + F.lit(0.5)).cast("long")
+        ).cast("long").alias("monetary_cents"),
+    )
+    q = lambda col: F.ntile(5).over(  # noqa: E731
+        W.orderBy(F.col(col).asc(), F.col("user_id").asc())
+    ).cast("int")
+    return per_user.select(
+        "user_id",
+        "last_purchase",
+        "frequency",
+        "monetary_cents",
+        q("last_purchase").alias("r_quintile"),
+        q("frequency").alias("f_quintile"),
+        q("monetary_cents").alias("m_quintile"),
+    )
