@@ -712,8 +712,15 @@ def cdc_chunks(
         )
 
         def from_grams(grams: Column) -> Column:
+            # sequence(2, 1) would generate DESCENDING [2, 1] (Spark
+            # steps backwards when start > stop) and index past the
+            # single gram — a one-gram doc (len == k exactly) has no
+            # interior cut positions at all
             cuts = F.filter(
-                F.sequence(F.lit(2), F.size(grams)),
+                F.when(
+                    F.size(grams) >= 2,
+                    F.sequence(F.lit(2), F.size(grams)),
+                ).otherwise(F.array().cast("array<int>")),
                 lambda i: F.element_at(grams, i) % divisor == 0,
             )
             bounds = F.concat(
