@@ -430,10 +430,16 @@ def winnow_fingerprints(
 
     def from_text(s: Column) -> Column:
         n_sub = F.length(s) - (k - 1)
-        subs = F.transform(
-            F.sequence(F.lit(1), n_sub),
-            lambda i: F.md5(s.substr(i, F.lit(k))),
-        )
+        # text shorter than k has NO k-char windows; unguarded,
+        # sequence(1, n_sub<=0) steps descending into negative substr
+        # positions (which count from the END of the string)
+        subs = F.when(
+            n_sub >= 1,
+            F.transform(
+                F.sequence(F.lit(1), n_sub),
+                lambda i: F.md5(s.substr(i, F.lit(k))),
+            ),
+        ).otherwise(F.array().cast("array<string>"))
         return bind_once(
             subs,
             lambda h: F.when(
@@ -527,12 +533,18 @@ def winnow_fingerprint_ints(
 
     def from_norm(sn: Column) -> Column:
         n_grams = F.length(sn) - k + 1
-        grams_expr = F.transform(
-            F.sequence(F.lit(1), n_grams),
-            lambda i: F.conv(
-                F.substring(F.md5(sn.substr(i, F.lit(k))), 1, 8), 16, 10
-            ).cast("long"),
-        )
+        # guard the no-window case (text shorter than k): an
+        # unguarded sequence(1, n_grams<=0) steps descending into
+        # negative (end-relative) substr positions
+        grams_expr = F.when(
+            n_grams >= 1,
+            F.transform(
+                F.sequence(F.lit(1), n_grams),
+                lambda i: F.conv(
+                    F.substring(F.md5(sn.substr(i, F.lit(k))), 1, 8), 16, 10
+                ).cast("long"),
+            ),
+        ).otherwise(F.array().cast("array<long>"))
 
         # let-bind the gram array: every window slice references it,
         # and higher-order functions get no common-subexpression
@@ -704,12 +716,18 @@ def cdc_chunks(
 
     def from_norm(sn: Column) -> Column:
         n_grams = F.length(sn) - k + 1
-        grams_expr = F.transform(
-            F.sequence(F.lit(1), n_grams),
-            lambda i: F.conv(
-                F.substring(F.md5(sn.substr(i, F.lit(k))), 1, 8), 16, 10
-            ).cast("long"),
-        )
+        # guard the no-window case (text shorter than k): an
+        # unguarded sequence(1, n_grams<=0) steps descending into
+        # negative (end-relative) substr positions
+        grams_expr = F.when(
+            n_grams >= 1,
+            F.transform(
+                F.sequence(F.lit(1), n_grams),
+                lambda i: F.conv(
+                    F.substring(F.md5(sn.substr(i, F.lit(k))), 1, 8), 16, 10
+                ).cast("long"),
+            ),
+        ).otherwise(F.array().cast("array<long>"))
 
         def from_grams(grams: Column) -> Column:
             # sequence(2, 1) would generate DESCENDING [2, 1] (Spark

@@ -81,10 +81,16 @@ def rolling_hash(
     gives windowed substring hashes for winnowing-style fingerprints.
     """
     def from_text(s: Column) -> Column:
-        codes = F.transform(
-            F.sequence(F.lit(1), F.length(s)),
-            lambda i: F.ascii(s.substr(i, F.lit(1))).cast("long"),
-        )
+        # sequence(1, 0) on an empty string steps DESCENDING [1, 0];
+        # guard so '' folds over no codes (hash 0, = DuckDB's empty
+        # range fold) instead of two out-of-range substr probes
+        codes = F.when(
+            F.length(s) >= 1,
+            F.transform(
+                F.sequence(F.lit(1), F.length(s)),
+                lambda i: F.ascii(s.substr(i, F.lit(1))).cast("long"),
+            ),
+        ).otherwise(F.array().cast("array<long>"))
         return F.aggregate(
             codes,
             F.lit(0).cast("long"),

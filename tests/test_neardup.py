@@ -292,3 +292,35 @@ def test_incremental_pairs_subset_of_full_and_complete(spark):
     want = {p for p in full if p[0] % 5 == 0 or p[1] % 5 == 0}
     assert inc == want
     assert (1, 5) in inc and (1, 2) not in inc
+
+
+def test_short_and_empty_text_edge_cases(spark):
+    """Docs shorter than the gram width produce NO fingerprints/
+    windows (not end-relative-substr garbage), and '' hashes to the
+    empty fold — pinning the sequence(1, n<=0) descending-range
+    guards."""
+    import pyspark.sql.functions as F
+
+    from nsp_bolt_pipeline_spark.operators.neardup import (
+        cdc_chunks,
+        winnow_fingerprint_ints,
+        winnow_fingerprints,
+    )
+    from nsp_bolt_pipeline_spark.operators.text import rolling_hash
+
+    df = spark.createDataFrame(
+        [(1, "ab"), (2, ""), (3, "exactly8")],
+        "doc_id long, text string",
+    )
+    out = df.select(
+        "doc_id",
+        F.size(winnow_fingerprints("text", k=12, window=4)).alias("n_char"),
+        F.size(winnow_fingerprint_ints("text", k=16, w=8)).alias("n_int"),
+        F.size(cdc_chunks("text", k=8, divisor=16)).alias("n_cdc"),
+        rolling_hash("text").alias("h"),
+    ).collect()
+    by_id = {r["doc_id"]: r for r in out}
+    assert by_id[1]["n_char"] == 0 and by_id[1]["n_int"] == 0
+    assert by_id[2]["h"] == 0  # empty fold
+    # len == k exactly: one gram, one chunk, no interior cuts
+    assert by_id[3]["n_cdc"] == 1
