@@ -56,6 +56,14 @@ EAGER_ENTRIES = {
     "ann_ivfpq_topk",
     "corpus_curation_budget",
     "emb_pca_top_component",
+    # iterative min-label CC / pagerank builders: each round runs a
+    # localCheckpoint + fixpoint count, so construction executes jobs
+    "neardup_clusters",
+    "cosine_neardup_clusters",
+    "fuzzy_entity_clusters",
+    "d10_golden_record",
+    "sel_leakage_safe_split",
+    "graph_pagerank",
 }
 
 # Entries whose global window is acceptable, with the reason. Two
