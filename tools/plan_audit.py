@@ -93,6 +93,18 @@ GLOBAL_WINDOW_OK: dict[str, str] = {
     " statistics are the verification contract; the scale path swaps"
     " the lookup side for a broadcast approx-quantile grid, same"
     " pattern as f_winsorize_scale)",
+    "sel_pareto_front": "post-agg (prefix max over DISTINCT n_chars"
+    " values, domain-sized; the corpus joins the result back by"
+    " broadcast)",
+    "eval_score_rank_correlation": "post-agg (two-level prefix sum:"
+    " the global window runs over coarse score-bucket totals — tens"
+    " of rows; per-row ranks are partitioned by bucket)",
+    "t18_cusum_changepoint": "post-agg (running sum over one row per"
+    " calendar day)",
+    "t20_rfm_segmentation": "post-agg (ntile over the user dimension"
+    " — orders of magnitude below the event log; the"
+    " percentile_trim cumulative-rank pattern is the further-scale"
+    " swap, noted in the docstring)",
 }
 
 _GLOBAL_WINDOW_RE = re.compile(
