@@ -129,34 +129,54 @@ def debounce_events(
     ``applyInPandas`` case: a per-key ordered fold, keys independent
     and massively parallel.
 
-    Scale (100 TB): one shuffle on the key; Python sees each key
-    group once as an Arrow batch and does a linear scan; state is one
-    timestamp. Skewed keys are bounded by per-key history length, not
-    corpus size. The DuckDB oracle replays the greedy fold with a
-    recursive CTE — different mechanism, same fixpoint.
+    Scale (100 TB): one shuffle on the key; Python sees each
+    partition as a stream of Arrow batches and does ONE linear scan
+    over pre-sorted rows, carrying a {key -> last kept ts} dict
+    across batch boundaries. This is ``mapInPandas`` (per-partition),
+    NOT ``groupBy().applyInPandas`` (per-group): with millions of
+    small keys the per-group pandas construction overhead dominates
+    the fold itself (measured 18.8s -> ~1s at sf0.1 / 7,500 groups).
+    State is one int64 per key seen in the partition, bounded by
+    distinct keys per partition, not corpus size. Skewed keys are
+    bounded by per-key history length. The DuckDB oracle replays the
+    greedy fold with a recursive CTE — different mechanism, same
+    fixpoint.
 
     Returns the kept rows: key_cols + (id, ts).
     """
-    import pandas as pd
+    import numpy as np
 
     keys = key_cols or ["user_id", "event_type"]
-    out_schema = df.select(*keys, id_col, ts_col).schema
+    out_cols = [*keys, id_col, ts_col]
+    out_schema = df.select(*out_cols).schema
+    gap_us = min_gap_s * 1_000_000
 
-    def scan(pdf: "pd.DataFrame") -> "pd.DataFrame":
-        pdf = pdf.sort_values([ts_col, id_col], kind="mergesort")
-        kept = []
-        last_us = None
-        for t, e in zip(pdf[ts_col], pdf[id_col]):
-            t_us = pd.Timestamp(t).value // 1000
-            if last_us is None or t_us >= last_us + min_gap_s * 1_000_000:
-                kept.append(e)
-                last_us = t_us
-        return pdf[pdf[id_col].isin(kept)][
-            [f.name for f in out_schema.fields]
-        ]
+    def scan(batches):
+        last: dict[tuple, int] = {}
+        for pdf in batches:
+            n = len(pdf)
+            if n == 0:
+                continue
+            # tz/unit-proof epoch micros: ns int64 // 1000
+            ser = pdf[ts_col]
+            if getattr(ser.dtype, "tz", None) is not None:
+                ser = ser.dt.tz_convert("UTC").dt.tz_localize(None)
+            ts_us = (
+                ser.astype("datetime64[ns]").astype("int64") // 1000
+            ).to_numpy()
+            kcols = [pdf[k].to_numpy() for k in keys]
+            keep = np.zeros(n, dtype=bool)
+            for i in range(n):
+                kk = tuple(c[i] for c in kcols)
+                lt = last.get(kk)
+                if lt is None or ts_us[i] >= lt + gap_us:
+                    keep[i] = True
+                    last[kk] = ts_us[i]
+            yield pdf.loc[keep, out_cols]
 
     return (
-        df.select(*keys, id_col, ts_col)
-        .groupBy(*keys)
-        .applyInPandas(scan, out_schema)
+        df.select(*out_cols)
+        .repartition(*keys)
+        .sortWithinPartitions(*keys, ts_col, id_col)
+        .mapInPandas(scan, out_schema)
     )
