@@ -146,3 +146,54 @@ def range_join_agg(
         .agg(*[m.alias(name) for name, m in measures.items()])
         .drop("_anchor_id")
     )
+
+
+def bucketed_colocated_join(
+    left: DataFrame,
+    right: DataFrame,
+    *,
+    left_key: str,
+    right_key: str,
+    buckets: int,
+    base_path: str,
+    prefix: str,
+) -> DataFrame:
+    """Publish both sides bucketed + sorted on the join key, then
+    sort-merge-join the catalog tables back — the co-located fact/fact
+    join (reference: the Glue job's start/end trip join,
+    glue_jobs/KPI-Aggregator.py:98, which shuffles both full tables
+    every run).
+
+    Bucketing moves the shuffle from query time to (one-off) write
+    time: both tables hash-split into ``buckets`` files on the key at
+    publish, so the join reads bucket i against bucket i with NO
+    Exchange and, because files are ``sortBy`` the key, no Sort either
+    — the physical plan is scan -> scan -> SortMergeJoin. At 100 TB
+    this deletes the single largest data movement in any recurring
+    fact/fact join; size ``buckets`` to the corpus (~1 GiB each), not
+    the test machine. The ``merge`` hint pins SMJ so the demonstration
+    holds at driver scale where Catalyst would otherwise broadcast the
+    small side (broadcast is also shuffle-free but proves nothing
+    about co-location).
+
+    The publish step is eager (bucketing metadata lives in the
+    catalog, hence ``saveAsTable``); tables are overwritten per call.
+    """
+    from nsp_bolt_pipeline_spark.sources.sinks import write_bronze_bucketed
+
+    import os
+
+    spark = left.sparkSession
+    lt, rt = f"{prefix}_left_b", f"{prefix}_right_b"
+    write_bronze_bucketed(
+        left, lt, buckets=buckets, key=left_key,
+        path=os.path.join(base_path, lt),
+    )
+    write_bronze_bucketed(
+        right, rt, buckets=buckets, key=right_key,
+        path=os.path.join(base_path, rt),
+    )
+    lb, rb = spark.table(lt), spark.table(rt)
+    return lb.hint("merge").join(
+        rb, lb[left_key] == rb[right_key], "inner"
+    )

@@ -558,3 +558,62 @@ def oof_target_encoding(
         .select(cat_col, "fold", "oof_cnt", "oof_mean")
     )
     return enc
+
+
+def dense_global_ids(
+    df: DataFrame,
+    *,
+    key: str,
+    out_col: str = "global_id",
+    coarse_buckets: int = 4096,
+) -> DataFrame:
+    """Assign each row its dense global rank (0..n-1) in ``key`` order
+    WITHOUT a global sort — the distributed ``zipWithIndex`` every
+    training-export pipeline needs (contiguous example ids, shard
+    offsets) and the thing ``row_number()`` over an unpartitioned
+    window funnels through one task.
+
+    ``key`` must be a unique non-negative integer column. Same
+    two-level prefix-sum shape as the Z-order shard map:
+
+      1. coarse bucket = ``key >> shift`` with shift chosen from
+         ``max(key)`` so there are <= ``coarse_buckets`` buckets —
+         value-derived, so placement is deterministic at any
+         parallelism (unlike ``spark_partition_id``-based schemes);
+      2. per-bucket counts cumulate on the driver (k rows only) into
+         exclusive bucket offsets, broadcast back;
+      3. within each bucket a partitioned window ranks by ``key`` —
+         the only sort, bounded by bucket width, embarrassingly
+         parallel across buckets.
+
+    global_id = bucket_offset + within_bucket_rank - 1; bit-equal to
+    ``row_number() OVER (ORDER BY key) - 1`` at any partition count.
+    """
+    spark = df.sparkSession
+    hi = df.agg(F.max(key).alias("m")).collect()[0]["m"]
+    if hi is None:
+        return df.withColumn(out_col, F.lit(None).cast("long"))
+    shift = 0
+    while (int(hi) >> shift) >= coarse_buckets:
+        shift += 1
+    cb = F.shiftright(F.col(key).cast("long"), shift)
+    bucketed = df.withColumn("_cb", cb)
+    brows = sorted(
+        (int(r["_cb"]), int(r["c"]))
+        for r in bucketed.groupBy("_cb")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .collect()
+    )
+    off, offsets = 0, []
+    for b, c in brows:
+        offsets.append((b, off))
+        off += c
+    omap = spark.createDataFrame(offsets, "_cb long, _off long")
+    w = W.partitionBy("_cb").orderBy(key)
+    return (
+        bucketed.join(F.broadcast(omap), "_cb")
+        .withColumn(
+            out_col, F.col("_off") + F.row_number().over(w) - F.lit(1)
+        )
+        .drop("_cb", "_off")
+    )

@@ -468,3 +468,64 @@ def q_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select("event_type", "month", "n_events", "total_value")
     )
+
+
+# ---------------------------------------------------------------------------
+# j6: co-located fact/fact join over bucketed tables — the shuffle is
+# paid once at publish time, never again at query time.
+# ---------------------------------------------------------------------------
+
+_J6_BUCKETS = 8
+
+
+@query(
+    "j6_bucketed_colocated_join",
+    """
+    SELECT o.o_orderpriority,
+           CAST(COUNT(*) AS BIGINT) AS n_items,
+           FLOOR((SUM(l.l_extendedprice * (1 - l.l_discount)))*100 + 0.5)/100
+               AS revenue
+    FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+    GROUP BY o.o_orderpriority
+    """,
+)
+def q_bucketed_colocated_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The recurring fact/fact join with its shuffle moved to write
+    time: both tables publish bucketed+sorted on the order key, the
+    join plan is scan -> scan -> SortMergeJoin with zero Exchange and
+    zero Sort below the join (pytest asserts the plan; the oracle
+    verifies the values are exactly the shuffled join's). The only
+    runtime Exchange left is the 5-row priority aggregate."""
+    import os as _os
+    import tempfile as _tempfile
+
+    from nsp_bolt_pipeline_spark.operators.joins import (
+        bucketed_colocated_join,
+    )
+
+    orders = read_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderpriority"
+    )
+    li = read_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_extendedprice", "l_discount"
+    )
+    base = _os.path.join(
+        _tempfile.gettempdir(),
+        "nsp_bucketed",
+        _os.path.basename(_os.path.normpath(sf_dir)),
+    )
+    joined = bucketed_colocated_join(
+        orders,
+        li,
+        left_key="o_orderkey",
+        right_key="l_orderkey",
+        buckets=_J6_BUCKETS,
+        base_path=base,
+        prefix="j6",
+    )
+    return joined.groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).alias("n_items"),
+        _r2(
+            F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount")))
+        ).alias("revenue"),
+    )

@@ -697,3 +697,32 @@ def q_feature_hashing(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("sign"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Dense global row ids without a global sort: the distributed
+# zipWithIndex (contiguous example ids for training export).
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "f_dense_global_ids",
+    """
+    SELECT doc_id, source,
+           CAST(row_number() OVER (ORDER BY doc_id) - 1 AS BIGINT)
+               AS global_id
+    FROM documents
+    """,
+)
+def q_dense_global_ids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Contiguous 0..n-1 ids in doc_id order via the two-level prefix
+    sum (value-derived coarse buckets -> driver cumsum of <=4k bucket
+    counts -> per-bucket windows): bit-equal to the oracle's global
+    ``row_number()`` at any partition count, with no no-partition
+    window anywhere in the plan."""
+    from nsp_bolt_pipeline_spark.operators.sampling import dense_global_ids
+
+    docs = read_table(spark, sf_dir, "documents").select("doc_id", "source")
+    return dense_global_ids(docs, key="doc_id").select(
+        "doc_id", "source", "global_id"
+    )

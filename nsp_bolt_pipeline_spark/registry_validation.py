@@ -792,3 +792,53 @@ def q_k_anonymity(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Freshness SLO audit: per-stream staleness vs the corpus high-water
+# mark — the ingest-lag monitor every scheduled pipeline needs.
+# ---------------------------------------------------------------------------
+
+_FRESH_SLO_S = 6 * 3600
+
+
+@query(
+    "dq_freshness_slo",
+    f"""
+    WITH m AS (
+        SELECT event_type, MAX(ts) AS last_ts FROM events
+        GROUP BY event_type
+    ),
+    g AS (SELECT MAX(ts) AS hwm FROM events)
+    SELECT m.event_type, m.last_ts,
+           CAST((epoch_us(g.hwm) - epoch_us(m.last_ts)) // 1000000
+                AS BIGINT) AS lag_s,
+           ((epoch_us(g.hwm) - epoch_us(m.last_ts)) // 1000000)
+               <= {_FRESH_SLO_S} AS within_slo
+    FROM m CROSS JOIN g
+    """,
+)
+def q_freshness_slo(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-event-type data freshness against the corpus high-water
+    mark: one partial-agg shuffle for the per-type maxima, the 1-row
+    global max rides a broadcast. At 100 TB the maxima come off
+    partition/file statistics — the aggregate never rescans payload
+    columns (only ts survives column pruning)."""
+    ev = read_table(spark, sf_dir, "events").select("event_type", "ts")
+    per = ev.groupBy("event_type").agg(F.max("ts").alias("last_ts"))
+    hwm = ev.agg(F.max("ts").alias("hwm"))
+    out = per.crossJoin(F.broadcast(hwm))
+    return out.select(
+        "event_type",
+        "last_ts",
+        F.expr(
+            "CAST((unix_micros(hwm) - unix_micros(last_ts)) div 1000000"
+            " AS BIGINT)"
+        ).alias("lag_s"),
+        (
+            F.expr(
+                "(unix_micros(hwm) - unix_micros(last_ts)) div 1000000"
+            )
+            <= _FRESH_SLO_S
+        ).alias("within_slo"),
+    )

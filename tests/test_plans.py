@@ -155,3 +155,16 @@ def test_dynamic_partition_pruning_engages_on_bronze_layout(spark, tmp_path):
             spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
         else:
             spark.conf.set("spark.sql.autoBroadcastJoinThreshold", saved)
+
+
+def test_bucketed_colocated_join_has_no_join_exchange(plans):
+    """j6: the fact/fact join must read co-located buckets — one
+    Exchange in the whole plan (the 5-row post-join aggregate), none
+    between the scans and the SortMergeJoin. The Sorts below the join
+    are per-bucket (``false, 0`` = non-global), not shuffles."""
+    plan = plans["j6_bucketed_colocated_join"]
+    assert "SortMergeJoin" in plan
+    assert plan.count("Bucketed: true") == 2
+    assert plan.count("Exchange") == 1
+    below_join = plan.split("SortMergeJoin", 1)[1]
+    assert "Exchange" not in below_join

@@ -227,3 +227,49 @@ class TestZorder:
         for r in got:
             by_shard.setdefault(r.shard, []).append(r.morton)
         assert max(by_shard[1]) <= min(by_shard[2])
+
+
+class TestDenseGlobalIds:
+    def _expected(self, rows):
+        return {k: i for i, k in enumerate(sorted(r[0] for r in rows))}
+
+    def test_matches_global_row_number_at_any_parallelism(self, spark):
+        from nsp_bolt_pipeline_spark.operators.sampling import (
+            dense_global_ids,
+        )
+
+        rows = [(k * 37 % 1009,) for k in range(400)]  # scrambled, unique
+        want = self._expected(rows)
+        for parts in (1, 5, 13):
+            df = spark.createDataFrame(rows, "doc_id long").repartition(parts)
+            got = {
+                r["doc_id"]: r["gid"]
+                for r in dense_global_ids(
+                    df, key="doc_id", out_col="gid"
+                ).collect()
+            }
+            assert got == want, f"parallelism {parts}"
+
+    def test_no_unpartitioned_window_in_plan(self, spark):
+        from nsp_bolt_pipeline_spark.operators.sampling import (
+            dense_global_ids,
+        )
+
+        df = spark.range(1000).withColumnRenamed("id", "k")
+        out = dense_global_ids(df, key="k")
+        plan = out._jdf.queryExecution().executedPlan().toString()
+        # every Window must carry a partition spec (the coarse bucket)
+        for frag in plan.split("Window")[1:]:
+            head = frag.split("\n", 1)[0]
+            assert "_cb" in head or "windowspecdefinition" not in head
+
+    def test_empty_and_tiny_inputs(self, spark):
+        from nsp_bolt_pipeline_spark.operators.sampling import (
+            dense_global_ids,
+        )
+
+        empty = spark.createDataFrame([], "k long")
+        assert dense_global_ids(empty, key="k").count() == 0
+        one = spark.createDataFrame([(42,)], "k long")
+        got = dense_global_ids(one, key="k").collect()
+        assert got[0]["global_id"] == 0

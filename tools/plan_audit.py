@@ -64,6 +64,10 @@ EAGER_ENTRIES = {
     "d10_golden_record",
     "sel_leakage_safe_split",
     "graph_pagerank",
+    # publishes both sides as bucketed catalog tables at build time
+    "j6_bucketed_colocated_join",
+    # max-key probe + <=4k coarse bucket-count collect at build time
+    "f_dense_global_ids",
 }
 
 # Entries whose global window is acceptable, with the reason. Two
