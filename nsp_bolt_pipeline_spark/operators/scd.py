@@ -107,3 +107,72 @@ def snapshot_diff(
         *[F.col(f"old_{c}") for c in compare_cols],
         *[F.col(f"new_{c}") for c in compare_cols],
     )
+
+
+def scd2_asof_snapshot(
+    history: DataFrame,
+    *,
+    key: str,
+    as_of: str,
+    valid_from: str = "valid_from",
+    valid_to: str = "valid_to",
+) -> DataFrame:
+    """Time travel over an SCD2 history: the dimension's state as of
+    timestamp ``as_of`` (an SQL literal string) — the row per key
+    whose interval contains the instant (``valid_from <= t`` and
+    ``t < valid_to`` or open-ended). Keys born after ``as_of`` drop
+    out, exactly like a snapshot taken that day. Pure map-side filter
+    over the history — no window, no join; at 100 TB the
+    ``valid_from`` predicate prunes history partitions if the table
+    is laid out by interval start."""
+    t = F.to_timestamp(F.lit(as_of))
+    return history.filter(
+        (F.col(valid_from) <= t)
+        & (F.col(valid_to).isNull() | (t < F.col(valid_to)))
+    )
+
+
+def point_in_time_join(
+    facts: DataFrame,
+    history: DataFrame,
+    *,
+    key: str,
+    fact_ts: str,
+    valid_from: str = "valid_from",
+    valid_to: str = "valid_to",
+    how: str = "left",
+) -> DataFrame:
+    """Join each fact row to the SCD2 dimension version that was
+    current AT THE FACT'S OWN TIMESTAMP — the point-in-time (PIT)
+    join that prevents feature leakage in training-data assembly (a
+    fact must never see a dimension value from its future) and that
+    as-of reporting is built on.
+
+    Semantics: ``h.key = f.key AND h.valid_from <= f.ts AND
+    (h.valid_to IS NULL OR f.ts < h.valid_to)``. Intervals per key
+    are non-overlapping by SCD2 construction, so each fact matches at
+    most one version; facts before the key's first interval keep
+    nulls under the default left join.
+
+    Scale shape: an equi-join on the key with the interval bounds as
+    residual predicates — hash/sort-merge eligible, never a range
+    cross product. History rows per key are bounded by change count,
+    so the join fan-in is version-count, not corpus-sized; AQE
+    splits skewed keys. (Same bound as the as-of union trick in
+    operators.joins, but PIT reads an already-built history table,
+    which is the warehouse-native layout.)
+    """
+    f, h = facts.alias("f"), history.alias("h")
+    cond = (
+        (F.col(f"f.{key}") == F.col(f"h.{key}"))
+        & (F.col(f"h.{valid_from}") <= F.col(f"f.{fact_ts}"))
+        & (
+            F.col(f"h.{valid_to}").isNull()
+            | (F.col(f"f.{fact_ts}") < F.col(f"h.{valid_to}"))
+        )
+    )
+    hist_payload = [c for c in history.columns if c != key]
+    return f.join(h, cond, how).select(
+        *[F.col(f"f.{c}") for c in facts.columns],
+        *[F.col(f"h.{c}").alias(f"dim_{c}") for c in hist_payload],
+    )

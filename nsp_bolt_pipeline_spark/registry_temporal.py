@@ -1657,3 +1657,132 @@ def q_t20_rfm(spark: SparkSession, sf_dir: str) -> DataFrame:
         q("frequency").alias("f_quintile"),
         q("monetary_cents").alias("m_quintile"),
     )
+
+
+# ---------------------------------------------------------------------------
+# SCD2 readouts: time-travel snapshot and the point-in-time fact join
+# (operators.scd). Both consume the scd2_order_priority history.
+# ---------------------------------------------------------------------------
+
+_SCD2_BASE_CTES = """
+    o AS (SELECT o_custkey, o_orderpriority, o_orderdate, o_orderkey
+          FROM orders),
+    flagged AS (
+        SELECT *, CASE WHEN row_number() OVER w = 1 THEN 1
+                       WHEN lag(o_orderpriority) OVER w
+                            IS NOT DISTINCT FROM o_orderpriority
+                       THEN 0 ELSE 1 END AS chg
+        FROM o
+        WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+    ),
+    numbered AS (
+        SELECT *, SUM(chg) OVER (PARTITION BY o_custkey
+                                 ORDER BY o_orderdate, o_orderkey
+                                 ROWS UNBOUNDED PRECEDING) AS rid
+        FROM flagged
+    ),
+    runs AS (
+        SELECT o_custkey, rid, MIN(o_orderpriority) AS o_orderpriority,
+               MIN(o_orderdate) AS valid_from, COUNT(*) AS n_rows
+        FROM numbered GROUP BY o_custkey, rid
+    ),
+    hist AS (
+        SELECT o_custkey, o_orderpriority, valid_from,
+               lead(valid_from) OVER (PARTITION BY o_custkey ORDER BY rid)
+                   AS valid_to,
+               CAST(rid AS INTEGER) AS version, n_rows
+        FROM runs
+    )
+"""
+
+_SCD2_AS_OF = "1996-06-01 00:00:00"
+
+
+def _scd2_history(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = read_table(spark, sf_dir, "orders")
+    return scd2_intervals(
+        orders,
+        key="o_custkey",
+        attr="o_orderpriority",
+        order_cols=["o_orderdate", "o_orderkey"],
+        valid_col="o_orderdate",
+    )
+
+
+@query(
+    "scd2_asof_snapshot",
+    f"""
+    WITH {_SCD2_BASE_CTES}
+    SELECT o_custkey, o_orderpriority, valid_from, valid_to, version,
+           n_rows
+    FROM hist
+    WHERE valid_from <= TIMESTAMP '{_SCD2_AS_OF}'
+      AND (valid_to IS NULL OR TIMESTAMP '{_SCD2_AS_OF}' < valid_to)
+    """,
+)
+def q_scd2_asof_snapshot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time travel: the per-customer priority regime in force at the
+    as-of instant — one map-side interval filter over the history,
+    which is how a warehouse answers "what did the dimension look
+    like last June" without storing snapshots."""
+    from nsp_bolt_pipeline_spark.operators.scd import scd2_asof_snapshot
+
+    return scd2_asof_snapshot(
+        _scd2_history(spark, sf_dir), key="o_custkey", as_of=_SCD2_AS_OF
+    )
+
+
+@query(
+    "scd2_point_in_time_join",
+    f"""
+    WITH {_SCD2_BASE_CTES},
+    f AS (
+        SELECT l.l_orderkey, l.l_linenumber, l.l_shipdate, o.o_custkey
+        FROM lineitem l JOIN orders o ON o.o_orderkey = l.l_orderkey
+    )
+    SELECT f.l_orderkey, f.l_linenumber, f.l_shipdate, f.o_custkey,
+           h.o_orderpriority AS dim_priority,
+           h.version AS dim_version
+    FROM f
+    LEFT JOIN hist h
+      ON h.o_custkey = f.o_custkey
+     AND h.valid_from <= f.l_shipdate
+     AND (h.valid_to IS NULL OR f.l_shipdate < h.valid_to)
+    """,
+)
+def q_scd2_pit_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Point-in-time join: every shipment attached to the priority
+    regime its customer was in AT SHIPMENT TIME — the leakage-free
+    feature join (a fact never sees a dimension version from its
+    future). Equi-join on the key with the interval bounds as
+    residual predicates; SCD2 intervals are disjoint per key, so
+    each fact matches at most one version."""
+    from nsp_bolt_pipeline_spark.operators.scd import point_in_time_join
+
+    li = read_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_linenumber", "l_shipdate"
+    )
+    ok = read_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey"
+    )
+    facts = li.join(ok, li.l_orderkey == ok.o_orderkey).select(
+        "l_orderkey", "l_linenumber", "l_shipdate", "o_custkey"
+    )
+    hist = _scd2_history(spark, sf_dir).select(
+        "o_custkey",
+        F.col("o_orderpriority").alias("priority"),
+        "valid_from",
+        "valid_to",
+        "version",
+    )
+    out = point_in_time_join(
+        facts, hist, key="o_custkey", fact_ts="l_shipdate"
+    )
+    return out.select(
+        "l_orderkey",
+        "l_linenumber",
+        "l_shipdate",
+        "o_custkey",
+        F.col("dim_priority").alias("dim_priority"),
+        F.col("dim_version").alias("dim_version"),
+    )

@@ -298,3 +298,54 @@ def test_jl_project_matches_numpy_and_preserves_distance(spark):
             ratios.append(d_p / d_o)
     assert 0.25 < min(ratios) and max(ratios) < 4.0
     assert abs(float(np.mean(ratios)) - 1.0) < 0.35
+
+
+class TestPointInTime:
+    def _history(self, spark):
+        d = datetime.datetime
+        rows = [
+            # key 1: A [jan, mar), B [mar, open)
+            (1, "A", d(2020, 1, 1), d(2020, 3, 1), 1),
+            (1, "B", d(2020, 3, 1), None, 2),
+            # key 2: single open-ended run
+            (2, "C", d(2020, 2, 1), None, 1),
+        ]
+        return spark.createDataFrame(
+            rows, "k int, attr string, valid_from timestamp, "
+            "valid_to timestamp, version int"
+        )
+
+    def test_fact_sees_only_its_own_era(self, spark):
+        from nsp_bolt_pipeline_spark.operators.scd import point_in_time_join
+
+        d = datetime.datetime
+        facts = spark.createDataFrame(
+            [
+                (1, d(2020, 2, 15), "in-first-run"),
+                (1, d(2020, 3, 1), "boundary-goes-to-new-run"),
+                (1, d(2021, 1, 1), "open-ended-current"),
+                (1, d(2019, 12, 1), "before-birth-no-leak"),
+                (2, d(2020, 6, 1), "other-key"),
+            ],
+            "k int, ts timestamp, label string",
+        )
+        got = {
+            r["label"]: (r["dim_attr"], r["dim_version"])
+            for r in point_in_time_join(
+                facts, self._history(spark), key="k", fact_ts="ts"
+            ).collect()
+        }
+        assert got["in-first-run"] == ("A", 1)
+        assert got["boundary-goes-to-new-run"] == ("B", 2)
+        assert got["open-ended-current"] == ("B", 2)
+        assert got["before-birth-no-leak"] == (None, None)
+        assert got["other-key"] == ("C", 1)
+
+    def test_asof_snapshot_filters_intervals(self, spark):
+        from nsp_bolt_pipeline_spark.operators.scd import scd2_asof_snapshot
+
+        snap = scd2_asof_snapshot(
+            self._history(spark), key="k", as_of="2020-02-15 00:00:00"
+        )
+        got = {(r["k"], r["attr"]) for r in snap.collect()}
+        assert got == {(1, "A"), (2, "C")}
