@@ -129,6 +129,14 @@ HEADLINE = [
     "stream_t19_debounce",
     # scorer-agreement eval: two-level-prefix exact Spearman rho
     "eval_score_rank_correlation",
+    # co-located bucketed fact/fact join (zero Exchange below the SMJ)
+    "j6_bucketed_colocated_join",
+    # distributed zipWithIndex: dense global ids, no global sort
+    "f_dense_global_ids",
+    # leakage-free point-in-time fact join against the SCD2 history
+    "scd2_point_in_time_join",
+    # streaming SCD2 fragment log (6 range batches, merge-on-read)
+    "stream_scd2_history",
 ]
 
 

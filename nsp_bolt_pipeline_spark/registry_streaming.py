@@ -1322,3 +1322,86 @@ def q_stream_ivf_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     q.awaitTermination()
     return spark.read.parquet(dirs["out"]).select("vec_id", "cid")
+
+
+# ---------------------------------------------------------------------------
+# Streaming SCD2: incremental interval-history maintenance. Each
+# micro-batch's runs merge into the versioned history; the final
+# history must equal the batch gaps-and-islands build for ANY
+# event-time-ordered split of the stream (6 range-batches here).
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "stream_scd2_history",
+    """
+    WITH e AS (SELECT user_id, event_type, ts, event_id FROM events),
+    flagged AS (
+        SELECT *, CASE WHEN row_number() OVER w = 1 THEN 1
+                       WHEN lag(event_type) OVER w
+                            IS NOT DISTINCT FROM event_type
+                       THEN 0 ELSE 1 END AS chg
+        FROM e
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ),
+    numbered AS (
+        SELECT *, SUM(chg) OVER (PARTITION BY user_id
+                                 ORDER BY ts, event_id
+                                 ROWS UNBOUNDED PRECEDING) AS rid
+        FROM flagged
+    ),
+    runs AS (
+        SELECT user_id, rid, MIN(event_type) AS event_type,
+               MIN(ts) AS valid_from, COUNT(*) AS n_rows
+        FROM numbered GROUP BY user_id, rid
+    )
+    SELECT user_id, event_type, valid_from, n_rows,
+           lead(valid_from) OVER (PARTITION BY user_id ORDER BY rid)
+               AS valid_to,
+           CAST(rid AS INTEGER) AS version
+    FROM runs
+    """,
+)
+def q_stream_scd2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Replay the event dump through the incremental SCD2 maintainer
+    (6 disjoint event-time-range micro-batches; the file source may
+    deliver them in ANY order) and read the serving view: it must
+    hash-match the batch gaps-and-islands build — the fragment log
+    commutes under arrival order, and the read-time collapse merges
+    runs spanning batch boundaries with accumulated row counts."""
+    from nsp_bolt_pipeline_spark.streaming.scd2 import (
+        close_intervals,
+        run_scd2_history,
+    )
+
+    dirs = _workdir("stream_scd2")
+    ev = read_table(spark, sf_dir, "events").select(
+        "event_id", "ts", "user_id", "event_type", "value", "props"
+    )
+    wire = encode_event_times(ev, ["ts"])
+    dump_json_batches(
+        wire, dirs["src"], order_cols=["ts", "event_id"], n_files=6
+    )
+    stream = (
+        decode_event_times(
+            read_wire_stream(
+                spark, dirs["src"], EVENT_WIRE_SCHEMA,
+                max_files_per_trigger=1,
+            ),
+            ["ts"],
+        )
+    )
+    latest = run_scd2_history(
+        stream,
+        history_root=dirs["out"],
+        checkpoint_dir=dirs["ckpt"],
+        key="user_id",
+        attr="event_type",
+    )
+    hist = close_intervals(
+        spark.read.parquet(latest), key="user_id", attr="event_type"
+    )
+    return hist.select(
+        "user_id", "event_type", "valid_from", "n_rows",
+        "valid_to", "version",
+    )

@@ -689,3 +689,122 @@ class TestOuterCompletionRestart:
         assert rows["t1"].dropoff_datetime is not None
         assert rows["t2"].dropoff_datetime is None
         assert rows["t2"].fare_amount is None
+
+
+class TestScd2History:
+    """Merge-on-read SCD2: the fragment log must commute under
+    micro-batch arrival order (file sources deliver ranges in
+    mtime order, which is nondeterministic), and the read-time
+    collapse must equal the one-shot batch build."""
+
+    def _events(self, spark):
+        import datetime as dt
+
+        rows = []
+        attrs = "AABBA" "BBAAB" "AAAAB"  # 15 events, runs split oddly
+        for i, a in enumerate(attrs):
+            rows.append((i, dt.datetime(2024, 1, 1 + i), 7, a))
+        return spark.createDataFrame(
+            rows, "event_id long, ts timestamp, user_id long, attr string"
+        )
+
+    def _batch_build(self, spark, ev):
+        from nsp_bolt_pipeline_spark.operators.scd import scd2_intervals
+
+        return {
+            (r["attr"], r["valid_from"], r["version"], r["n_rows"])
+            for r in scd2_intervals(
+                ev,
+                key="user_id",
+                attr="attr",
+                order_cols=["ts", "event_id"],
+                valid_col="ts",
+            ).collect()
+        }
+
+    def test_fragment_log_commutes_under_arrival_order(self, spark):
+        import itertools
+
+        from nsp_bolt_pipeline_spark.streaming.scd2 import (
+            batch_to_runs,
+            close_intervals,
+        )
+
+        ev = self._events(spark)
+        want = self._batch_build(spark, ev)
+        # three disjoint event-time chunks, all 6 arrival orders
+        chunks = [
+            ev.filter((F.col("event_id") >= lo) & (F.col("event_id") < hi))
+            for lo, hi in ((0, 5), (5, 10), (10, 15))
+        ]
+        frags = [
+            batch_to_runs(
+                c, key="user_id", attr="attr", ts_col="ts", id_col="event_id"
+            )
+            for c in chunks
+        ]
+        for order in itertools.permutations(range(3)):
+            log = frags[order[0]]
+            for i in order[1:]:
+                log = log.unionByName(frags[i])
+            got = {
+                (r["attr"], r["valid_from"], r["version"], r["n_rows"])
+                for r in close_intervals(
+                    log, key="user_id", attr="attr"
+                ).collect()
+            }
+            assert got == want, f"arrival order {order}"
+
+    def test_compaction_equals_one_shot_collapse(self, spark):
+        from nsp_bolt_pipeline_spark.streaming.scd2 import (
+            _collapse_runs,
+            batch_to_runs,
+        )
+
+        ev = self._events(spark)
+        a = batch_to_runs(
+            ev.filter("event_id < 8"),
+            key="user_id", attr="attr", ts_col="ts", id_col="event_id",
+        )
+        b = batch_to_runs(
+            ev.filter("event_id >= 8"),
+            key="user_id", attr="attr", ts_col="ts", id_col="event_id",
+        )
+        # compact the in-order prefix, then append the next fragment set
+        compacted = _collapse_runs(a, key="user_id", attr="attr")
+        via_compaction = _collapse_runs(
+            compacted.unionByName(b), key="user_id", attr="attr"
+        )
+        one_shot = _collapse_runs(
+            a.unionByName(b), key="user_id", attr="attr"
+        )
+        assert sorted(map(tuple, via_compaction.collect())) == sorted(
+            map(tuple, one_shot.collect())
+        )
+
+    def test_boundary_run_merges_with_counts(self, spark):
+        from nsp_bolt_pipeline_spark.streaming.scd2 import (
+            batch_to_runs,
+            close_intervals,
+        )
+
+        ev = self._events(spark)
+        # split INSIDE the trailing AAAA run: fragments must merge
+        a = batch_to_runs(
+            ev.filter("event_id < 12"),
+            key="user_id", attr="attr", ts_col="ts", id_col="event_id",
+        )
+        b = batch_to_runs(
+            ev.filter("event_id >= 12"),
+            key="user_id", attr="attr", ts_col="ts", id_col="event_id",
+        )
+        hist = close_intervals(
+            a.unionByName(b), key="user_id", attr="attr"
+        ).collect()
+        runs = sorted(
+            (r["version"], r["attr"], r["n_rows"]) for r in hist
+        )
+        # events 10..13 are A A A A: the split run (10,11 | 12,13)
+        # must come back as ONE 4-row A interval, version 7 of 8
+        assert (7, "A", 4) in runs
+        assert len(runs) == 8

@@ -42,10 +42,16 @@ def main() -> int:
         con.sql(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
 
     qs, oracles = e.queries(), e.oracle_sql()
+    if only:
+        unknown = only - set(qs)
+        if unknown:
+            raise SystemExit(f"unknown query names: {sorted(unknown)}")
+    n_run = 0
     failures = 0
     for name, fn in qs.items():
         if only and name not in only:
             continue
+        n_run += 1
         t0 = time.time()
         try:
             spark_pdf = fn(spark, sf_dir).toPandas()
@@ -68,7 +74,7 @@ def main() -> int:
             print(f"FAIL {name} ({len(spark_pdf)} rows): " + "; ".join(issues))
         else:
             print(f"ok   {name}: {len(spark_pdf)} rows ({time.time()-t0:.1f}s)")
-    print(f"\n{len(qs) - failures}/{len(qs)} passing on the hostile session")
+    print(f"\n{n_run - failures}/{n_run} passing on the hostile session")
     return 1 if failures else 0
 
 
