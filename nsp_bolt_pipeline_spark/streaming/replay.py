@@ -65,13 +65,19 @@ def dump_json_batches(
     """Write a batch DataFrame as ordered JSON micro-batch files.
 
     ``repartitionByRange(n, order_cols)`` + ``sortWithinPartitions``
-    makes part-file *i* hold the *i*-th global range of ``order_cols``,
-    so a file-source ``readStream`` (which breaks listing ties by path)
-    replays events in event-time order — the deterministic stand-in
-    for the simulator's rate-limited ordered replay. Timestamp columns
-    must be pre-encoded (see :func:`encode_event_times`) because JSON
-    round-trips of native timestamps lose sub-millisecond precision.
-    """
+    makes part-file *i* hold the *i*-th global range of ``order_cols``
+    — rows are ordered WITHIN each file and ranges are disjoint
+    ACROSS files. Do NOT assume files replay in range order: the file
+    source processes files by MODIFICATION TIME, and the parallel
+    part-file writers finish in nondeterministic order (observed:
+    range 2 before range 1). With ``n_files > 1`` the consuming
+    query's semantics must therefore commute under batch arrival
+    order (commutative folds like CMS/bottom-k, append-only logs
+    collapsed at read like the SCD2 fragment history) — or the dump
+    must be written sequentially with ascending mtimes (the per-day
+    gate entry does this). Timestamp columns must be pre-encoded (see
+    :func:`encode_event_times`) because JSON round-trips of native
+    timestamps lose sub-millisecond precision."""
     out = df.repartitionByRange(n_files, *[F.col(c) for c in order_cols])
     out.sortWithinPartitions(*order_cols).write.mode("overwrite").json(out_dir)
 
