@@ -726,3 +726,193 @@ def q_dense_global_ids(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dense_global_ids(docs, key="doc_id").select(
         "doc_id", "source", "global_id"
     )
+
+# ---------------------------------------------------------------------------
+# Layout A/B: data-skipping effectiveness of the Z-order layout vs a
+# linear (single-key) sort layout, measured over a fixed probe set.
+# ---------------------------------------------------------------------------
+
+#: (probe, x_lo, x_hi, y_lo, y_hi) — inside the key ranges at every sf
+_PROBES = (
+    (0, 40, 120, 2, 7),
+    (1, 0, 30, 0, 3),
+    (2, 150, 199, 5, 9),
+    (3, 80, 90, 0, 9),
+    (4, 0, 2097151, 4, 5),  # y-only: full x range at every sf
+    (5, 10, 12, 8, 9),
+)
+
+_PROBES_SQL = (
+    "probes(probe, x_lo, x_hi, y_lo, y_hi) AS (VALUES "
+    + ", ".join(
+        f"({p}, {xl}, {xh}, {yl}, {yh})" for p, xl, xh, yl, yh in _PROBES
+    )
+    + ")"
+)
+
+
+def _layout_ctes(pfx: str, y_bits_src: str) -> str:
+    """The l8 oracle pipeline with prefixed CTE names and a
+    parameterized second key: 'l_suppkey' for Z-order, '0' for the
+    linear layout (interleaving zeros keeps morton monotonic in
+    l_partkey, so range-sharding the curve = range-sharding the key).
+    Ends with {pfx}man: per-shard min/max of both keys + row count."""
+    return f"""
+    {pfx}m AS (
+        SELECT l_partkey, l_suppkey,
+               CAST(list_sum(list_transform(range(0, 21),
+                   i -> (((l_partkey >> i) & 1) << (2*i))
+                      + ((({y_bits_src} >> i) & 1) << (2*i + 1)))) AS BIGINT)
+                   AS morton
+        FROM lineitem
+    ),
+    {pfx}counts AS (
+        SELECT morton, COUNT(*) AS c FROM {pfx}m GROUP BY morton
+    ),
+    {pfx}tot AS (SELECT CAST(SUM(c) AS BIGINT) AS n FROM {pfx}counts),
+    {pfx}cum AS (
+        SELECT morton,
+               CAST(COALESCE(SUM(c) OVER (ORDER BY morton
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                   0) AS BIGINT) AS c_before
+        FROM {pfx}counts
+    ),
+    {pfx}shards AS (
+        SELECT morton,
+               CAST(LEAST({_Z_SHARDS},
+                   1 + (c_before * {_Z_SHARDS}) // (SELECT n FROM {pfx}tot))
+                   AS BIGINT) AS shard
+        FROM {pfx}cum
+    ),
+    {pfx}man AS (
+        SELECT s.shard,
+               MIN(m.l_partkey) AS min_x, MAX(m.l_partkey) AS max_x,
+               MIN(m.l_suppkey) AS min_y, MAX(m.l_suppkey) AS max_y,
+               COUNT(*) AS n_rows
+        FROM {pfx}m m JOIN {pfx}shards s ON m.morton = s.morton
+        GROUP BY s.shard
+    )
+    """
+
+
+def _layout_eval_sql(layout: str, pfx: str) -> str:
+    return f"""
+    SELECT '{layout}' AS layout, p.probe,
+           CAST(COUNT(*) AS BIGINT) AS shards_scanned,
+           CAST(SUM(man.n_rows) AS BIGINT) AS rows_scanned
+    FROM {pfx}man man JOIN probes p
+      ON NOT (man.max_x < p.x_lo OR man.min_x > p.x_hi
+           OR man.max_y < p.y_lo OR man.min_y > p.y_hi)
+    GROUP BY p.probe
+    """
+
+
+@query(
+    "l16_layout_pruning_eval",
+    f"""
+    WITH {_PROBES_SQL},
+    {_layout_ctes("z_", "l_suppkey").strip().rstrip()},
+    {_layout_ctes("n_", "0").strip().rstrip()},
+    evals AS (
+        {_layout_eval_sql("zorder", "z_")}
+        UNION ALL
+        {_layout_eval_sql("linear", "n_")}
+    ),
+    matched AS (
+        SELECT p.probe, CAST(COUNT(*) AS BIGINT) AS rows_matched
+        FROM lineitem l JOIN probes p
+          ON l.l_partkey BETWEEN p.x_lo AND p.x_hi
+         AND l.l_suppkey BETWEEN p.y_lo AND p.y_hi
+        GROUP BY p.probe
+    )
+    SELECT b.layout, b.probe, b.shards_scanned, b.rows_scanned,
+           COALESCE(m2.rows_matched, 0) AS rows_matched
+    FROM evals b LEFT JOIN matched m2 ON m2.probe = b.probe
+    """,
+)
+def q_layout_pruning_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Layout A/B eval, the decision artifact behind OPTIMIZE ZORDER:
+    the same rows sharded two ways (Z-order on both keys vs a linear
+    l_partkey sort), per-shard min/max manifests, and for each probe
+    rectangle the shards/rows a manifest-pruning reader would scan vs
+    the rows that actually match. Z-order keeps BOTH keys locally
+    dense, so y-selective probes (probe 4) prune shards the linear
+    layout must fully scan — rows_scanned/rows_matched is the
+    false-positive scan cost the layout choice buys back. The eval
+    also exposes the classic interleave caveat: with unbalanced key
+    widths (l_partkey uses ~4 more bits than l_suppkey at any sf)
+    the curve's top splits are dominated by x bits, so the y-only
+    win narrows (30/32 vs 32/32 shards at sf0.01); production
+    Z-ordering first normalizes each key to equal width (rank or
+    range scaling), which is the measurement this harness exists to
+    drive. All
+    metadata-scale joins (shards x probes); the fact table is
+    touched once per layout for the morton fold and once for the
+    matched counts."""
+    li = read_table(spark, sf_dir, "lineitem").select(
+        "l_partkey", "l_suppkey"
+    )
+    probes = spark.createDataFrame(
+        list(_PROBES), "probe int, x_lo int, x_hi int, y_lo int, y_hi int"
+    )
+
+    def eval_layout(laid: DataFrame, name: str) -> DataFrame:
+        man = laid.groupBy("shard").agg(
+            F.min("l_partkey").alias("min_x"),
+            F.max("l_partkey").alias("max_x"),
+            F.min("l_suppkey").alias("min_y"),
+            F.max("l_suppkey").alias("max_y"),
+            F.count(F.lit(1)).alias("n_rows"),
+        )
+        overlap = ~(
+            (F.col("max_x") < F.col("x_lo"))
+            | (F.col("min_x") > F.col("x_hi"))
+            | (F.col("max_y") < F.col("y_lo"))
+            | (F.col("min_y") > F.col("y_hi"))
+        )
+        return (
+            man.join(F.broadcast(probes), overlap)
+            .groupBy("probe")
+            .agg(
+                F.count(F.lit(1)).alias("shards_scanned"),
+                F.sum("n_rows").alias("rows_scanned"),
+            )
+            .select(
+                F.lit(name).alias("layout"),
+                "probe",
+                "shards_scanned",
+                "rows_scanned",
+            )
+        )
+
+    zo = zorder_layout(
+        li, col_x="l_partkey", col_y="l_suppkey", n_shards=_Z_SHARDS
+    )
+    lin = zorder_layout(
+        li.withColumn("_zero", F.lit(0)),
+        col_x="l_partkey",
+        col_y="_zero",
+        n_shards=_Z_SHARDS,
+        keep_cols=["l_suppkey"],
+    )
+    both = eval_layout(zo, "zorder").unionByName(eval_layout(lin, "linear"))
+    matched = (
+        li.join(
+            F.broadcast(probes),
+            (F.col("l_partkey") >= F.col("x_lo"))
+            & (F.col("l_partkey") <= F.col("x_hi"))
+            & (F.col("l_suppkey") >= F.col("y_lo"))
+            & (F.col("l_suppkey") <= F.col("y_hi")),
+        )
+        .groupBy("probe")
+        .agg(F.count(F.lit(1)).alias("rows_matched"))
+    )
+    return both.join(matched, "probe", "left").select(
+        "layout",
+        "probe",
+        "shards_scanned",
+        "rows_scanned",
+        F.coalesce("rows_matched", F.lit(0).cast("long")).alias(
+            "rows_matched"
+        ),
+    )

@@ -68,6 +68,8 @@ EAGER_ENTRIES = {
     "j6_bucketed_colocated_join",
     # max-key probe + <=4k coarse bucket-count collect at build time
     "f_dense_global_ids",
+    # two zorder_layout builds (boundary collects) at build time
+    "l16_layout_pruning_eval",
 }
 
 # Entries whose global window is acceptable, with the reason. Two
