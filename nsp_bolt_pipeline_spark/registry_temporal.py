@@ -1786,3 +1786,84 @@ def q_scd2_pit_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("dim_priority").alias("dim_priority"),
         F.col("dim_version").alias("dim_version"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Holt double-exponential smoothing (alpha = beta = 1/2): level +
+# trend per user. Same bit-portability argument as t12: halving is
+# exact in binary FP, both engines run the identical left-to-right
+# fold, so no rounding convention is needed. The oracle is a
+# recursive CTE, NOT list_reduce: DuckDB 1.0 evaluates struct-literal
+# fields IN PLACE inside list_reduce lambdas — a later field reading
+# acc.lv sees the CURRENT step's already-updated lv (probed:
+# (acc, x) -> {'lv': acc.lv*2 + x.lv, 'tr': acc.lv} folds [1,10,100]
+# to tr=124, not 12) — so any cross-field two-state fold silently
+# corrupts. The CTE replays the same op sequence with sound
+# semantics.
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "t21_holt_trend",
+    """
+    WITH RECURSIVE e AS (
+        SELECT user_id, CAST(value AS DOUBLE) AS value,
+               row_number() OVER (PARTITION BY user_id
+                                  ORDER BY ts, event_id) AS rn
+        FROM events
+    ),
+    walk AS (
+        SELECT user_id, rn, value AS lv, CAST(0.0 AS DOUBLE) AS tr
+        FROM e WHERE rn = 1
+        UNION ALL
+        SELECT e.user_id, e.rn,
+               (e.value + w.lv + w.tr) * 0.5,
+               ((e.value + w.lv + w.tr) * 0.5 - w.lv) * 0.5 + w.tr * 0.5
+        FROM walk w JOIN e ON e.user_id = w.user_id AND e.rn = w.rn + 1
+    ),
+    bounds AS (SELECT user_id, MAX(rn) AS n FROM e GROUP BY user_id)
+    SELECT w.user_id, CAST(b.n AS BIGINT) AS n_events,
+           w.lv AS level, w.tr AS trend
+    FROM walk w JOIN bounds b ON b.user_id = w.user_id AND w.rn = b.n
+    """,
+)
+def q_holt_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Holt's linear method per user: l_t = (y_t + l_{t-1} + b_{t-1})/2,
+    b_t = (l_t - l_{t-1})/2 + b_{t-1}/2, initialized l_1 = y_1,
+    b_1 = 0 — EWMA (t12) plus a trend term, the minimal forecasting
+    upgrade a monitoring pipeline ships next. One shuffle on user_id,
+    per-user sorted array (bounded per key), the two-state fold is a
+    single codegen'd ``aggregate`` over a struct accumulator — no
+    window, no Python, no pow()."""
+    from nsp_bolt_pipeline_spark.functions.expr import bind_once
+
+    ev = read_table(spark, sf_dir, "events")
+    per = ev.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.array_sort(
+            F.collect_list(F.struct("ts", "event_id", "value"))
+        ).alias("seq"),
+    )
+
+    def holt_of(vals: F.Column) -> F.Column:
+        def step(acc: F.Column, v: F.Column) -> F.Column:
+            lv_new = (v + acc["lv"] + acc["tr"]) * 0.5
+            tr_new = (lv_new - acc["lv"]) * 0.5 + acc["tr"] * 0.5
+            return F.struct(lv_new.alias("lv"), tr_new.alias("tr"))
+
+        init = F.struct(
+            F.element_at(vals, 1).cast("double").alias("lv"),
+            F.lit(0.0).alias("tr"),
+        )
+        return F.aggregate(
+            F.slice(vals, 2, F.size(vals) - 1), init, step
+        )
+
+    vals = F.transform(F.col("seq"), lambda x: x["value"])
+    folded = bind_once(vals, holt_of)
+    return per.select(
+        "user_id",
+        "n_events",
+        folded["lv"].alias("level"),
+        folded["tr"].alias("trend"),
+    )

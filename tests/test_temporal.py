@@ -169,3 +169,61 @@ def test_session_agg_gap_boundary_is_inclusive(spark):
     assert first["n"] == 2 and first["s"] == 3.0
     assert first["session_end"] == _ts(11, 0)  # last event 10:30 + 30 min
     assert by_start[_ts(11, 1)]["n"] == 1
+
+
+class TestHoltTrend:
+    def test_matches_python_model_at_odd_parallelism(self, spark):
+        """Holt fold (alpha=beta=1/2) against a scalar Python replay,
+        exact equality — the fold is halvings + additions in a fixed
+        order, so no tolerance is needed at any partition count."""
+        import random
+
+        from nsp_bolt_pipeline_spark.registry import REGISTRY, load_all
+
+        load_all()
+        rng = random.Random(7)
+        rows = []
+        for uid in range(17):
+            for i in range(rng.randrange(1, 24)):
+                rows.append(
+                    (uid * 1000 + i, uid, float(rng.randrange(0, 500)) / 10)
+                )
+        want = {}
+        by_uid = {}
+        for eid, uid, v in sorted(rows):
+            by_uid.setdefault(uid, []).append(v)
+        for uid, vs in by_uid.items():
+            lv, tr = vs[0], 0.0
+            for v in vs[1:]:
+                lv_new = (v + lv + tr) * 0.5
+                tr = (lv_new - lv) * 0.5 + tr * 0.5
+                lv = lv_new
+            want[uid] = (len(vs), lv, tr)
+
+        import datetime as dt
+
+        df = spark.createDataFrame(
+            [
+                (eid, dt.datetime(2024, 1, 1) + dt.timedelta(minutes=eid),
+                 uid, "view", v, None)
+                for eid, uid, v in rows
+            ],
+            "event_id long, ts timestamp, user_id long, event_type string,"
+            " value double, props string",
+        ).repartition(7)
+        import tempfile
+
+        out = tempfile.mkdtemp(prefix="holt_")
+        df.write.mode("overwrite").parquet(f"{out}/events.parquet")
+        for t in ("region", "nation", "customer", "supplier", "part",
+                  "orders", "lineitem", "documents", "embeddings"):
+            src = f"/root/testdata/sf0.001/{t}.parquet"
+            spark.read.parquet(src).limit(0).write.mode("overwrite").parquet(
+                f"{out}/{t}.parquet"
+            )
+        fn, _ = REGISTRY["t21_holt_trend"]
+        got = {
+            r["user_id"]: (r["n_events"], r["level"], r["trend"])
+            for r in fn(spark, out).collect()
+        }
+        assert got == want
