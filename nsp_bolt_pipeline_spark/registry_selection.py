@@ -285,3 +285,82 @@ def q_leakage_safe_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     return assign_split(
         clusters, key="cluster_id", weights=LSPLIT_WEIGHTS, salt=LSPLIT_SALT
     ).select("doc_id", "cluster_id", "split")
+
+
+# ---------------------------------------------------------------------------
+# Chi-square independence cells: event mix vs day-of-week. Exact
+# integer marginals; expected counts and cell contributions rounded
+# to 6 decimals so the two engines' divisions compare bit-equal.
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "eval_chi2_independence",
+    """
+    WITH o AS (
+        SELECT event_type, CAST(dayofweek(ts) + 1 AS INTEGER) AS dow,
+               CAST(COUNT(*) AS BIGINT) AS observed
+        FROM events GROUP BY 1, 2
+    ),
+    r AS (SELECT event_type, CAST(SUM(observed) AS BIGINT) AS r_tot
+          FROM o GROUP BY 1),
+    c AS (SELECT dow, CAST(SUM(observed) AS BIGINT) AS c_tot
+          FROM o GROUP BY 1),
+    n AS (SELECT CAST(SUM(observed) AS BIGINT) AS n FROM o)
+    SELECT o.event_type, o.dow, o.observed,
+           FLOOR((CAST(r.r_tot AS DOUBLE) * c.c_tot / n.n)*1e6 + 0.5)/1e6
+               AS expected6,
+           FLOOR((
+               (o.observed
+                - FLOOR((CAST(r.r_tot AS DOUBLE) * c.c_tot / n.n)*1e6 + 0.5)/1e6)
+               * (o.observed
+                - FLOOR((CAST(r.r_tot AS DOUBLE) * c.c_tot / n.n)*1e6 + 0.5)/1e6)
+               / (FLOOR((CAST(r.r_tot AS DOUBLE) * c.c_tot / n.n)*1e6 + 0.5)/1e6)
+           )*1e6 + 0.5)/1e6 AS contrib6
+    FROM o
+    JOIN r USING (event_type)
+    JOIN c USING (dow)
+    CROSS JOIN n
+    """,
+)
+def q_chi2_independence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Contingency cells for the event-mix x day-of-week independence
+    test — the drift check a data-quality monitor runs on categorical
+    interactions. One partial-agg shuffle builds the observed table;
+    marginals are post-agg frames (|types| and 7 rows) that rejoin by
+    broadcast; every division happens on already-rounded operands so
+    the cell statistic is engine-portable. chi2 = sum(contrib6),
+    dof = (|types|-1)*(|dows|-1), left to the consumer to keep the
+    emitted cells exactly portable (a 35-value float sum would
+    reassociate differently across partitionings)."""
+    ev = read_table(spark, sf_dir, "events").select(
+        "event_type", F.dayofweek("ts").cast("int").alias("dow")
+    )
+    o = ev.groupBy("event_type", "dow").agg(
+        F.count(F.lit(1)).alias("observed")
+    )
+    r = o.groupBy("event_type").agg(F.sum("observed").alias("r_tot"))
+    c = o.groupBy("dow").agg(F.sum("observed").alias("c_tot"))
+    n = o.agg(F.sum("observed").alias("n"))
+
+    def r6(col: F.Column) -> F.Column:
+        return F.floor(col * 1e6 + F.lit(0.5)) / 1e6
+
+    exp6 = r6(
+        F.col("r_tot").cast("double") * F.col("c_tot") / F.col("n")
+    )
+    joined = (
+        o.join(F.broadcast(r), "event_type")
+        .join(F.broadcast(c), "dow")
+        .crossJoin(F.broadcast(n))
+        .withColumn("expected6", exp6)
+    )
+    contrib6 = r6(
+        (F.col("observed") - F.col("expected6"))
+        * (F.col("observed") - F.col("expected6"))
+        / F.col("expected6")
+    )
+    return joined.select(
+        "event_type", "dow", "observed", "expected6",
+        contrib6.alias("contrib6"),
+    )
