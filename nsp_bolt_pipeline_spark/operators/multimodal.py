@@ -224,3 +224,34 @@ def resize_plan(
             "pad_y", ((F.lit(target_h) - F.col("out_h")) / 2).cast("int")
         )
     )
+
+
+def stft_window_plan(
+    media: DataFrame,
+    *,
+    n_samples_col: str = "n_samples",
+    frame_len: int = 400,
+    hop: int = 160,
+) -> DataFrame:
+    """Audio STFT windowing PLAN per clip — the metadata the feature
+    extractor (mel filterbank, wav2vec chunking) partitions work by,
+    computed without touching payload bytes: window count for
+    frame/hop analysis, the last window's start offset, and how many
+    tail samples need padding. Clips shorter than one frame get a
+    single padded window (the standard front-end behavior), so every
+    clip yields >= 1 window and no work item is silently dropped.
+    Pure map-side arithmetic; at 100 TB this is the column the decode
+    stage repartitions on so each task's sample count is balanced."""
+    n = F.col(n_samples_col).cast("long")
+    # integer division: (n - frame_len) div hop, clamped to >= 1 window
+    n_win = F.when(
+        n >= frame_len,
+        F.expr(f"(CAST({n_samples_col} AS BIGINT) - {frame_len}) div {hop}")
+        + F.lit(1).cast("long"),
+    ).otherwise(F.lit(1).cast("long"))
+    last_start = (n_win - 1) * hop
+    covered = last_start + frame_len
+    pad = F.when(covered > n, covered - n).otherwise(F.lit(0)).cast("long")
+    return media.withColumn("n_windows", n_win).withColumn(
+        "last_window_start", last_start.cast("long")
+    ).withColumn("pad_samples", pad)

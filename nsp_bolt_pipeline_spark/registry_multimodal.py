@@ -172,3 +172,68 @@ def q_mm_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     dedup/caching is exercised end to end without codec libraries."""
     media = _media_view(spark, sf_dir)
     return sample_frames(media, every_ms=FRAME_EVERY_MS)
+
+
+# ---------------------------------------------------------------------------
+# Audio modality: STFT window plan (frame/hop arithmetic over sample
+# counts; payload bytes untouched — the work-partitioning metadata).
+# ---------------------------------------------------------------------------
+
+SAMPLE_RATE = 16_000
+SAMPLES_PER_CHAR = 160  # synthetic duration: n_chars x 10 ms of audio
+STFT_FRAME = 400  # 25 ms at 16 kHz
+STFT_HOP = 160  # 10 ms
+
+
+@query(
+    "mm_audio_window_plan",
+    f"""
+    WITH media AS (
+        SELECT doc_id,
+               CAST(n_chars * {SAMPLES_PER_CHAR} AS BIGINT) AS n_samples
+        FROM documents
+    )
+    SELECT doc_id, n_samples,
+           CASE WHEN n_samples >= {STFT_FRAME}
+                THEN (n_samples - {STFT_FRAME}) // {STFT_HOP} + 1
+                ELSE 1 END AS n_windows,
+           (CASE WHEN n_samples >= {STFT_FRAME}
+                 THEN (n_samples - {STFT_FRAME}) // {STFT_HOP} + 1
+                 ELSE 1 END - 1) * {STFT_HOP} AS last_window_start,
+           CASE WHEN (CASE WHEN n_samples >= {STFT_FRAME}
+                           THEN (n_samples - {STFT_FRAME}) // {STFT_HOP} + 1
+                           ELSE 1 END - 1) * {STFT_HOP} + {STFT_FRAME}
+                     > n_samples
+                THEN (CASE WHEN n_samples >= {STFT_FRAME}
+                           THEN (n_samples - {STFT_FRAME}) // {STFT_HOP} + 1
+                           ELSE 1 END - 1) * {STFT_HOP} + {STFT_FRAME}
+                     - n_samples
+                ELSE 0 END AS pad_samples
+    FROM media
+    """,
+)
+def q_mm_audio_window_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The audio front-end's work plan (25 ms frames, 10 ms hop at
+    16 kHz): per clip the exact window count, last window offset, and
+    tail padding — all integer arithmetic over sample-count metadata,
+    no payload decode, so Catalyst keeps it a pure scan projection.
+    The decode/mel stage (stubbed like mm_decode_features — codec
+    libraries are environment-gated) repartitions on n_windows to
+    balance per-task sample throughput."""
+    from nsp_bolt_pipeline_spark.operators.multimodal import (
+        stft_window_plan,
+    )
+
+    docs = read_table(spark, sf_dir, "documents")
+    media = docs.select(
+        "doc_id",
+        (F.col("n_chars") * SAMPLES_PER_CHAR).cast("long").alias(
+            "n_samples"
+        ),
+    )
+    return stft_window_plan(
+        media, frame_len=STFT_FRAME, hop=STFT_HOP
+    ).select(
+        "doc_id", "n_samples", "n_windows", "last_window_start",
+        "pad_samples",
+    )

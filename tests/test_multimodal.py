@@ -102,3 +102,32 @@ def test_resize_plan_letterbox_math(spark):
     # the longer side touches the box
     assert max(out[1]["out_w"], out[1]["out_h"]) == 224
     assert out[4]["out_w"] == 1
+
+
+class TestStftWindowPlan:
+    def test_window_arithmetic_and_short_clip_padding(self, spark):
+        from nsp_bolt_pipeline_spark.operators.multimodal import (
+            stft_window_plan,
+        )
+
+        media = spark.createDataFrame(
+            [
+                (1, 400),   # exactly one frame: 1 window, no pad
+                (2, 560),   # 400 + 160: 2 windows, no pad
+                (3, 700),   # 2 windows cover [0,560); tail dropped, no pad
+                (4, 100),   # shorter than a frame: 1 padded window
+                (5, 0),     # empty clip: still 1 work item, fully padded
+            ],
+            "doc_id long, n_samples long",
+        )
+        got = {
+            r["doc_id"]: (
+                r["n_windows"], r["last_window_start"], r["pad_samples"]
+            )
+            for r in stft_window_plan(media).collect()
+        }
+        assert got[1] == (1, 0, 0)
+        assert got[2] == (2, 160, 0)
+        assert got[3] == (2, 160, 0)
+        assert got[4] == (1, 0, 300)
+        assert got[5] == (1, 0, 400)
