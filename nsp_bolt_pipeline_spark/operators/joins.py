@@ -177,7 +177,12 @@ def bucketed_colocated_join(
     about co-location).
 
     The publish step is eager (bucketing metadata lives in the
-    catalog, hence ``saveAsTable``); tables are overwritten per call.
+    catalog, hence ``saveAsTable``) and the returned frame reads the
+    LIVE catalog tables ``{prefix}_left_b`` / ``{prefix}_right_b`` —
+    real table semantics: a later publish under the same prefix
+    supersedes the data an unread earlier result would see. Use
+    distinct prefixes for results that must coexist; callers sharing
+    one SparkSession should not interleave publishes of one prefix.
     """
     from nsp_bolt_pipeline_spark.sources.sinks import write_bronze_bucketed
 

@@ -598,12 +598,15 @@ def dense_global_ids(
         shift += 1
     cb = F.shiftright(F.col(key).cast("long"), shift)
     bucketed = df.withColumn("_cb", cb)
-    brows = sorted(
-        (int(r["_cb"]), int(r["c"]))
-        for r in bucketed.groupBy("_cb")
-        .agg(F.count(F.lit(1)).alias("c"))
-        .collect()
+    crows = (
+        bucketed.groupBy("_cb").agg(F.count(F.lit(1)).alias("c")).collect()
     )
+    if any(r["_cb"] is None for r in crows):
+        raise ValueError(
+            f"dense_global_ids requires a non-null key; column {key!r} "
+            "contains NULLs (a NULL has no position in the total order)"
+        )
+    brows = sorted((int(r["_cb"]), int(r["c"])) for r in crows)
     off, offsets = 0, []
     for b, c in brows:
         offsets.append((b, off))

@@ -26,6 +26,34 @@ from pyspark.sql import functions as F
 from pyspark.sql import Window as W
 
 
+def number_runs(
+    df: DataFrame,
+    *,
+    key: str,
+    attr: str,
+    order_cols: Sequence[str],
+) -> DataFrame:
+    """The gaps-and-islands run numbering every SCD2 build shares:
+    per key, rows ordered by ``order_cols`` get a ``_rid`` that
+    increments whenever ``attr`` changes. The first row per key is
+    always a change — tested explicitly, because lag() yields NULL
+    there and eqNullSafe(NULL, NULL) would silently merge a leading
+    NULL-attr run into "no change". NULL-safe on ``attr`` (a NULL
+    value is its own run value). One shared implementation serves the
+    batch interval build and both streaming fragment collapses
+    (streaming/scd2.py), so run semantics cannot drift."""
+    w = W.partitionBy(key).orderBy(*order_cols)
+    chg = (
+        F.when(F.row_number().over(w) == 1, 1)
+        .when(F.lag(attr).over(w).eqNullSafe(F.col(attr)), 0)
+        .otherwise(1)
+    )
+    return df.withColumn("_chg", chg).withColumn(
+        "_rid",
+        F.sum("_chg").over(w.rowsBetween(W.unboundedPreceding, 0)),
+    ).drop("_chg")
+
+
 def scd2_intervals(
     df: DataFrame,
     *,
@@ -39,19 +67,7 @@ def scd2_intervals(
     include a tiebreaker id). ``valid_col`` is the column whose min /
     next-run-min becomes valid_from / valid_to. NULL-safe on ``attr``
     (a NULL value is its own run value)."""
-    w = W.partitionBy(key).orderBy(*order_cols)
-    # The first row per key is always a change — tested explicitly,
-    # because lag() yields NULL there and eqNullSafe(NULL, NULL) would
-    # silently merge a leading NULL-attr run into "no change".
-    chg = (
-        F.when(F.row_number().over(w) == 1, 1)
-        .when(F.lag(attr).over(w).eqNullSafe(F.col(attr)), 0)
-        .otherwise(1)
-    )
-    numbered = df.withColumn("_chg", chg).withColumn(
-        "_rid",
-        F.sum("_chg").over(w.rowsBetween(W.unboundedPreceding, 0)),
-    )
+    numbered = number_runs(df, key=key, attr=attr, order_cols=order_cols)
     runs = numbered.groupBy(key, "_rid").agg(
         # attr is constant within a run; min() is the deterministic
         # pick (first() is order-dependent under shuffle).
@@ -112,7 +128,6 @@ def snapshot_diff(
 def scd2_asof_snapshot(
     history: DataFrame,
     *,
-    key: str,
     as_of: str,
     valid_from: str = "valid_from",
     valid_to: str = "valid_to",

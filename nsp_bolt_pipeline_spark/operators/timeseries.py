@@ -164,10 +164,18 @@ def debounce_events(
             ts_us = (
                 ser.astype("datetime64[ns]").astype("int64") // 1000
             ).to_numpy()
+            # NULL keys arrive as float NaN (NaN != NaN, so raw tuples
+            # would never hit the dict and NULL-key rows would skip
+            # debouncing); normalize them to None, which groupBy also
+            # treats as one key — same semantics as the per-group form
             kcols = [pdf[k].to_numpy() for k in keys]
+            kmasks = [pdf[k].isna().to_numpy() for k in keys]
             keep = np.zeros(n, dtype=bool)
             for i in range(n):
-                kk = tuple(c[i] for c in kcols)
+                kk = tuple(
+                    None if m[i] else c[i]
+                    for c, m in zip(kcols, kmasks)
+                )
                 lt = last.get(kk)
                 if lt is None or ts_us[i] >= lt + gap_us:
                     keep[i] = True

@@ -1728,7 +1728,7 @@ def q_scd2_asof_snapshot(spark: SparkSession, sf_dir: str) -> DataFrame:
     from nsp_bolt_pipeline_spark.operators.scd import scd2_asof_snapshot
 
     return scd2_asof_snapshot(
-        _scd2_history(spark, sf_dir), key="o_custkey", as_of=_SCD2_AS_OF
+        _scd2_history(spark, sf_dir), as_of=_SCD2_AS_OF
     )
 
 

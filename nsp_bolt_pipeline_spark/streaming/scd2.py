@@ -45,21 +45,17 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql import Window as W
 
+from nsp_bolt_pipeline_spark.operators.scd import number_runs
 from nsp_bolt_pipeline_spark.streaming.ingest import dir_exists
 
 
 def _collapse_runs(runs: DataFrame, *, key: str, attr: str) -> DataFrame:
     """Merge adjacent equal-``attr`` fragments per key, ordered by
     (valid_from, first_id) — the compaction / read-time merge. Schema
-    in/out: (key, attr, valid_from, first_id, n_rows)."""
-    w = W.partitionBy(key).orderBy("valid_from", "first_id")
-    chg = (
-        F.when(F.row_number().over(w) == 1, 1)
-        .when(F.lag(attr).over(w).eqNullSafe(F.col(attr)), 0)
-        .otherwise(1)
-    )
-    numbered = runs.withColumn("_chg", chg).withColumn(
-        "_rid", F.sum("_chg").over(w.rowsBetween(W.unboundedPreceding, 0))
+    in/out: (key, attr, valid_from, first_id, n_rows). Shares the
+    run numbering with the batch build (operators.scd.number_runs)."""
+    numbered = number_runs(
+        runs, key=key, attr=attr, order_cols=["valid_from", "first_id"]
     )
     ordk = F.struct(F.col("valid_from"), F.col("first_id"))
     return (
@@ -78,15 +74,10 @@ def batch_to_runs(
     batch: DataFrame, *, key: str, attr: str, ts_col: str, id_col: str
 ) -> DataFrame:
     """Collapse event-grain rows into run fragments: one row per (key,
-    consecutive equal-``attr`` stretch in (ts, id) order)."""
-    w = W.partitionBy(key).orderBy(ts_col, id_col)
-    chg = (
-        F.when(F.row_number().over(w) == 1, 1)
-        .when(F.lag(attr).over(w).eqNullSafe(F.col(attr)), 0)
-        .otherwise(1)
-    )
-    numbered = batch.withColumn("_chg", chg).withColumn(
-        "_rid", F.sum("_chg").over(w.rowsBetween(W.unboundedPreceding, 0))
+    consecutive equal-``attr`` stretch in (ts, id) order). Shares the
+    run numbering with the batch build (operators.scd.number_runs)."""
+    numbered = number_runs(
+        batch, key=key, attr=attr, order_cols=[ts_col, id_col]
     )
     ordk = F.struct(F.col(ts_col), F.col(id_col))
     return (
@@ -159,9 +150,19 @@ def run_scd2_history(
     jvm = spark._jvm
     root = jvm.org.apache.hadoop.fs.Path(history_root)
     fs = root.getFileSystem(spark._jsc.hadoopConfiguration())
-    versions = [
-        int(st.getPath().getName().split("=", 1)[1])
-        for st in fs.listStatus(root)
-        if st.getPath().getName().startswith("v=")
-    ]
+    versions = (
+        [
+            int(st.getPath().getName().split("=", 1)[1])
+            for st in fs.listStatus(root)
+            if st.getPath().getName().startswith("v=")
+        ]
+        if fs.exists(root)
+        else []
+    )
+    if not versions:
+        raise ValueError(
+            f"no micro-batches were delivered; {history_root} holds no "
+            "history version (empty source, or all files already "
+            "committed in this checkpoint)"
+        )
     return f"{history_root}/v={max(versions)}"

@@ -345,7 +345,7 @@ class TestPointInTime:
         from nsp_bolt_pipeline_spark.operators.scd import scd2_asof_snapshot
 
         snap = scd2_asof_snapshot(
-            self._history(spark), key="k", as_of="2020-02-15 00:00:00"
+            self._history(spark), as_of="2020-02-15 00:00:00"
         )
         got = {(r["k"], r["attr"]) for r in snap.collect()}
         assert got == {(1, "A"), (2, "C")}

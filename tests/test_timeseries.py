@@ -135,3 +135,24 @@ def test_debounce_first_always_kept_per_key(spark):
         (2, "a"),
         (2, "b"),
     ]
+
+
+def test_debounce_null_keys_fold_as_one_group(spark):
+    """NULL key columns arrive in pandas as NaN; the fold must treat
+    them as ONE key (groupBy semantics), not one group per row."""
+    import datetime as dt
+
+    from nsp_bolt_pipeline_spark.operators.timeseries import debounce_events
+
+    base = dt.datetime(2024, 1, 1)
+    rows = [
+        (i, base + dt.timedelta(seconds=i), None, "view")
+        for i in range(3)  # 1 s apart, NULL user
+    ] + [(10, base, 5, "view")]
+    df = spark.createDataFrame(
+        rows, "event_id long, ts timestamp, user_id long, event_type string"
+    )
+    kept = debounce_events(df, min_gap_s=10).collect()
+    null_kept = [r for r in kept if r["user_id"] is None]
+    assert len(null_kept) == 1 and null_kept[0]["event_id"] == 0
+    assert len(kept) == 2
