@@ -137,6 +137,8 @@ HEADLINE = [
     "scd2_point_in_time_join",
     # streaming SCD2 fragment log (6 range batches, merge-on-read)
     "stream_scd2_history",
+    # broadcast stream-static PIT join against the SCD2 history
+    "stream_pit_enrich",
 ]
 
 

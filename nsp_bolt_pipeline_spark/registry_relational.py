@@ -529,3 +529,51 @@ def q_bucketed_colocated_join(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount")))
         ).alias("revenue"),
     )
+
+
+_J7_LOOKUP_KEY = 1000  # o_orderkey point probe (exists at every sf)
+
+
+@query(
+    "j7_bucket_pruned_lookup",
+    f"""
+    SELECT l.l_orderkey, l.l_linenumber, l.l_extendedprice, l.l_discount
+    FROM lineitem l WHERE l.l_orderkey = {_J7_LOOKUP_KEY}
+    """,
+)
+def q_bucket_pruned_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Point lookup against the bucketed publish: an equality predicate
+    on the bucket key lets Spark open ONE bucket's files
+    (SelectedBucketsCount: 1 out of 8, pytest-pinned) — the
+    serving-path win bucketing buys beyond the shuffle-free join:
+    O(total/buckets) bytes touched per key probe with no index
+    structure. Caveat the test also pins: Spark's auto-bucketed-scan
+    rule turns bucketed reading OFF for filter-only plans (a full
+    scan parallelizes better unbucketed), so a point-lookup service
+    sets spark.sql.sources.bucketing.autoBucketedScan.enabled=false;
+    values are identical either way, which is why the oracle passes
+    under any session."""
+    import os as _os
+    import tempfile as _tempfile
+
+    from nsp_bolt_pipeline_spark.sources.sinks import write_bronze_bucketed
+
+    li = read_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_linenumber", "l_extendedprice", "l_discount"
+    )
+    base = _os.path.join(
+        _tempfile.gettempdir(),
+        "nsp_bucketed",
+        _os.path.basename(_os.path.normpath(sf_dir)),
+    )
+    write_bronze_bucketed(
+        li, "j7_lineitem_b", buckets=8, key="l_orderkey",
+        path=_os.path.join(base, "j7_lineitem_b"),
+    )
+    return (
+        spark.table("j7_lineitem_b")
+        .filter(F.col("l_orderkey") == _J7_LOOKUP_KEY)
+        .select(
+            "l_orderkey", "l_linenumber", "l_extendedprice", "l_discount"
+        )
+    )

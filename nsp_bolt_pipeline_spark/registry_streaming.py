@@ -1405,3 +1405,72 @@ def q_stream_scd2(spark: SparkSession, sf_dir: str) -> DataFrame:
         "user_id", "event_type", "valid_from", "n_rows",
         "valid_to", "version",
     )
+
+
+# ---------------------------------------------------------------------------
+# Streaming point-in-time enrichment: each event joined to the SCD2
+# dimension version current at the EVENT'S timestamp — the
+# leakage-free serving join, as a broadcast stream-static plan.
+# ---------------------------------------------------------------------------
+
+
+def _pit_enrich_oracle() -> str:
+    from nsp_bolt_pipeline_spark.registry_temporal import _SCD2_BASE_CTES
+
+    return f"""
+    WITH {_SCD2_BASE_CTES}
+    SELECT e.event_id, e.ts, e.user_id,
+           h.o_orderpriority AS dim_priority,
+           h.version AS dim_version
+    FROM events e
+    LEFT JOIN hist h
+      ON h.o_custkey = e.user_id
+     AND h.valid_from <= e.ts
+     AND (h.valid_to IS NULL OR e.ts < h.valid_to)
+    """
+
+
+@query("stream_pit_enrich", _pit_enrich_oracle())
+def q_stream_pit_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """availableNow run of the streaming PIT join: the SCD2 history
+    (customer priority regimes from orders) broadcasts into every
+    micro-batch and each event picks the interval containing its own
+    event time — events before a user's first regime keep nulls,
+    exactly as the batch point-in-time join and the SQL replay
+    define."""
+    from nsp_bolt_pipeline_spark.registry_temporal import _scd2_history
+    from nsp_bolt_pipeline_spark.streaming.enrich import (
+        enrich_stream_point_in_time,
+        run_enrich,
+    )
+
+    dirs = _workdir("stream_pit")
+    ev = read_table(spark, sf_dir, "events")
+    _dump_events_df(ev, dirs["src"])
+    hist = _scd2_history(spark, sf_dir).select(
+        F.col("o_custkey").alias("user_id"),
+        F.col("o_orderpriority").alias("priority"),
+        "valid_from",
+        "valid_to",
+        "version",
+    )
+    enriched = enrich_stream_point_in_time(
+        _event_stream(spark, dirs["src"]).select(
+            "event_id", "ts", "user_id"
+        ),
+        hist,
+        key="user_id",
+        event_ts="ts",
+    )
+    run_enrich(
+        enriched.select(
+            "event_id", "ts", "user_id",
+            F.col("dim_priority").alias("dim_priority"),
+            F.col("dim_version").alias("dim_version"),
+        ),
+        out_dir=dirs["out"],
+        checkpoint_dir=dirs["ckpt"],
+    )
+    return spark.read.parquet(dirs["out"]).select(
+        "event_id", "ts", "user_id", "dim_priority", "dim_version"
+    )

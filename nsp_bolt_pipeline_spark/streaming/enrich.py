@@ -54,3 +54,25 @@ def run_enrich(
         .start()
     )
     q.awaitTermination()
+
+
+def enrich_stream_point_in_time(
+    stream: DataFrame,
+    history: DataFrame,
+    *,
+    key: str,
+    event_ts: str,
+    broadcast_dim: bool = True,
+) -> DataFrame:
+    """PIT variant of :func:`enrich_stream`: each streaming event is
+    left-joined to the SCD2 dimension VERSION current at the event's
+    own timestamp (operators.scd.point_in_time_join semantics) — the
+    leakage-free feature join on the serving path. Stream-static
+    joins re-plan the static side per micro-batch, so republishing
+    the history between batches serves updated intervals; the
+    interval bounds are residual predicates on a broadcast hash join,
+    so the stream never shuffles."""
+    from nsp_bolt_pipeline_spark.operators.scd import point_in_time_join
+
+    dim = F.broadcast(history) if broadcast_dim else history
+    return point_in_time_join(stream, dim, key=key, fact_ts=event_ts)

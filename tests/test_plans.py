@@ -168,3 +168,24 @@ def test_bucketed_colocated_join_has_no_join_exchange(plans):
     assert plan.count("Exchange") == 1
     below_join = plan.split("SortMergeJoin", 1)[1]
     assert "Exchange" not in below_join
+
+
+def test_bucket_pruned_lookup_opens_one_bucket(spark):
+    """j7: the equality predicate on the bucket key must prune the
+    scan to a single bucket — no index, just the hash layout. Spark's
+    auto-bucketed-scan rule disables bucketed reading for filter-only
+    plans (more parallelism for full scans), so the serving path pins
+    autoBucketedScan=false — the production setting for point-lookup
+    workloads over bucketed tables."""
+    key = "spark.sql.sources.bucketing.autoBucketedScan.enabled"
+    saved = spark.conf.get(key, None)
+    try:
+        spark.conf.set(key, "false")
+        fn, _ = REGISTRY["j7_bucket_pruned_lookup"]
+        plan = _plan(spark, "j7_bucket_pruned_lookup")
+        assert "SelectedBucketsCount: 1 out of 8" in plan
+    finally:
+        if saved is None:
+            spark.conf.unset(key)
+        else:
+            spark.conf.set(key, saved)

@@ -70,6 +70,8 @@ EAGER_ENTRIES = {
     "f_dense_global_ids",
     # two zorder_layout builds (boundary collects) at build time
     "l16_layout_pruning_eval",
+    # publishes the bucketed lookup table at build time
+    "j7_bucket_pruned_lookup",
 }
 
 # Entries whose global window is acceptable, with the reason. Two
