@@ -1867,3 +1867,89 @@ def q_holt_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
         folded["lv"].alias("level"),
         folded["tr"].alias("trend"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Forecast backtest: hold out each user's LAST event, fit Holt on the
+# prefix, score the one-step forecast. Same exact-arithmetic contract
+# as t21 (halvings + one add + one subtract, no rounding needed).
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "eval_holt_backtest",
+    """
+    WITH RECURSIVE e AS (
+        SELECT user_id, CAST(value AS DOUBLE) AS value,
+               row_number() OVER (PARTITION BY user_id
+                                  ORDER BY ts, event_id) AS rn
+        FROM events
+    ),
+    walk AS (
+        SELECT user_id, rn, value AS lv, CAST(0.0 AS DOUBLE) AS tr
+        FROM e WHERE rn = 1
+        UNION ALL
+        SELECT e.user_id, e.rn,
+               (e.value + w.lv + w.tr) * 0.5,
+               ((e.value + w.lv + w.tr) * 0.5 - w.lv) * 0.5 + w.tr * 0.5
+        FROM walk w JOIN e ON e.user_id = w.user_id AND e.rn = w.rn + 1
+    ),
+    bounds AS (
+        SELECT user_id, MAX(rn) AS n FROM e GROUP BY user_id HAVING MAX(rn) >= 2
+    )
+    SELECT w.user_id, CAST(b.n AS BIGINT) AS n_events,
+           w.lv + w.tr AS forecast,
+           a.value AS actual,
+           ABS((w.lv + w.tr) - a.value) AS abs_err
+    FROM bounds b
+    JOIN walk w ON w.user_id = b.user_id AND w.rn = b.n - 1
+    JOIN e a ON a.user_id = b.user_id AND a.rn = b.n
+    """,
+)
+def q_holt_backtest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Walk-forward validation of the Holt smoother: fit on each
+    user's first n-1 events, forecast step n as level + trend, score
+    against the held-out actual — the minimal honesty check before a
+    forecast drives paging thresholds. Same single codegen'd struct
+    fold as t21, just over the prefix; the forecast, actual, and
+    absolute error are bit-portable (halvings and adds only)."""
+    from nsp_bolt_pipeline_spark.functions.expr import bind_once
+
+    ev = read_table(spark, sf_dir, "events")
+    per = (
+        ev.groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.array_sort(
+                F.collect_list(F.struct("ts", "event_id", "value"))
+            ).alias("seq"),
+        )
+        .filter(F.col("n_events") >= 2)
+    )
+
+    def holt_prefix(vals: F.Column) -> F.Column:
+        def step(acc: F.Column, v: F.Column) -> F.Column:
+            lv_new = (v + acc["lv"] + acc["tr"]) * 0.5
+            tr_new = (lv_new - acc["lv"]) * 0.5 + acc["tr"] * 0.5
+            return F.struct(lv_new.alias("lv"), tr_new.alias("tr"))
+
+        init = F.struct(
+            F.element_at(vals, 1).cast("double").alias("lv"),
+            F.lit(0.0).alias("tr"),
+        )
+        # fold over elements 2 .. n-1 (hold out the last)
+        return F.aggregate(
+            F.slice(vals, 2, F.size(vals) - 2), init, step
+        )
+
+    vals = F.transform(F.col("seq"), lambda x: x["value"])
+    folded = bind_once(vals, holt_prefix)
+    forecast = folded["lv"] + folded["tr"]
+    actual = F.element_at(vals, -1).cast("double")
+    return per.select(
+        "user_id",
+        "n_events",
+        forecast.alias("forecast"),
+        actual.alias("actual"),
+        F.abs(forecast - actual).alias("abs_err"),
+    )
