@@ -252,3 +252,58 @@ def triangle_counts(
     return members.groupBy("node").agg(
         F.count(F.lit(1)).alias("n_triangles")
     )
+
+
+def common_neighbor_links(
+    edges: DataFrame,
+    *,
+    src_col: str = "d1",
+    dst_col: str = "d2",
+    min_common: int = 2,
+) -> DataFrame:
+    """Link prediction over an undirected graph by common-neighbor
+    count + neighborhood Jaccard — in the near-dup graph this
+    surfaces pairs LSH *missed*: two documents sharing >=
+    ``min_common`` near-duplicate neighbors are almost certainly
+    near-duplicates themselves (duplicate groups are cliques), so the
+    predicted links are exactly the edges banding recall dropped.
+
+    Plan shape: one wedge self-join through the shared neighbor
+    (fan-out bounded by per-node degree — cluster size in a dedup
+    graph, never corpus size), an anti-join to drop existing edges,
+    and a broadcast-scale degree rejoin. jacc6 =
+    round6(cn / (deg(a) + deg(b) - cn)), the engine-portable
+    neighborhood Jaccard.
+    """
+    e = edges.select(F.col(src_col).alias("u"), F.col(dst_col).alias("v"))
+    und = e.unionByName(
+        e.select(F.col("v").alias("u"), F.col("u").alias("v"))
+    )
+    deg = und.groupBy("u").agg(F.count(F.lit(1)).alias("deg"))
+    # wedges through the shared neighbor u: (a -u- b), emitted once
+    # per direction; a < b keeps one
+    x = und.select(F.col("u").alias("c"), F.col("v").alias("a"))
+    y = und.select(F.col("u").alias("c"), F.col("v").alias("b"))
+    cand = (
+        x.join(y, "c")
+        .filter(F.col("a") < F.col("b"))
+        .groupBy("a", "b")
+        .agg(F.count(F.lit(1)).alias("cn"))
+        .filter(F.col("cn") >= min_common)
+    )
+    # drop pairs that are already edges (either orientation is
+    # covered: edges are stored d1 < d2 and cand has a < b)
+    existing = e.select(F.col("u").alias("a"), F.col("v").alias("b"))
+    cand = cand.join(existing, ["a", "b"], "left_anti")
+    da = deg.select(F.col("u").alias("a"), F.col("deg").alias("deg_a"))
+    db = deg.select(F.col("u").alias("b"), F.col("deg").alias("deg_b"))
+    out = cand.join(da, "a").join(db, "b")
+    jacc = F.col("cn") / (F.col("deg_a") + F.col("deg_b") - F.col("cn"))
+    return out.select(
+        "a",
+        "b",
+        "cn",
+        "deg_a",
+        "deg_b",
+        (F.floor(jacc * 1e6 + F.lit(0.5)) / 1e6).alias("jacc6"),
+    )

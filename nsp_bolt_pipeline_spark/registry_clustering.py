@@ -825,3 +825,66 @@ def q_emb_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
             "rnk",
         )
     )
+
+# ---------------------------------------------------------------------------
+# Common-neighbor link prediction on the part-supplier bipartite
+# graph: supplier pairs sharing >= k parts, scored by neighborhood
+# Jaccard — the collaborative-filtering affinity readout. (On the
+# near-dup document graph the same operator is the LSH recall
+# repair, but this corpus's duplicate cliques are complete at the
+# registry thresholds, so the bipartite graph is the non-degenerate
+# demonstration.)
+# ---------------------------------------------------------------------------
+
+_LINK_MIN_COMMON = 2
+
+
+def _link_pred_sql() -> str:
+    return f"""
+    WITH edges AS (
+        SELECT DISTINCT -(l_partkey + 1) AS u, l_suppkey AS v
+        FROM lineitem
+    ),
+    und AS (SELECT u, v FROM edges UNION ALL SELECT v AS u, u AS v FROM edges),
+    deg AS (SELECT u, CAST(COUNT(*) AS BIGINT) AS deg FROM und GROUP BY u),
+    cand AS (
+        SELECT x.v AS a, y.v AS b, CAST(COUNT(*) AS BIGINT) AS cn
+        FROM und x JOIN und y ON x.u = y.u AND x.v < y.v
+        GROUP BY 1, 2
+        HAVING COUNT(*) >= {_LINK_MIN_COMMON}
+    ),
+    missing AS (
+        SELECT c.a, c.b, c.cn FROM cand c
+        ANTI JOIN edges e ON e.u = c.a AND e.v = c.b
+    )
+    SELECT m.a, m.b, m.cn,
+           da.deg AS deg_a, db.deg AS deg_b,
+           FLOOR((CAST(m.cn AS DOUBLE) / (da.deg + db.deg - m.cn))*1e6 + 0.5)/1e6
+               AS jacc6
+    FROM missing m
+    JOIN deg da ON da.u = m.a
+    JOIN deg db ON db.u = m.b
+    WHERE m.a >= 0 AND m.b >= 0
+    """
+
+
+@query("graph_link_prediction", _link_pred_sql())
+def q_graph_link_prediction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Supplier-supplier affinity by common-neighbor wedges through
+    shared parts (parts ride a disjoint negative-id namespace so one
+    undirected operator serves both unipartite recall-repair and this
+    bipartite CF form): cn = co-supplied parts, jacc6 = neighborhood
+    Jaccard over part sets. Wedge fan-out is bounded by per-part
+    supplier count, never corpus size; degrees rejoin broadcast-
+    scale."""
+    from nsp_bolt_pipeline_spark.operators.graph import (
+        common_neighbor_links,
+    )
+
+    li = read_table(spark, sf_dir, "lineitem")
+    edges = li.select(
+        (-(F.col("l_partkey") + 1)).cast("long").alias("d1"),
+        F.col("l_suppkey").cast("long").alias("d2"),
+    ).distinct()
+    links = common_neighbor_links(edges, min_common=_LINK_MIN_COMMON)
+    return links.filter((F.col("a") >= 0) & (F.col("b") >= 0))

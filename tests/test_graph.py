@@ -109,3 +109,34 @@ def test_golden_record_survivorship_rules(spark):
         .collect()[0]["lang"]
     )
     assert lang == "de"  # majority wins over 'en'
+
+
+class TestLinkPrediction:
+    def test_clique_minus_edge_is_recovered(self, spark):
+        """K4 minus the (1,4) edge: exactly that pair comes back with
+        cn=2 (shared neighbors 2 and 3); both endpoints have degree 2,
+        so neighborhood Jaccard is 2/(2+2-2) = 1.0 — a certain link."""
+        from nsp_bolt_pipeline_spark.operators.graph import (
+            common_neighbor_links,
+        )
+
+        edges = spark.createDataFrame(
+            [(1, 2), (1, 3), (2, 3), (2, 4), (3, 4)], "d1 long, d2 long"
+        )
+        got = common_neighbor_links(edges, min_common=2).collect()
+        assert len(got) == 1
+        r = got[0]
+        assert (r["a"], r["b"], r["cn"]) == (1, 4, 2)
+        assert r["jacc6"] == 1.0
+
+    def test_existing_edges_are_never_predicted(self, spark):
+        from nsp_bolt_pipeline_spark.operators.graph import (
+            common_neighbor_links,
+        )
+
+        # complete K4: every pair is an edge, nothing to predict
+        edges = spark.createDataFrame(
+            [(a, b) for a in range(1, 5) for b in range(a + 1, 5)],
+            "d1 long, d2 long",
+        )
+        assert common_neighbor_links(edges, min_common=1).count() == 0
