@@ -64,18 +64,9 @@ def _chars(col: Column) -> Column:
 
 
 def _adjacent_pairs(syms: Column) -> Column:
-    return F.when(
-        F.size(syms) > 1,
-        F.transform(
-            F.sequence(F.lit(1), F.size(syms) - 1),
-            lambda i: F.struct(
-                F.element_at(syms, i).alias("a"),
-                F.element_at(syms, i + 1).alias("b"),
-            ),
-        ),
-    ).otherwise(
-        F.array().cast("array<struct<a:string,b:string>>")
-    )
+    from nsp_bolt_pipeline_spark.operators.text import adjacent_pairs
+
+    return adjacent_pairs(syms)
 
 
 def _apply_merge(syms: Column, a: str, b: str) -> Column:

@@ -39,9 +39,13 @@ def exact_auc(
     scored: DataFrame, score_col: str = "score", label_col: str = "y"
 ) -> DataFrame:
     """One-row exact AUC: (n_pos, n_neg, auc_num2, auc). ``label_col``
-    is 0/1; null scores are excluded (they rank nowhere)."""
+    is 0/1; null AND NaN scores are excluded (neither ranks anywhere —
+    NaN is not null, and floor(NaN) would otherwise bucket it at 0 and
+    corrupt the prefix sum)."""
     per = (
-        scored.filter(F.col(score_col).isNotNull())
+        scored.filter(
+            F.col(score_col).isNotNull() & ~F.isnan(F.col(score_col))
+        )
         .groupBy(F.col(score_col).alias("s"))
         .agg(
             F.sum(F.col(label_col).cast("long")).alias("np"),
@@ -101,18 +105,27 @@ def calibration_bins(
 ) -> DataFrame:
     """Reliability-diagram bins over a fixed score range: per bin,
     (bin, bin_lo, bin_hi, n, n_pos, pos_rate). Scores outside
-    [lo, hi) clamp to the edge bins; null scores are excluded (the
-    profile-histogram lesson: least() would silently file them in the
-    top bin). Pure groupBy — no ordered step at all."""
+    [lo, hi) clamp to the edge bins — the clamp runs on the DOUBLE
+    before the int cast, so +-inf clamps instead of overflowing the
+    ANSI cast; null and NaN scores are excluded (the profile-histogram
+    lesson: Spark sorts NaN above every value, so least() would
+    silently file NaN in the top bin). Pure groupBy — no ordered step
+    at all."""
     width = (hi - lo) / n_bins
-    b = F.least(
-        F.lit(n_bins - 1),
-        F.greatest(
-            F.lit(0), F.floor((F.col(score_col) - lo) / width).cast("int")
-        ),
-    ).cast("long")
+    b = (
+        F.least(
+            F.lit(float(n_bins - 1)),
+            F.greatest(
+                F.lit(0.0), F.floor((F.col(score_col) - lo) / width)
+            ),
+        )
+        .cast("int")
+        .cast("long")
+    )
     return (
-        scored.filter(F.col(score_col).isNotNull())
+        scored.filter(
+            F.col(score_col).isNotNull() & ~F.isnan(F.col(score_col))
+        )
         .groupBy(b.alias("bin"))
         .agg(
             F.count("*").alias("n"),
@@ -167,14 +180,17 @@ def ranking_metrics(
         "left",
     )
     # NB: Spark's element_at resolves a NULL index like -1 (last
-    # element), NOT NULL — the miss rows must be guarded explicitly
+    # element), NOT NULL, and an index > k is an ANSI error, not a 0 —
+    # both the miss rows and the deeper-than-k rows need explicit
+    # guards (a hit at rank k+1 contributes nothing to any @k metric)
+    in_k = F.col("rnk").isNotNull() & (F.col("rnk") <= k)
     hit_disc = F.when(
-        F.col("rnk").isNotNull(), F.element_at(disc, F.col("rnk").cast("int"))
+        in_k, F.element_at(disc, F.col("rnk").cast("int"))
     ).otherwise(F.lit(0).cast("long"))
     agg = j.groupBy("query_id").agg(
-        F.min("rnk").alias("_first"),
+        F.min(F.when(in_k, F.col("rnk"))).alias("_first"),
         F.sum(hit_disc).alias("dcg_micro"),
-        F.count("rnk").alias("n_hits"),
+        F.count(F.when(in_k, F.col("rnk"))).alias("n_hits"),
     )
     return agg.select(
         "query_id",

@@ -77,9 +77,13 @@ def funnel_counts(funnel: DataFrame, n_stages: int) -> DataFrame:
     """Collapse a :func:`funnel_stages` result to the classic funnel
     report: one row per stage with the number of entities that reached
     at least that stage (monotone non-increasing by construction)."""
+    # coalesce: SUM over zero rows is NULL — an empty funnel must
+    # report 0 at every stage, not nulls that poison downstream
+    # conversion-rate arithmetic
     aggs = [
-        F.sum(
-            F.when(F.col("n_stages") >= k, 1).otherwise(0)
+        F.coalesce(
+            F.sum(F.when(F.col("n_stages") >= k, 1).otherwise(0)),
+            F.lit(0),
         ).cast("long").alias(f"reached_{k}")
         for k in range(1, n_stages + 1)
     ]

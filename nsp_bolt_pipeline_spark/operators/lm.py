@@ -134,15 +134,12 @@ def cross_entropy_scores(
 def _bigrams(text_col: str) -> Column:
     """Adjacent lowercase token pairs "w1 w2" (docs below 2 tokens
     produce none) — the KenLM-direction n-gram order step up."""
-    toks = _lower_tokens(text_col)
-    return F.when(
-        F.size(toks) >= 2,
-        F.zip_with(
-            F.slice(toks, 1, F.size(toks) - 1),
-            F.slice(toks, 2, F.size(toks) - 1),
-            lambda a, b: F.concat_ws(" ", a, b),
-        ),
-    ).otherwise(F.array().cast("array<string>"))
+    from nsp_bolt_pipeline_spark.operators.text import adjacent_pairs
+
+    return F.transform(
+        adjacent_pairs(_lower_tokens(text_col)),
+        lambda p: F.concat_ws(" ", p["a"], p["b"]),
+    )
 
 
 def bigram_cross_entropy_scores(
@@ -230,13 +227,28 @@ def bigram_cross_entropy_scores(
         F.sum("c_db").cast("long").alias("n_bigrams"),
         F.sum(F.col("c_db") * F.col("term_mu")).cast("long").alias("lm_mu"),
     )
+    # docs below two tokens produce no bigrams and would vanish from
+    # the explode — surface them with n_bigrams=0 and a NULL score so
+    # a quality gate swapping the unigram scorer for this one keeps
+    # the same covered doc set (the unigram form scores every doc)
+    per_doc = (
+        docs.select(id_col)
+        .join(per_doc, id_col, "left")
+        .withColumn(
+            "n_bigrams", F.coalesce("n_bigrams", F.lit(0).cast("long"))
+        )
+        .withColumn("lm_mu", F.coalesce("lm_mu", F.lit(0).cast("long")))
+    )
     return per_doc.select(
         id_col,
         "n_bigrams",
         "lm_mu",
-        F.round(
-            (F.col("lm_mu") / F.lit(float(MU)))
-            / F.col("n_bigrams").cast("double"),
-            6,
+        F.when(
+            F.col("n_bigrams") > 0,
+            F.round(
+                (F.col("lm_mu") / F.lit(float(MU)))
+                / F.col("n_bigrams").cast("double"),
+                6,
+            ),
         ).alias("cross_entropy"),
     )

@@ -44,10 +44,11 @@ def _h32(c: Column) -> Column:
 def hashed_bigrams(text_col: str, dim: int = DSIR_DIM) -> Column:
     """Word-bigram feature buckets for one document (with repeats —
     DSIR counts occurrences, not distinct features)."""
-    toks = tokens(text_col)
+    from nsp_bolt_pipeline_spark.operators.text import adjacent_pairs
+
     grams = F.transform(
-        F.slice(toks, 1, F.greatest(F.lit(0), F.size(toks) - 1)),
-        lambda t, i: F.concat(t, F.lit(" "), F.element_at(toks, i + 2)),
+        adjacent_pairs(tokens(text_col)),
+        lambda p: F.concat(p["a"], F.lit(" "), p["b"]),
     )
     return F.transform(grams, lambda g: _h32(g) % dim)
 
@@ -70,7 +71,12 @@ def dsir_importance_weights(
         target_pred.alias("is_target"),
         F.explode(hashed_bigrams(text_col, dim)).alias("f"),
     ).persist()  # feeds the distribution agg AND the scoring join —
-    # the hashed-bigram explode is the expensive stage, run it once
+    # the hashed-bigram explode is the expensive stage, run it once.
+    # Lifecycle: the blocks stay cached while the returned (lazy)
+    # frame is referenced; Spark's ContextCleaner unpersists them when
+    # the plan is garbage-collected, which is what bounds cache growth
+    # across a long session running many entries — callers that pin
+    # hundreds of results should materialize and drop them instead.
     dist = feats.groupBy("f").agg(
         F.sum(F.col("is_target").cast("long")).alias("target_cnt"),
         F.count("*").alias("raw_cnt"),

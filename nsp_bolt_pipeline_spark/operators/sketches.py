@@ -434,6 +434,12 @@ def kmv_jaccard_matrix(
         .groupBy("g1", "g2")
         .agg(F.count("*").alias("n_inter"))
     )
+    # disjoint pairs must still report jaccard 0.0 — left-join from
+    # the full pair grid, else the similarity MATRIX silently loses
+    # rows and 'no overlap' is indistinguishable from 'not evaluated'
+    inter = pairs.join(inter, ["g1", "g2"], "left").withColumn(
+        "n_inter", F.coalesce(F.col("n_inter"), F.lit(0).cast("long"))
+    )
     sizes = dtok.groupBy("g").agg(F.count("*").alias("n"))
     exact = (
         inter.join(sizes.withColumnRenamed("g", "g1").withColumnRenamed("n", "n1"), "g1")
@@ -467,12 +473,18 @@ def cms_frequent_terms(
     naive ``HAVING count >= min_count`` result — the oracle states the
     naive definition and the hash compare proves it.
 
-    Scale shape: pass 1 is the bounded-key sketch build (<= d*w rows
-    out); the candidate filter is a broadcast join of per-token bucket
-    probes against the sketch; pass 2 recounts ONLY candidates — at a
-    heavy-tailed 100 TB corpus that is the difference between
-    aggregating the full vocabulary and aggregating the (tiny)
-    plausibly-frequent head."""
+    Honesty note on shape: candidate ENUMERATION here walks
+    ``toks.distinct()`` so the losslessness contract stays
+    machine-checkable against the plain naive oracle — as written
+    this does NOT beat the naive one-aggregate query (whose map-side
+    partial agg already bounds the shuffle by per-partition distinct
+    tokens); what it verifies is the sketch's one-sided-error
+    semantics end to end. In deployment the candidate stream is
+    bounded by construction instead: queries probing the sketch
+    online, a content-addressed doc sample's vocabulary (P(miss) <=
+    (1-r)^min_count), or pigeonhole local heavy hitters (count >=
+    min_count/P in some partition) — each slots into the same
+    probe -> est filter -> exact recount pipeline unchanged."""
     toks = docs.select(F.explode(tokens(text_col)).alias("tok"))
     sketch = cms_build(docs, text_col, depth, width)
     probes = (

@@ -59,6 +59,25 @@ def token_count(col: Column | str) -> Column:
     return F.size(tokens(col)).cast("long")
 
 
+def adjacent_pairs(arr: Column) -> Column:
+    """Adjacent element pairs of an array as array<struct<a, b>> —
+    the ONE empty/single-element-safe implementation shared by the
+    bigram LM (operators.lm), DSIR feature hashing
+    (operators.selection), and BPE merge learning (operators.bpe);
+    three hand-rolled guards previously risked exactly the
+    sequence(2,1) descending-range crash fixed in CDC chunking."""
+    return F.when(
+        F.size(arr) > 1,
+        F.transform(
+            F.sequence(F.lit(1), F.size(arr) - 1),
+            lambda i: F.struct(
+                F.element_at(arr, i).alias("a"),
+                F.element_at(arr, i + 1).alias("b"),
+            ),
+        ),
+    ).otherwise(F.array().cast("array<struct<a:string,b:string>>"))
+
+
 def bpe_tokens(col: Column | str) -> Column:
     """BPE-ish subword pieces via the GPT-2 pre-tokenizer split —
     the standard way to estimate LLM token counts without a merges

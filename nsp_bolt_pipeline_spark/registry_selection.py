@@ -134,7 +134,7 @@ def _scored_sql() -> str:
                CASE WHEN d.lang = 'en' THEN 1 ELSE 0 END AS y
         FROM ({_quality_clf_sql()}) c
         JOIN documents d USING (doc_id)
-        WHERE c.logit IS NOT NULL
+        WHERE c.logit IS NOT NULL AND NOT isnan(c.logit)
     )
     """
 

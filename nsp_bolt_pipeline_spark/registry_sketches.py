@@ -290,10 +290,11 @@ def q_sketch_hll(spark: SparkSession, sf_dir: str) -> DataFrame:
         GROUP BY 1, 2
     )
     SELECT e.g1, e.g2, e.kmv_jaccard,
-           CAST(i.n_inter AS DOUBLE)
-               / CAST(s1.n + s2.n - i.n_inter AS DOUBLE) AS exact_jaccard
+           CAST(COALESCE(i.n_inter, 0) AS DOUBLE)
+               / CAST(s1.n + s2.n - COALESCE(i.n_inter, 0) AS DOUBLE)
+               AS exact_jaccard
     FROM est e
-    JOIN inter i ON i.g1 = e.g1 AND i.g2 = e.g2
+    LEFT JOIN inter i ON i.g1 = e.g1 AND i.g2 = e.g2
     JOIN sizes s1 ON s1.g = e.g1
     JOIN sizes s2 ON s2.g = e.g2
     """,

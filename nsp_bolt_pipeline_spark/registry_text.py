@@ -946,10 +946,14 @@ agg AS (
            CAST(SUM(c_db * term_mu) AS BIGINT) AS lm_mu
     FROM terms GROUP BY doc_id
 )
-SELECT doc_id, n_bigrams, lm_mu,
-       round((lm_mu / {float(MU)}) / CAST(n_bigrams AS DOUBLE), 6)
-           AS cross_entropy
-FROM agg
+SELECT d.doc_id,
+       COALESCE(a.n_bigrams, 0) AS n_bigrams,
+       COALESCE(a.lm_mu, 0) AS lm_mu,
+       CASE WHEN COALESCE(a.n_bigrams, 0) > 0
+            THEN round((a.lm_mu / {float(MU)})
+                       / CAST(a.n_bigrams AS DOUBLE), 6)
+            END AS cross_entropy
+FROM documents d LEFT JOIN agg a USING (doc_id)
 """
 
 

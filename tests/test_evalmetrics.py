@@ -90,3 +90,91 @@ def test_ranking_metrics_hand_computed(spark):
     assert got[1]["n_hits"] == 2
     assert got[2]["first_hit_rank"] == 0 and got[2]["rr_at_k"] == 0.0
     assert got[2]["dcg_micro"] == 0 and got[2]["ndcg_at_k"] == 0.0
+
+
+class TestReviewRegressions:
+    def test_auc_excludes_nan_scores(self, spark):
+        from nsp_bolt_pipeline_spark.operators.evalmetrics import exact_auc
+
+        df = spark.createDataFrame(
+            [(float("nan"), 1), (5.0, 0), (6.0, 1), (4.0, 0)],
+            "score double, y int",
+        )
+        row = exact_auc(df).collect()[0]
+        # NaN row gone: P={6}, N={5,4}; 6 beats both -> AUC 1.0
+        assert (row["n_pos"], row["n_neg"]) == (1, 2)
+        assert row["auc"] == 1.0
+
+    def test_calibration_clamps_inf_and_drops_nan(self, spark):
+        from nsp_bolt_pipeline_spark.operators.evalmetrics import (
+            calibration_bins,
+        )
+
+        df = spark.createDataFrame(
+            [
+                (float("inf"), 1),
+                (float("-inf"), 0),
+                (float("nan"), 1),
+                (0.0, 1),
+            ],
+            "score double, y int",
+        )
+        got = {
+            r["bin"]: r["n"]
+            for r in calibration_bins(
+                df, lo=-16.0, hi=24.0, n_bins=10
+            ).collect()
+        }
+        # +inf clamps to the top bin, -inf to the bottom, NaN drops
+        assert got[9] == 1 and got[0] == 1
+        assert sum(got.values()) == 3
+
+    def test_ranking_hits_beyond_k_score_zero(self, spark):
+        from nsp_bolt_pipeline_spark.operators.evalmetrics import (
+            ranking_metrics,
+        )
+
+        rel = spark.createDataFrame([(1, 10), (1, 11)], "query_id long, vec_id long")
+        ranking = spark.createDataFrame(
+            [(1, 10, 5), (1, 11, 2)], "query_id long, vec_id long, rnk long"
+        )
+        row = ranking_metrics(
+            rel, ranking, k=3, disc_micro=[100, 50, 30]
+        ).collect()[0]
+        # rnk=5 is beyond k=3: no crash, no discount, no hit credit
+        assert row["n_hits"] == 1
+        assert row["first_hit_rank"] == 2
+        assert row["dcg_micro"] == 50
+
+    def test_kmv_matrix_reports_disjoint_pairs_as_zero(self, spark):
+        from nsp_bolt_pipeline_spark.operators.sketches import (
+            kmv_jaccard_matrix,
+        )
+
+        docs = spark.createDataFrame(
+            [(1, "x y z", "s1"), (2, "p q r", "s2")],
+            "doc_id long, text string, source string",
+        )
+        rows = kmv_jaccard_matrix(docs, group_col="source").collect()
+        assert len(rows) == 1
+        assert rows[0]["exact_jaccard"] == 0.0
+        assert rows[0]["kmv_jaccard"] == 0.0
+
+    def test_funnel_counts_zero_on_empty(self, spark):
+        from nsp_bolt_pipeline_spark.operators.funnel import (
+            funnel_counts,
+            funnel_stages,
+        )
+
+        ev = spark.createDataFrame(
+            [], "user_id long, ts timestamp, event_type string"
+        )
+        funnel = funnel_stages(
+            ev,
+            entity_col="user_id",
+            ts_col="ts",
+            type_col="event_type",
+            stages=["signup", "click"],
+        )
+        got = {r["stage"]: r["n_entities"] for r in funnel_counts(funnel, 2).collect()}
+        assert got == {1: 0, 2: 0}

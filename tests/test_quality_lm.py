@@ -193,7 +193,11 @@ def test_bigram_entropy_prefers_reference_like_order(spark):
     assert got[100]["lm_mu"] == got[0]["lm_mu"]
 
 
-def test_bigram_entropy_short_docs_drop_out(spark):
+def test_bigram_entropy_short_docs_surface_with_null_score(spark):
+    """Docs below two tokens have no bigram positions: they must stay
+    in the output (n_bigrams=0, NULL score) so the scorer covers the
+    same doc universe as the unigram form — silently dropping them
+    changed the covered set when gates swapped scorers."""
     from nsp_bolt_pipeline_spark.operators.lm import (
         bigram_cross_entropy_scores,
     )
@@ -203,5 +207,14 @@ def test_bigram_entropy_short_docs_drop_out(spark):
         [(1, "a b c", "en"), (2, "single", "en"), (3, "", "en")],
         "doc_id long, text string, lang string",
     )
-    out = bigram_cross_entropy_scores(df, F.col("lang") == "en")
-    assert [r["doc_id"] for r in out.collect()] == [1]
+    out = {
+        r["doc_id"]: r
+        for r in bigram_cross_entropy_scores(
+            df, F.col("lang") == "en"
+        ).collect()
+    }
+    assert set(out) == {1, 2, 3}
+    assert out[1]["n_bigrams"] == 2 and out[1]["cross_entropy"] is not None
+    for d in (2, 3):
+        assert out[d]["n_bigrams"] == 0
+        assert out[d]["cross_entropy"] is None
