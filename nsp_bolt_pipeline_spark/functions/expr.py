@@ -28,3 +28,15 @@ def bind_once(value: Column, body: Callable[[Column], Column]) -> Column:
     """let value = <value> in body(value) — ``value`` evaluates once
     per row regardless of how many times ``body`` references it."""
     return F.element_at(F.transform(F.array(value), body), 1)
+
+
+def round6(c: Column) -> Column:
+    """The repo-wide cross-engine rounding convention:
+    ``floor(x*1e6 + 0.5)/1e6`` — identical IEEE op sequence in Spark
+    and DuckDB, unlike ROUND (which goes through decimal shortest-repr
+    in Spark but binary rounding in DuckDB and diverges on .xxxxxx5
+    boundaries). Positive-and-negative safe for magnitudes below
+    ~9.2e12 (beyond that the double->long floor saturates — normalize
+    first). The single definition the per-module ``_round6`` aliases
+    delegate to."""
+    return F.floor(c * 1e6 + F.lit(0.5)) / 1e6

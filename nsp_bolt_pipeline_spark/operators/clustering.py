@@ -40,7 +40,9 @@ from pyspark.sql import Window as W
 
 
 def _round6(c: Column) -> Column:
-    return F.floor(c * 1000000.0 + F.lit(0.5)) / 1000000.0
+    from nsp_bolt_pipeline_spark.functions.expr import round6
+
+    return round6(c)
 
 
 def sq_dist(a: Column, b: Column) -> Column:
@@ -153,10 +155,12 @@ def _lloyd_centroids(
 ) -> dict[int, list[float]]:
     """The Lloyd loop up to (but excluding) the final assignment:
     returns the final centroid dict (k rows of model state)."""
+    # seed with the k LOWEST ids (deterministic on any id domain) —
+    # filter(id < k) only equals that for dense 0-based ids and
+    # silently under-seeds (or returns an empty model) on hashed or
+    # offset id spaces
     init_rows = (
-        df.filter(F.col(id_col) < k)
-        .select(id_col, vec_col)
-        .collect()
+        df.select(id_col, vec_col).orderBy(id_col).limit(k).collect()
     )
     centroids = {
         int(r[id_col]): [float(x) for x in r[vec_col]] for r in init_rows
@@ -266,10 +270,15 @@ def semantic_dedup(
     from nsp_bolt_pipeline_spark.operators.graph import dedup_clusters
     from nsp_bolt_pipeline_spark.operators.similarity import cosine
 
-    assigned = kmeans_lloyd(
+    # assign_clusters already carries the vector — taking its output
+    # directly (the kmeans_medoids pattern) avoids re-joining the full
+    # corpus onto the assignment just to recover the widest column
+    centroids = _lloyd_centroids(
         df, k=k, dim=dim, rounds=rounds, id_col=id_col, vec_col=vec_col
     )
-    members = df.select(id_col, vec_col).join(assigned, id_col)
+    members = assign_clusters(
+        df, centroids, dim=dim, id_col=id_col, vec_col=vec_col
+    ).select(id_col, vec_col, "cluster")
     a = members.select(
         "cluster",
         F.col(id_col).alias("d1"),

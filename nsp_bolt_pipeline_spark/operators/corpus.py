@@ -419,13 +419,21 @@ def segment_rows(
 ) -> DataFrame:
     """Explode each doc into consecutive non-overlapping word
     segments: (id, seg_idx, seg). Pure map-side explode."""
-    nseg = segment_count(text_col, seg_words)
     seg_structs = F.when(
         F.length(F.trim(F.col(text_col))) > 0,
         bind_once(
             tokens(text_col),
+            # nseg derives from the BOUND toks — a segment_count()
+            # call here would re-tokenize every doc a second time
+            # (HOFs are CodegenFallback; see functions/expr.bind_once)
             lambda toks: F.transform(
-                F.sequence(F.lit(0), nseg - 1),
+                F.sequence(
+                    F.lit(0),
+                    F.floor(
+                        (F.size(toks) + F.lit(seg_words - 1)) / seg_words
+                    ).cast("int")
+                    - 1,
+                ),
                 lambda i: F.struct(
                     i.alias("seg_idx"),
                     F.concat_ws(

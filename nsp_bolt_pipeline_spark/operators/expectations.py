@@ -108,8 +108,14 @@ def expect_foreign_key(
 ) -> DataFrame:
     """Referential integrity as one anti-join count (broadcast the
     parent key set when it is dim-sized): orphan rows in the child
-    whose key has no parent. Output matches run_expectations rows."""
-    orphans = child.select(F.col(child_col).alias("k")).join(
+    whose key has no parent. NULL child keys are vacuously valid (SQL
+    FK semantics, dbt's relationships convention) — nullability is
+    expect_not_null's job, and counting NULLs here would fail every
+    load of a nullable-but-valid FK column. Output matches
+    run_expectations rows."""
+    orphans = child.select(F.col(child_col).alias("k")).filter(
+        F.col("k").isNotNull()
+    ).join(
         F.broadcast(parent.select(F.col(parent_col).alias("k")).distinct()),
         "k",
         "left_anti",

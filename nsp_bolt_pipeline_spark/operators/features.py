@@ -26,8 +26,10 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 
-def _round6(col: Column) -> Column:
-    return F.floor(col * 1e6 + F.lit(0.5)) / 1e6
+def _round6(c: Column) -> Column:
+    from nsp_bolt_pipeline_spark.functions.expr import round6
+
+    return round6(c)
 
 
 def standardize_embeddings(
@@ -118,6 +120,14 @@ def pca_top_component(
         ex = scored.select(
             F.posexplode("x").alias("d", "xd"), "s"
         )
+        # NB: floor(double)->long saturates at ~9.2e18, so the 1e-6
+        # grid snap is exact only while |sum(xd*s)| < ~9.2e12. The
+        # iterate is re-normalized every round (below), which keeps
+        # |s| <= sqrt(dim) and the per-dim sum within range for any
+        # corpus whose row count stays below ~1e11 per partition of
+        # unit-scale embeddings; for unnormalized large-magnitude
+        # inputs, scale the vectors first — the snap cannot detect
+        # its own overflow.
         sums = (
             ex.groupBy("d")
             .agg(

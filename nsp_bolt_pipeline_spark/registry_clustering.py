@@ -69,7 +69,7 @@ _KMEANS_CORE = f"""
                list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
         FROM embeddings
     ),
-    init AS (SELECT vec_id AS cid, v AS cv FROM vecs WHERE vec_id < {K}),
+    init AS (SELECT vec_id AS cid, v AS cv FROM vecs ORDER BY vec_id LIMIT {K}),
     a1 AS ({_assign_sql("vecs", "init", "cid", "cid")}),
     upd AS (
         SELECT i.cid, COALESCE(m.mv, i.cv) AS cv

@@ -622,7 +622,8 @@ def _dq_sql() -> str:
         UNION ALL
         SELECT 'foreign_key(o_custkey->c_custkey)',
                CAST((SELECT COUNT(*) FROM orders o
-                     WHERE NOT EXISTS (SELECT 1 FROM customer c
+                     WHERE o.o_custkey IS NOT NULL
+                       AND NOT EXISTS (SELECT 1 FROM customer c
                                        WHERE c.c_custkey = o.o_custkey))
                     AS DOUBLE),
                0.0

@@ -89,3 +89,23 @@ def test_balanced_sample_deterministic(spark):
         for r in cluster_balanced_sample(assigned, per_cluster=5).collect()
     )
     assert a == b
+
+
+def test_lloyd_seeds_k_lowest_ids_on_any_id_domain(spark):
+    """Seeding must take the k LOWEST ids, not filter(id < k) — on
+    offset/hashed id spaces that under-seeds (observed: ids 1..6 with
+    k=2 collapsed to a single cluster)."""
+    from nsp_bolt_pipeline_spark.operators.clustering import kmeans_lloyd
+
+    rows = [
+        (1001, [0.0, 0.0]), (1002, [0.1, 0.0]),
+        (2001, [9.0, 9.0]), (2002, [9.1, 9.0]),
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    got = {
+        r["vec_id"]: r["cluster"]
+        for r in kmeans_lloyd(df, k=2, dim=2, rounds=2).collect()
+    }
+    assert len(set(got.values())) == 2
+    assert got[1001] == got[1002]
+    assert got[2001] == got[2002]

@@ -54,3 +54,16 @@ def test_success_notification_fires():
     got: list[str] = []
     assert run_job(lambda: "done", on_success=got.append) == "done"
     assert got == ["done"]
+
+
+def test_foreign_key_null_child_keys_are_vacuously_valid(spark):
+    from nsp_bolt_pipeline_spark.operators.expectations import (
+        expect_foreign_key,
+    )
+
+    child = spark.createDataFrame([(1,), (2,), (None,)], "k long")
+    parent = spark.createDataFrame([(1,), (2,), (3,)], "k long")
+    row = expect_foreign_key(
+        child, parent, child_col="k", parent_col="k"
+    ).collect()[0]
+    assert row["metric"] == 0.0 and row["passed"]

@@ -175,3 +175,15 @@ class TestSketchMerge:
         ).collect()[0].est
         exact = ev.select("user_id").distinct().count()
         assert abs(merged - exact) / exact < 0.05
+
+
+def test_fuzzy_default_block_trims_leading_whitespace(spark):
+    from nsp_bolt_pipeline_spark.operators.fuzzy import fuzzy_match_pairs
+
+    df = spark.createDataFrame(
+        [(1, " apple pie"), (2, "apple pie")], "id long, t string"
+    )
+    got = fuzzy_match_pairs(
+        df, id_col="id", text_col="t", max_distance=3
+    ).collect()
+    assert len(got) == 1 and got[0]["distance"] == 1
