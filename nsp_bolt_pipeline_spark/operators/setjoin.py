@@ -63,7 +63,12 @@ def prefix_filtered_jaccard_join(
     Documents with empty sets drop (they cannot reach a positive
     Jaccard). Output matches the naive all-pairs definition exactly."""
     if set_expr is None:
-        set_expr = F.array_distinct(tokens("text"))
+        # array_remove '': split of blank/whitespace-only text yields
+        # [''] (size 1), which would sail past the n >= 1 filter and
+        # pair EVERY blank doc with every other blank doc at
+        # jaccard 1.0 through the shared empty-string prefix token —
+        # a quadratic block of garbage matches on dirty corpora
+        set_expr = F.array_remove(F.array_distinct(tokens("text")), "")
     # persist both reused frames (the MinHash banding-index pattern):
     # `sets` feeds the df count, the rarity ordering, and both verify
     # sides; `pre` feeds both sides of the candidate self-join — the

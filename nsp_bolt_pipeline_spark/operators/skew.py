@@ -38,6 +38,17 @@ _ALGEBRAIC = {
 }
 
 
+def _salt_of(cols: Sequence[str], buckets: int) -> Column:
+    """Uniform salt in [0, buckets): pmod, not abs(x) % n —
+    abs(Long.MIN_VALUE) overflows back to negative and % keeps the
+    dividend's sign, which would yield a salt outside the bucket
+    range (see salted_join's replication contract). One definition
+    for both the salted aggregate and the salted join."""
+    return F.pmod(
+        F.xxhash64(*[F.col(c) for c in cols]), F.lit(buckets)
+    ).cast("bigint")
+
+
 def salted_agg(
     df: DataFrame,
     keys: Sequence[str],
@@ -50,13 +61,14 @@ def salted_agg(
 
     ``measures`` maps output column -> (op, input column) with op in
     {sum, count, min, max, avg}. ``salt_from`` columns feed the salt
-    hash (default: all non-key columns), spreading the hot key
-    uniformly.
+    hash (default: all non-key columns; when the keys cover every
+    column the key columns themselves are hashed — an empty xxhash64
+    fails analysis), spreading the hot key uniformly.
     """
     salt_cols = list(salt_from or [c for c in df.columns if c not in keys])
-    salt = (F.abs(F.xxhash64(*[F.col(c) for c in salt_cols])) % salt_buckets).alias(
-        "_salt"
-    )
+    if not salt_cols:
+        salt_cols = list(keys)
+    salt = _salt_of(salt_cols, salt_buckets).alias("_salt")
 
     partials: list[Column] = []
     finals: list[Column] = []
@@ -129,16 +141,8 @@ def salted_join(
     """
     if how not in ("inner", "left"):
         raise ValueError(f"salted_join supports inner/left, got {how!r}")
-    # pmod, not abs(x) % n: abs(Long.MIN_VALUE) overflows back to
-    # negative and % keeps the dividend's sign, which would produce a
-    # salt outside [0, n) that matches no replicated row — a silently
-    # dropped row with probability 2^-64
     s = skewed.withColumn(
-        "_salt",
-        F.pmod(
-            F.xxhash64(*[F.col(c) for c in skewed.columns]),
-            F.lit(salt_buckets),
-        ).cast("bigint"),
+        "_salt", _salt_of(list(skewed.columns), salt_buckets)
     )
     exploded = small.withColumn(
         "_salt", F.explode(F.sequence(F.lit(0), F.lit(salt_buckets - 1)))

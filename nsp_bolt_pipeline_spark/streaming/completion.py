@@ -71,12 +71,22 @@ def streaming_completed_trips(
     start_cols = [c for c in starts.columns if c != key]
     # a column present on both sides (e.g. _corrupt_record from the
     # wire reader) would yield a duplicate output name and break any
-    # later name-based reference; disambiguate the end side
-    end_alias = {
-        c: f"end_{c}" if c in start_cols else c
-        for c in ends.columns
-        if c != key
-    }
+    # later name-based reference; disambiguate the end side. The
+    # rename target must be checked against EVERY name already taken
+    # (not just start columns): with starts=[x] and ends=[x, end_x],
+    # renaming x -> end_x would itself collide with the passthrough
+    # end_x — keep prefixing until the name is free.
+    taken = {key, *start_cols, *[c for c in ends.columns if c != key]}
+    end_alias = {}
+    for c in ends.columns:
+        if c == key:
+            continue
+        out = c
+        while out in end_alias.values() or (out != c and out in taken) or (
+            out == c and c in start_cols
+        ):
+            out = f"end_{out}"
+        end_alias[c] = out
     return joined.select(
         F.col(f"s.{key}").alias(key),
         *[F.col(f"s.{c}") for c in start_cols],

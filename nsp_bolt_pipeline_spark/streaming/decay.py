@@ -18,6 +18,18 @@ replays flush via the far-future sentinel-event pattern
 (streaming/sessions.py) — the sentinel key itself is filtered out of
 the output.
 
+Contract scope: WITHIN one emission window, arrival order cannot
+change the fold (the buffer sorts by event time before folding).
+Emission boundaries themselves are horizon-gap SEGMENTATION — if a
+key goes quiet for longer than the horizon while the watermark
+advances mid-stream, its history folds and emits per segment (one
+row each), which is session semantics, not a single all-history
+fold. The batch-oracle hash equality therefore holds for replays
+whose per-key events land inside one emission window (the
+single-batch sentinel-flush replays the registry runs); a dashboard
+wanting lifetime scores over segmented emissions merges them
+downstream.
+
 Scale notes (100 TB): state is one (ts, id, value) triple per event
 inside the horizon per ACTIVE user — bounded by horizon, not
 history; keys shuffle once into the state store; Python runs per
@@ -158,9 +170,13 @@ def track_debounce(
     greedy keep-if->=gap-after-last-kept fold is sequential in EVENT
     TIME, so (exactly like the EWMA twin above) the operator buffers
     each key's events in state and folds once at event-time-timeout
-    emission — arrival order and batch boundaries provably cannot
+    emission — within an emission window, arrival order cannot
     change the kept set, which the batch oracle's hash compare pins.
-    State is (ts, id) pairs within the horizon per active key."""
+    The module-docstring segmentation caveat applies: a quiet gap
+    longer than the horizon under a mid-stream watermark advance
+    starts a fresh fold (whose first event is always kept), so the
+    batch-equality contract is per emission window. State is
+    (ts, id) pairs within the horizon per active key."""
 
     def update(
         key: tuple,

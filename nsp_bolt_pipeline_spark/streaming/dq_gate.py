@@ -35,22 +35,39 @@ def run_dq_gated_ingest(
     """Start the gated availableNow ingest; returns the query."""
 
     def gate(batch_df: DataFrame, batch_id: int) -> None:
-        metrics = run_expectations(batch_df, suite)
-        rows = metrics.collect()  # k expectation rows, never data
-        ok = all(r["passed"] for r in rows)
-        spark = batch_df.sparkSession
-        mdf = spark.createDataFrame(
-            [
-                (batch_id, r["expectation"], float(r["metric"]),
-                 float(r["threshold"]), bool(r["passed"]))
-                for r in rows
-            ],
-            "batch_id long, expectation string, metric double,"
-            " threshold double, passed boolean",
-        )
-        mdf.write.mode("append").parquet(metrics_dir)
-        target = good_dir if ok else quarantine_dir
-        batch_df.write.mode("append").parquet(target)
+        # persist: the expectation aggregation and the publish write
+        # are two actions over the same micro-batch — without this the
+        # source is scanned (and upstream transforms recomputed) twice
+        batch_df.persist()
+        try:
+            metrics = run_expectations(batch_df, suite)
+            rows = metrics.collect()  # k expectation rows, never data
+            ok = all(r["passed"] for r in rows)
+            spark = batch_df.sparkSession
+            mdf = spark.createDataFrame(
+                [
+                    (batch_id, r["expectation"], float(r["metric"]),
+                     float(r["threshold"]), bool(r["passed"]))
+                    for r in rows
+                ],
+                "batch_id long, expectation string, metric double,"
+                " threshold double, passed boolean",
+            )
+            # batch-scoped OVERWRITE subdirectories make at-least-once
+            # foreachBatch delivery idempotent: a retried batch rewrites
+            # exactly its own partition instead of double-appending into
+            # the published table (the silver-versioning lesson). The
+            # b= partition column surfaces on read; readers select the
+            # payload columns.
+            mdf.write.mode("overwrite").parquet(
+                f"{metrics_dir}/b={batch_id}"
+            )
+            target = good_dir if ok else quarantine_dir
+            batch_df.write.mode("overwrite").parquet(
+                f"{target}/b={batch_id}"
+            )
+        finally:
+            batch_df.unpersist()
 
     return (
         stream.writeStream.foreachBatch(gate)

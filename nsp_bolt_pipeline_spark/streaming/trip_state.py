@@ -92,12 +92,12 @@ def track_trip_lifecycle(
         # timestamps — a zero-duration trip in one batch must complete
         # (the oracle's horizon check is inclusive: end >= start)
         rows = pd.concat(list(batches)).sort_values(
-            ["ts", "event_type"], ascending=[True, False]
+            [ts_col, "event_type"], ascending=[True, False]
         )
         pickup_us = state.get[0] if state.exists else None
         out = []
         for r in rows.itertuples(index=False):
-            ts_us = int(pd.Timestamp(r.ts).value // 1000)
+            ts_us = int(pd.Timestamp(getattr(r, ts_col)).value // 1000)
             if r.event_type == "start" and pickup_us is None:
                 pickup_us = ts_us  # first-write-wins (D1)
             elif (
@@ -119,8 +119,17 @@ def track_trip_lifecycle(
                 state.remove()
         if pickup_us is not None:
             state.update((pickup_us,))
-            # expire once the event-time watermark passes the horizon
-            state.setTimeoutTimestamp(pickup_us // 1000 + timeout_ms)
+            # expire once the event-time watermark passes the horizon.
+            # Clamp to above the CURRENT watermark: when a later batch
+            # delivers a non-completing event for an already-open trip
+            # whose horizon the watermark has passed (Spark routes the
+            # group as data, not timeout, when it has new rows),
+            # re-arming at the stale horizon would raise
+            # INVALID_TIMEOUT_TIMESTAMP and kill the query — the trip
+            # then expires on the next watermark tick instead.
+            expiry_ms = pickup_us // 1000 + timeout_ms
+            wm_ms = state.getCurrentWatermarkMs()
+            state.setTimeoutTimestamp(max(expiry_ms, wm_ms + 1))
         if out:
             yield pd.DataFrame(out)
 

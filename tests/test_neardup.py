@@ -324,3 +324,19 @@ def test_short_and_empty_text_edge_cases(spark):
     assert by_id[2]["h"] == 0  # empty fold
     # len == k exactly: one gram, one chunk, no interior cuts
     assert by_id[3]["n_cdc"] == 1
+
+
+def test_ppjoin_default_set_drops_blank_documents(spark):
+    """Blank/whitespace docs tokenize to [''] — they must drop (no
+    positive-Jaccard pair possible), not mutually match at 1.0
+    through the shared empty-string token."""
+    from nsp_bolt_pipeline_spark.operators.setjoin import (
+        prefix_filtered_jaccard_join,
+    )
+
+    docs = spark.createDataFrame(
+        [(1, ""), (2, "   "), (3, "real words here"), (4, "real words here")],
+        "doc_id long, text string",
+    )
+    got = prefix_filtered_jaccard_join(docs, threshold=0.5).collect()
+    assert {(r["d1"], r["d2"]) for r in got} == {(3, 4)}

@@ -98,3 +98,60 @@ def test_end_outside_timeout_does_not_complete(spark, tmp_path):
     ]
     got = _run(spark, tmp_path, rows, "trip_state_t2")
     assert got["slow"]["status"] == "expired"
+
+
+def test_stale_rearm_does_not_crash_when_watermark_passed_horizon(
+    spark, tmp_path
+):
+    """A later micro-batch can deliver a NON-completing event (here a
+    duplicate start) for an open trip whose expiry the watermark has
+    already passed — Spark routes the group as data, and re-arming the
+    timeout at the stale horizon would raise INVALID_TIMEOUT_TIMESTAMP
+    and kill the query. The clamp re-arms above the watermark and the
+    trip expires on the next tick instead."""
+    import time
+
+    src = str(tmp_path / "src")
+    os.makedirs(src, exist_ok=True)
+    b0 = [
+        {"trip_id": "t", "event_type": "start", "ts": T0, "fare": None},
+        # another trip far in the future drags the watermark up
+        {"trip_id": "w", "event_type": "start", "ts": T0 + 20 * US_PER_HOUR,
+         "fare": None},
+    ]
+    b1 = [
+        # duplicate start for t, inside the allowed-lateness window but
+        # with the watermark (19h) far past t's 2h expiry horizon
+        {"trip_id": "t", "event_type": "start",
+         "ts": T0 + 19 * US_PER_HOUR + 1, "fare": None},
+        {"trip_id": "w2", "event_type": "start",
+         "ts": T0 + 40 * US_PER_HOUR, "fare": None},
+    ]
+    with open(os.path.join(src, "b0.json"), "w") as f:
+        for r in b0:
+            f.write(json.dumps(r) + "\n")
+    time.sleep(1.1)  # file-source orders by mtime: force b0 first
+    with open(os.path.join(src, "b1.json"), "w") as f:
+        for r in b1:
+            f.write(json.dumps(r) + "\n")
+    stream = decode_event_times(
+        spark.readStream.schema(WIRE)
+        .option("maxFilesPerTrigger", 1)
+        .json(src),
+        ["ts"],
+    )
+    out = track_trip_lifecycle(stream, timeout_ms=2 * 3600 * 1000)
+    q = (
+        out.writeStream.format("memory")
+        .queryName("stale_rearm")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt2"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()  # without the clamp this raises StreamingQueryException
+    got = {
+        r["trip_id"]: r["status"]
+        for r in spark.sql("SELECT * FROM stale_rearm").collect()
+    }
+    assert got.get("t") == "expired"
