@@ -291,9 +291,11 @@ def common_neighbor_links(
         .agg(F.count(F.lit(1)).alias("cn"))
         .filter(F.col("cn") >= min_common)
     )
-    # drop pairs that are already edges (either orientation is
-    # covered: edges are stored d1 < d2 and cand has a < b)
-    existing = e.select(F.col("u").alias("a"), F.col("v").alias("b"))
+    # drop pairs that are already edges; normalize to a < b so callers
+    # passing unnormalized undirected edges (u > v) are still excluded
+    existing = e.select(
+        F.least("u", "v").alias("a"), F.greatest("u", "v").alias("b")
+    ).distinct()
     cand = cand.join(existing, ["a", "b"], "left_anti")
     da = deg.select(F.col("u").alias("a"), F.col("deg").alias("deg_a"))
     db = deg.select(F.col("u").alias("b"), F.col("deg").alias("deg_b"))

@@ -373,6 +373,7 @@ def minhash_lsh_pairs(
     num_hashes: int = 15,
     bands: int = 5,
     threshold: float = 0.5,
+    max_band_df: int | None = None,
 ) -> DataFrame:
     """Near-dup pairs at scale: MinHash signatures -> LSH banding ->
     candidate pairs (same band hash) -> exact Jaccard verify.
@@ -381,6 +382,18 @@ def minhash_lsh_pairs(
     verifier runs on a vanishing fraction of the corpus; everything
     upstream is a map + one uniform-key shuffle (see module docstring
     for the (1-(1-s^r)^b) recall math).
+
+    ``max_band_df`` is the hot-band guard (the banding twin of
+    ngram_jaccard_pairs' ``max_gram_df``): a pathological bucket — an
+    exact-dup family that escaped upstream exact dedup lands all its
+    members on identical band keys — otherwise fans out quadratically
+    inside the bucket. Buckets larger than the cap switch from
+    all-pairs to STAR pairing: every member pairs with the bucket's
+    min-id representative only (m-1 candidates instead of m(m-1)/2).
+    Verification stays exact, so precision is unchanged; within a hot
+    bucket, recall of member↔member pairs is traded for linear
+    fan-out, while connectivity for downstream clustering (connected
+    components) is preserved through the representative.
     """
     rows = num_hashes // bands
     grams = _grams_df(df, id_col=id_col, text_col=text_col, n=n).persist()
@@ -398,7 +411,31 @@ def minhash_lsh_pairs(
         .select("d", "bh.band_idx", "bh.band_key")
         .persist()
     )
-    a, b = banded.alias("a"), banded.alias("b")
+    pair_src = banded
+    star = None
+    if max_band_df is not None:
+        stats = banded.groupBy("band_idx", "band_key").agg(
+            F.count(F.lit(1)).alias("bdf"), F.min("d").alias("rep")
+        )
+        hot = stats.filter(F.col("bdf") > max_band_df).select(
+            "band_idx", "band_key", "rep"
+        )
+        # hot buckets: star pairs (rep, member) — linear in bucket size
+        star = (
+            banded.join(F.broadcast(hot), ["band_idx", "band_key"])
+            .filter(F.col("d") != F.col("rep"))
+            .select(
+                F.least("rep", "d").alias("d1"),
+                F.greatest("rep", "d").alias("d2"),
+            )
+        )
+        # cold buckets keep the exact all-pairs self-join
+        pair_src = banded.join(
+            F.broadcast(hot.select("band_idx", "band_key")),
+            ["band_idx", "band_key"],
+            "left_anti",
+        )
+    a, b = pair_src.alias("a"), pair_src.alias("b")
     cands = (
         a.join(
             b,
@@ -407,9 +444,12 @@ def minhash_lsh_pairs(
             & (F.col("a.d") < F.col("b.d")),
         )
         .select(F.col("a.d").alias("d1"), F.col("b.d").alias("d2"))
-        .distinct()
     )
-    return _pair_jaccard(cands, grams, id_col=id_col, threshold=threshold)
+    if star is not None:
+        cands = cands.unionByName(star)
+    return _pair_jaccard(
+        cands.distinct(), grams, id_col=id_col, threshold=threshold
+    )
 
 
 def winnow_fingerprints(

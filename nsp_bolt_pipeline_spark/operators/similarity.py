@@ -163,12 +163,20 @@ def cosine_neardup_pairs(
     df: DataFrame,
     *,
     threshold: float,
+    ground_truth_cap: int,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
 ) -> DataFrame:
-    """Embedding-cosine near-duplicate pairs (id1 < id2, sim >=
-    threshold). All-pairs — correct and verifiable; at corpus scale,
-    feed IVF/LSH candidates through the same scoring instead."""
+    """Exact embedding-cosine near-duplicate pairs (id1 < id2, sim >=
+    threshold) over a CAPPED id sample — ground-truth / eval duty
+    only. ``ground_truth_cap`` is required and bounds both sides to
+    ``id_col < cap``, so the quadratic is structurally O(cap²) and the
+    operator can never run corpus-wide all-pairs. The production
+    near-dup paths are the banded candidate generators
+    (:func:`srp_neardup_pairs`, multiprobe variant, and
+    ``cosine_neardup_clusters``) feeding the same exact scoring on
+    candidates only."""
+    df = df.filter(F.col(id_col) < ground_truth_cap)
     a = df.select(
         F.col(id_col).alias("d1"),
         F.col(vec_col).alias("v1"),

@@ -27,6 +27,10 @@ K = 10
 N_CENTROIDS = 16
 NPROBE = 4
 NEARDUP_THRESHOLD = 0.35
+#: id cap for the exact all-pairs ground truth (eval duty only): the
+#: quadratic is O(GT_CAP²) regardless of corpus size — the scale paths
+#: are the SRP-LSH banded entries.
+GT_CAP = 256
 
 
 def _dot_sql(a: str, b: str) -> str:
@@ -103,8 +107,10 @@ def q_ann_exact_arrow(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "cosine_neardup_pairs",
     f"""
-    WITH a AS (SELECT vec_id AS d1, embedding AS v1 FROM embeddings),
-    b AS (SELECT vec_id AS d2, embedding AS v2 FROM embeddings)
+    WITH a AS (SELECT vec_id AS d1, embedding AS v1 FROM embeddings
+               WHERE vec_id < {GT_CAP}),
+    b AS (SELECT vec_id AS d2, embedding AS v2 FROM embeddings
+          WHERE vec_id < {GT_CAP})
     SELECT d1, d2, sim FROM (
         SELECT d1, d2, {_cos_sql("v1", "v2")} AS sim
         FROM a, b WHERE d1 < d2
@@ -112,8 +118,14 @@ def q_ann_exact_arrow(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def q_cosine_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact cosine near-dup ground truth over the capped id sample
+    (vec_id < {GT_CAP}) — the eval anchor for the recall sweeps. The
+    quadratic is bounded by the cap, never by corpus size; production
+    near-dup runs the banded SRP-LSH entries."""
     emb = read_table(spark, sf_dir, "embeddings")
-    return cosine_neardup_pairs(emb, threshold=NEARDUP_THRESHOLD)
+    return cosine_neardup_pairs(
+        emb, threshold=NEARDUP_THRESHOLD, ground_truth_cap=GT_CAP
+    )
 
 
 @query(
@@ -891,11 +903,14 @@ def q_dedup_threshold_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Recall of the SRP-LSH candidate set against exact all-pairs
     ground truth at {SWEEP_THRESHOLDS} cutoffs, in one join + one
     conditional aggregate — the S-curve measurement that tunes
-    bands/planes for a target recall tier. Ground truth is the
-    oracle-duty all-pairs join; production reruns the sweep on a
-    sampled slice."""
+    bands/planes for a target recall tier. Ground truth is the capped
+    exact sample (vec_id < GT_CAP): recall is estimated on the sample,
+    so the sweep's cost is O(cap²) + one banded candidate pass, never
+    corpus-quadratic."""
     emb = read_table(spark, sf_dir, "embeddings")
-    truth = cosine_neardup_pairs(emb, threshold=NEARDUP_THRESHOLD)
+    truth = cosine_neardup_pairs(
+        emb, threshold=NEARDUP_THRESHOLD, ground_truth_cap=GT_CAP
+    )
     cand = srp_neardup_pairs(
         emb,
         threshold=NEARDUP_THRESHOLD,

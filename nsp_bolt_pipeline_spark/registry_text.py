@@ -1064,6 +1064,7 @@ def _spearman_sql() -> str:
                CAST(FLOOR(q.logit * 1e6 + 0.5) AS BIGINT) AS q_mu,
                CAST(FLOOR(h.cross_entropy * 1e6 + 0.5) AS BIGINT) AS h_mu
         FROM q JOIN h USING (doc_id)
+        WHERE h.cross_entropy IS NOT NULL
     ),
     r AS (
         SELECT doc_id,
@@ -1105,7 +1106,11 @@ def q_eval_spearman(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("h_mu"),
     )
-    j = q.join(h, "doc_id").persist()
+    # Docs with zero bigrams score NULL cross-entropy; Spark's window
+    # order (NULLS FIRST) and DuckDB's (NULLS LAST) would rank them on
+    # opposite ends — exclude them from the correlation in both engines
+    # (the oracle's j CTE carries the matching IS NOT NULL).
+    j = q.join(h, "doc_id").filter(F.col("h_mu").isNotNull()).persist()
 
     def ranks(df, key, out):
         ranked = prefix_sum(

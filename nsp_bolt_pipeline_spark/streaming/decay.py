@@ -216,7 +216,12 @@ def track_debounce(
                 event_ids.append(int(e))
         state.update((ts_us, event_ids))
         if ts_us:
-            state.setTimeoutTimestamp(max(ts_us) // 1000 + horizon_ms)
+            # Clamp above the current watermark: a late batch for a key whose
+            # horizon the watermark already passed would otherwise re-arm a
+            # stale timeout and raise INVALID_TIMEOUT_TIMESTAMP, killing the
+            # query (same hazard as trip_state.py:127-132).
+            expiry_ms = max(ts_us) // 1000 + horizon_ms
+            state.setTimeoutTimestamp(max(expiry_ms, state.getCurrentWatermarkMs() + 1))
         return
         yield  # pragma: no cover — makes `update` a generator
 

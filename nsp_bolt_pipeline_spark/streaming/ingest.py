@@ -33,6 +33,7 @@ Scale notes (100 TB):
 
 from __future__ import annotations
 
+import datetime as _dt
 from collections.abc import Mapping, Sequence
 
 from pyspark.sql import DataFrame, SparkSession
@@ -107,6 +108,29 @@ def dir_exists(spark: SparkSession, path: str) -> bool:
     return bool(fs.exists(hpath))
 
 
+#: bronze partition column carrying the event date when a dedup
+#: horizon is configured (see :func:`run_ingest`).
+EVENT_DATE_COL = "event_date"
+
+
+def seen_keys(
+    spark: SparkSession,
+    bronze_dir: str,
+    dedup_keys: Sequence[str],
+    *,
+    min_event_date=None,
+) -> DataFrame:
+    """The cross-batch dedup probe: distinct key tuples already in
+    bronze. With ``min_event_date`` set (a ``date`` value), the scan is
+    pruned to ``event_date`` partitions at or after it — a partition-
+    pruned read (PartitionFilters in the scan node), so per-batch cost
+    is bounded by the horizon, not by total table age."""
+    seen = spark.read.parquet(bronze_dir)
+    if min_event_date is not None:
+        seen = seen.filter(F.col(EVENT_DATE_COL) >= F.lit(min_event_date))
+    return seen.select(*dedup_keys).dropDuplicates()
+
+
 def run_ingest(
     stream: DataFrame,
     *,
@@ -118,6 +142,8 @@ def run_ingest(
     dedup_keys: Sequence[str],
     order_cols: Sequence[str],
     partition_cols: Sequence[str] = (),
+    dedup_ts_col: str | None = None,
+    dedup_horizon_days: int | None = None,
 ) -> None:
     """The full ingest query, run to completion with
     ``trigger(availableNow=True)`` (the reference's daily-batch cadence,
@@ -128,7 +154,25 @@ def run_ingest(
     (S8) -> first-write-wins within the batch (D1/D2, deterministic
     ``min_by`` on ``order_cols``) -> anti-join against bronze keys
     (cross-batch dedup) -> append to partitioned bronze (S4).
+
+    Cross-batch dedup scan bound: with ``dedup_ts_col`` +
+    ``dedup_horizon_days`` set, bronze is additionally partitioned by
+    ``event_date = to_date(dedup_ts_col)`` and the per-batch key
+    anti-join reads ONLY partitions within the horizon of the batch's
+    oldest event (:func:`seen_keys` with ``min_event_date``). This is
+    the dedup-watermark contract (same as
+    ``dropDuplicatesWithinWatermark``): a duplicate is guaranteed to be
+    suppressed only if its event time is within ``horizon`` days of the
+    original's. In exchange, per-trigger cost is O(horizon), constant
+    in table age — without the bound, the key scan is O(bronze) per
+    trigger and grows forever, the classic streaming-ingest scale
+    killer. Without the two params the behavior is the unbounded exact
+    scan (column-pruned to the keys).
     """
+    horizon_on = dedup_ts_col is not None and dedup_horizon_days is not None
+    bronze_parts = list(partition_cols) + (
+        [EVENT_DATE_COL] if horizon_on else []
+    )
 
     def process_batch(batch: DataFrame, batch_id: int) -> None:
         spark = batch.sparkSession
@@ -143,19 +187,35 @@ def run_ingest(
                 f"{dlq_dir}/batch={batch_id}"
             )
             winners = first_write_wins(valid, dedup_keys, order_cols)
+            min_event_date = None
+            if horizon_on:
+                winners = winners.withColumn(
+                    EVENT_DATE_COL, F.to_date(F.col(dedup_ts_col))
+                )
+                # one scalar agg over the persisted batch — the oldest
+                # event in the batch anchors the horizon lower bound
+                row = winners.agg(
+                    F.min(EVENT_DATE_COL).alias("lo")
+                ).collect()[0]
+                if row["lo"] is None:
+                    return  # empty batch after validation
+                min_event_date = row["lo"] - _dt.timedelta(
+                    days=dedup_horizon_days
+                )
             # existence probe, not try/except PATH_NOT_FOUND: reading
             # a nonexistent dir makes FileStreamSink log a spurious
             # WARN stack trace even when the exception is caught
             if dir_exists(spark, bronze_dir):
-                seen = (
-                    spark.read.parquet(bronze_dir)
-                    .select(*dedup_keys)
-                    .dropDuplicates()
+                seen = seen_keys(
+                    spark,
+                    bronze_dir,
+                    dedup_keys,
+                    min_event_date=min_event_date,
                 )
                 winners = winners.join(seen, list(dedup_keys), "left_anti")
             writer = winners.write.mode("append")
-            if partition_cols:
-                writer = writer.partitionBy(*partition_cols)
+            if bronze_parts:
+                writer = writer.partitionBy(*bronze_parts)
             writer.parquet(bronze_dir)
         finally:
             batch.unpersist()

@@ -107,7 +107,10 @@ def track_daily_bottomk(
         # lands on identical pairs), truncate to k
         pairs = sorted(set(pairs))[:k]
         state.update(([h for h, _ in pairs], [e for _, e in pairs]))
-        state.setTimeoutTimestamp(last_us // 1000 + horizon_ms)
+        # Clamp above the current watermark (see trip_state.py:127-132): late
+        # rows for an already-passed horizon must not re-arm a stale timeout.
+        expiry_ms = last_us // 1000 + horizon_ms
+        state.setTimeoutTimestamp(max(expiry_ms, state.getCurrentWatermarkMs() + 1))
         return
         yield  # pragma: no cover — makes `update` a generator
 

@@ -46,7 +46,20 @@ from pyspark.sql import functions as F
 from pyspark.sql import Window as W
 
 from nsp_bolt_pipeline_spark.operators.scd import number_runs
-from nsp_bolt_pipeline_spark.streaming.ingest import dir_exists
+
+
+def _list_versions(spark, history_root: str) -> list[int]:
+    """List the ``v=<n>`` version numbers present under history_root."""
+    jvm = spark._jvm
+    root = jvm.org.apache.hadoop.fs.Path(history_root)
+    fs = root.getFileSystem(spark._jsc.hadoopConfiguration())
+    if not fs.exists(root):
+        return []
+    return [
+        int(st.getPath().getName().split("=", 1)[1])
+        for st in fs.listStatus(root)
+        if st.getPath().getName().startswith("v=")
+    ]
 
 
 def _collapse_runs(runs: DataFrame, *, key: str, attr: str) -> DataFrame:
@@ -122,7 +135,6 @@ def run_scd2_history(
 
     def process_batch(batch: DataFrame, batch_id: int) -> None:
         spark = batch.sparkSession
-        prev = f"{history_root}/v={batch_id - 1}"
         new_runs = batch_to_runs(
             batch.select(key, attr, ts_col, id_col),
             key=key,
@@ -130,8 +142,15 @@ def run_scd2_history(
             ts_col=ts_col,
             id_col=id_col,
         )
-        if batch_id > 0 and dir_exists(spark, prev):
-            combined = spark.read.parquet(prev).unionByName(new_runs)
+        # Build on the LATEST existing version, not blindly batch_id-1:
+        # a batch-id gap (skipped empty trigger) or a prior run that
+        # failed after checkpoint commit would otherwise silently drop
+        # all accumulated history and serve a truncated log.
+        prior = [v for v in _list_versions(spark, history_root) if v < batch_id]
+        if prior:
+            combined = spark.read.parquet(
+                f"{history_root}/v={max(prior)}"
+            ).unionByName(new_runs)
         else:
             combined = new_runs
         combined.write.mode("overwrite").parquet(
@@ -147,18 +166,7 @@ def run_scd2_history(
     query.awaitTermination()
 
     spark = stream.sparkSession
-    jvm = spark._jvm
-    root = jvm.org.apache.hadoop.fs.Path(history_root)
-    fs = root.getFileSystem(spark._jsc.hadoopConfiguration())
-    versions = (
-        [
-            int(st.getPath().getName().split("=", 1)[1])
-            for st in fs.listStatus(root)
-            if st.getPath().getName().startswith("v=")
-        ]
-        if fs.exists(root)
-        else []
-    )
+    versions = _list_versions(spark, history_root)
     if not versions:
         raise ValueError(
             f"no micro-batches were delivered; {history_root} holds no "

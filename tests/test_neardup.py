@@ -86,6 +86,45 @@ def _hamming(a: str, b: str) -> int:
     )
 
 
+def test_minhash_hot_band_cap_bounds_family_fanout(spark):
+    """A planted exact-dup family (identical text -> identical band
+    keys in every band) fans out quadratically without the cap; with
+    ``max_band_df`` its buckets switch to star pairing, so the family
+    contributes m-1 pairs (all through the min-id representative) and
+    stays one connected component. Pairs outside hot buckets are
+    unaffected."""
+    m = 40
+    fam = [(100 + i, BASE) for i in range(m)]
+    docs = spark.createDataFrame(
+        fam + [(1, NEAR), (3, OTHER)], ["doc_id", "text"]
+    )
+    uncapped = minhash_lsh_pairs(docs, threshold=0.5)
+    capped = minhash_lsh_pairs(docs, threshold=0.5, max_band_df=10)
+    fam_ids = {i for i, _ in fam}
+
+    def split(rows):
+        fam_pairs = {
+            (r["d1"], r["d2"])
+            for r in rows
+            if r["d1"] in fam_ids and r["d2"] in fam_ids
+        }
+        other = {
+            (r["d1"], r["d2"])
+            for r in rows
+            if not (r["d1"] in fam_ids and r["d2"] in fam_ids)
+        }
+        return fam_pairs, other
+
+    un_fam, un_other = split(uncapped.collect())
+    cap_fam, cap_other = split(capped.collect())
+    assert len(un_fam) == m * (m - 1) // 2  # quadratic without the cap
+    # star through the representative: linear fan-out, still connected
+    assert cap_fam == {(100, 100 + i) for i in range(1, m)}
+    # the near-pair outside the hot buckets is untouched
+    assert cap_other == un_other
+    assert any(1 in p for p in cap_other)
+
+
 def test_simhash_near_dups_have_small_hamming_distance(spark):
     sh = {
         r["doc_id"]: r["sh"]

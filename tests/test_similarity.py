@@ -74,7 +74,7 @@ def test_ivf_scans_fewer_candidates_than_exact(spark):
 
 def test_neardup_pairs_symmetric_free_and_thresholded(spark):
     emb = read_table(spark, SF_DIR, "embeddings").limit(60)
-    out = cosine_neardup_pairs(emb, threshold=0.2).collect()
+    out = cosine_neardup_pairs(emb, threshold=0.2, ground_truth_cap=10**9).collect()
     assert all(r["d1"] < r["d2"] for r in out)
     assert all(r["sim"] >= 0.2 for r in out)
 
@@ -113,7 +113,7 @@ def test_srp_is_subset_of_allpairs(spark):
     emb = read_table(spark, SF_DIR, "embeddings").limit(120)
     full = {
         (r["d1"], r["d2"]): r["sim"]
-        for r in cosine_neardup_pairs(emb, threshold=0.35).collect()
+        for r in cosine_neardup_pairs(emb, threshold=0.35, ground_truth_cap=10**9).collect()
     }
     srp = {
         (r["d1"], r["d2"]): r["sim"]
@@ -185,7 +185,7 @@ def test_multiprobe_is_superset_of_single_probe_and_exact_precision(spark):
     }
     full = {
         (r["d1"], r["d2"]): r["sim"]
-        for r in cosine_neardup_pairs(emb, threshold=0.35).collect()
+        for r in cosine_neardup_pairs(emb, threshold=0.35, ground_truth_cap=10**9).collect()
     }
     # multi-probe candidates strictly contain the single-probe set...
     assert single <= set(multi)

@@ -111,6 +111,80 @@ class TestIngestDedup:
         _ingest(spark, src, bronze, dlq, ckpt)  # checkpoint replay: no dupes
         assert spark.read.parquet(bronze).count() == 1
 
+    def test_horizon_bounded_dedup_contract(self, spark, tmp_path):
+        """With dedup_ts_col + dedup_horizon_days: a duplicate within
+        the horizon is dropped; one whose original fell out of the
+        horizon is re-admitted (the dropDuplicatesWithinWatermark
+        contract) — the trade that bounds the per-batch bronze scan."""
+        src, bronze, dlq, ckpt = _dirs(tmp_path, "src", "bronze", "dlq", "ckpt")
+        day = 24 * US_PER_HOUR
+        kw = {"dedup_ts_col": "ts", "dedup_horizon_days": 7}
+        _write_batch(src, "b0.json", [{"key": "k1", "ts": T0, "fare": 1.0}])
+        _ingest(spark, src, bronze, dlq, ckpt, **kw)
+        # bronze carries the event_date partition layout
+        assert any(
+            d.startswith("event_date=") for d in os.listdir(str(bronze))
+        )
+        # day 2: duplicate inside the horizon -> dropped; k2 is new
+        _write_batch(
+            src,
+            "b1.json",
+            [
+                {"key": "k1", "ts": T0 + 2 * day, "fare": 2.0},
+                {"key": "k2", "ts": T0 + 2 * day, "fare": 20.0},
+            ],
+        )
+        _ingest(spark, src, bronze, dlq, ckpt, **kw)
+        got = {r["key"]: r["fare"] for r in spark.read.parquet(bronze).collect()}
+        assert got == {"k1": 1.0, "k2": 20.0}
+        # day 40: k1's original (day 0) is beyond the 7-day horizon ->
+        # its partition is pruned from the seen-scan and the row is
+        # re-admitted — the documented bounded-dedup semantics
+        _write_batch(
+            src, "b2.json", [{"key": "k1", "ts": T0 + 40 * day, "fare": 3.0}]
+        )
+        _ingest(spark, src, bronze, dlq, ckpt, **kw)
+        fares = sorted(
+            r["fare"]
+            for r in spark.read.parquet(bronze)
+            .filter(F.col("key") == "k1")
+            .collect()
+        )
+        assert fares == [1.0, 3.0]
+
+    def test_horizon_seen_scan_is_partition_pruned(self, spark, tmp_path):
+        """The per-batch cross-batch-dedup probe must push the horizon
+        bound into the scan's PartitionFilters — only event_date
+        partitions inside the horizon are read, so per-trigger cost is
+        O(horizon), not O(table age)."""
+        import datetime
+
+        from nsp_bolt_pipeline_spark.streaming.ingest import seen_keys
+
+        src, bronze, dlq, ckpt = _dirs(tmp_path, "src", "bronze", "dlq", "ckpt")
+        day = 24 * US_PER_HOUR
+        _write_batch(
+            src,
+            "b0.json",
+            [
+                {"key": f"k{i}", "ts": T0 + i * day, "fare": float(i)}
+                for i in range(5)
+            ],
+        )
+        _ingest(
+            spark, src, bronze, dlq, ckpt,
+            dedup_ts_col="ts", dedup_horizon_days=7,
+        )
+        lo = datetime.date(2023, 11, 17)
+        plan = (
+            seen_keys(spark, bronze, ["key"], min_event_date=lo)
+            ._jdf.queryExecution()
+            .executedPlan()
+            .toString()
+        )
+        part_filters = plan.split("PartitionFilters")[1].split("]")[0]
+        assert "event_date" in part_filters and ">=" in part_filters
+
 
 class TestSilverUpsert:
     def _upsert(self, spark, src, silver, ckpt):
