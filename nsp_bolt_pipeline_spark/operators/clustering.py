@@ -175,6 +175,26 @@ def _lloyd_centroids(
     return centroids
 
 
+def lloyd_centroids_df(
+    df: DataFrame,
+    *,
+    k: int,
+    dim: int,
+    rounds: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """The trained coarse-quantizer model as a (cid, cv) DataFrame —
+    the k-means centroids :func:`kmeans_lloyd` converges to, in the
+    shape :func:`operators.similarity.ivf_topk` consumes. Seeding an
+    IVF index from these instead of raw corpus vectors concentrates
+    list occupancy and measurably improves recall at equal nprobe."""
+    centroids = _lloyd_centroids(
+        df, k=k, dim=dim, rounds=rounds, id_col=id_col, vec_col=vec_col
+    )
+    return _centroids_df(df, centroids)
+
+
 def kmeans_medoids(
     df: DataFrame,
     *,

@@ -20,10 +20,13 @@ Scale design (100 TB / billions of vectors):
   coarse centroid (one broadcast join at build time, materialized once
   and reused), probe only the ``nprobe`` nearest lists per query:
   scanned fraction ~= nprobe / n_centroids, recall rises with
-  ``nprobe``. Centroids here are a deterministic corpus subset rather
-  than k-means output (same plumbing, exactly reproducible — a real
-  deployment trains them offline; recall improves, determinism is
-  what the correctness gate needs).
+  ``nprobe``. The coarse quantizer is pluggable: pass the trained
+  k-means model (operators.clustering.lloyd_centroids_df — what the
+  registry entries use, with the Lloyd training replayed in their
+  oracles) or fall back to a deterministic corpus-subset fixture.
+  On clustered data the trained lists recall strictly more at equal
+  nprobe (pinned by tests/test_similarity.py); on isotropic data the
+  seeds tie.
 """
 
 from __future__ import annotations
@@ -227,14 +230,31 @@ def ivf_topk(
     nprobe: int = 4,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    centroids: DataFrame | None = None,
 ) -> DataFrame:
     """IVF approximate top-k: probe the ``nprobe`` nearest centroid
     lists per query, score only those candidates, rank exactly like
-    :func:`exact_topk`. Scanned fraction ~= nprobe / n_centroids."""
-    centroids = corpus.filter(F.col(id_col) < n_centroids)
-    assign = ivf_assignments(corpus, centroids, id_col=id_col, vec_col=vec_col)
+    :func:`exact_topk`. Scanned fraction ~= nprobe / n_centroids.
 
-    c = centroids.select(F.col(id_col).alias("cid"), F.col(vec_col).alias("cv"))
+    ``centroids`` is the trained coarse quantizer as a (cid, cv)
+    frame — pass :func:`operators.clustering.lloyd_centroids_df` for
+    k-means-trained lists (better recall at equal nprobe). When
+    omitted, the first ``n_centroids`` corpus vectors seed the lists —
+    a deterministic fixture, not a production index."""
+    if centroids is None:
+        centroids = corpus.filter(F.col(id_col) < n_centroids).select(
+            F.col(id_col).alias("cid"), F.col(vec_col).alias("cv")
+        )
+    assign = ivf_assignments(
+        corpus,
+        centroids.select(
+            F.col("cid").alias(id_col), F.col("cv").alias(vec_col)
+        ),
+        id_col=id_col,
+        vec_col=vec_col,
+    )
+
+    c = centroids.select("cid", "cv")
     q = queries.select(
         F.col(id_col).alias("query_id"),
         F.col(vec_col).alias("qv"),
@@ -799,6 +819,7 @@ def ivfpq_topk(
     nprobe: int = 4,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    centroids: DataFrame | None = None,
 ) -> DataFrame:
     """IVF-PQ: the standard billion-vector serving layout — a coarse
     inverted index bounds WHICH vectors are scored (nprobe/n_centroids
@@ -812,21 +833,31 @@ def ivfpq_topk(
     vectors with one shared codebook rather than per-list residuals —
     one training pass, engine-replayable, at some recall cost
     (recoverable by raising nprobe/M). Memory per vector in the
-    scoring join: M codes + a list id."""
+    scoring join: M codes + a list id.
+
+    ``centroids``: trained coarse quantizer as a (cid, cv) frame (see
+    :func:`ivf_topk`); defaults to the first ``n_centroids`` corpus
+    vectors (deterministic fixture)."""
     codebooks = pq_train_codebooks(
         corpus, m=m, k_sub=k_sub, dim=dim, id_col=id_col, vec_col=vec_col
     )
     codes = pq_encode(
         corpus, codebooks, m=m, dim=dim, id_col=id_col, vec_col=vec_col
     )
-    centroids = corpus.filter(F.col(id_col) < n_centroids)
+    if centroids is None:
+        centroids = corpus.filter(F.col(id_col) < n_centroids).select(
+            F.col(id_col).alias("cid"), F.col(vec_col).alias("cv")
+        )
     assign = ivf_assignments(
-        corpus, centroids, id_col=id_col, vec_col=vec_col
+        corpus,
+        centroids.select(
+            F.col("cid").alias(id_col), F.col("cv").alias(vec_col)
+        ),
+        id_col=id_col,
+        vec_col=vec_col,
     )
 
-    c = centroids.select(
-        F.col(id_col).alias("cid"), F.col(vec_col).alias("cv")
-    )
+    c = centroids.select("cid", "cv")
     q = queries.select(
         F.col(id_col).alias("query_id"), F.col(vec_col).alias("qv")
     )

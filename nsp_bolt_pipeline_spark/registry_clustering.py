@@ -31,56 +31,69 @@ PER_CLUSTER = 25
 SALT = "kmeans"
 
 
-def _sqdist_sql(v: str, c: str) -> str:
+def _sqdist_sql(v: str, c: str, dim: int = DIM) -> str:
     """Squared L2 via the verified list_sum left fold (same op order as
     the Spark side's unrolled left-to-right sum)."""
     return (
-        f"list_sum(list_transform(range(1, {DIM} + 1), "
+        f"list_sum(list_transform(range(1, {dim} + 1), "
         f"j -> ({v}[j] - {c}[j]) * ({v}[j] - {c}[j])))"
     )
 
 
-def _mean_list_sql() -> str:
+def _mean_list_sql(dim: int = DIM) -> str:
     """Per-dim cluster mean, round-half-up to 6 decimals (negative-safe
     floor formula — the SQL twin of clustering._round6)."""
     comps = ", ".join(
         f"floor(avg(v.v[{d + 1}]) * 1000000.0 + 0.5) / 1000000.0"
-        for d in range(DIM)
+        for d in range(dim)
     )
     return f"[{comps}]"
 
 
-def _assign_sql(vecs: str, cents: str, cid: str, out: str) -> str:
+def _assign_sql(vecs: str, cents: str, cid: str, out: str, dim: int = DIM) -> str:
     return f"""
     SELECT vec_id, {cid} AS {out} FROM (
         SELECT v.vec_id, c.{cid},
                row_number() OVER (
                    PARTITION BY v.vec_id
-                   ORDER BY {_sqdist_sql("v.v", "c.cv")} ASC, c.{cid} ASC
+                   ORDER BY {_sqdist_sql("v.v", "c.cv", dim)} ASC, c.{cid} ASC
                ) AS rn
         FROM {vecs} v CROSS JOIN {cents} c
     ) WHERE rn = 1
     """
 
 
-_KMEANS_CORE = f"""
-    WITH vecs AS (
+def kmeans_ctes_sql(k: int, dim: int, prefix: str = "") -> str:
+    """The Lloyd replay as a reusable CTE chain (no leading WITH):
+    ``vecs`` (double-cast corpus), ``init`` (lowest-id seed), ``a1``
+    (first assignment), ``upd`` (round-6 mean update, empty-cluster
+    carry-over), ``fin`` (final assignment). Other oracles compose it
+    — registry_similarity's IVF entries read ``upd`` as the trained
+    coarse-quantizer table; ``prefix`` namespaces the CTEs so the
+    chain can nest inside oracles with their own ``vecs``/``q``."""
+    p = prefix
+    return f"""
+    {p}vecs AS (
         SELECT vec_id,
                list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
         FROM embeddings
     ),
-    init AS (SELECT vec_id AS cid, v AS cv FROM vecs ORDER BY vec_id LIMIT {K}),
-    a1 AS ({_assign_sql("vecs", "init", "cid", "cid")}),
-    upd AS (
+    {p}init AS (SELECT vec_id AS cid, v AS cv FROM {p}vecs
+                ORDER BY vec_id LIMIT {k}),
+    {p}a1 AS ({_assign_sql(f"{p}vecs", f"{p}init", "cid", "cid", dim)}),
+    {p}upd AS (
         SELECT i.cid, COALESCE(m.mv, i.cv) AS cv
-        FROM init i LEFT JOIN (
-            SELECT a1.cid, {_mean_list_sql()} AS mv
-            FROM a1 JOIN vecs v USING (vec_id)
+        FROM {p}init i LEFT JOIN (
+            SELECT a1.cid, {_mean_list_sql(dim)} AS mv
+            FROM {p}a1 a1 JOIN {p}vecs v USING (vec_id)
             GROUP BY a1.cid
         ) m ON m.cid = i.cid
     ),
-    fin AS ({_assign_sql("vecs", "upd", "cid", "cluster")})
+    {p}fin AS ({_assign_sql(f"{p}vecs", f"{p}upd", "cid", "cluster", dim)})
 """
+
+
+_KMEANS_CORE = "    WITH " + kmeans_ctes_sql(K, DIM)
 
 
 @query(

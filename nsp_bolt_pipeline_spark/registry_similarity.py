@@ -26,6 +26,7 @@ N_QUERIES = 10
 K = 10
 N_CENTROIDS = 16
 NPROBE = 4
+DIM = 64
 NEARDUP_THRESHOLD = 0.35
 #: id cap for the exact all-pairs ground truth (eval duty only): the
 #: quadratic is O(GT_CAP²) regardless of corpus size — the scale paths
@@ -128,11 +129,20 @@ def q_cosine_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+from nsp_bolt_pipeline_spark.registry_clustering import (  # noqa: E402
+    kmeans_ctes_sql,
+)
+
+#: Lloyd rounds for the trained coarse quantizer (2 = one mean update,
+#: matching kmeans_ctes_sql's replay).
+IVF_TRAIN_ROUNDS = 2
+
+
 @query(
     "ann_ivf_topk",
     f"""
-    WITH cent AS (SELECT vec_id AS cid, embedding AS cv
-                  FROM embeddings WHERE vec_id < {N_CENTROIDS}),
+    WITH {kmeans_ctes_sql(N_CENTROIDS, DIM, "km_")},
+    cent AS (SELECT cid, cv FROM km_upd),
     vecs AS (SELECT vec_id, embedding AS v FROM embeddings),
     assign AS (
         SELECT vec_id, cid FROM (
@@ -172,9 +182,27 @@ def q_cosine_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def q_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF top-k over k-means-TRAINED coarse lists: the quantizer is
+    the Lloyd model (lowest-id seed, one round-6 mean update) rather
+    than raw corpus vectors, so list occupancy follows the data
+    distribution and recall at equal nprobe improves. The oracle
+    replays the training chain (kmeans_ctes_sql) and the probe/score
+    stages in lockstep."""
+    emb, queries, cents = _ivf_inputs(spark, sf_dir)
+    return ivf_topk(emb, queries, k=K, nprobe=NPROBE, centroids=cents)
+
+
+def _ivf_inputs(spark: SparkSession, sf_dir: str):
+    from nsp_bolt_pipeline_spark.operators.clustering import (
+        lloyd_centroids_df,
+    )
+
     emb = read_table(spark, sf_dir, "embeddings")
     queries = emb.filter(emb.vec_id < N_QUERIES)
-    return ivf_topk(emb, queries, k=K, n_centroids=N_CENTROIDS, nprobe=NPROBE)
+    cents = lloyd_centroids_df(
+        emb, k=N_CENTROIDS, dim=DIM, rounds=IVF_TRAIN_ROUNDS
+    )
+    return emb, queries, cents
 
 
 # ---------------------------------------------------------------------------
@@ -191,7 +219,6 @@ from nsp_bolt_pipeline_spark.operators.similarity import (  # noqa: E402
 SRP_PLANES = 64
 SRP_BANDS = 8
 _SRP_R = SRP_PLANES // SRP_BANDS
-DIM = 64
 
 
 def _planes_values_sql() -> str:
@@ -427,11 +454,10 @@ def q_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     runs on a sampled query set to tune nprobe. Both rankings come
     from the already-oracled operators; the measurement is one
     (query_id, vec_id) join of two k-row-per-query frames."""
-    emb = read_table(spark, sf_dir, "embeddings")
-    queries = emb.filter(emb.vec_id < N_QUERIES)
+    emb, queries, cents = _ivf_inputs(spark, sf_dir)
     exact = exact_topk(emb, queries, k=K).alias("e")
     approx = ivf_topk(
-        emb, queries, k=K, n_centroids=N_CENTROIDS, nprobe=NPROBE
+        emb, queries, k=K, nprobe=NPROBE, centroids=cents
     ).alias("a")
     joined = exact.join(
         approx,
@@ -643,8 +669,8 @@ def q_pq_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def _ivfpq_sql() -> str:
     return f"""{_pq_chain_sql()},
-    cent AS (SELECT vec_id AS ccid, v AS cv FROM vecs
-             WHERE vec_id < {N_CENTROIDS}),
+    {kmeans_ctes_sql(N_CENTROIDS, DIM, "km_")},
+    cent AS (SELECT cid AS ccid, cv FROM km_upd),
     assign AS (
         SELECT vec_id, ccid FROM (
             SELECT v.vec_id, cent.ccid,
@@ -693,8 +719,7 @@ def q_ann_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
     build, and nowhere else."""
     from nsp_bolt_pipeline_spark.operators.similarity import ivfpq_topk
 
-    emb = read_table(spark, sf_dir, "embeddings")
-    queries = emb.filter(emb.vec_id < N_QUERIES)
+    emb, queries, cents = _ivf_inputs(spark, sf_dir)
     return ivfpq_topk(
         emb,
         queries,
@@ -702,8 +727,8 @@ def q_ann_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
         m=PQ_M,
         k_sub=PQ_KSUB,
         dim=DIM,
-        n_centroids=N_CENTROIDS,
         nprobe=NPROBE,
+        centroids=cents,
     )
 
 
@@ -852,10 +877,9 @@ def q_eval_retrieval_ranking(spark: SparkSession, sf_dir: str) -> DataFrame:
     is never touched beyond the two already-oracled rankings."""
     from nsp_bolt_pipeline_spark.operators.evalmetrics import ranking_metrics
 
-    emb = read_table(spark, sf_dir, "embeddings")
-    queries = emb.filter(emb.vec_id < N_QUERIES)
+    emb, queries, cents = _ivf_inputs(spark, sf_dir)
     rel = exact_topk(emb, queries, k=K)
-    sys = ivf_topk(emb, queries, k=K, n_centroids=N_CENTROIDS, nprobe=NPROBE)
+    sys = ivf_topk(emb, queries, k=K, nprobe=NPROBE, centroids=cents)
     return ranking_metrics(rel, sys, k=K, disc_micro=NDCG_DISC_MICRO)
 
 

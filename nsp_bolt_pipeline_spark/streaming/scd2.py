@@ -49,17 +49,22 @@ from nsp_bolt_pipeline_spark.operators.scd import number_runs
 
 
 def _list_versions(spark, history_root: str) -> list[int]:
-    """List the ``v=<n>`` version numbers present under history_root."""
+    """List the ``v=<n>`` version numbers present under history_root
+    (non-integer suffixes — compaction scratch dirs — are ignored)."""
     jvm = spark._jvm
     root = jvm.org.apache.hadoop.fs.Path(history_root)
     fs = root.getFileSystem(spark._jsc.hadoopConfiguration())
     if not fs.exists(root):
         return []
-    return [
-        int(st.getPath().getName().split("=", 1)[1])
-        for st in fs.listStatus(root)
-        if st.getPath().getName().startswith("v=")
-    ]
+    out = []
+    for st in fs.listStatus(root):
+        name = st.getPath().getName()
+        if name.startswith("v="):
+            try:
+                out.append(int(name.split("=", 1)[1]))
+            except ValueError:
+                continue
+    return out
 
 
 def _collapse_runs(runs: DataFrame, *, key: str, attr: str) -> DataFrame:
@@ -174,3 +179,54 @@ def run_scd2_history(
             "committed in this checkpoint)"
         )
     return f"{history_root}/v={max(versions)}"
+
+
+def compact_history(
+    spark,
+    history_root: str,
+    *,
+    key: str,
+    attr: str,
+    keep_versions: int = 1,
+) -> str:
+    """Compact the fragment log: rewrite the newest version with
+    adjacent equal-attribute fragments merged (:func:`_collapse_runs`)
+    and drop superseded version directories beyond ``keep_versions``.
+
+    This is the maintenance job every merge-on-read layout schedules
+    (Delta OPTIMIZE / Iceberg rewrite_data_files analogue): safe once
+    no earlier event-time range is outstanding, because collapse of
+    in-order fragments equals the one-shot batch collapse (pinned by
+    pytest). Serving via :func:`close_intervals` is identical before
+    and after — only fragment count and file count shrink. Returns
+    the compacted version's path.
+
+    The compacted rewrite KEEPS the newest version number: ingest
+    builds each batch on the latest version with id < batch_id, so a
+    renumbering above the newest batch id could collide with (and be
+    invisible to) the next micro-batch. The swap goes through a
+    scratch dir (ignored by the version listing): a crash before the
+    first rename leaves the old copy live; between the renames the old
+    copy survives under ``old_v<N>`` for manual recovery. Run it like
+    any table-format OPTIMIZE: while ingest is quiesced."""
+    versions = sorted(_list_versions(spark, history_root))
+    if not versions:
+        raise ValueError(f"{history_root} holds no history version")
+    newest = versions[-1]
+    compacted = _collapse_runs(
+        spark.read.parquet(f"{history_root}/v={newest}"), key=key, attr=attr
+    )
+    jvm = spark._jvm
+    hp = jvm.org.apache.hadoop.fs.Path
+    fs = hp(history_root).getFileSystem(spark._jsc.hadoopConfiguration())
+    tmp = f"{history_root}/compact_tmp"
+    compacted.write.mode("overwrite").parquet(tmp)
+    old = f"{history_root}/old_v{newest}"
+    fs.delete(hp(old), True)
+    fs.rename(hp(f"{history_root}/v={newest}"), hp(old))
+    fs.rename(hp(tmp), hp(f"{history_root}/v={newest}"))
+    fs.delete(hp(old), True)
+    # prune superseded versions beyond keep_versions (newest included)
+    for v in sorted(versions, reverse=True)[keep_versions:]:
+        fs.delete(hp(f"{history_root}/v={v}"), True)
+    return f"{history_root}/v={newest}"

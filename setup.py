@@ -1,0 +1,8 @@
+"""Legacy-path shim: environments with setuptools < 70 and no `wheel`
+package cannot run PEP 517 builds offline (bdist_wheel is missing);
+`pip install -e . --no-use-pep517` routes through this instead.
+Metadata lives in pyproject.toml."""
+
+from setuptools import setup
+
+setup()

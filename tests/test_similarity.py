@@ -219,3 +219,41 @@ def test_mmr_prefers_diverse_over_redundant_second_pick(spark):
     }
     assert got[1] == 10          # tie on relevance -> smallest id
     assert got[2] == 12          # diversity beats the near-clone 11
+
+
+def test_trained_centroids_beat_fixture_seed_on_clustered_data(spark):
+    """On data WITH cluster structure, k-means-trained coarse lists
+    (lloyd_centroids_df) recall strictly more than the first-n-vectors
+    fixture seed at equal nprobe. Adversarial layout: the 16 lowest
+    ids all come from ONE cluster, so the fixture quantizer covers a
+    single region while training spreads the centroids out. (On the
+    isotropic synthetic embeddings table the two seeds tie — there is
+    no structure to learn; this pins the planted-structure win.)"""
+    from nsp_bolt_pipeline_spark.operators.clustering import (
+        lloyd_centroids_df,
+    )
+
+    rng = np.random.default_rng(7)
+    dim = 16
+    centers = rng.normal(size=(12, dim)) * 6
+    rows = [(i, (centers[0] + rng.normal(size=dim)).tolist()) for i in range(16)]
+    vid = 16
+    for c in range(12):
+        for _ in range(30):
+            rows.append((vid, (centers[c] + rng.normal(size=dim)).tolist()))
+            vid += 1
+    df = spark.createDataFrame(rows, ["vec_id", "embedding"])
+    qids = [20, 50, 80, 110, 140, 170, 200, 230, 260, 290]
+    q = df.filter(df.vec_id.isin(qids))
+    exact = exact_topk(df, q, k=10).select("query_id", "vec_id")
+
+    def recall(approx):
+        hits = exact.join(
+            approx.select("query_id", "vec_id"), ["query_id", "vec_id"]
+        ).count()
+        return hits / exact.count()
+
+    fixture = recall(ivf_topk(df, q, k=10, n_centroids=16, nprobe=1))
+    cents = lloyd_centroids_df(df, k=16, dim=dim, rounds=3)
+    trained = recall(ivf_topk(df, q, k=10, nprobe=1, centroids=cents))
+    assert trained >= fixture + 0.1, (fixture, trained)

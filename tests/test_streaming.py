@@ -856,6 +856,89 @@ class TestScd2History:
             map(tuple, one_shot.collect())
         )
 
+    def _run_history(self, spark, src, hist, ckpt):
+        from nsp_bolt_pipeline_spark.streaming.scd2 import run_scd2_history
+
+        wire = T.StructType(
+            [
+                T.StructField("event_id", T.LongType()),
+                T.StructField("ts", T.LongType()),
+                T.StructField("user_id", T.LongType()),
+                T.StructField("attr", T.StringType()),
+            ]
+        )
+        stream = decode_event_times(
+            read_wire_stream(spark, src, wire), ["ts"]
+        )
+        return run_scd2_history(
+            stream,
+            history_root=hist,
+            checkpoint_dir=ckpt,
+            key="user_id",
+            attr="attr",
+            ts_col="ts",
+            id_col="event_id",
+        )
+
+    def test_compact_history_preserves_serving_view(self, spark, tmp_path):
+        """On-disk compaction: fragment count shrinks, superseded
+        version dirs are pruned, the compacted version keeps the
+        newest version NUMBER (so the next micro-batch still builds on
+        it), and close_intervals serves identical history."""
+        import os
+
+        from nsp_bolt_pipeline_spark.streaming.scd2 import (
+            close_intervals,
+            compact_history,
+        )
+
+        src, hist, ckpt = _dirs(tmp_path, "src", "hist", "ckpt")
+        day = 24 * US_PER_HOUR
+        attrs = "AABBABBAAB"
+        # two batches split inside runs -> boundary fragments exist
+        for b, rng in enumerate((range(0, 6), range(6, 10))):
+            _write_batch(
+                src,
+                f"b{b}.json",
+                [
+                    {"event_id": i, "ts": T0 + i * day, "user_id": 7,
+                     "attr": attrs[i]}
+                    for i in rng
+                ],
+            )
+            newest = self._run_history(spark, src, hist, ckpt)
+
+        before = close_intervals(
+            spark.read.parquet(newest), key="user_id", attr="attr"
+        ).collect()
+        n_frag_before = spark.read.parquet(newest).count()
+        out = compact_history(
+            spark, hist, key="user_id", attr="attr"
+        )
+        assert out == newest  # version number survives compaction
+        assert [d for d in os.listdir(hist) if d.startswith("v=")] == [
+            os.path.basename(out)
+        ]
+        n_frag_after = spark.read.parquet(out).count()
+        assert n_frag_after < n_frag_before
+        after = close_intervals(
+            spark.read.parquet(out), key="user_id", attr="attr"
+        ).collect()
+        assert sorted(map(tuple, before)) == sorted(map(tuple, after))
+        # ingest continues on the compacted log: a third batch builds
+        # on it (latest-version fallback, not blind batch_id-1)
+        _write_batch(
+            src,
+            "b2.json",
+            [{"event_id": 10, "ts": T0 + 10 * day, "user_id": 7,
+              "attr": "A"}],
+        )
+        newest = self._run_history(spark, src, hist, ckpt)
+        final = close_intervals(
+            spark.read.parquet(newest), key="user_id", attr="attr"
+        ).collect()
+        assert sum(r["n_rows"] for r in final) == 11
+
     def test_boundary_run_merges_with_counts(self, spark):
         from nsp_bolt_pipeline_spark.streaming.scd2 import (
             batch_to_runs,

@@ -1,0 +1,32 @@
+#!/usr/bin/env bash
+# CI-style fresh-venv install check: prove the package installs and
+# imports WITHOUT the repo's sys.path hacks. Uses --system-site-packages
+# so the already-provisioned pyspark/pandas/pyarrow stack is visible;
+# everything runs fully offline.
+set -euo pipefail
+cd "$(dirname "$0")/.."
+
+VENV="$(mktemp -d)/venv"
+python -m venv --system-site-packages "$VENV"
+
+# Preferred: a normal PEP 660 editable install. Environments with
+# setuptools < 70 and no `wheel` distribution cannot build wheels
+# offline -> fall back to the legacy `setup.py develop` path, which
+# installs an egg-link without building a wheel.
+if ! "$VENV/bin/pip" install -e . --no-deps --no-build-isolation -q 2>/dev/null; then
+    echo "pip editable install unavailable offline; using setup.py develop"
+    "$VENV/bin/python" setup.py -q develop 2>/dev/null
+fi
+
+# import from a neutral cwd so only the installed dist resolves it
+pushd /tmp >/dev/null
+"$VENV/bin/python" - <<'EOF'
+import nsp_bolt_pipeline_spark
+from nsp_bolt_pipeline_spark import registry
+registry.load_all()
+from nsp_bolt_pipeline_spark.registry import REGISTRY
+assert len(REGISTRY) > 200, f"registry loaded {len(REGISTRY)} entries"
+print(f"install check OK: {len(REGISTRY)} registry entries importable")
+EOF
+popd >/dev/null
+rm -rf "$(dirname "$VENV")"

@@ -130,6 +130,11 @@ def main() -> int:
             print(f"FAIL {name}: spark error: {ex}")
             failures += 1
             continue
+        finally:
+            # entries persist() intermediates for their own reuse; the
+            # blocks are never shared across entries, so drop them to
+            # bound executor storage over the 235-entry session
+            spark.catalog.clearCache()
         if name not in oracles:
             print(f"ok   {name}: rows-only ({len(spark_pdf)} rows, "
                   f"{time.time()-t0:.1f}s)")
