@@ -157,6 +157,16 @@ def main() -> None:
 
     names = [n for n in HEADLINE if n in REGISTRY]
     timings: dict[str, float] = {}
+    # session-level warm-up: JVM JIT keeps re-tiering through the
+    # first handful of jobs, so the EARLIEST benched queries (the
+    # flagship runs first) otherwise absorb multi-run compile residue
+    # their own single warm-up doesn't drain (measured: flagship
+    # 1.45s with one warm-up, 0.86s at tier-converged steady state).
+    for _ in range(3):
+        REGISTRY[names[0]][0](spark, sf_dir).write.mode(
+            "overwrite"
+        ).format("noop").save()
+    spark.catalog.clearCache()
     for name in names:
         fn, _ = REGISTRY[name]
         # warm-up run: JIT + codegen compile, page cache, and the

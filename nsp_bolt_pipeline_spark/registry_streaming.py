@@ -1272,14 +1272,16 @@ def q_stream_boilerplate(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _ivf_ingest_sql() -> str:
+    from nsp_bolt_pipeline_spark.registry_clustering import kmeans_ctes_sql
     from nsp_bolt_pipeline_spark.registry_similarity import (
+        DIM,
         N_CENTROIDS,
         _cos_sql,
     )
 
     return f"""
-    WITH cent AS (SELECT vec_id AS cid, embedding AS cv
-                  FROM embeddings WHERE vec_id < {N_CENTROIDS}),
+    WITH {kmeans_ctes_sql(N_CENTROIDS, DIM, "km_")},
+    cent AS (SELECT cid, cv FROM km_upd),
     vecs AS (SELECT vec_id, embedding AS v FROM embeddings)
     SELECT vec_id, cid FROM (
         SELECT v.vec_id, cent.cid,
@@ -1295,19 +1297,26 @@ def _ivf_ingest_sql() -> str:
 @query("stream_ivf_ingest", _ivf_ingest_sql())
 def q_stream_ivf_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Replay the embeddings dump through the streaming IVF ingest:
-    each micro-batch cross-joins the broadcast 16-centroid codebook,
-    max_by-assigns, and appends (vec_id, cid) to the index table.
-    The JSON wire carries the vectors as doubles (exact float32
-    upcast, bit-stable round trip), so streamed assignments must
-    equal the batch assignment of the whole corpus."""
+    each micro-batch cross-joins the broadcast TRAINED 16-centroid
+    codebook (lloyd_centroids_df over the standing corpus — frozen
+    between retrains, exactly how a production index absorbs a vector
+    firehose), max_by-assigns, and appends (vec_id, cid) to the index
+    table. The JSON wire carries the vectors as doubles (exact
+    float32 upcast, bit-stable round trip), so streamed assignments
+    must equal the batch assignment of the whole corpus; the oracle
+    replays the Lloyd training chain plus the assignment."""
     from nsp_bolt_pipeline_spark.operators.similarity import ivf_assignments
-    from nsp_bolt_pipeline_spark.registry_similarity import N_CENTROIDS
+    from nsp_bolt_pipeline_spark.registry_similarity import (
+        trained_centroids,
+    )
 
     dirs = _workdir("stream_ivf")
     emb = read_table(spark, sf_dir, "embeddings").select(
         "vec_id", F.col("embedding").cast("array<double>").alias("embedding")
     )
-    centroids = emb.filter(F.col("vec_id") < N_CENTROIDS)
+    centroids = trained_centroids(spark, sf_dir).select(
+        F.col("cid").alias("vec_id"), F.col("cv").alias("embedding")
+    )
     dump_json_batches(emb, dirs["src"], order_cols=["vec_id"])
     wire = T.StructType(
         [

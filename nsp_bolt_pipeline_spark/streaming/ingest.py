@@ -144,6 +144,7 @@ def run_ingest(
     partition_cols: Sequence[str] = (),
     dedup_ts_col: str | None = None,
     dedup_horizon_days: int | None = None,
+    files_per_partition: int = 2,
 ) -> None:
     """The full ingest query, run to completion with
     ``trigger(availableNow=True)`` (the reference's daily-batch cadence,
@@ -192,16 +193,20 @@ def run_ingest(
                 winners = winners.withColumn(
                     EVENT_DATE_COL, F.to_date(F.col(dedup_ts_col))
                 )
-                # one scalar agg over the persisted batch — the oldest
-                # event in the batch anchors the horizon lower bound
-                row = winners.agg(
-                    F.min(EVENT_DATE_COL).alias("lo")
+                # Anchor the horizon on the RAW persisted batch (one
+                # map-side min over cached rows), not on `winners` —
+                # that would re-run the validate+dedup shuffle as a
+                # second job per batch. The raw min is a valid (>=-
+                # tight) lower bound: rejected rows can only loosen
+                # it, never miss a collision.
+                row = batch.agg(
+                    F.min(F.to_date(F.col(dedup_ts_col))).alias("lo")
                 ).collect()[0]
-                if row["lo"] is None:
-                    return  # empty batch after validation
-                min_event_date = row["lo"] - _dt.timedelta(
-                    days=dedup_horizon_days
-                )
+                if row["lo"] is not None:
+                    min_event_date = row["lo"] - _dt.timedelta(
+                        days=dedup_horizon_days
+                    )
+                # all-null/empty batch: fall back to the unbounded scan
             # existence probe, not try/except PATH_NOT_FOUND: reading
             # a nonexistent dir makes FileStreamSink log a spurious
             # WARN stack trace even when the exception is caught
@@ -213,6 +218,22 @@ def run_ingest(
                     min_event_date=min_event_date,
                 )
                 winners = winners.join(seen, list(dedup_keys), "left_anti")
+            if bronze_parts:
+                # co-locate each output partition before the dynamic-
+                # partition write: without this every shuffle task
+                # writes a file into every partition dir it touches
+                # (tasks x partitions small files per batch — the
+                # classic dynamic-partitioning file explosion). The
+                # key-hash salt keeps one hot date from serializing
+                # into a single task; files per dir per batch is
+                # bounded by the salt width instead.
+                salt = F.pmod(
+                    F.xxhash64(*[F.col(k) for k in dedup_keys]),
+                    F.lit(max(1, files_per_partition)),
+                )
+                winners = winners.repartition(
+                    *[F.col(c) for c in bronze_parts], salt
+                )
             writer = winners.write.mode("append")
             if bronze_parts:
                 writer = writer.partitionBy(*bronze_parts)
@@ -321,7 +342,14 @@ def run_corpus_ingest(
     Same scale structure as the event path: the filter is a stateless
     projection, the per-batch dedup is one partial-agg shuffle on the
     fingerprint, and the cross-batch state is the bronze fingerprint
-    column itself (no separate state store to size).
+    column itself (no separate state store to size). Unlike the event
+    path, fingerprints carry no event time, so the anti-join scan has
+    no horizon to prune on — at 100 TB bronze, bound it by
+    partitioning bronze on a fingerprint prefix (the probe then prunes
+    to the batch's prefix buckets) or keep a per-partition Bloom
+    sidecar (operators/sketches.py bloom_build) and pre-filter the
+    probe; run_ingest's ``dedup_horizon_days`` shows the
+    partition-pruned shape.
     """
     from nsp_bolt_pipeline_spark.operators.corpus import repetition_passes
     from nsp_bolt_pipeline_spark.operators.text import fingerprint

@@ -1,0 +1,54 @@
+"""Data-dependence sweep: noop-write EVERY registry entry at a given
+sf dir (default sf0.1) — catches data-dependent crashes hiding in
+entries the bench never runs at that scale (the sequence(2,1) class).
+
+Streaming entries run too (they execute their availableNow pipeline
+inside the builder); pass --batch-only to skip them.
+
+Usage: python tools/sweep_sf.py [sf_dir] [--batch-only] [name ...]
+"""
+
+from __future__ import annotations
+
+import sys
+import time
+
+sys.path.insert(0, ".")
+
+
+def main() -> int:
+    args = [a for a in sys.argv[1:] if a != "--batch-only"]
+    batch_only = "--batch-only" in sys.argv
+    sf_dir = args[0] if args else "/root/testdata/sf0.1"
+    only = set(args[1:])
+
+    from nsp_bolt_pipeline_spark import registry as _r
+    from nsp_bolt_pipeline_spark.registry import REGISTRY
+    from nsp_bolt_pipeline_spark.session import get_spark
+
+    _r.load_all()
+    spark = get_spark("sweep_sf")
+
+    failures = 0
+    ran = 0
+    for name, (fn, _) in REGISTRY.items():
+        if only and name not in only:
+            continue
+        if batch_only and name.startswith("stream_"):
+            continue
+        ran += 1
+        t0 = time.time()
+        try:
+            fn(spark, sf_dir).write.mode("overwrite").format("noop").save()
+            print(f"ok   {name} ({time.time() - t0:.1f}s)")
+        except Exception as ex:  # noqa: BLE001
+            failures += 1
+            print(f"FAIL {name}: {type(ex).__name__}: {str(ex)[:300]}")
+        finally:
+            spark.catalog.clearCache()
+    print(f"\n{ran - failures}/{ran} executed clean at {sf_dir}")
+    return 1 if failures else 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
