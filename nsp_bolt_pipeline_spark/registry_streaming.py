@@ -146,6 +146,115 @@ def q_stream_d1(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Horizon-bounded cross-batch dedup, the semantics pinned end to end:
+# one micro-batch per event DAY arriving in order (explicit ascending
+# mtimes), dedup horizon = 7 days. A key's later event is suppressed
+# only while a KEPT row sits within the horizon of its batch's day —
+# beyond it, the bronze partition scan prunes the old row out and the
+# event is re-admitted (dropDuplicatesWithinWatermark semantics with
+# an auditable parquet trail). The oracle replays the greedy
+# keep-if-gap fold per key with a recursive CTE (the t19 pattern):
+# kept(i=1); kept(i) iff day_i - last_kept_day > 7.
+# ---------------------------------------------------------------------------
+
+_HORIZON_DAYS = 7
+
+
+@query(
+    "stream_d1_horizon_dedup",
+    f"""
+    WITH RECURSIVE w AS (
+        SELECT user_id, event_type, CAST(ts AS DATE) AS d,
+               event_id, ts, value,
+               row_number() OVER (
+                   PARTITION BY user_id, event_type, CAST(ts AS DATE)
+                   ORDER BY ts, event_id) AS rnd
+        FROM events
+    ),
+    seq AS (
+        SELECT user_id, event_type, d, event_id, ts, value,
+               row_number() OVER (PARTITION BY user_id, event_type
+                                  ORDER BY d) AS i
+        FROM w WHERE rnd = 1
+    ),
+    walk(user_id, event_type, i, d, event_id, ts, value,
+         kept, last_kept) AS (
+        SELECT user_id, event_type, i, d, event_id, ts, value, TRUE, d
+        FROM seq WHERE i = 1
+        UNION ALL
+        SELECT s.user_id, s.event_type, s.i, s.d, s.event_id, s.ts,
+               s.value,
+               s.d - wk.last_kept > {_HORIZON_DAYS},
+               CASE WHEN s.d - wk.last_kept > {_HORIZON_DAYS}
+                    THEN s.d ELSE wk.last_kept END
+        FROM walk wk JOIN seq s
+          ON s.user_id = wk.user_id
+         AND s.event_type = wk.event_type
+         AND s.i = wk.i + 1
+    )
+    SELECT user_id, event_type, event_id, ts, value
+    FROM walk WHERE kept
+    """,
+)
+def q_stream_d1_horizon(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Day-file in-order replay through the horizon-bounded ingest:
+    per batch, the bronze key anti-join scans ONLY event_date
+    partitions within {_HORIZON_DAYS} days of the batch's day
+    (PartitionFilters-pruned — per-trigger cost O(horizon), not
+    O(table age)); a key re-admits once its last kept row ages out.
+    Day-batch winners are deterministic (min ts, event_id), so the
+    whole kept set is the per-key greedy gap fold the oracle walks."""
+    dirs = _workdir("stream_d1h")
+    ev = read_table(spark, sf_dir, "events").select(
+        "event_id", "ts", "user_id", "event_type", "value"
+    )
+    # one wire file per event day, written with explicit ascending
+    # mtimes so the file source triggers them in day order (harness-
+    # side replay shaping, same as the DQ-gate entry)
+    wire_rows = encode_event_times(ev, ["ts"]).collect()
+    by_day: dict[int, list] = {}
+    for r in wire_rows:
+        by_day.setdefault(int(r["ts"]) // 86_400_000_000, []).append(r)
+    os.makedirs(dirs["src"], exist_ok=True)
+    base_mtime = 1_700_000_000
+    for i, day in enumerate(sorted(by_day)):
+        rows = sorted(
+            by_day[day], key=lambda r: (int(r["ts"]), int(r["event_id"]))
+        )
+        path = os.path.join(dirs["src"], f"day_{i:03d}.json")
+        with open(path, "w") as f:
+            for r in rows:
+                f.write(_json.dumps(r.asDict()) + "\n")
+        os.utime(path, (base_mtime + i, base_mtime + i))
+    stream = _event_stream_max1(spark, dirs["src"])
+    run_ingest(
+        stream,
+        bronze_dir=dirs["out"],
+        dlq_dir=dirs["dlq"],
+        checkpoint_dir=dirs["ckpt"],
+        required={"user_id": "long", "event_type": "string", "event_id": "long"},
+        optional={"value": "double"},
+        dedup_keys=["user_id", "event_type"],
+        order_cols=["ts", "event_id"],
+        partition_cols=["event_type"],
+        dedup_ts_col="ts",
+        dedup_horizon_days=_HORIZON_DAYS,
+    )
+    return spark.read.parquet(dirs["out"]).select(
+        "user_id", "event_type", "event_id", "ts", "value"
+    )
+
+
+def _event_stream_max1(spark: SparkSession, src: str) -> DataFrame:
+    return decode_event_times(
+        read_wire_stream(
+            spark, src, EVENT_WIRE_SCHEMA, max_files_per_trigger=1
+        ),
+        ["ts"],
+    )
+
+
+# ---------------------------------------------------------------------------
 # Streaming S8: the DLQ side. Every ~97th event's wire value is
 # corrupted to a non-numeric string; the required-double coercion fails
 # and the row must land in the DLQ, not bronze.
@@ -1081,9 +1190,15 @@ def q_stream_dq_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
         checkpoint_dir=dirs["ckpt"],
     )
     q.awaitTermination()
-    return spark.read.parquet(dirs["out"]).select(
-        "event_id", "ts", "user_id", "event_type", "value"
-    )
+    from nsp_bolt_pipeline_spark.streaming.ingest import dir_exists
+
+    cols = ["event_id", "ts", "user_id", "event_type", "value"]
+    if not dir_exists(spark, dirs["out"]):
+        # every day failed the gate (data-dependent: at sf0.1 all 30
+        # days contain an out-of-range value) -> published table is
+        # legitimately empty, matching the oracle's empty day set
+        return ev.select(*cols).limit(0)
+    return spark.read.parquet(dirs["out"]).select(*cols)
 
 
 # ---------------------------------------------------------------------------
