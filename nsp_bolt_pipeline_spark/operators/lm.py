@@ -131,15 +131,20 @@ def cross_entropy_scores(
     )
 
 
-def _bigrams(text_col: str) -> Column:
-    """Adjacent lowercase token pairs "w1 w2" (docs below 2 tokens
-    produce none) — the KenLM-direction n-gram order step up."""
+def _bigrams_of(toks: Column) -> Column:
+    """Adjacent token pairs "w1 w2" from a token-array column (arrays
+    below 2 tokens produce none)."""
     from nsp_bolt_pipeline_spark.operators.text import adjacent_pairs
 
     return F.transform(
-        adjacent_pairs(_lower_tokens(text_col)),
-        lambda p: F.concat_ws(" ", p["a"], p["b"]),
+        adjacent_pairs(toks), lambda p: F.concat_ws(" ", p["a"], p["b"])
     )
+
+
+def _bigrams(text_col: str) -> Column:
+    """Adjacent lowercase token pairs "w1 w2" (docs below 2 tokens
+    produce none) — the KenLM-direction n-gram order step up."""
+    return _bigrams_of(_lower_tokens(text_col))
 
 
 def bigram_cross_entropy_scores(
@@ -173,9 +178,18 @@ def bigram_cross_entropy_scores(
     The 1-row scalar frame rides a broadcast nested-loop join, never
     a shuffle.
     """
-    ref = docs.filter(ref_pred)
+    # tokenize the reference slice ONCE: both model tables (unigram
+    # denominators, bigram numerators) derive from the same token
+    # arrays, so materializing them saves a second parse+lower pass
+    # over the reference text (the persist-the-reused-slim-frame
+    # pattern; freed by the runners' per-entry clearCache)
+    ref = (
+        docs.filter(ref_pred)
+        .select(_lower_tokens(text_col).alias("_toks"))
+        .persist()
+    )
     uni = (
-        ref.select(F.explode(_lower_tokens(text_col)).alias("tok"))
+        ref.select(F.explode("_toks").alias("tok"))
         .groupBy("tok")
         .agg(F.count("*").cast("long").alias("c1"))
     )
@@ -187,7 +201,7 @@ def bigram_cross_entropy_scores(
         .alias("den_mu"),
     )
     bi = (
-        ref.select(F.explode(_bigrams(text_col)).alias("bg"))
+        ref.select(F.explode(_bigrams_of(F.col("_toks"))).alias("bg"))
         .groupBy("bg")
         .agg(
             F.round(F.log(F.count("*") + F.lit(1).cast("long")) * MU, 0)

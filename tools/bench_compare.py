@@ -1,0 +1,54 @@
+"""Diff two bench artifacts (BENCH_full*.json, or a driver
+BENCH_r{N}.json whose truncated stdout `tail` is recovered by regex).
+
+Usage: python tools/bench_compare.py OLD NEW [--top N]
+"""
+
+from __future__ import annotations
+
+import json
+import re
+import sys
+
+
+def load(path: str) -> dict[str, float]:
+    with open(path) as f:
+        d = json.load(f)
+    if "queries" in d:
+        return {k: float(v) for k, v in d["queries"].items()}
+    if "tail" in d:  # driver capture: parse whatever survived truncation
+        tail = d["tail"].replace('\\"', '"')
+        return {
+            k: float(v)
+            for k, v in re.findall(r'"([a-z0-9_]+)":\s*([0-9.]+)', tail)
+        }
+    raise SystemExit(f"{path}: neither a bench artifact nor a driver capture")
+
+
+def main() -> int:
+    args = [a for a in sys.argv[1:] if not a.startswith("--")]
+    top = 10
+    if "--top" in sys.argv:
+        top = int(sys.argv[sys.argv.index("--top") + 1])
+    old, new = load(args[0]), load(args[1])
+    common = sorted(
+        ((new[k] / old[k], k, old[k], new[k]) for k in new if old.get(k)),
+        reverse=True,
+    )
+    so = sum(o for _, _, o, _ in common)
+    sn = sum(n for _, _, _, n in common)
+    print(
+        f"{len(common)} comparable  subtotal {so:.1f}s -> {sn:.1f}s "
+        f"({sn / so:.2f}x)   new-only: {len(new) - len(common)}"
+    )
+    print("slowest-growing:")
+    for r, k, o, n in common[:top]:
+        print(f"  {k}: {o:.2f} -> {n:.2f}  ({r:.2f}x)")
+    print("fastest-improving:")
+    for r, k, o, n in common[-top:]:
+        print(f"  {k}: {o:.2f} -> {n:.2f}  ({r:.2f}x)")
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
