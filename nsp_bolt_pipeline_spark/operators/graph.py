@@ -24,6 +24,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
 
 
 def connected_components(
@@ -34,6 +35,7 @@ def connected_components(
     src_col: str = "src",
     dst_col: str = "dst",
     max_iter: int = 25,
+    driver_threshold: int = 1_000_000,
 ) -> DataFrame:
     """Label every node with the smallest node id reachable from it
     (undirected). Returns (id_col, component). Nodes absent from the
@@ -41,11 +43,70 @@ def connected_components(
     Raises if the fixpoint is not reached within ``max_iter`` rounds
     (diameter bound exceeded; see module docstring for the
     star-contraction alternative before raising the bound).
+
+    Two physical strategies behind one fixpoint:
+
+    - ``|edges| <= driver_threshold``: collect the edge list and run
+      union-find on the driver (path-halving, min-id roots — the same
+      smallest-reachable-id labels). Verified near-dup pair sets are
+      corpus-SPARSE (pairs survive LSH banding + exact verify), so in
+      practice the edge list is millions of rows against a corpus of
+      billions; a bounded two-long-per-row collect (~16 MB/M edges)
+      replaces diameter-many join+checkpoint rounds. This is the
+      standard dedup-pipeline shape, and the bound is explicit — the
+      one count() job decides.
+    - larger: the distributed min-label propagation loop below, cost
+      O(diameter) shuffle rounds with constant-size plans.
     """
+    # persist before the strategy probe: count() and the downstream
+    # consumer (collect, or the mirrored loop) must not re-evaluate an
+    # expensive upstream pair plan (LSH verify, in-cluster cosine)
+    e = edges.select(
+        F.col(src_col).alias("a"), F.col(dst_col).alias("b")
+    ).persist()
+    n_edges = e.count()
+    if n_edges <= driver_threshold:
+        parent: dict = {}
+
+        def find(x):
+            root = x
+            while parent[root] != root:
+                root = parent[root]
+            while parent[x] != root:  # path compression
+                parent[x], x = root, parent[x]
+            return root
+
+        rows = e.collect()
+        e.unpersist()
+        for r in rows:
+            a, b = r["a"], r["b"]
+            parent.setdefault(a, a)
+            parent.setdefault(b, b)
+            ra, rb = find(a), find(b)
+            if ra != rb:
+                # min-id root keeps labels = smallest reachable id
+                lo, hi = (ra, rb) if ra < rb else (rb, ra)
+                parent[hi] = lo
+        data = [(x, find(x)) for x in parent]
+        id_type = e.schema["a"].dataType
+        final = nodes.sparkSession.createDataFrame(
+            data,
+            T.StructType(
+                [T.StructField("a", id_type), T.StructField("comp", id_type)]
+            ),
+        )
+        return (
+            nodes.select(F.col(id_col).alias("a"))
+            .join(final, "a", "left")
+            .select(
+                F.col("a").alias(id_col),
+                F.coalesce(F.col("comp"), F.col("a")).alias("component"),
+            )
+        )
+
     # the mirrored edge list is re-read every propagation round — cache
     # it once (the union reads the projected source twice on the first
     # materialization, which is fine)
-    e = edges.select(F.col(src_col).alias("a"), F.col(dst_col).alias("b"))
     und = e.unionByName(e.select(F.col("b").alias("a"), F.col("a").alias("b"))).persist()
 
     # propagate only over nodes that have at least one edge — isolated
@@ -97,6 +158,7 @@ def connected_components(
         final = labels
     finally:
         und.unpersist()
+        e.unpersist()
     return (
         nodes.select(F.col(id_col).alias("a"))
         .join(final, "a", "left")

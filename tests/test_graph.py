@@ -40,8 +40,25 @@ def test_component_label_is_global_min_not_edge_order(spark):
 def test_max_iter_exceeded_raises(spark):
     with pytest.raises(RuntimeError, match="fixpoint"):
         # a 4-chain needs >1 propagation round; max_iter=1 cannot even
-        # confirm convergence
-        _cc(spark, [1, 2, 3, 4], [(1, 2), (2, 3), (3, 4)], max_iter=1)
+        # confirm convergence (driver_threshold=0 forces the
+        # distributed loop — the driver union-find has no round bound)
+        _cc(
+            spark,
+            [1, 2, 3, 4],
+            [(1, 2), (2, 3), (3, 4)],
+            max_iter=1,
+            driver_threshold=0,
+        )
+
+
+def test_driver_and_distributed_paths_agree(spark):
+    nodes = [1, 2, 3, 4, 5, 6, 9]
+    edges = [(5, 6), (2, 1), (3, 2), (4, 3)]
+    via_driver = _cc(spark, nodes, edges)  # under the threshold
+    via_loop = _cc(spark, nodes, edges, driver_threshold=0)
+    assert via_driver == via_loop == {
+        1: 1, 2: 1, 3: 1, 4: 1, 5: 5, 6: 5, 9: 9
+    }
 
 
 def test_dedup_clusters_keep_flags(spark):
