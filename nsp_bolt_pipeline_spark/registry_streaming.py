@@ -648,8 +648,15 @@ def q_stream_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     dump_json_batches(docs, dirs["src"], order_cols=["doc_id"])
     stream = spark.readStream.schema(DOC_WIRE_SCHEMA).json(dirs["src"])
+    # Bloom-sidecar routing on: bronze is probed only for the
+    # bloom-positive slice of each batch (semantics identical to the
+    # unbounded anti-join — the sidecar has no false negatives — so
+    # the same oracle hash-matches; the scan bound is what changes)
     run_corpus_ingest(
-        stream, bronze_dir=dirs["out"], checkpoint_dir=dirs["ckpt"]
+        stream,
+        bronze_dir=dirs["out"],
+        checkpoint_dir=dirs["ckpt"],
+        bloom_sidecar_dir=os.path.join(dirs["out"] + "_bloom"),
     )
     return spark.read.parquet(dirs["out"]).select("doc_id", "fp")
 

@@ -327,6 +327,8 @@ def run_corpus_ingest(
     *,
     bronze_dir: str,
     checkpoint_dir: str,
+    bloom_sidecar_dir: str | None = None,
+    stats_dir: str | None = None,
 ) -> None:
     """Streaming corpus intake — the documents-firehose twin of
     :func:`run_ingest`: per micro-batch, apply the Gopher-style
@@ -344,17 +346,69 @@ def run_corpus_ingest(
     fingerprint, and the cross-batch state is the bronze fingerprint
     column itself (no separate state store to size). Unlike the event
     path, fingerprints carry no event time, so the anti-join scan has
-    no horizon to prune on — at 100 TB bronze, bound it by
-    partitioning bronze on a fingerprint prefix (the probe then prunes
-    to the batch's prefix buckets) or keep a per-partition Bloom
-    sidecar (operators/sketches.py bloom_build) and pre-filter the
-    probe; run_ingest's ``dedup_horizon_days`` shows the
-    partition-pruned shape.
+    no horizon to prune on — the scan bound here is the **Bloom
+    sidecar** (``bloom_sidecar_dir``): every batch appends a partial
+    Bloom segment over the fingerprints it wrote (bit_or merges on
+    read, the CMS-segment pattern), and the next batch probes the
+    merged filter FIRST. Bloom-negative fingerprints are guaranteed
+    absent from bronze (no false negatives) and insert without
+    touching it; only the bloom-positive slice — true dups plus the
+    ~1% FP rate — pays the exact anti-join, and when a batch has no
+    positives the bronze scan is skipped entirely. Dedup semantics
+    are bit-identical to the unbounded path (the sidecar only routes;
+    positives are still exactly verified), which is why the same
+    oracle hash-matches either way. ``stats_dir`` records one row per
+    batch (n_winners, n_maybe_dup, bronze_scanned) so the routing is
+    auditable and testable.
     """
     from nsp_bolt_pipeline_spark.operators.corpus import repetition_passes
+    from nsp_bolt_pipeline_spark.operators.sketches import (
+        BLOOM_BITS,
+        BLOOM_K,
+        bloom_bit,
+    )
     from nsp_bolt_pipeline_spark.operators.text import fingerprint
 
-    def process_batch(batch: DataFrame, _batch_id: int) -> None:
+    def bloom_probe(winners: DataFrame, spark: SparkSession) -> DataFrame:
+        """Split winners on the merged sidecar: returns winners with a
+        boolean ``_maybe`` column (True = all k bits set -> must be
+        exactly verified against bronze)."""
+        side = (
+            spark.read.parquet(bloom_sidecar_dir)
+            .groupBy("word")
+            .agg(F.bit_or("bits32").alias("bits32"))
+        )
+        probes = winners.select(
+            "fp",
+            F.explode(
+                F.array(
+                    *[bloom_bit(F.col("fp"), j, BLOOM_BITS) for j in range(BLOOM_K)]
+                )
+            ).alias("bit_idx"),
+        ).select(
+            "fp",
+            (F.col("bit_idx") / 32).cast("int").alias("word"),
+            F.expr(
+                "shiftleft(CAST(1 AS BIGINT), CAST(bit_idx % 32 AS INT))"
+            ).alias("mask"),
+        )
+        hit = (
+            probes.join(F.broadcast(side), "word", "left")
+            .groupBy("fp")
+            .agg(
+                F.min(
+                    (
+                        F.coalesce(F.col("bits32"), F.lit(0))
+                        .bitwiseAND(F.col("mask"))
+                        != 0
+                    ).cast("int")
+                ).alias("_all_set")
+            )
+            .select("fp", (F.col("_all_set") == 1).alias("_maybe"))
+        )
+        return winners.join(hit, "fp")
+
+    def process_batch(batch: DataFrame, batch_id: int) -> None:
         spark = batch.sparkSession
         # per-row column expression, not repetition_stats + re-join:
         # the filter stays a stateless shuffle-free projection, and a
@@ -367,10 +421,62 @@ def run_corpus_ingest(
             .agg(F.min_by(F.struct(*passing.columns), F.col("doc_id")).alias("w"))
             .select("w.*")
         )
-        if dir_exists(spark, bronze_dir):
-            seen = spark.read.parquet(bronze_dir).select("fp").dropDuplicates()
-            winners = winners.join(seen, "fp", "left_anti")
-        winners.write.mode("append").parquet(bronze_dir)
+        from nsp_bolt_pipeline_spark.operators.sketches import bloom_build
+
+        bronze_present = dir_exists(spark, bronze_dir)
+        scanned = False
+        n_winners = n_maybe = -1
+        routed = None
+        try:
+            if (
+                bloom_sidecar_dir is not None
+                and bronze_present
+                and dir_exists(spark, bloom_sidecar_dir)
+            ):
+                routed = bloom_probe(winners, spark).persist()
+                n_winners = routed.count()
+                maybe = routed.filter(F.col("_maybe")).drop("_maybe")
+                n_maybe = maybe.count()
+                fresh = routed.filter(~F.col("_maybe")).drop("_maybe")
+                if n_maybe:
+                    scanned = True
+                    seen = (
+                        spark.read.parquet(bronze_dir)
+                        .select("fp")
+                        .dropDuplicates()
+                    )
+                    winners = fresh.unionByName(
+                        maybe.join(seen, "fp", "left_anti")
+                    )
+                else:
+                    winners = fresh
+            elif bronze_present:
+                scanned = True
+                seen = (
+                    spark.read.parquet(bronze_dir).select("fp").dropDuplicates()
+                )
+                winners = winners.join(seen, "fp", "left_anti")
+            winners.write.mode("append").parquet(bronze_dir)
+            if bloom_sidecar_dir is not None:
+                # partial segment over THIS batch's written fps; the
+                # bit_or merge on read makes at-least-once redelivery
+                # idempotent (re-ORing the same bits is a no-op)
+                bloom_build(
+                    winners.select(F.lit("all").alias("g"), "fp"),
+                    "g",
+                    F.col("fp"),
+                    BLOOM_K,
+                    BLOOM_BITS,
+                ).drop("grp").write.mode("append").parquet(bloom_sidecar_dir)
+            if stats_dir is not None:
+                spark.createDataFrame(
+                    [(batch_id, n_winners, n_maybe, scanned)],
+                    "batch_id long, n_winners long, n_maybe long, "
+                    "bronze_scanned boolean",
+                ).write.mode("overwrite").parquet(f"{stats_dir}/b={batch_id}")
+        finally:
+            if routed is not None:
+                routed.unpersist()
 
     query = (
         stream.writeStream.foreachBatch(process_batch)

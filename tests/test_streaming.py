@@ -619,6 +619,69 @@ def test_corpus_ingest_filters_and_dedups_across_batches(spark, tmp_path):
     assert kept == [1, 4]
 
 
+def test_corpus_ingest_bloom_sidecar_routes_and_matches(spark, tmp_path):
+    """The Bloom-sidecar path: identical kept set to the unbounded
+    anti-join, with the routing stats proving the bound — a batch of
+    all-new fingerprints never scans bronze (bloom-negative short
+    circuit), while a batch with a true dup probes exactly its
+    bloom-positive slice."""
+    from nsp_bolt_pipeline_spark.registry_streaming import DOC_WIRE_SCHEMA
+    from nsp_bolt_pipeline_spark.streaming.ingest import run_corpus_ingest
+
+    import json as _j
+
+    clean = "the quick brown fox jumps over the lazy dog near riverbank today"
+    other = (
+        "completely different prose about columnar engines vectorized "
+        "execution adaptive planning and shuffle partition sizing"
+    )
+    third = (
+        "yet another unique document mentioning watermarks stateful "
+        "sinks checkpoint recovery and exactly once delivery semantics"
+    )
+    src = tmp_path / "src"
+    src.mkdir()
+    out, ckpt = str(tmp_path / "out"), str(tmp_path / "ckpt")
+    side, stats = str(tmp_path / "side"), str(tmp_path / "stats")
+
+    def write(name, rows):
+        with open(src / name, "w") as f:
+            for r in rows:
+                f.write(
+                    _j.dumps(
+                        dict(zip(["doc_id", "text", "lang", "source"], r))
+                    )
+                    + "\n"
+                )
+
+    def run():
+        stream = spark.readStream.schema(DOC_WIRE_SCHEMA).json(str(src))
+        run_corpus_ingest(
+            stream,
+            bronze_dir=out,
+            checkpoint_dir=ckpt,
+            bloom_sidecar_dir=side,
+            stats_dir=stats,
+        )
+
+    write("b0.json", [(1, clean, "en", "s")])
+    run()
+    # batch 2: all-new fp -> bloom negative -> bronze never scanned
+    write("b1.json", [(5, other, "en", "s")])
+    run()
+    # batch 3: one dup of doc 1 (normalized), one new -> probed, dup dropped
+    write("b2.json", [(7, clean.upper(), "en", "s"), (8, third, "en", "s")])
+    run()
+
+    kept = sorted(r["doc_id"] for r in spark.read.parquet(out).collect())
+    assert kept == [1, 5, 8]
+    st = {
+        r["batch_id"]: r for r in spark.read.parquet(stats).collect()
+    }
+    assert st[1]["bronze_scanned"] is False and st[1]["n_maybe"] == 0
+    assert st[2]["bronze_scanned"] is True and st[2]["n_maybe"] >= 1
+
+
 class TestStreamingSessions:
     """Watermarked session_window agg: late-event merging and the
     sentinel-flush emission contract (streaming.sessions)."""
