@@ -31,9 +31,10 @@ Scale design (100 TB):
   table, operators/text.py). The corpus side never re-shuffles for
   the model join.
 - Training scans only the reference slice (a filter pushed to the
-  scan); scoring is explode → per-(doc, token) count (map-side
-  partial agg) → broadcast join → per-doc integer sum. Two shuffles
-  total, both on keys with bounded cardinality growth.
+  scan); scoring is explode → broadcast model join (map-side) →
+  per-doc integer sum. ONE shuffle total — the groupBy(doc), whose
+  map-side partial aggregation ships a single row per (partition,
+  doc) regardless of document length.
 - Add-one smoothing makes out-of-vocabulary terms exactly 0 in
   micro-nat space (ln 1 = 0), so the OOV path needs no special-case
   join handling — a missed broadcast lookup contributes nothing.
@@ -103,18 +104,20 @@ def cross_entropy_scores(
     """
     lm, scalars = unigram_lm(docs.filter(ref_pred), text_col=text_col)
 
+    # join every token POSITION against the broadcast model and
+    # aggregate once per document — no per-(doc, token) pre-count
+    # shuffle; the broadcast-hash probe absorbs the extra rows
+    # map-side and the groupBy(doc)'s partial agg ships one row per
+    # (partition, doc). Integer-identical (see the bigram scorer).
     doc_tok = docs.select(
         F.col(id_col), F.explode(_lower_tokens(text_col)).alias("tok")
     )
-    counts = doc_tok.groupBy(id_col, "tok").agg(
-        F.count("*").cast("long").alias("c_dt")
+    terms = doc_tok.join(
+        F.broadcast(lm.select("tok", "log_mu")), "tok", "left"
     )
-    terms = counts.join(F.broadcast(lm.select("tok", "log_mu")), "tok", "left")
     per_doc = terms.groupBy(id_col).agg(
-        F.sum("c_dt").cast("long").alias("n_tokens"),
-        F.sum(
-            F.col("c_dt") * F.coalesce(F.col("log_mu"), F.lit(0).cast("long"))
-        )
+        F.count("*").cast("long").alias("n_tokens"),
+        F.sum(F.coalesce(F.col("log_mu"), F.lit(0).cast("long")))
         .cast("long")
         .alias("lm_mu"),
     )
@@ -174,9 +177,9 @@ def bigram_cross_entropy_scores(
 
     Scale design: both model tables are broadcast-sized (bigram vocab
     of a reference slice, not the corpus); scoring is explode ->
-    per-(doc, bigram) count -> two broadcast joins -> integer sum.
-    The 1-row scalar frame rides a broadcast nested-loop join, never
-    a shuffle.
+    two broadcast-hash joins (map-side) -> one groupBy(doc) integer
+    sum. The 1-row scalar frame rides a broadcast nested-loop join,
+    never a shuffle.
     """
     # tokenize the reference slice ONCE: both model tables (unigram
     # denominators, bigram numerators) derive from the same token
@@ -210,14 +213,22 @@ def bigram_cross_entropy_scores(
         )
     )
 
+    # score every bigram POSITION straight through the broadcast
+    # joins and aggregate once per document: the per-(doc, bigram)
+    # pre-count this used to do added a shuffle keyed on the widest
+    # key in the query (distinct doc x bigram) purely to shrink the
+    # join input, but both model joins are broadcast-hash (map-side,
+    # codegen) where extra probe rows are nearly free — so the only
+    # exchange left is the final groupBy(doc), whose map-side partial
+    # agg ships one row per (partition, doc). Identical integers:
+    # sum over positions of term_mu == sum over distinct bigrams of
+    # c_db * term_mu, and the micro-nat terms are already rounded at
+    # model-build time.
     doc_bg = docs.select(
         F.col(id_col), F.explode(_bigrams(text_col)).alias("bg")
     )
-    counts = doc_bg.groupBy(id_col, "bg").agg(
-        F.count("*").cast("long").alias("c_db")
-    )
     terms = (
-        counts.withColumn(
+        doc_bg.withColumn(
             "ctx", F.substring_index(F.col("bg"), " ", 1)
         )
         .join(F.broadcast(bi), "bg", "left")
@@ -225,7 +236,6 @@ def bigram_cross_entropy_scores(
         .crossJoin(F.broadcast(scalars))
         .select(
             F.col(id_col),
-            F.col("c_db"),
             (
                 F.coalesce(
                     F.col("den_mu"),
@@ -238,8 +248,8 @@ def bigram_cross_entropy_scores(
         )
     )
     per_doc = terms.groupBy(id_col).agg(
-        F.sum("c_db").cast("long").alias("n_bigrams"),
-        F.sum(F.col("c_db") * F.col("term_mu")).cast("long").alias("lm_mu"),
+        F.count("*").cast("long").alias("n_bigrams"),
+        F.sum("term_mu").cast("long").alias("lm_mu"),
     )
     # docs below two tokens produce no bigrams and would vanish from
     # the explode — surface them with n_bigrams=0 and a NULL score so

@@ -786,22 +786,29 @@ def cdc_chunks(
                 cuts,
                 F.array(F.length(sn) + 1),
             )
-            return F.filter(
-                F.transform(
-                    F.sequence(F.lit(1), F.size(bounds) - 1),
-                    lambda i: bind_once(
-                        sn.substr(
-                            F.element_at(bounds, i),
-                            F.element_at(bounds, i + 1)
-                            - F.element_at(bounds, i),
-                        ),
-                        lambda chunk: F.struct(
-                            F.md5(chunk).alias("fp"),
-                            F.length(chunk).cast("long").alias("length"),
+            # bind bounds once: the lambda below references it three
+            # times per chunk position, and an unbound reference
+            # re-derives cuts (a filter over the whole gram array)
+            # on every evaluation — O(positions x grams) per doc
+            return bind_once(
+                bounds,
+                lambda bs: F.filter(
+                    F.transform(
+                        F.sequence(F.lit(1), F.size(bs) - 1),
+                        lambda i: bind_once(
+                            sn.substr(
+                                F.element_at(bs, i),
+                                F.element_at(bs, i + 1)
+                                - F.element_at(bs, i),
+                            ),
+                            lambda chunk: F.struct(
+                                F.md5(chunk).alias("fp"),
+                                F.length(chunk).cast("long").alias("length"),
+                            ),
                         ),
                     ),
+                    lambda st: st["length"] > 0,
                 ),
-                lambda st: st["length"] > 0,
             )
 
         return F.when(n_grams >= 1, bind_once(grams_expr, from_grams)).otherwise(

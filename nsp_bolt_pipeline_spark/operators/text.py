@@ -66,14 +66,20 @@ def adjacent_pairs(arr: Column) -> Column:
     (operators.selection), and BPE merge learning (operators.bpe);
     three hand-rolled guards previously risked exactly the
     sequence(2,1) descending-range crash fixed in CDC chunking."""
+    # zip_with over two shifted slices, NOT element_at inside a
+    # transform lambda: a lambda body re-evaluates any outer
+    # expression it references once PER ELEMENT, so when ``arr`` is
+    # an unmaterialized expression (split/regexp over the raw text —
+    # every caller here) the element_at form re-tokenizes the whole
+    # document for each position: O(len²) per doc. The slice
+    # arguments evaluate ``arr`` a constant number of times per ROW,
+    # keeping the pairing linear. Output values are identical.
     return F.when(
         F.size(arr) > 1,
-        F.transform(
-            F.sequence(F.lit(1), F.size(arr) - 1),
-            lambda i: F.struct(
-                F.element_at(arr, i).alias("a"),
-                F.element_at(arr, i + 1).alias("b"),
-            ),
+        F.zip_with(
+            F.slice(arr, F.lit(1), F.size(arr) - 1),
+            F.slice(arr, F.lit(2), F.size(arr) - 1),
+            lambda a, b: F.struct(a.alias("a"), b.alias("b")),
         ),
     ).otherwise(F.array().cast("array<struct<a:string,b:string>>"))
 
