@@ -41,9 +41,33 @@ from nsp_bolt_pipeline_spark.operators.text import fingerprint, tokens
 CMS_DEPTH = 4
 CMS_WIDTH = 512
 
-BLOOM_BITS = 4096  # m
+BLOOM_BITS = 4096  # m — demo/default for the *bounded-key* entries
 BLOOM_WORDS = BLOOM_BITS // 32
 BLOOM_K = 3
+
+
+def bloom_size(expected_keys: int, fp_rate: float = 0.01) -> tuple[int, int]:
+    """Standard Bloom sizing (Bloom '70 / Broder-Mitzenmacher survey):
+    bits ``m = -n ln p / (ln 2)^2`` (~9.6 bits/key at p=1%), hashes
+    ``k = (m/n) ln 2``. Returns (bits, k) with bits rounded up to a
+    multiple of 32 (the packed-word width) and floored at 256.
+
+    This is what a filter guarding an unbounded corpus must use — the
+    fixed ``BLOOM_BITS`` default saturates after a few thousand keys,
+    at which point every probe reads bloom-positive and the filter
+    routes nothing (the scan bound silently evaporates). Size from the
+    key cardinality you expect the corpus to REACH, not today's count:
+    bits are cheap (the (word, bits32) relation stores only touched
+    words, so an oversized sparse filter costs ~nothing at small n).
+    """
+    if expected_keys <= 0:
+        raise ValueError("expected_keys must be positive")
+    if not 0.0 < fp_rate < 1.0:
+        raise ValueError("fp_rate must be in (0, 1)")
+    m = math.ceil(-expected_keys * math.log(fp_rate) / (math.log(2) ** 2))
+    m = max(256, ((m + 31) // 32) * 32)
+    k = max(1, round(m / expected_keys * math.log(2)))
+    return m, k
 
 
 def _hash48(c: Column, salt: str) -> Column:

@@ -657,6 +657,11 @@ def q_stream_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
         bronze_dir=dirs["out"],
         checkpoint_dir=dirs["ckpt"],
         bloom_sidecar_dir=os.path.join(dirs["out"] + "_bloom"),
+        # sized for the corpus this table will REACH (~10 bits/key at
+        # 1% FP); oversizing is ~free — segments store touched words
+        # only — while the old fixed 4096-bit filter saturated after a
+        # few thousand fingerprints and stopped routing anything
+        expected_fingerprints=1_000_000,
     )
     return spark.read.parquet(dirs["out"]).select("doc_id", "fp")
 

@@ -322,6 +322,33 @@ def run_silver_upsert(
     return f"{silver_root}/v={max(versions)}"
 
 
+#: broadcast the merged sidecar only while its DENSE capacity stays
+#: under this many packed words (2^21 words = 16 MiB worst case);
+#: larger filters probe via a plain shuffle equi-join on ``word``
+#: (each fp probes k words — an index lookup shape, never a scan)
+_BLOOM_BCAST_WORDS = 1 << 21
+
+
+def _bloom_sidecar_meta(
+    spark: SparkSession, sidecar_dir: str
+) -> tuple[int, int] | None:
+    """(bits, k) the existing sidecar was built with, or None if the
+    sidecar doesn't exist. Segments carry the sizing as constant
+    columns; probing with ANY other sizing would manufacture false
+    negatives (missed dups), so an existing sidecar's sizing always
+    wins over requested parameters. Pre-sizing-era segments (no
+    bits/k columns) report the legacy constants."""
+    from nsp_bolt_pipeline_spark.operators.sketches import BLOOM_BITS, BLOOM_K
+
+    if not dir_exists(spark, sidecar_dir):
+        return None
+    seg = spark.read.parquet(sidecar_dir)
+    if "bits" not in seg.columns:
+        return BLOOM_BITS, BLOOM_K
+    row = seg.select("bits", "k").first()
+    return (int(row["bits"]), int(row["k"]))
+
+
 def run_corpus_ingest(
     stream: DataFrame,
     *,
@@ -329,6 +356,10 @@ def run_corpus_ingest(
     checkpoint_dir: str,
     bloom_sidecar_dir: str | None = None,
     stats_dir: str | None = None,
+    expected_fingerprints: int = 1_000_000,
+    fp_rate: float = 0.01,
+    bloom_bits: int | None = None,
+    bloom_k: int | None = None,
 ) -> None:
     """Streaming corpus intake — the documents-firehose twin of
     :func:`run_ingest`: per micro-batch, apply the Gopher-style
@@ -353,21 +384,73 @@ def run_corpus_ingest(
     merged filter FIRST. Bloom-negative fingerprints are guaranteed
     absent from bronze (no false negatives) and insert without
     touching it; only the bloom-positive slice — true dups plus the
-    ~1% FP rate — pays the exact anti-join, and when a batch has no
-    positives the bronze scan is skipped entirely. Dedup semantics
-    are bit-identical to the unbounded path (the sidecar only routes;
-    positives are still exactly verified), which is why the same
-    oracle hash-matches either way. ``stats_dir`` records one row per
-    batch (n_winners, n_maybe_dup, bronze_scanned) so the routing is
-    auditable and testable.
+    configured FP rate — pays the exact anti-join, and when a batch
+    has no positives the bronze scan is skipped entirely. Dedup
+    semantics are bit-identical to the unbounded path (the sidecar
+    only routes; positives are still exactly verified), which is why
+    the same oracle hash-matches either way. ``stats_dir`` records one
+    row per batch (n_winners, n_maybe_dup, bronze_scanned) so the
+    routing is auditable and testable.
+
+    Sidecar sizing: the filter is sized ONCE, from
+    ``expected_fingerprints`` × ``fp_rate`` (``bloom_size``: ~10
+    bits/key at 1%), or explicitly via ``bloom_bits``/``bloom_k``.
+    Size for the cardinality the corpus will REACH — oversizing is
+    nearly free (segments store only touched (word, bits32) rows, so
+    a sparse filter costs O(inserted × k) rows regardless of bits),
+    while undersizing saturates the filter and silently reverts every
+    batch to the full bronze scan. Segments persist their (bits, k)
+    as constant columns and an existing sidecar's sizing always wins
+    over the parameters: probing with mismatched sizing would create
+    false negatives, i.e. missed duplicates. Filters too large to
+    broadcast densely probe via a shuffle equi-join on the packed
+    word index — the same plan shape, shuffling only the k probe
+    words per fingerprint, never the corpus.
+
+    Replay safety (foreachBatch is at-least-once): the sidecar
+    segment is written BEFORE the bronze append. Bits-without-rows
+    (crash between the two writes) only produces false POSITIVES,
+    which the exact verify resolves; the reverse order would let a
+    replayed batch's rows sit in bronze with no bits covering them —
+    bloom-negative forever, re-inserted as permanent duplicates.
+    Enabling the sidecar on a PRE-EXISTING bronze table bootstraps
+    the first segment from bronze's own fp column (one scan), so
+    historical fingerprints are covered from the first probe.
     """
     from nsp_bolt_pipeline_spark.operators.corpus import repetition_passes
     from nsp_bolt_pipeline_spark.operators.sketches import (
-        BLOOM_BITS,
-        BLOOM_K,
         bloom_bit,
+        bloom_build,
+        bloom_size,
     )
     from nsp_bolt_pipeline_spark.operators.text import fingerprint
+
+    bits = k = None
+    if bloom_sidecar_dir is not None:
+        if bloom_bits is not None:
+            bits = bloom_bits
+            k = bloom_k if bloom_k is not None else 3
+        else:
+            bits, k = bloom_size(expected_fingerprints, fp_rate)
+            if bloom_k is not None:
+                k = bloom_k
+        # an existing sidecar's sizing is a contract, not a preference
+        existing = _bloom_sidecar_meta(stream.sparkSession, bloom_sidecar_dir)
+        if existing is not None:
+            bits, k = existing
+
+    def write_segment(fps: DataFrame) -> None:
+        """Append a partial Bloom segment covering ``fps``; bit_or
+        merges on read, so re-appending the same bits (at-least-once
+        redelivery) is a no-op."""
+        bloom_build(
+            fps.select(F.lit("all").alias("g"), "fp"), "g", F.col("fp"), k, bits
+        ).drop("grp").select(
+            "word",
+            "bits32",
+            F.lit(bits).alias("bits"),
+            F.lit(k).alias("k"),
+        ).write.mode("append").parquet(bloom_sidecar_dir)
 
     def bloom_probe(winners: DataFrame, spark: SparkSession) -> DataFrame:
         """Split winners on the merged sidecar: returns winners with a
@@ -378,12 +461,12 @@ def run_corpus_ingest(
             .groupBy("word")
             .agg(F.bit_or("bits32").alias("bits32"))
         )
+        if bits // 32 <= _BLOOM_BCAST_WORDS:
+            side = F.broadcast(side)
         probes = winners.select(
             "fp",
             F.explode(
-                F.array(
-                    *[bloom_bit(F.col("fp"), j, BLOOM_BITS) for j in range(BLOOM_K)]
-                )
+                F.array(*[bloom_bit(F.col("fp"), j, bits) for j in range(k)])
             ).alias("bit_idx"),
         ).select(
             "fp",
@@ -393,7 +476,7 @@ def run_corpus_ingest(
             ).alias("mask"),
         )
         hit = (
-            probes.join(F.broadcast(side), "word", "left")
+            probes.join(side, "word", "left")
             .groupBy("fp")
             .agg(
                 F.min(
@@ -421,18 +504,22 @@ def run_corpus_ingest(
             .agg(F.min_by(F.struct(*passing.columns), F.col("doc_id")).alias("w"))
             .select("w.*")
         )
-        from nsp_bolt_pipeline_spark.operators.sketches import bloom_build
 
         bronze_present = dir_exists(spark, bronze_dir)
+        bloom_on = bloom_sidecar_dir is not None
+        if bloom_on and bronze_present and not dir_exists(
+            spark, bloom_sidecar_dir
+        ):
+            # sidecar enabled on a pre-existing bronze: bootstrap the
+            # filter from bronze itself, otherwise every historical
+            # fingerprint would be bloom-negative forever and its
+            # future duplicates would bypass exact verification
+            write_segment(spark.read.parquet(bronze_dir).select("fp"))
         scanned = False
         n_winners = n_maybe = -1
         routed = None
         try:
-            if (
-                bloom_sidecar_dir is not None
-                and bronze_present
-                and dir_exists(spark, bloom_sidecar_dir)
-            ):
+            if bloom_on and bronze_present:
                 routed = bloom_probe(winners, spark).persist()
                 n_winners = routed.count()
                 maybe = routed.filter(F.col("_maybe")).drop("_maybe")
@@ -456,18 +543,23 @@ def run_corpus_ingest(
                     spark.read.parquet(bronze_dir).select("fp").dropDuplicates()
                 )
                 winners = winners.join(seen, "fp", "left_anti")
+            # pin the final keeper set ONCE, with the lineage cut —
+            # localCheckpoint, not persist: the plan reads the sidecar
+            # path, so the segment append below would invalidate a
+            # path-based cache entry and the bronze write would
+            # recompute winners against the just-written bits (its own
+            # fingerprints probe positive -> `fresh` evaluates empty
+            # -> zero rows reach bronze). The eager checkpoint frees
+            # the plan from both paths, so segment and bronze cover
+            # the same rows by construction. (Cluster note: swap for
+            # df.checkpoint() if executor loss during the two writes
+            # must be survivable.)
+            winners = winners.localCheckpoint(eager=True)
+            if bloom_on:
+                # segment BEFORE bronze (see docstring: bits-without-
+                # rows is safe, rows-without-bits is not)
+                write_segment(winners)
             winners.write.mode("append").parquet(bronze_dir)
-            if bloom_sidecar_dir is not None:
-                # partial segment over THIS batch's written fps; the
-                # bit_or merge on read makes at-least-once redelivery
-                # idempotent (re-ORing the same bits is a no-op)
-                bloom_build(
-                    winners.select(F.lit("all").alias("g"), "fp"),
-                    "g",
-                    F.col("fp"),
-                    BLOOM_K,
-                    BLOOM_BITS,
-                ).drop("grp").write.mode("append").parquet(bloom_sidecar_dir)
             if stats_dir is not None:
                 spark.createDataFrame(
                     [(batch_id, n_winners, n_maybe, scanned)],
@@ -485,6 +577,41 @@ def run_corpus_ingest(
         .start()
     )
     query.awaitTermination()
+
+
+def compact_bloom_sidecar(spark: SparkSession, sidecar_dir: str) -> int:
+    """Maintenance OPTIMIZE for the Bloom sidecar: rewrite the
+    accumulated per-batch segments as ONE merged segment (bit_or per
+    word — the same merge the per-batch read does), so probe-side
+    merge cost stays O(touched words) instead of O(segments × words).
+    Run like any compaction: while ingest is quiesced. Crash-safe via
+    the scratch-dir + rename swap (a leftover ``old`` copy from a
+    previous crash is restored before compacting, mirroring
+    streaming/scd2.compact_history). Returns the merged word count."""
+    jvm = spark._jvm
+    hp = jvm.org.apache.hadoop.fs.Path
+    fs = hp(sidecar_dir).getFileSystem(spark._jsc.hadoopConfiguration())
+    tmp, old = f"{sidecar_dir}__compact_tmp", f"{sidecar_dir}__old"
+    if fs.exists(hp(old)) and not fs.exists(hp(sidecar_dir)):
+        # crash between the two renames of a previous compaction:
+        # restore the saved copy before doing anything else
+        fs.rename(hp(old), hp(sidecar_dir))
+    seg = spark.read.parquet(sidecar_dir)
+    meta_cols = (
+        [F.first("bits").alias("bits"), F.first("k").alias("k")]
+        if "bits" in seg.columns
+        else []
+    )
+    merged = seg.groupBy("word").agg(
+        F.bit_or("bits32").alias("bits32"), *meta_cols
+    )
+    n = merged.count()
+    merged.write.mode("overwrite").parquet(tmp)
+    fs.delete(hp(old), True)
+    fs.rename(hp(sidecar_dir), hp(old))
+    fs.rename(hp(tmp), hp(sidecar_dir))
+    fs.delete(hp(old), True)
+    return n
 
 
 def run_cms_ingest(
