@@ -60,10 +60,15 @@ def connected_components(
     """
     # persist before the strategy probe: count() and the downstream
     # consumer (collect, or the mirrored loop) must not re-evaluate an
-    # expensive upstream pair plan (LSH verify, in-cluster cosine)
-    e = edges.select(
-        F.col(src_col).alias("a"), F.col(dst_col).alias("b")
-    ).persist()
+    # expensive upstream pair plan (LSH verify, in-cluster cosine).
+    # Null endpoints carry no connectivity information and would crash
+    # the driver union-find's root comparison — drop them up front so
+    # both strategies see the same graph.
+    e = (
+        edges.select(F.col(src_col).alias("a"), F.col(dst_col).alias("b"))
+        .filter(F.col("a").isNotNull() & F.col("b").isNotNull())
+        .persist()
+    )
     n_edges = e.count()
     if n_edges <= driver_threshold:
         parent: dict = {}
@@ -76,9 +81,13 @@ def connected_components(
                 parent[x], x = root, parent[x]
             return root
 
-        rows = e.collect()
-        e.unpersist()
-        for r in rows:
+        # toLocalIterator, not collect(): edges stream partition-by-
+        # partition into the union-find and each Row is released as
+        # soon as it is folded in, so driver residency is the parent
+        # dict (two entries per distinct node) rather than up to
+        # driver_threshold Row objects (~100+ bytes each — hundreds of
+        # MB at the 1M default) held all at once
+        for r in e.toLocalIterator():
             a, b = r["a"], r["b"]
             parent.setdefault(a, a)
             parent.setdefault(b, b)
@@ -87,6 +96,7 @@ def connected_components(
                 # min-id root keeps labels = smallest reachable id
                 lo, hi = (ra, rb) if ra < rb else (rb, ra)
                 parent[hi] = lo
+        e.unpersist()
         data = [(x, find(x)) for x in parent]
         id_type = e.schema["a"].dataType
         final = nodes.sparkSession.createDataFrame(

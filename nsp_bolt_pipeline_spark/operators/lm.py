@@ -185,7 +185,7 @@ def bigram_cross_entropy_scores(
     # denominators, bigram numerators) derive from the same token
     # arrays, so materializing them saves a second parse+lower pass
     # over the reference text (the persist-the-reused-slim-frame
-    # pattern; freed by the runners' per-entry clearCache)
+    # pattern; released below once the model tables are checkpointed)
     ref = (
         docs.filter(ref_pred)
         .select(_lower_tokens(text_col).alias("_toks"))
@@ -195,6 +195,9 @@ def bigram_cross_entropy_scores(
         ref.select(F.explode("_toks").alias("tok"))
         .groupBy("tok")
         .agg(F.count("*").cast("long").alias("c1"))
+        # vocab-sized; eager checkpoint cuts the lineage to the
+        # persisted token arrays so scalars/den below never re-read ref
+        .localCheckpoint(eager=True)
     )
     scalars = uni.agg(F.count("*").cast("long").alias("v"))
     den = uni.crossJoin(F.broadcast(scalars)).select(
@@ -212,6 +215,14 @@ def bigram_cross_entropy_scores(
             .alias("num_mu")
         )
     )
+    # Both model tables are now checkpointed (vocab-sized — the
+    # reference slice's vocabulary, not the corpus), so the persisted
+    # token arrays can be released HERE instead of delegating cleanup
+    # to the runners' per-entry clearCache — a library caller scoring
+    # many corpora against one model would otherwise leak executor
+    # storage per invocation.
+    bi = bi.localCheckpoint(eager=True)
+    ref.unpersist()
 
     # score every bigram POSITION straight through the broadcast
     # joins and aggregate once per document: the per-(doc, bigram)

@@ -206,9 +206,30 @@ def compact_history(
     renumbering above the newest batch id could collide with (and be
     invisible to) the next micro-batch. The swap goes through a
     scratch dir (ignored by the version listing): a crash before the
-    first rename leaves the old copy live; between the renames the old
-    copy survives under ``old_v<N>`` for manual recovery. Run it like
-    any table-format OPTIMIZE: while ingest is quiesced."""
+    first rename leaves the old copy live; a crash BETWEEN the renames
+    leaves only ``old_v<N>`` — which entry detects and auto-restores
+    (rename back to ``v=<N>``) before compacting, so the next
+    micro-batch never silently builds on an older version's truncated
+    history. Run it like any table-format OPTIMIZE: while ingest is
+    quiesced."""
+    jvm0 = spark._jvm
+    hp0 = jvm0.org.apache.hadoop.fs.Path
+    fs0 = hp0(history_root).getFileSystem(spark._jsc.hadoopConfiguration())
+    if fs0.exists(hp0(history_root)):
+        for st in fs0.listStatus(hp0(history_root)):
+            name = st.getPath().getName()
+            if name.startswith("old_v"):
+                v = name[len("old_v"):]
+                if not fs0.exists(hp0(f"{history_root}/v={v}")):
+                    # crash between the two renames of a previous run:
+                    # the saved copy is the only live v=<N> — restore
+                    fs0.rename(st.getPath(), hp0(f"{history_root}/v={v}"))
+                else:
+                    # crash after the swap completed but before the
+                    # cleanup delete: v=<N> is authoritative
+                    fs0.delete(st.getPath(), True)
+        # a stale scratch dir is never authoritative — drop it
+        fs0.delete(hp0(f"{history_root}/compact_tmp"), True)
     versions = sorted(_list_versions(spark, history_root))
     if not versions:
         raise ValueError(f"{history_root} holds no history version")

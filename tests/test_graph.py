@@ -37,6 +37,18 @@ def test_component_label_is_global_min_not_edge_order(spark):
     assert comp == {10: 10, 20: 10, 30: 10}
 
 
+def test_null_edge_endpoints_are_ignored(spark):
+    # a null endpoint carries no connectivity: both strategies must
+    # drop it instead of crashing the union-find root comparison
+    nodes = spark.createDataFrame([(1,), (2,), (3,)], ["id"])
+    edges = spark.createDataFrame(
+        [(1, 2), (None, 3), (3, None)], "src long, dst long"
+    )
+    for kw in ({}, {"driver_threshold": 0}):
+        rows = connected_components(nodes, edges, **kw).collect()
+        assert {r["id"]: r["component"] for r in rows} == {1: 1, 2: 1, 3: 3}
+
+
 def test_max_iter_exceeded_raises(spark):
     with pytest.raises(RuntimeError, match="fixpoint"):
         # a 4-chain needs >1 propagation round; max_iter=1 cannot even

@@ -1205,6 +1205,48 @@ class TestScd2History:
         ).collect()
         assert sum(r["n_rows"] for r in final) == 11
 
+    def test_compact_history_restores_interrupted_swap(self, spark, tmp_path):
+        """A crash between compaction's two renames leaves only the
+        ``old_v<N>`` copy — the next compact_history call must restore
+        it before proceeding, so serving never silently builds on an
+        older (truncated) version."""
+        import os
+
+        from nsp_bolt_pipeline_spark.streaming.scd2 import (
+            close_intervals,
+            compact_history,
+        )
+
+        src, hist, ckpt = _dirs(tmp_path, "src", "hist", "ckpt")
+        day = 24 * US_PER_HOUR
+        for b, rng in enumerate((range(0, 6), range(6, 10))):
+            _write_batch(
+                src,
+                f"b{b}.json",
+                [
+                    {"event_id": i, "ts": T0 + i * day, "user_id": 7,
+                     "attr": "AABBABBAAB"[i]}
+                    for i in rng
+                ],
+            )
+            newest = self._run_history(spark, src, hist, ckpt)
+        before = close_intervals(
+            spark.read.parquet(newest), key="user_id", attr="attr"
+        ).collect()
+        # simulate the crash window: v=N renamed away, tmp half-state
+        n = os.path.basename(newest).split("=", 1)[1]
+        os.rename(newest, os.path.join(hist, f"old_v{n}"))
+        os.makedirs(os.path.join(hist, "compact_tmp"), exist_ok=True)
+        out = compact_history(spark, hist, key="user_id", attr="attr")
+        assert out == newest  # restored under its own version number
+        dirs_left = sorted(os.listdir(hist))
+        assert f"old_v{n}" not in dirs_left
+        assert "compact_tmp" not in dirs_left
+        after = close_intervals(
+            spark.read.parquet(out), key="user_id", attr="attr"
+        ).collect()
+        assert sorted(map(tuple, before)) == sorted(map(tuple, after))
+
     def test_boundary_run_merges_with_counts(self, spark):
         from nsp_bolt_pipeline_spark.streaming.scd2 import (
             batch_to_runs,
