@@ -129,16 +129,16 @@ def q_neardup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ngram_containment_pairs(docs, n=N, threshold=CONTAIN_THRESHOLD)
 
 
-def _minhash_lsh_sql() -> str:
-    """DuckDB twin of the integer-family LSH path: one md5 per
-    shingle (48-bit prefix decoded by nibble arithmetic), affine
-    families (a_i*h + b_i) mod P_MOD from the same module constants,
-    band key = '|'-joined ints."""
+def _lsh_banded_ctes() -> str:
+    """Shared DuckDB CTE prefix of the integer-family LSH path — up to
+    the (doc, band_idx, band_key) relation: one md5 per shingle
+    (48-bit prefix decoded by nibble arithmetic), affine families
+    (a_i*h + b_i) mod P_MOD from the same module constants, band key =
+    '|'-joined ints."""
     a_consts, b_consts = minhash_family_consts(NUM_HASHES)
     a_sql = "[" + ", ".join(str(v) for v in a_consts) + "]"
     b_sql = "[" + ", ".join(str(v) for v in b_consts) + "]"
-    return f"""
-    WITH {_GRAMS_CTE},
+    return f"""{_GRAMS_CTE},
     hs AS (
         SELECT doc_id, g,
                list_transform(g, x ->
@@ -161,7 +161,14 @@ def _minhash_lsh_sql() -> str:
                array_to_string(sig[j.j * {ROWS} + 1 : j.j * {ROWS} + {ROWS}],
                                '|') AS band_key
         FROM sigs, range(0, {BANDS}) AS j(j)
-    ),
+    )"""
+
+
+def _minhash_lsh_sql() -> str:
+    """Full unguarded LSH oracle: banded CTEs + all-pairs candidates
+    + exact Jaccard verify."""
+    return f"""
+    WITH {_lsh_banded_ctes()},
     pairs AS (
         SELECT DISTINCT a.d AS d1, b.d AS d2
         FROM banded a
@@ -173,11 +180,81 @@ def _minhash_lsh_sql() -> str:
     """
 
 
+#: hot-band cap for the GUARDED twin. Deliberately tiny so the STAR
+#: path actually fires on the synthetic corpus (max band df at sf0.01
+#: is 3 — a production cap is O(1000) and exists purely for
+#: pathological exact-dup families that escaped upstream dedup).
+GUARD_CAP = 2
+
+
+def _minhash_lsh_guarded_sql(cap: int = GUARD_CAP) -> str:
+    """Oracle replay of the hot-band guard (operators/neardup.py
+    ``max_band_df``): per-bucket df + min-id representative; buckets
+    over the cap emit STAR pairs (rep, member) only, cold buckets keep
+    the exact all-pairs self-join; the union is exactly verified."""
+    return f"""
+    WITH {_lsh_banded_ctes()},
+    stats AS (
+        SELECT band_idx, band_key, COUNT(*) AS bdf, MIN(d) AS rep
+        FROM banded GROUP BY band_idx, band_key
+    ),
+    hot AS (SELECT band_idx, band_key, rep FROM stats WHERE bdf > {cap}),
+    star AS (
+        SELECT LEAST(h.rep, b.d) AS d1, GREATEST(h.rep, b.d) AS d2
+        FROM banded b JOIN hot h
+          ON b.band_idx = h.band_idx AND b.band_key = h.band_key
+        WHERE b.d <> h.rep
+    ),
+    cold AS (
+        SELECT b.* FROM banded b
+        WHERE NOT EXISTS (
+            SELECT 1 FROM hot h
+            WHERE h.band_idx = b.band_idx AND h.band_key = b.band_key
+        )
+    ),
+    pairs AS (
+        SELECT DISTINCT d1, d2 FROM (
+            SELECT a.d AS d1, b.d AS d2
+            FROM cold a
+            JOIN cold b ON a.band_idx = b.band_idx
+                       AND a.band_key = b.band_key
+                       AND a.d < b.d
+            UNION ALL
+            SELECT d1, d2 FROM star
+        )
+    )
+    {_JACCARD_VERIFY}
+    """
+
+
 @query("neardup_minhash_lsh", _minhash_lsh_sql())
 def q_neardup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = read_table(spark, sf_dir, "documents")
     return minhash_lsh_pairs(
         docs, n=N, num_hashes=NUM_HASHES, bands=BANDS, threshold=THRESHOLD
+    )
+
+
+@query("neardup_minhash_lsh_guarded", _minhash_lsh_guarded_sql())
+def q_neardup_minhash_guarded(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The SCALE twin of neardup_minhash_lsh: hot-band guard ON
+    (``max_band_df``), so a pathological bucket — an exact-dup family
+    that escaped upstream exact dedup lands all members on identical
+    band keys — fans out linearly through its min-id representative
+    (STAR pairing) instead of quadratically. The oracle replays the
+    star semantics end-to-end (bucket df -> rep -> star ∪ cold
+    all-pairs -> exact Jaccard verify), so the guard is exercised by
+    the hash compare, not just pytest fixtures. Within a hot bucket,
+    member↔member recall is traded for the linear bound; connected-
+    components connectivity survives through the representative."""
+    docs = read_table(spark, sf_dir, "documents")
+    return minhash_lsh_pairs(
+        docs,
+        n=N,
+        num_hashes=NUM_HASHES,
+        bands=BANDS,
+        threshold=THRESHOLD,
+        max_band_df=GUARD_CAP,
     )
 
 
