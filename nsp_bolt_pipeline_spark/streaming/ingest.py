@@ -189,23 +189,34 @@ def run_ingest(
             )
             winners = first_write_wins(valid, dedup_keys, order_cols)
             min_event_date = None
+            n_dates = 1
             if horizon_on:
                 winners = winners.withColumn(
                     EVENT_DATE_COL, F.to_date(F.col(dedup_ts_col))
                 )
                 # Anchor the horizon on the RAW persisted batch (one
-                # map-side min over cached rows), not on `winners` —
+                # map-side agg over cached rows), not on `winners` —
                 # that would re-run the validate+dedup shuffle as a
                 # second job per batch. The raw min is a valid (>=-
                 # tight) lower bound: rejected rows can only loosen
-                # it, never miss a collision.
+                # it, never miss a collision. The distinct-date count
+                # rides the same single job and sizes the write salt.
+                # approx_count_distinct, not countDistinct: the exact
+                # form adds a distinct shuffle to this bookkeeping
+                # job; the HLL estimate folds map-side in the same
+                # single pass as the min, and a ±5% date-count error
+                # cannot matter to a <=2-vs-many salt threshold
                 row = batch.agg(
-                    F.min(F.to_date(F.col(dedup_ts_col))).alias("lo")
+                    F.min(F.to_date(F.col(dedup_ts_col))).alias("lo"),
+                    F.approx_count_distinct(
+                        F.to_date(F.col(dedup_ts_col))
+                    ).alias("nd"),
                 ).collect()[0]
                 if row["lo"] is not None:
                     min_event_date = row["lo"] - _dt.timedelta(
                         days=dedup_horizon_days
                     )
+                n_dates = max(1, row["nd"])
                 # all-null/empty batch: fall back to the unbounded scan
             # existence probe, not try/except PATH_NOT_FOUND: reading
             # a nonexistent dir makes FileStreamSink log a spurious
@@ -226,10 +237,22 @@ def run_ingest(
                 # classic dynamic-partitioning file explosion). The
                 # key-hash salt keeps one hot date from serializing
                 # into a single task; files per dir per batch is
-                # bounded by the salt width instead.
+                # bounded by the salt width instead. The width ADAPTS
+                # to the batch's date spread (counted above, same agg
+                # as the horizon min): a production-cadence trigger
+                # touches 1-2 dates and keeps the full salt, while a
+                # replay/backfill batch spanning many dates already
+                # gets its write parallelism from the date dimension —
+                # per-dir volume shrinks as 1/n_dates, so the salt
+                # would only multiply small files and commit renames
+                # (measured: ~30% of the availableNow whole-month
+                # replay's wall-time at sf0.1).
+                eff_salt = (
+                    max(1, files_per_partition) if n_dates <= 2 else 1
+                )
                 salt = F.pmod(
                     F.xxhash64(*[F.col(k) for k in dedup_keys]),
-                    F.lit(max(1, files_per_partition)),
+                    F.lit(eff_salt),
                 )
                 winners = winners.repartition(
                     *[F.col(c) for c in bronze_parts], salt
