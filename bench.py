@@ -182,12 +182,31 @@ def main() -> None:
         # 60+ query session instead of leaning on GC
         spark.catalog.clearCache()
 
+    # stamp the artifact with the exact code state it measured: a
+    # working-tree rerun can never be confused with the committed
+    # artifact again (round-4's 146s-vs-104s ambiguity)
+    repo_dir = os.path.dirname(os.path.abspath(__file__))
+    try:
+        import subprocess
+
+        sha = subprocess.run(
+            ["git", "rev-parse", "--short", "HEAD"],
+            cwd=repo_dir, capture_output=True, text=True, timeout=10,
+        ).stdout.strip()
+        dirty = subprocess.run(
+            ["git", "status", "--porcelain"],
+            cwd=repo_dir, capture_output=True, text=True, timeout=10,
+        ).stdout.strip()
+        git_state = (sha + ("-dirty" if dirty else "")) or "unknown"
+    except Exception:
+        git_state = "unknown"
     result = {
         "metric": "headline_query_total",
         "value": round(sum(timings.values()), 3),
         "unit": "sec",
         "queries": timings,
         "sf": sf,
+        "git": git_state,
         "timing": "steady-state (second run; first run warms JIT/codegen)",
     }
     # Durable full artifact: the driver's BENCH_r{N}.json captures only
