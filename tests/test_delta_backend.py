@@ -1,0 +1,41 @@
+"""Delta-backend parity: runs ONLY when delta-spark is importable.
+
+The Delta SQL extension must be installed at session build time and
+Spark ignores ``spark.sql.extensions`` on a live context, so the
+parity harness executes in a FRESH interpreter (subprocess) rather
+than against the shared conftest session. In environments without
+delta-spark (this sandbox) the whole module skips cleanly — the
+plain-parquet twins these functions mirror stay oracle-verified
+either way (see sources/delta_backend.py module docstring).
+"""
+
+from __future__ import annotations
+
+import subprocess
+import sys
+
+import pytest
+
+from nsp_bolt_pipeline_spark.sources.delta_backend import delta_available
+
+pytestmark = pytest.mark.skipif(
+    not delta_available(), reason="delta-spark not installed"
+)
+
+
+def test_delta_layer_matches_plain_parquet_twins(tmp_path):
+    """merge_upsert / silver upsert / scd2 history+compaction on Delta
+    produce exactly the rows of their oracle-pinned plain twins."""
+    proc = subprocess.run(
+        [
+            sys.executable,
+            "-m",
+            "nsp_bolt_pipeline_spark.sources.delta_backend",
+            str(tmp_path / "work"),
+        ],
+        capture_output=True,
+        text=True,
+        timeout=600,
+    )
+    assert proc.returncode == 0, proc.stderr[-2000:]
+    assert "PARITY-OK merge_upsert silver_upsert scd2_history" in proc.stdout
