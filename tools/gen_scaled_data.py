@@ -1,0 +1,298 @@
+"""Deterministic synthetic-data generator for scale probes BEYOND the
+driver-provided sf dirs (TESTDATA.md caps at sf0.1; saturation bugs —
+fixed-size sketches, driver-side collects, hot-key fanouts — only
+show above that).
+
+Same ten-table star schema and the statistical features the operators
+exercise: dup/near-dup families in ``documents`` (the dedup family
+needs real collisions), 10 clustered centers in ``embeddings`` (ANN
+recall needs separable structure), key skew plus a hot-key slice in
+``events``, referentially intact orders/lineitem. Everything derives
+from hash arithmetic on ``spark.range`` ids — no RNG, so any two runs
+(and any partitioning) produce byte-identical content rows.
+
+Usage: python tools/gen_scaled_data.py SF OUT_DIR
+e.g.   python tools/gen_scaled_data.py 0.5 /root/repo/.scaledata/sf0.5
+
+Then crash/plan-probe with: python tools/sweep_sf.py OUT_DIR [names]
+(bench-blind by design: these dirs validate that plans SURVIVE the
+volume, not to compare timings against the driver's generator.)
+"""
+
+from __future__ import annotations
+
+import sys
+
+sys.path.insert(0, ".")
+
+from pyspark.sql import DataFrame, SparkSession  # noqa: E402
+from pyspark.sql import functions as F  # noqa: E402
+
+#: base rows at sf=1.0 (matches the driver's sf0.01 counts x100)
+BASE = {
+    "customer": 150_000,
+    "supplier": 10_000,
+    "part": 200_000,
+    "orders": 1_500_000,
+    "lineitem": 6_000_000,
+    "events": 1_000_000,
+    "documents": 50_000,
+    "embeddings": 50_000,
+}
+
+REGIONS = ["AFRICA", "AMERICA", "ASIA", "EUROPE", "MIDDLE EAST"]
+SEGMENTS = ["AUTOMOBILE", "BUILDING", "FURNITURE", "HOUSEHOLD", "MACHINERY"]
+PRIORITIES = ["1-URGENT", "2-HIGH", "3-MEDIUM", "4-NOT SPECIFIED", "5-LOW"]
+EVENT_TYPES = ["click", "view", "purchase", "signup", "error"]
+VOCAB = (
+    "key agg row scan slow fast table value part hash merge batch window "
+    "spark order data column join small line customer query big the a "
+    "filter shuffle broadcast codegen plan stage task executor driver "
+    "partition bucket skew salt limit sample stream state sink source"
+).split()
+
+
+def _h(*cols, salt: str = "") -> F.Column:
+    """Non-negative deterministic 63-bit hash of the columns."""
+    return F.abs(F.xxhash64(F.lit(salt), *cols))
+
+
+def _uniform(*cols, salt: str = "") -> F.Column:
+    """Deterministic double in [0, 1)."""
+    return (_h(*cols, salt=salt) % 1_000_000).cast("double") / 1_000_000.0
+
+
+def _pick(options: list[str], *cols, salt: str = "") -> F.Column:
+    arr = F.array(*[F.lit(o) for o in options])
+    return F.element_at(arr, (_h(*cols, salt=salt) % len(options) + 1).cast("int"))
+
+
+def gen(spark: SparkSession, sf: float, out: str) -> None:
+    n = {t: max(10, int(c * sf)) for t, c in BASE.items()}
+
+    def write(df: DataFrame, name: str) -> None:
+        df.write.mode("overwrite").parquet(f"{out}/{name}.parquet")
+        print(f"wrote {name}: {n.get(name, 'dim')}")
+
+    write(
+        spark.range(5).select(
+            F.col("id").cast("int").alias("r_regionkey"),
+            _pick(REGIONS, "id").alias("r_name"),
+        ),
+        "region",
+    )
+    write(
+        spark.range(25).select(
+            F.col("id").cast("int").alias("n_nationkey"),
+            F.concat(F.lit("nation_"), "id").alias("n_name"),
+            (F.col("id") % 5).cast("int").alias("n_regionkey"),
+        ),
+        "nation",
+    )
+    write(
+        spark.range(n["customer"]).select(
+            F.col("id").alias("c_custkey"),
+            F.concat(F.lit("Customer#"), "id").alias("c_name"),
+            (_h("id", salt="cn") % 25).cast("int").alias("c_nationkey"),
+            F.round(_uniform("id", salt="cb") * 11000 - 1000, 2).alias(
+                "c_acctbal"
+            ),
+            _pick(SEGMENTS, "id", salt="cs").alias("c_mktsegment"),
+        ),
+        "customer",
+    )
+    write(
+        spark.range(n["supplier"]).select(
+            F.col("id").alias("s_suppkey"),
+            F.concat(F.lit("Supplier#"), "id").alias("s_name"),
+            (_h("id", salt="sn") % 25).cast("int").alias("s_nationkey"),
+            F.round(_uniform("id", salt="sb") * 11000 - 1000, 2).alias(
+                "s_acctbal"
+            ),
+        ),
+        "supplier",
+    )
+    write(
+        spark.range(n["part"]).select(
+            F.col("id").alias("p_partkey"),
+            F.concat(
+                _pick(VOCAB, "id", salt="p1"), F.lit(" "),
+                _pick(VOCAB, "id", salt="p2"), F.lit(" part "), "id",
+            ).alias("p_name"),
+            F.concat(F.lit("Brand#"), (_h("id", salt="pb") % 50)).alias(
+                "p_brand"
+            ),
+            F.concat(
+                _pick(["STANDARD", "SMALL", "MEDIUM", "LARGE", "ECONOMY",
+                       "PROMO"], "id", salt="pt1"),
+                F.lit(" "),
+                _pick(["ANODIZED", "BURNISHED", "PLATED", "POLISHED",
+                       "BRUSHED"], "id", salt="pt2"),
+                F.lit(" "),
+                _pick(["TIN", "NICKEL", "BRASS", "STEEL", "COPPER"],
+                      "id", salt="pt3"),
+            ).alias("p_type"),
+            (_h("id", salt="ps") % 50 + 1).cast("int").alias("p_size"),
+            F.round(900 + _uniform("id", salt="pr") * 1200, 2).alias(
+                "p_retailprice"
+            ),
+        ),
+        "part",
+    )
+    write(
+        spark.range(n["orders"]).select(
+            F.col("id").alias("o_orderkey"),
+            (_h("id", salt="oc") % n["customer"]).alias("o_custkey"),
+            _pick(["O", "F", "P"], "id", salt="os").alias("o_orderstatus"),
+            F.round(_uniform("id", salt="ot") * 450000 + 900, 2).alias(
+                "o_totalprice"
+            ),
+            (
+                F.to_timestamp(F.lit("1995-01-01"))
+                + F.make_dt_interval(days=(_h("id", salt="od") % 2405).cast("int"))
+            ).alias("o_orderdate"),
+            _pick(PRIORITIES, "id", salt="op").alias("o_orderpriority"),
+        ),
+        "orders",
+    )
+    write(
+        spark.range(n["lineitem"]).select(
+            (F.col("id") % n["orders"]).alias("l_orderkey"),
+            (_h("id", salt="lp") % n["part"]).alias("l_partkey"),
+            (_h("id", salt="ls") % n["supplier"]).alias("l_suppkey"),
+            (F.col("id") / n["orders"] + 1).cast("int").alias("l_linenumber"),
+            (_h("id", salt="lq") % 50 + 1).cast("double").alias("l_quantity"),
+            F.round(_uniform("id", salt="le") * 95000 + 900, 2).alias(
+                "l_extendedprice"
+            ),
+            ((_h("id", salt="ld") % 11).cast("double") / 100).alias(
+                "l_discount"
+            ),
+            ((_h("id", salt="lt") % 9).cast("double") / 100).alias("l_tax"),
+            _pick(["R", "A", "N"], "id", salt="lr").alias("l_returnflag"),
+            _pick(["O", "F"], "id", salt="ll").alias("l_linestatus"),
+            (
+                F.to_timestamp(F.lit("1995-01-01"))
+                + F.make_dt_interval(days=(_h("id", salt="lsd") % 2405).cast("int"))
+            ).alias("l_shipdate"),
+        ),
+        "lineitem",
+    )
+    # events: 30-day span, ~5% of traffic concentrated on 10 hot users
+    # (the skew the salted aggs/joins exist for), JSON props
+    n_users = max(10, n["events"] // 100)
+    hot = _uniform("id", salt="eh") < 0.05
+    write(
+        spark.range(n["events"]).select(
+            F.col("id").alias("event_id"),
+            (
+                F.to_timestamp(F.lit("2024-01-01"))
+                + F.make_dt_interval(
+                    secs=(_h("id", salt="et") % (30 * 86400)).cast("double")
+                    + (_h("id", salt="etu") % 1_000_000).cast("double") / 1e6
+                )
+            ).alias("ts"),
+            F.when(hot, _h("id", salt="ehu") % 10)
+            .otherwise(_h("id", salt="eu") % n_users)
+            .alias("user_id"),
+            _pick(EVENT_TYPES, "id", salt="ee").alias("event_type"),
+            F.round(_uniform("id", salt="ev") * 20, 2).alias("value"),
+            F.concat(
+                F.lit('{"k": '), (_h("id", salt="ep") % 100), F.lit("}")
+            ).alias("props"),
+        ),
+        "events",
+    )
+    # documents: word-salad text over VOCAB; every 20th doc is an EXACT
+    # copy of its family base, every 10th a NEAR-dup (one word appended)
+    # — the collision structure exact/minhash/simhash dedup needs
+    base_id = (F.col("id") - F.col("id") % 20).alias("base")
+    words = F.transform(
+        F.sequence(
+            F.lit(0),
+            (_h(base_id, salt="dl") % 60 + 19).cast("int"),
+        ),
+        lambda i: F.element_at(
+            F.array(*[F.lit(w) for w in VOCAB]),
+            (
+                F.abs(F.xxhash64(F.lit("dw"), base_id, i)) % len(VOCAB) + 1
+            ).cast("int"),
+        ),
+    )
+    text = F.concat_ws(" ", words)
+    near = F.concat(text, F.lit(" "), _pick(VOCAB, "id", salt="dn"))
+    fresh_words = F.transform(
+        F.sequence(F.lit(0), (_h("id", salt="dl2") % 60 + 19).cast("int")),
+        lambda i: F.element_at(
+            F.array(*[F.lit(w) for w in VOCAB]),
+            (
+                F.abs(F.xxhash64(F.lit("dw2"), F.col("id"), i)) % len(VOCAB) + 1
+            ).cast("int"),
+        ),
+    )
+    fresh = F.concat_ws(" ", fresh_words)
+    doc_text = (
+        F.when(F.col("id") % 20 == 0, text)          # family base
+        .when(F.col("id") % 20 == 1, text)           # exact dup of base
+        .when(F.col("id") % 10 == 2, near)           # near-dup of base
+        .otherwise(fresh)
+    )
+    write(
+        spark.range(n["documents"]).select(
+            F.col("id").alias("doc_id"),
+            doc_text.alias("text"),
+            F.when(_uniform("id", salt="dg") < 0.9, F.lit("en"))
+            .otherwise(_pick(["de", "fr", "es"], "id", salt="dg2"))
+            .alias("lang"),
+            F.concat(F.lit("src"), (_h("id", salt="ds") % 20)).alias(
+                "source"
+            ),
+        ).withColumn("n_chars", F.length("text").cast("long")),
+        "documents",
+    )
+    # embeddings: 64-dim, 10 separable centers + per-vector noise
+    dims = F.sequence(F.lit(0), F.lit(63))
+    label = (_h("id", salt="el") % 10).cast("int")
+    write(
+        spark.range(n["embeddings"]).select(
+            F.col("id").alias("vec_id"),
+            F.transform(
+                dims,
+                lambda d: (
+                    (
+                        F.abs(F.xxhash64(F.lit("ec"), label, d)) % 2000
+                    ).cast("double")
+                    / 1000.0
+                    - 1.0
+                    + (
+                        (
+                            F.abs(F.xxhash64(F.lit("en"), F.col("id"), d))
+                            % 1000
+                        ).cast("double")
+                        / 1000.0
+                        - 0.5
+                    )
+                    * 0.4
+                ).cast("float"),
+            ).alias("embedding"),
+            label.alias("label"),
+        ),
+        "embeddings",
+    )
+
+
+def main() -> int:
+    if len(sys.argv) != 3:
+        print(__doc__)
+        return 2
+    sf, out = float(sys.argv[1]), sys.argv[2]
+    from nsp_bolt_pipeline_spark.session import get_spark
+
+    spark = get_spark("gen_scaled_data")
+    gen(spark, sf, out)
+    print(f"done: sf={sf} at {out}")
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
