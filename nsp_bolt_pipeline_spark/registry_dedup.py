@@ -708,8 +708,17 @@ def q_cross_source_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
 # per-row hashes is associative and commutative, so the digest is
 # identical at any partition count and any row order; money enters the
 # row key as integer cents, timestamps as epoch micros (no float or
-# formatting drift).
+# formatting drift). The sum accumulates in DECIMAL(38,0) and the
+# published digest is that sum mod 2^61-1: a BIGINT sum of 48-bit row
+# hashes overflows once a slice exceeds ~2^15 rows (caught by the
+# sf0.5 sweep under ANSI mode), while the decimal accumulator is exact
+# past 10^12 rows/slice and the Mersenne-prime fold keeps the digest a
+# stable 61-bit BIGINT with ~2^-61 collision odds per slice pair.
 # ---------------------------------------------------------------------------
+
+#: digest modulus (Mersenne prime 2^61-1) — both engines fold the
+#: exact decimal sum with it, so the published digest stays a BIGINT.
+DIGEST_MOD = 2305843009213693951
 
 
 def _row_hash_sql() -> str:
@@ -728,7 +737,8 @@ def _row_hash_sql() -> str:
     f"""
     SELECT event_type,
            COUNT(*) AS n_rows,
-           CAST(SUM({_row_hash_sql()}) AS BIGINT) AS content_digest
+           CAST(SUM(CAST({_row_hash_sql()} AS DECIMAL(38,0)))
+                % {DIGEST_MOD} AS BIGINT) AS content_digest
     FROM events
     GROUP BY event_type
     """,
@@ -736,7 +746,10 @@ def _row_hash_sql() -> str:
 def q_reconciliation_checksum(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-event-type (row count, sum-of-row-hashes) digest. One
     partial-aggregated scan; comparing two copies of a 100 TB table
-    costs two scans and a k-row diff instead of a full-table join."""
+    costs two scans and a k-row diff instead of a full-table join.
+    The accumulator is DECIMAL(38,0) (exact far past 10^12 rows per
+    slice) folded mod 2^61-1 into a BIGINT digest — a raw BIGINT sum
+    overflowed at ~32k rows/slice under ANSI mode."""
     ev = read_table(spark, sf_dir, "events")
     cents = F.floor(F.col("value") * 100 + F.lit(0.5)).cast("long")
     row_key = F.concat_ws(
@@ -749,7 +762,11 @@ def q_reconciliation_checksum(spark: SparkSession, sf_dir: str) -> DataFrame:
     row_hash = F.conv(F.substring(F.md5(row_key), 1, 12), 16, 10).cast("long")
     return ev.groupBy("event_type").agg(
         F.count(F.lit(1)).alias("n_rows"),
-        F.sum(row_hash).alias("content_digest"),
+        F.pmod(
+            F.sum(row_hash.cast("decimal(38,0)")), F.lit(DIGEST_MOD)
+        )
+        .cast("long")
+        .alias("content_digest"),
     )
 
 
