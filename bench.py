@@ -193,10 +193,17 @@ def main() -> None:
             ["git", "rev-parse", "--short", "HEAD"],
             cwd=repo_dir, capture_output=True, text=True, timeout=10,
         ).stdout.strip()
-        dirty = subprocess.run(
+        porcelain = subprocess.run(
             ["git", "status", "--porcelain"],
             cwd=repo_dir, capture_output=True, text=True, timeout=10,
         ).stdout.strip()
+        # bench.py rewrites its own artifact, so a prior run must not
+        # make THIS run read as dirty: ignore the bench artifacts in
+        # the dirty test (porcelain lines are "XY <path>").
+        dirty = [
+            ln for ln in porcelain.splitlines()
+            if not ln[3:].startswith("BENCH_")
+        ]
         git_state = (sha + ("-dirty" if dirty else "")) or "unknown"
     except Exception:
         git_state = "unknown"
