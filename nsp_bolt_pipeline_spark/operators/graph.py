@@ -81,14 +81,16 @@ def connected_components(
                 parent[x], x = root, parent[x]
             return root
 
-        # toLocalIterator, not collect(): edges stream partition-by-
-        # partition into the union-find and each Row is released as
-        # soon as it is folded in, so driver residency is the parent
-        # dict (two entries per distinct node) rather than up to
-        # driver_threshold Row objects (~100+ bytes each — hundreds of
-        # MB at the 1M default) held all at once
-        for r in e.toLocalIterator():
-            a, b = r["a"], r["b"]
+        # Arrow toPandas, not collect() and not toLocalIterator():
+        # collect() holds up to driver_threshold Row objects (~100+
+        # bytes each — hundreds of MB at the 1M default) all at once,
+        # while toLocalIterator() launches one sequential Spark job
+        # PER PARTITION (32 scheduling round-trips for a few thousand
+        # edges — it doubled semdedup_prune's wall time). A columnar
+        # fetch is one job and two flat arrays: ~16 B/edge for int
+        # ids, and string ids stay Arrow-packed until iterated.
+        pdf = e.toPandas()
+        for a, b in zip(pdf["a"].to_list(), pdf["b"].to_list()):
             parent.setdefault(a, a)
             parent.setdefault(b, b)
             ra, rb = find(a), find(b)
