@@ -199,10 +199,12 @@ def main() -> None:
         ).stdout.strip()
         # bench.py rewrites its own artifact, so a prior run must not
         # make THIS run read as dirty: ignore the bench artifacts in
-        # the dirty test (porcelain lines are "XY <path>").
+        # the dirty test. Parse the path by splitting off the status
+        # field — the XY prefix is positional, but the outer strip()
+        # already ate the first line's leading space.
         dirty = [
             ln for ln in porcelain.splitlines()
-            if not ln[3:].startswith("BENCH_")
+            if not ln.strip().split(None, 1)[-1].startswith("BENCH_")
         ]
         git_state = (sha + ("-dirty" if dirty else "")) or "unknown"
     except Exception:
