@@ -142,6 +142,39 @@ HEADLINE = [
 ]
 
 
+def _spin(n: int = 4_000_000) -> int:
+    """CPU-bound integer loop for _machine_calibration (module level:
+    multiprocessing pickles the task function by reference)."""
+    s = 0
+    for i in range(n):
+        s += i * i
+    return s
+
+
+def _machine_calibration() -> dict:
+    """Fixed CPU spin, timed single-threaded and across all cores: the
+    bench host is a shared VM whose deliverable CPU varies run to run
+    (observed 19x-30x effective cores from the same 32-thread box).
+    Stamping both figures into the artifact lets cross-round total
+    comparisons separate plan regressions from machine weather."""
+    import multiprocessing as mp
+
+    _spin(100_000)  # warm the allocator / freq governor
+    t0 = time.time()
+    _spin()
+    single = time.time() - t0
+    ncpu = os.cpu_count() or 1
+    try:
+        with mp.Pool(ncpu) as pool:
+            t0 = time.time()
+            pool.map(_spin, [4_000_000] * ncpu)
+            allcore = time.time() - t0
+        scaling = round(single * ncpu / allcore, 1) if allcore else None
+    except OSError:
+        scaling = None
+    return {"spin_single_s": round(single, 3), "effective_cores": scaling}
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     m = re.search(r"sf([0-9.]+)", sf_dir)
@@ -217,6 +250,7 @@ def main() -> None:
         "sf": sf,
         "git": git_state,
         "timing": "steady-state (second run; first run warms JIT/codegen)",
+        "machine": _machine_calibration(),
     }
     # Durable full artifact: the driver's BENCH_r{N}.json captures only
     # a truncated stdout tail, which has cut off headline timings
