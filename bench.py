@@ -93,6 +93,7 @@ HEADLINE = [
     "sel_dsir_importance",
     "eval_quality_auc",
     "srp_multiprobe_pairs",
+    "srp_multiprobe_guarded",
     "sel_leakage_safe_split",
     # round-3 additions: Gopher rule filter (scan-speed projection)
     # and CCNet-style LM cross-entropy (broadcast unigram model)

@@ -325,6 +325,7 @@ def srp_neardup_pairs(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     multiprobe: bool = False,
+    max_bucket_df: int | None = None,
 ) -> DataFrame:
     """Embedding near-duplicate pairs via signed random projections:
     sign-bit signature -> banded bucket join -> exact cosine on
@@ -357,7 +358,25 @@ def srp_neardup_pairs(
     probe shuffle keys remain uniform. Near-threshold pairs are the
     ones most likely to miss by a single flipped bit, so this lifts
     recall precisely where the S-curve is weakest; exact rescoring
-    keeps precision 1.0 as always."""
+    keeps precision 1.0 as always.
+
+    ``max_bucket_df`` is the hot-bucket guard, the SRP twin of
+    minhash_lsh_pairs' ``max_band_df``. CLUSTERED corpora make it
+    load-bearing here, not just a pathological-family backstop: tight
+    embedding clusters concentrate each cluster into a handful of
+    (band, key) buckets, so bucket size grows with corpus size and the
+    within-bucket all-pairs join is quadratic in n (measured on the
+    10-center synthetic: 2x rows -> 3.3-5x join time). Buckets over
+    the cap switch to STAR pairing through the bucket's min-id
+    representative (linear fan-out); verification stays exact, so
+    precision is unchanged, and downstream connected-components
+    connectivity survives through the representative. Under
+    ``multiprobe`` the star also absorbs one-bit-flip probes into hot
+    buckets, and the cold join normalizes pairs with least/greatest
+    instead of ``a.d < b.d`` — the hot side of a mixed hot/cold pair
+    is no longer in the index, so discovery direction is forced and
+    the ordered condition would drop pairs whose cold member has the
+    smaller id."""
     if n_planes % bands:
         raise ValueError("n_planes must divide evenly into bands")
     r = n_planes // bands
@@ -402,6 +421,67 @@ def srp_neardup_pairs(
         .agg(F.sum("bitval").cast("int").alias("bkey"))
         .persist()
     )
+    star = None
+    index = keyed
+    if max_bucket_df is not None:
+        stats = keyed.groupBy("band", "bkey").agg(
+            F.count(F.lit(1)).alias("bdf"), F.min("d").alias("rep")
+        )
+        # hot buckets are FEW even when they are LARGE (one bucket per
+        # cluster per band, not per row), so the broadcast is small
+        hot = stats.filter(F.col("bdf") > max_bucket_df).select(
+            "band", "bkey", "rep"
+        )
+        index = keyed.join(
+            F.broadcast(hot.select("band", "bkey")),
+            ["band", "bkey"],
+            "left_anti",
+        )
+        if multiprobe:
+            # probes (base key + one-bit flips) landing in a hot
+            # bucket pair with its representative only; this covers
+            # the hot bucket's own members too (their base key is in
+            # the probe stream)
+            probe_all = keyed.select(
+                "d",
+                "band",
+                F.explode(
+                    F.array(
+                        F.col("bkey"),
+                        *[
+                            F.col("bkey").bitwiseXOR(F.lit(1 << i))
+                            for i in range(r)
+                        ],
+                    )
+                ).alias("pkey"),
+            )
+            star = (
+                probe_all.join(
+                    F.broadcast(
+                        hot.select(
+                            F.col("band").alias("hband"),
+                            F.col("bkey").alias("hkey"),
+                            "rep",
+                        )
+                    ),
+                    (F.col("band") == F.col("hband"))
+                    & (F.col("pkey") == F.col("hkey")),
+                )
+                .filter(F.col("d") != F.col("rep"))
+                .select(
+                    F.least("d", "rep").alias("d1"),
+                    F.greatest("d", "rep").alias("d2"),
+                )
+            )
+        else:
+            star = (
+                keyed.join(F.broadcast(hot), ["band", "bkey"])
+                .filter(F.col("d") != F.col("rep"))
+                .select(
+                    F.least("d", "rep").alias("d1"),
+                    F.greatest("d", "rep").alias("d2"),
+                )
+            )
     if multiprobe:
         # probe side fans out to the base key + its r one-bit flips;
         # the index side stays the exact keys, so a pair is a
@@ -420,24 +500,35 @@ def srp_neardup_pairs(
                 )
             ).alias("pkey"),
         )
-        a, b2 = probe.alias("a"), keyed.alias("b")
+        a, b2 = probe.alias("a"), index.alias("b")
+        # Guarded: the hot side of a mixed pair is absent from the
+        # index, so only one probe direction can find it — normalize
+        # with least/greatest instead of ordering the join (see
+        # docstring). Unguarded keeps the cheaper ordered condition.
+        ordered = (
+            F.col("a.d") < F.col("b.d")
+            if max_bucket_df is None
+            else F.col("a.d") != F.col("b.d")
+        )
         join_cond = (
             (F.col("a.band") == F.col("b.band"))
             & (F.col("a.pkey") == F.col("b.bkey"))
-            & (F.col("a.d") < F.col("b.d"))
+            & ordered
         )
     else:
-        a, b2 = keyed.alias("a"), keyed.alias("b")
+        a, b2 = index.alias("a"), index.alias("b")
         join_cond = (
             (F.col("a.band") == F.col("b.band"))
             & (F.col("a.bkey") == F.col("b.bkey"))
             & (F.col("a.d") < F.col("b.d"))
         )
-    cand = (
-        a.join(b2, join_cond)
-        .select(F.col("a.d").alias("d1"), F.col("b.d").alias("d2"))
-        .distinct()
+    cand = a.join(b2, join_cond).select(
+        F.least(F.col("a.d"), F.col("b.d")).alias("d1"),
+        F.greatest(F.col("a.d"), F.col("b.d")).alias("d2"),
     )
+    if star is not None:
+        cand = cand.unionByName(star)
+    cand = cand.distinct()
     v1 = df.select(
         F.col(id_col).alias("d1"),
         F.col(vec_col).alias("v1"),

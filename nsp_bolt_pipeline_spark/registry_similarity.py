@@ -250,21 +250,10 @@ def _planes_values_sql() -> str:
     return ",\n               ".join(rows)
 
 
-def _srp_pairs_sql(*, multiprobe: bool = False) -> str:
-    """DuckDB replay of the full SRP-LSH pipeline (planes, sign bits,
-    band keys, candidate join, exact-cosine rescore) — shared by the
-    pairs entry, the clusters composition, and (with
-    ``multiprobe=True``, which widens the candidate condition to
-    band keys within Hamming distance 1) the multi-probe entry."""
-    if multiprobe:
-        flips = ", ".join(str(1 << i) for i in range(_SRP_R))
-        key_cond = (
-            f"(a.bkey = b.bkey OR xor(a.bkey, b.bkey) IN ({flips}))"
-        )
-    else:
-        key_cond = "a.bkey = b.bkey"
-    return f"""
-    WITH vecs AS (
+def _srp_keys_ctes() -> str:
+    """Shared CTE chain (vectors, hyperplane literals, sign bits,
+    band keys) for every SRP oracle variant."""
+    return f"""vecs AS (
         SELECT vec_id,
                list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
         FROM embeddings
@@ -285,19 +274,101 @@ def _srp_pairs_sql(*, multiprobe: bool = False) -> str:
         SELECT vec_id, (j // {_SRP_R}) AS band,
                CAST(SUM(bit * (1 << (j % {_SRP_R}))) AS INTEGER) AS bkey
         FROM bits GROUP BY vec_id, (j // {_SRP_R})
-    ),
-    cand AS (
-        SELECT DISTINCT a.vec_id AS d1, b.vec_id AS d2
-        FROM keys a
-        JOIN keys b ON a.band = b.band AND {key_cond}
-                   AND a.vec_id < b.vec_id
-    )
+    )"""
+
+
+_SRP_RESCORE = f"""
     SELECT d1, d2, sim FROM (
         SELECT c.d1, c.d2, {_cos_sql("x.v", "y.v")} AS sim
         FROM cand c
         JOIN vecs x ON x.vec_id = c.d1
         JOIN vecs y ON y.vec_id = c.d2
     ) WHERE sim >= {NEARDUP_THRESHOLD}
+    """
+
+
+def _srp_pairs_sql(*, multiprobe: bool = False) -> str:
+    """DuckDB replay of the full SRP-LSH pipeline (planes, sign bits,
+    band keys, candidate join, exact-cosine rescore) — shared by the
+    pairs entry, the clusters composition, and (with
+    ``multiprobe=True``, which widens the candidate condition to
+    band keys within Hamming distance 1) the multi-probe entry."""
+    if multiprobe:
+        flips = ", ".join(str(1 << i) for i in range(_SRP_R))
+        key_cond = (
+            f"(a.bkey = b.bkey OR xor(a.bkey, b.bkey) IN ({flips}))"
+        )
+    else:
+        key_cond = "a.bkey = b.bkey"
+    return f"""
+    WITH {_srp_keys_ctes()},
+    cand AS (
+        SELECT DISTINCT a.vec_id AS d1, b.vec_id AS d2
+        FROM keys a
+        JOIN keys b ON a.band = b.band AND {key_cond}
+                   AND a.vec_id < b.vec_id
+    )
+    {_SRP_RESCORE}
+    """
+
+
+#: hot-bucket cap for the GUARDED SRP twins. Chosen so the STAR path
+#: actually fires on the driver corpus (bucket df at sf0.01 tops out
+#: at 11 with seven buckets above 8) while most buckets stay on the
+#: exact all-pairs path; a production cap is O(1000).
+SRP_GUARD_CAP = 8
+
+
+def _srp_pairs_guarded_sql(*, multiprobe: bool = False) -> str:
+    """Oracle replay of the SRP hot-bucket guard (``max_bucket_df``):
+    per-bucket df + min-id representative; over-cap buckets emit STAR
+    pairs through the representative (for multiprobe, one-bit-flip
+    probes into hot buckets too), cold buckets keep the exact join;
+    exact-cosine rescoring is unchanged."""
+    flips = ", ".join(str(1 << i) for i in range(_SRP_R))
+    if multiprobe:
+        cold_cond = (
+            f"(a.bkey = b.bkey OR xor(a.bkey, b.bkey) IN ({flips}))"
+            " AND a.vec_id <> b.vec_id"
+        )
+        star_cond = f"(k.bkey = h.bkey OR xor(k.bkey, h.bkey) IN ({flips}))"
+    else:
+        cold_cond = "a.bkey = b.bkey AND a.vec_id < b.vec_id"
+        star_cond = "k.bkey = h.bkey"
+    # multiprobe probes from the FULL key set against the cold index
+    # (mirrors the operator: the hot side of a mixed pair is absent
+    # from the index, so the symmetric <> condition + LEAST/GREATEST
+    # replaces the ordered join); non-multiprobe stays cold x cold
+    a_src = "keys" if multiprobe else "cold"
+    return f"""
+    WITH {_srp_keys_ctes()},
+    stats AS (
+        SELECT band, bkey, COUNT(*) AS bdf, MIN(vec_id) AS rep
+        FROM keys GROUP BY band, bkey
+    ),
+    hot AS (SELECT band, bkey, rep FROM stats WHERE bdf > {SRP_GUARD_CAP}),
+    cold AS (
+        SELECT k.* FROM keys k
+        WHERE NOT EXISTS (
+            SELECT 1 FROM hot h
+            WHERE h.band = k.band AND h.bkey = k.bkey
+        )
+    ),
+    cand AS (
+        SELECT DISTINCT d1, d2 FROM (
+            SELECT LEAST(a.vec_id, b.vec_id) AS d1,
+                   GREATEST(a.vec_id, b.vec_id) AS d2
+            FROM {a_src} a
+            JOIN cold b ON a.band = b.band AND {cold_cond}
+            UNION ALL
+            SELECT LEAST(k.vec_id, h.rep) AS d1,
+                   GREATEST(k.vec_id, h.rep) AS d2
+            FROM keys k
+            JOIN hot h ON k.band = h.band AND {star_cond}
+            WHERE k.vec_id <> h.rep
+        )
+    )
+    {_SRP_RESCORE}
     """
 
 
@@ -328,6 +399,50 @@ def q_srp_multiprobe(spark: SparkSession, sf_dir: str) -> DataFrame:
         bands=SRP_BANDS,
         dim=DIM,
         multiprobe=True,
+    )
+
+
+@query("srp_neardup_guarded", _srp_pairs_guarded_sql())
+def q_srp_neardup_guarded(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SCALE twin of srp_neardup_pairs with the hot-bucket guard ON
+    (``max_bucket_df``). Unlike the MinHash twin — where hot bands are
+    a pathological-family backstop — this guard is load-bearing for
+    any CLUSTERED embedding corpus: each tight cluster concentrates
+    into a handful of (band, key) buckets, so bucket size grows with
+    the corpus and the within-bucket join is quadratic in n (the sf1.0
+    scale sweep measured 3.3x join time for 2x rows). Over-cap buckets
+    pair members through the bucket's min-id representative (linear);
+    the oracle replays bucket df -> rep -> star ∪ cold all-pairs ->
+    exact-cosine rescore end-to-end."""
+    emb = read_table(spark, sf_dir, "embeddings")
+    return srp_neardup_pairs(
+        emb,
+        threshold=NEARDUP_THRESHOLD,
+        n_planes=SRP_PLANES,
+        bands=SRP_BANDS,
+        dim=DIM,
+        max_bucket_df=SRP_GUARD_CAP,
+    )
+
+
+@query("srp_multiprobe_guarded", _srp_pairs_guarded_sql(multiprobe=True))
+def q_srp_multiprobe_guarded(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hot-bucket guard under multi-probe: one-bit-flip probes into an
+    over-cap bucket collapse onto its representative too, and the cold
+    join switches from the ordered a.d < b.d condition to a symmetric
+    join with LEAST/GREATEST normalization — the hot side of a mixed
+    hot/cold pair is no longer in the index, so discovery direction is
+    forced and the ordered condition would drop pairs whose cold
+    member has the smaller id (the oracle replays exactly this)."""
+    emb = read_table(spark, sf_dir, "embeddings")
+    return srp_neardup_pairs(
+        emb,
+        threshold=NEARDUP_THRESHOLD,
+        n_planes=SRP_PLANES,
+        bands=SRP_BANDS,
+        dim=DIM,
+        multiprobe=True,
+        max_bucket_df=SRP_GUARD_CAP,
     )
 
 

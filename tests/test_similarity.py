@@ -195,6 +195,110 @@ def test_multiprobe_is_superset_of_single_probe_and_exact_precision(spark):
         assert v == full[k]
 
 
+def _srp_band_keys(v, planes, bands: int) -> list[int]:
+    """numpy mirror of the operator's sign-bit band keys."""
+    r = len(planes) // bands
+    keys = []
+    for band in range(bands):
+        k = 0
+        for j in range(band * r, (band + 1) * r):
+            if float(np.dot(v, planes[j])) >= 0:
+                k |= 1 << (j - band * r)
+        keys.append(k)
+    return keys
+
+
+def test_srp_hot_bucket_cap_bounds_cluster_fanout(spark):
+    """A planted identical-vector family lands every member on the
+    same (band, key) bucket in EVERY band — the clustered-corpus shape
+    that makes the within-bucket join quadratic. With ``max_bucket_df``
+    the family contributes star pairs through its min-id
+    representative only; verification stays exact."""
+    from nsp_bolt_pipeline_spark.operators.similarity import (
+        srp_neardup_pairs,
+        srp_planes,
+    )
+
+    rng = np.random.default_rng(5)
+    base = rng.normal(size=32).tolist()
+    m = 30
+    rows = [(100 + i, base) for i in range(m)]
+    # far-away singletons: cold buckets, no pairs expected
+    rows += [(200 + i, rng.normal(size=32).tolist()) for i in range(5)]
+    df = spark.createDataFrame(rows, ["vec_id", "embedding"])
+    kw = dict(threshold=0.9, n_planes=16, bands=4, dim=32)
+    un = {(r["d1"], r["d2"]) for r in srp_neardup_pairs(df, **kw).collect()}
+    cap = {
+        (r["d1"], r["d2"])
+        for r in srp_neardup_pairs(df, max_bucket_df=10, **kw).collect()
+    }
+    fam = {(d1, d2) for d1 in range(100, 130) for d2 in range(100, 130)}
+    assert len(un & fam) == m * (m - 1) // 2  # quadratic without cap
+    assert cap & fam == {(100, 100 + i) for i in range(1, m)}  # star
+    assert cap - fam == un - fam  # cold pairs untouched
+
+
+def test_srp_guarded_multiprobe_finds_mixed_pair_both_directions(spark):
+    """Regression pin for the guarded multiprobe join condition: the
+    hot side of a mixed hot/cold pair is absent from the cold index,
+    so only the hot->cold probe direction can discover it. With the
+    ordered ``a.d < b.d`` condition a cold vector with a SMALLER id
+    than the hot members would lose every (cold, member) pair; the
+    symmetric condition + LEAST/GREATEST keeps them. The cold probe
+    vector is a searched noisy twin of the family base whose band keys
+    differ from the base's in EVERY band (so it never joins a family
+    bucket — sharing even one exact key would make it the bucket's
+    min-id representative and mask the regression behind star pairs)
+    with at least one band differing by exactly one bit (so the flip
+    probe is its only route into the family)."""
+    from nsp_bolt_pipeline_spark.operators.similarity import (
+        srp_neardup_pairs,
+        srp_planes,
+    )
+
+    n_planes, bands, dim = 16, 4, 32
+    planes = np.array(srp_planes(n_planes, dim))
+    probe_vec = base = None
+    for seed in range(5000):
+        rng = np.random.default_rng(seed)
+        cand = rng.normal(size=dim)
+        twin = cand + rng.normal(scale=0.42, size=dim)
+        cos = float(
+            cand @ twin / (np.linalg.norm(cand) * np.linalg.norm(twin))
+        )
+        if cos < 0.905:
+            continue
+        sig0 = _srp_band_keys(cand, planes, bands)
+        sig1 = _srp_band_keys(twin, planes, bands)
+        diffs = [bin(a ^ b).count("1") for a, b in zip(sig0, sig1)]
+        if all(d >= 1 for d in diffs) and any(d == 1 for d in diffs):
+            base, probe_vec = cand.tolist(), twin.tolist()
+            break
+    assert base is not None, "no qualifying twin found in 5000 seeds"
+
+    m = 30
+    rows = [(1, probe_vec)] + [(100 + i, base) for i in range(m)]
+    df = spark.createDataFrame(rows, ["vec_id", "embedding"])
+    kw = dict(threshold=0.9, n_planes=n_planes, bands=bands, dim=dim,
+              max_bucket_df=10)
+    # no exact band key shared -> the non-multiprobe guard sees no
+    # (1, member) candidates at all
+    plain = {
+        (r["d1"], r["d2"]) for r in srp_neardup_pairs(df, **kw).collect()
+    }
+    assert not {p for p in plain if 1 in p}
+    multi = {
+        (r["d1"], r["d2"])
+        for r in srp_neardup_pairs(df, multiprobe=True, **kw).collect()
+    }
+    # star through the flip probe: (1, rep)
+    assert (1, 100) in multi
+    # and the member->cold direction (member id > cold id): the pair
+    # the ordered join condition would have dropped
+    assert (1, 101) in multi
+    assert {p for p in multi if 1 in p} == {(1, 100 + i) for i in range(m)}
+
+
 def test_mmr_prefers_diverse_over_redundant_second_pick(spark):
     import numpy as np
 
