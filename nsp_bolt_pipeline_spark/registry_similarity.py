@@ -499,6 +499,53 @@ def q_cosine_neardup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup_clusters(emb, pairs, id_col="vec_id")
 
 
+@query(
+    "cosine_neardup_clusters_guarded",
+    f"""
+    WITH RECURSIVE
+    edges AS (SELECT d1, d2 FROM ({_srp_pairs_guarded_sql()})),
+    und AS (SELECT d1 AS a, d2 AS b FROM edges
+            UNION ALL
+            SELECT d2 AS a, d1 AS b FROM edges),
+    walk(node, comp) AS (
+        SELECT vec_id, vec_id FROM embeddings
+        UNION
+        SELECT e.b, w.comp FROM walk w JOIN und e ON w.node = e.a
+    )
+    SELECT node AS vec_id,
+           MIN(comp) AS cluster_id,
+           node = MIN(comp) AS keep
+    FROM walk
+    GROUP BY node
+    """,
+)
+def q_cosine_neardup_clusters_guarded(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """SCALE twin of cosine_neardup_clusters with the SRP hot-bucket
+    guard ON — the clustering consumer is where the guard's STAR
+    semantics earn their keep: within an over-cap bucket, members
+    reach each other through the representative (CC connectivity
+    preserved whenever the rep passes the exact-cosine threshold with
+    both), so the edge set shrinks linearly while the components stay
+    the dedup-meaningful ones. The unguarded entry grew 3.1x for 2x
+    rows on the clustered sf1.0 sweep; this is the form a 100 TB
+    embedding-dedup run would use. Oracle: guarded pair SQL composed
+    into the same recursive-CTE reachability walk."""
+    from nsp_bolt_pipeline_spark.operators.graph import dedup_clusters
+
+    emb = read_table(spark, sf_dir, "embeddings")
+    pairs = srp_neardup_pairs(
+        emb,
+        threshold=NEARDUP_THRESHOLD,
+        n_planes=SRP_PLANES,
+        bands=SRP_BANDS,
+        dim=DIM,
+        max_bucket_df=SRP_GUARD_CAP,
+    )
+    return dedup_clusters(emb, pairs, id_col="vec_id")
+
+
 # ---------------------------------------------------------------------------
 # int8-quantized top-k: integer replay — scale, codes, dots, and ranks
 # are all exactly reproducible, no float-fold caveats anywhere.
