@@ -6,17 +6,55 @@ Streaming entries run too (they execute their availableNow pipeline
 inside the builder); pass --batch-only to skip them.
 
 Usage: python tools/sweep_sf.py [sf_dir] [--batch-only] [name ...]
+       python tools/sweep_sf.py --compare OLD.log NEW.log [ratio]
+
+--compare diffs two sweep logs from DIFFERENT scale factors and ranks
+entries by time growth: for a 2x data step, growth well above 2x
+flags a superlinear operator (this is how the SRP hot-bucket
+quadratic was caught between sf0.5 and sf1.0 — sf0.1 could not show
+it). The optional ratio (default 2.5) sets the reported threshold.
 """
 
 from __future__ import annotations
 
+import re
 import sys
 import time
 
 sys.path.insert(0, ".")
 
 
+def compare(old_path: str, new_path: str, flag_ratio: float = 2.5) -> int:
+    def parse(path: str) -> dict[str, float]:
+        out: dict[str, float] = {}
+        for ln in open(path):
+            m = re.match(r"ok\s+(\S+) \((\d+\.?\d*)s\)", ln)
+            if m:
+                out[m.group(1)] = float(m.group(2))
+        return out
+
+    old, new = parse(old_path), parse(new_path)
+    rows = sorted(
+        ((new[k] / max(old[k], 0.1), old[k], new[k], k) for k in new if k in old),
+        reverse=True,
+    )
+    flagged = 0
+    for r, x, y, k in rows:
+        if y < 3:  # sub-3s entries are all scheduling noise
+            continue
+        mark = ""
+        if r >= flag_ratio:
+            mark = "  <-- SUPERLINEAR?"
+            flagged += 1
+        print(f"{r:5.1f}x  {x:8.1f}s -> {y:8.1f}s  {k}{mark}")
+    print(f"\n{flagged} entries at >= {flag_ratio}x growth")
+    return 1 if flagged else 0
+
+
 def main() -> int:
+    if len(sys.argv) > 1 and sys.argv[1] == "--compare":
+        ratio = float(sys.argv[4]) if len(sys.argv) > 4 else 2.5
+        return compare(sys.argv[2], sys.argv[3], ratio)
     args = [a for a in sys.argv[1:] if a != "--batch-only"]
     batch_only = "--batch-only" in sys.argv
     sf_dir = args[0] if args else "/root/testdata/sf0.1"
