@@ -376,7 +376,16 @@ def srp_neardup_pairs(
     instead of ``a.d < b.d`` — the hot side of a mixed hot/cold pair
     is no longer in the index, so discovery direction is forced and
     the ordered condition would drop pairs whose cold member has the
-    smaller id."""
+    smaller id.
+
+    Sizing the cap: the candidate stream before distinct is bounded by
+    ``n x bands x cap`` rows (times ``r + 1`` under multiprobe) — the
+    cap bounds cost LINEARLY in n, but it is the constant. Measured at
+    100k clustered vectors in a 6 GiB local JVM: multiprobe cap=128
+    -> 49 s, cap=256 -> 143 s, cap=1000 -> a 48 GB shuffle spill.
+    Pick ~1000 for single-probe pair mining, 128-256 for multiprobe,
+    and remember every within-bucket pair the cap drops is still
+    reachable through the representative for clustering purposes."""
     if n_planes % bands:
         raise ValueError("n_planes must divide evenly into bands")
     r = n_planes // bands
