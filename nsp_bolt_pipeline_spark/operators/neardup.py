@@ -604,6 +604,41 @@ def winnow_fingerprint_ints(
     return bind_once(s, from_norm)
 
 
+def _fp_shared_pairs(
+    fps: DataFrame,
+    *,
+    id_col: str,
+    min_shared: int,
+    max_fp_df: int | None,
+) -> DataFrame:
+    """Shared tail of the two winnowing pair detectors: fingerprint
+    self-equi-join -> shared-print count per pair. ``max_fp_df``
+    drops fingerprints present in more than that many documents
+    BEFORE the join — the MOSS move against boilerplate prints (a
+    license header shared by half the corpus fans out quadratically;
+    a print that common identifies nothing). Same pattern and same
+    semantics note as ngram_jaccard_pairs' ``max_gram_df``: dropped
+    prints no longer count toward n_shared, so pairs held together
+    only by boilerplate fall below min_shared — which is the point."""
+    if max_fp_df is not None:
+        common = (
+            fps.groupBy("fp")
+            .agg(F.count_distinct(id_col).alias("fdf"))
+            .filter(F.col("fdf") > max_fp_df)
+            .select("fp")
+        )
+        fps = fps.join(F.broadcast(common), "fp", "left_anti")
+    a = fps.select(F.col(id_col).alias("d1"), "fp")
+    b = fps.select(F.col(id_col).alias("d2"), "fp")
+    return (
+        a.join(b, "fp")
+        .filter(F.col("d1") < F.col("d2"))
+        .groupBy("d1", "d2")
+        .agg(F.count(F.lit(1)).alias("n_shared"))
+        .filter(F.col("n_shared") >= min_shared)
+    )
+
+
 def winnowing_pairs(
     docs: DataFrame,
     *,
@@ -612,6 +647,7 @@ def winnowing_pairs(
     k: int = 8,
     w: int = 4,
     min_shared: int = 2,
+    max_fp_df: int | None = None,
 ) -> DataFrame:
     """Document pairs sharing >= min_shared winnowing fingerprints —
     the MOSS overlap detector as a Spark plan: explode (doc,
@@ -619,8 +655,11 @@ def winnowing_pairs(
     the LSH-band shape — never all pairs), count shared prints per
     pair. At 100 TB the fingerprint table is ~|corpus chars| / w rows
     and the join only collides documents that actually share a
-    k-gram window; AQE splits hot fingerprints (boilerplate strings)
-    the same way it splits hot LSH buckets."""
+    k-gram window. AQE splits hot fingerprints across tasks, but a
+    print shared by d documents still fans out d^2/2 pairs — the
+    sf1->sf2 sweep measured 3x time for 2x rows because common-phrase
+    prints grow with the corpus. ``max_fp_df`` is the guard (see
+    :func:`_fp_shared_pairs`)."""
     # persist the slim (id, fp) table: the rolling-hash fingerprint
     # fold is the expensive stage and feeds BOTH sides of the
     # self-join (the MinHash banding-index pattern)
@@ -630,14 +669,8 @@ def winnowing_pairs(
             winnow_fingerprint_ints(text_col, k=k, w=w)
         ).alias("fp"),
     ).persist()
-    a = fps.select(F.col(id_col).alias("d1"), "fp")
-    b = fps.select(F.col(id_col).alias("d2"), "fp")
-    return (
-        a.join(b, "fp")
-        .filter(F.col("d1") < F.col("d2"))
-        .groupBy("d1", "d2")
-        .agg(F.count(F.lit(1)).alias("n_shared"))
-        .filter(F.col("n_shared") >= min_shared)
+    return _fp_shared_pairs(
+        fps, id_col=id_col, min_shared=min_shared, max_fp_df=max_fp_df
     )
 
 
@@ -711,20 +744,16 @@ def winnowing_pairs_arrow(
     k: int = 16,
     w: int = 8,
     min_shared: int = 2,
+    max_fp_df: int | None = None,
 ) -> DataFrame:
     """The MOSS pair detector over the Arrow fingerprint table —
-    identical join shape to :func:`winnowing_pairs`."""
+    identical join tail to :func:`winnowing_pairs`, including the
+    ``max_fp_df`` boilerplate-print guard."""
     fps = winnow_fingerprints_arrow(
         docs, id_col=id_col, text_col=text_col, k=k, w=w
     )
-    a = fps.select(F.col(id_col).alias("d1"), "fp")
-    b = fps.select(F.col(id_col).alias("d2"), "fp")
-    return (
-        a.join(b, "fp")
-        .filter(F.col("d1") < F.col("d2"))
-        .groupBy("d1", "d2")
-        .agg(F.count(F.lit(1)).alias("n_shared"))
-        .filter(F.col("n_shared") >= min_shared)
+    return _fp_shared_pairs(
+        fps, id_col=id_col, min_shared=min_shared, max_fp_df=max_fp_df
     )
 
 

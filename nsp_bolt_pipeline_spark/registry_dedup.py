@@ -842,6 +842,80 @@ def q_winnowing_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+#: boilerplate-print cap for the GUARDED winnowing twin: tiny so it
+#: fires on the synthetic corpus (print df tops out at 32 with nine
+#: prints above 8 at sf0.01); production caps are O(100-1000) and
+#: exist because a license header shared by half the corpus fans its
+#: print out quadratically while identifying nothing.
+WINNOW_FP_CAP = 8
+
+
+def _winnow_guarded_sql() -> str:
+    """Oracle replay of the ``max_fp_df`` guard: document-frequency
+    per fingerprint, prints over the cap removed BEFORE the pair
+    join; pairs held together only by boilerplate prints drop below
+    min_shared — the MOSS semantics."""
+    k, w = WINNOW_K, WINNOW_W
+    return f"""
+    WITH n AS (
+        SELECT doc_id,
+               regexp_replace(lower(trim(text)), '\\s+', ' ', 'g') AS s
+        FROM documents
+    ),
+    g AS (
+        SELECT doc_id,
+               list_transform(range(1, length(s) - {k} + 2),
+                   i -> {_gram_hash32_sql(f"substr(s, i, {k})")}) AS grams
+        FROM n
+    ),
+    m AS (
+        SELECT doc_id,
+               CASE WHEN len(grams) >= {w}
+                    THEN list_distinct(list_transform(
+                        range(1, len(grams) - {w} + 2),
+                        i -> list_min(list_slice(grams, i, i + {w} - 1))))
+                    ELSE [] END AS fps
+        FROM g
+    ),
+    f AS (SELECT doc_id, unnest(fps) AS fp FROM m),
+    hotfp AS (
+        SELECT fp FROM f GROUP BY fp
+        HAVING COUNT(DISTINCT doc_id) > {WINNOW_FP_CAP}
+    ),
+    ff AS (
+        SELECT f.* FROM f
+        WHERE NOT EXISTS (SELECT 1 FROM hotfp h WHERE h.fp = f.fp)
+    )
+    SELECT a.doc_id AS d1, b.doc_id AS d2,
+           CAST(COUNT(*) AS BIGINT) AS n_shared
+    FROM ff a JOIN ff b ON a.fp = b.fp AND a.doc_id < b.doc_id
+    GROUP BY d1, d2
+    HAVING COUNT(*) >= {WINNOW_MIN_SHARED}
+    """
+
+
+@query("neardup_winnowing_guarded", _winnow_guarded_sql())
+def q_winnowing_guarded(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SCALE twin of neardup_winnowing_pairs with the boilerplate
+    guard ON (``max_fp_df``): a print shared by d documents fans out
+    d^2/2 pairs, and common-phrase prints GROW with the corpus — the
+    sf1->sf2 sweep measured 3x time for 2x rows on the unguarded
+    join. Dropping prints above the document-frequency cap before the
+    join is the classic MOSS move: such prints identify boilerplate,
+    not copied passages. The oracle replays df -> drop -> join ->
+    min_shared end-to-end."""
+    from nsp_bolt_pipeline_spark.operators.neardup import winnowing_pairs
+
+    docs = read_table(spark, sf_dir, "documents")
+    return winnowing_pairs(
+        docs,
+        k=WINNOW_K,
+        w=WINNOW_W,
+        min_shared=WINNOW_MIN_SHARED,
+        max_fp_df=WINNOW_FP_CAP,
+    )
+
+
 def _winnow_poly_sql() -> str:
     """Oracle twin of the ARROW winnowing path: per-position
     polynomial (Rabin-Karp) gram hash replayed as a per-character

@@ -161,6 +161,36 @@ def test_winnowing_guarantee_shared_passage_shares_fingerprint(spark):
     assert fps[4] == set()
 
 
+def test_winnowing_fp_cap_drops_boilerplate_only(spark):
+    """``max_fp_df``: a license-header-style passage shared by MANY
+    docs is boilerplate — its prints fan out quadratically and are
+    dropped; a passage copied between exactly two docs keeps its
+    prints, so the real pair survives with its count intact."""
+    from nsp_bolt_pipeline_spark.operators.neardup import winnowing_pairs
+
+    boiler = "standard license header text required on every file here"
+    stolen = "the exact same stolen passage of text appears here twice"
+    rows = [(i, boiler + f" unique tail number {i} padding") for i in range(20)]
+    rows += [
+        (100, "intro before " + stolen + " and more"),
+        (101, "other frame " + stolen + " closing"),
+    ]
+    docs = spark.createDataFrame(rows, ["doc_id", "text"])
+    kw = dict(k=12, w=4, min_shared=2)
+    un = {(r["d1"], r["d2"]): r["n_shared"]
+          for r in winnowing_pairs(docs, **kw).collect()}
+    cap = {(r["d1"], r["d2"]): r["n_shared"]
+           for r in winnowing_pairs(docs, max_fp_df=10, **kw).collect()}
+    # unguarded: the boilerplate family fans out quadratically
+    assert sum(1 for d1, d2 in un if d1 < 100 and d2 < 100) >= 20 * 19 // 2
+    # guarded: boilerplate prints (df=20 > 10) are gone, family pairs
+    # fall below min_shared
+    assert not [p for p in cap if p[0] < 100 and p[1] < 100]
+    # the genuinely copied passage (df=2 prints) is untouched,
+    # count included
+    assert cap[(100, 101)] == un[(100, 101)]
+
+
 def test_band_structs_consistent_with_signature(spark):
     # lsh_band_structs computes each band from its own hash families;
     # it must equal md5('|'-joined slices) of the full signature
