@@ -77,6 +77,7 @@ HEADLINE = [
     "text_bpe_merges",
     "text_bpe_segment",
     "neardup_winnowing_pairs",
+    "neardup_winnowing_guarded",
     "t12_ewma_user_score",
     "l13_negative_samples",
     "neardup_winnowing_arrow",
