@@ -187,3 +187,31 @@ def test_fuzzy_default_block_trims_leading_whitespace(spark):
         df, id_col="id", text_col="t", max_distance=3
     ).collect()
     assert len(got) == 1 and got[0]["distance"] == 1
+
+
+def test_fs_refined_block_key_preserves_every_match_decision(spark):
+    """Composite-key blocking refinement: adding a field whose
+    DISAGREEMENT weight already places a pair below the match
+    threshold cannot lose a 'match' — only clerical-queue rows. Pins
+    the fs_record_linkage_refined twin's weight-table argument on the
+    real driver tables."""
+    from nsp_bolt_pipeline_spark.registry_dedup import (
+        q_fs_linkage,
+        q_fs_linkage_refined,
+    )
+
+    sf = "/root/testdata/sf0.01"  # sf0.001 has zero 'match' rows
+    full = q_fs_linkage(spark, sf)
+    refined = q_fs_linkage_refined(spark, sf)
+
+    def matches(df):
+        return {
+            (r["id1"], r["id2"])
+            for r in df.filter(df.decision == "match").collect()
+        }
+
+    full_m, ref_m = matches(full), matches(refined)
+    assert full_m, "fixture drifted: expected a non-empty match set"
+    assert ref_m == full_m
+    # and the refinement actually prunes candidates (possible rows)
+    assert refined.count() < full.count()
