@@ -259,12 +259,13 @@ def cluster_balanced_sample(
 def semantic_dedup(
     df: DataFrame,
     *,
-    k: int,
+    k: int | None = None,
     dim: int,
     threshold: float,
     rounds: int = 2,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    target_cell_size: int | None = None,
 ) -> DataFrame:
     """SemDeDup-style semantic deduplication (Abbas et al. 2023,
     arXiv:2303.09540): k-means the embedding space, then find
@@ -274,9 +275,17 @@ def semantic_dedup(
     cosine runs over cluster members, never the corpus, so the cost
     is sum(|c_i|^2) instead of n^2.
 
-    Scale design: at 100 TB, k grows with the corpus (k ≈ n /
-    target_cluster_size) so per-cluster membership stays bounded;
-    the pair stage is one self-equi-join on ``cluster`` (hash
+    Scale design: at 100 TB, k MUST grow with the corpus so
+    per-cluster membership stays bounded — with fixed k, cell
+    population grows linearly with n and the within-cell pair stage
+    is quadratic again (the sf4.0 probe OOMed a 6 GiB JVM at 200k
+    vectors with the sf0.01-sized k). Pass ``target_cell_size``
+    instead of ``k`` to derive k = ceil(n / target_cell_size) from
+    one count() — the SemDeDup paper's own regime (k scaled to hold
+    ~O(100-1000) points per cell). Exactly one of ``k`` /
+    ``target_cell_size`` must be given; the fixed-k form remains for
+    the oracle entries, whose DuckDB replay needs k as a literal.
+    The pair stage is one self-equi-join on ``cluster`` (hash
     shuffle, AQE splits skewed clusters) and the component/keeper
     resolution reuses the iterative min-label CC of
     :func:`~nsp_bolt_pipeline_spark.operators.graph.dedup_clusters`.
@@ -289,6 +298,12 @@ def semantic_dedup(
     cluster) and ``keep`` marks the smallest-id member."""
     from nsp_bolt_pipeline_spark.operators.graph import dedup_clusters
     from nsp_bolt_pipeline_spark.operators.similarity import cosine
+
+    if (k is None) == (target_cell_size is None):
+        raise ValueError("pass exactly one of k / target_cell_size")
+    if k is None:
+        n = df.count()
+        k = max(2, -(-n // target_cell_size))  # ceil division
 
     # assign_clusters already carries the vector — taking its output
     # directly (the kmeans_medoids pattern) avoids re-joining the full

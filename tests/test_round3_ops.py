@@ -116,6 +116,34 @@ def test_semdedup_keeps_one_per_duplicate_group(spark):
     assert len(keepers) == len(by_cluster)
 
 
+def test_semdedup_target_cell_size_derives_k(spark):
+    """The corpus-scaled regime: k = ceil(n / target_cell_size) from
+    one count, so cell population stays bounded as the corpus grows
+    (fixed k OOMed the sf4.0 probe). Same dup groups resolved."""
+    import pytest as _pytest
+
+    rng = np.random.default_rng(3)
+    rows = []
+    for gi in range(6):
+        b = rng.normal(size=8)
+        for j in range(3):
+            rows.append((gi * 3 + j, (b + 1e-4 * j).tolist()))
+    df = spark.createDataFrame(rows, ["vec_id", "embedding"])
+    # 18 vectors / target 6 -> k=3: must be IDENTICAL to the fixed-k
+    # form at the same k (the derivation changes only where k comes
+    # from)
+    out = semantic_dedup(
+        df, dim=8, threshold=0.999, target_cell_size=6
+    ).collect()
+    fixed = semantic_dedup(df, k=3, dim=8, threshold=0.999).collect()
+    assert sorted(map(tuple, out)) == sorted(map(tuple, fixed))
+    assert len(out) == 18
+    with _pytest.raises(ValueError):
+        semantic_dedup(df, k=3, dim=8, threshold=0.9, target_cell_size=6)
+    with _pytest.raises(ValueError):
+        semantic_dedup(df, dim=8, threshold=0.9)
+
+
 # --------------------------------------------- manifest-pruned scan
 
 
