@@ -92,6 +92,59 @@ def q_neardup_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ngram_jaccard_pairs(docs, n=N, threshold=THRESHOLD)
 
 
+#: stop-shingle cap for the GUARDED n-gram twin: tiny so it fires on
+#: the driver corpus (gram df tops out at 7 at sf0.01); production
+#: caps are O(1000). The sf4.0 probe OOMed the unguarded inverted-
+#: index join on the small-vocab synthetic (ubiquitous shingles fan
+#: out quadratically) — real Zipfian text has the same head.
+NGRAM_GRAM_CAP = 4
+
+
+@query(
+    "neardup_ngram_jaccard_guarded",
+    f"""
+    WITH {_GRAMS_CTE},
+    inv AS (SELECT doc_id AS d, unnest(g) AS gram FROM grams),
+    hot AS (
+        SELECT gram FROM inv GROUP BY gram
+        HAVING COUNT(*) > {NGRAM_GRAM_CAP}
+    ),
+    fin AS (
+        SELECT i.* FROM inv i
+        WHERE NOT EXISTS (SELECT 1 FROM hot h WHERE h.gram = i.gram)
+    ),
+    pairs AS (
+        SELECT a.d AS d1, b.d AS d2, COUNT(*) AS common
+        FROM fin a JOIN fin b ON a.gram = b.gram AND a.d < b.d
+        GROUP BY 1, 2
+    )
+    SELECT d1, d2, jaccard FROM (
+        SELECT p.d1, p.d2,
+               CAST(common AS DOUBLE)
+                   / CAST(len(ga.g) + len(gb.g) - common AS DOUBLE)
+                   AS jaccard
+        FROM pairs p
+        JOIN grams ga ON p.d1 = ga.doc_id
+        JOIN grams gb ON p.d2 = gb.doc_id
+    ) WHERE jaccard >= {THRESHOLD}
+    """,
+)
+def q_neardup_ngram_guarded(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SCALE twin of neardup_ngram_jaccard with the stop-shingle guard
+    ON (``max_gram_df``): grams above the document-frequency cap leave
+    the inverted index before pairing, so a ubiquitous shingle (the
+    head of any Zipfian vocabulary — the sf4.0 probe OOMed the
+    unguarded join) stops fanning out quadratically. Dropped grams no
+    longer count toward |A∩B| while set sizes stay full, so the
+    guarded jaccard is a LOWER BOUND of the exact one — conservative
+    for a dedup decision. The oracle replays df -> drop -> count ->
+    lower-bound jaccard end-to-end."""
+    docs = read_table(spark, sf_dir, "documents")
+    return ngram_jaccard_pairs(
+        docs, n=N, threshold=THRESHOLD, max_gram_df=NGRAM_GRAM_CAP
+    )
+
+
 CONTAIN_THRESHOLD = 0.6
 
 
