@@ -34,6 +34,18 @@ Scale design (100 TB):
 - Length filter: |A| >= t*|B| (and symmetrically) prunes candidates
   before the verify join — a pair can't reach Jaccard t when the size
   ratio is below t.
+- Positional filter (PPJoin proper, Xiao et al. WWW'08 §3.2): both
+  documents' token arrays follow the SAME global (df, token) order, so
+  the shared prefix token with the smallest global rank sits at the
+  smallest matching position on both sides simultaneously. If that
+  first match is at (1-based) position i in A and j in B, the overlap
+  can never exceed ``1 + min(|A| - i, |B| - j)`` — one for the match
+  itself plus everything after it on the shorter remainder. Jaccard
+  >= t requires overlap >= ceil(t*(|A|+|B|)/(1+t)), so candidates
+  whose positional bound falls short are pruned *losslessly* before
+  the verify join. This is the filter that keeps candidate volume
+  near-linear on corpora where many documents share one rare-ish
+  token late in their prefixes (the measured superlinear regime).
 - Verify: exact Jaccard by ``array_intersect`` on the candidate pairs
   only. Precision and recall are both exactly 1.0 — the DuckDB oracle
   computes the naive all-pairs definition and the driver's hash compare
@@ -115,7 +127,27 @@ def prefix_filtered_jaccard_join(
         )
     )
 
-    pre = ordered.select("d", "n", F.explode("prefix").alias("tok")).persist()
+    pre = ordered.select(
+        "d", "n", F.posexplode("prefix").alias("pos", "tok")
+    ).persist()
+    # required overlap for Jaccard >= t: alpha = ceil(t*(n1+n2)/(1+t));
+    # the 1e-9 slack keeps float round-up from over-requiring when the
+    # true value is an exact integer (conservative: never prunes a
+    # valid pair, at worst admits one extra candidate for verify)
+    alpha = F.ceil(
+        F.lit(threshold)
+        * (F.col("n1") + F.col("n2")).cast("double")
+        / F.lit(1.0 + threshold)
+        - F.lit(1e-9)
+    )
+    # positional bound at the FIRST shared prefix token: positions are
+    # 0-based from posexplode, so |A| - i (1-based) == n - pos - 1, and
+    # min(a.pos)/min(b.pos) land on the same token because both arrays
+    # follow the identical global (df, token) order
+    pos_bound = F.lit(1) + F.least(
+        F.col("n1") - F.col("i") - F.lit(1),
+        F.col("n2") - F.col("j") - F.lit(1),
+    )
     cands = (
         pre.alias("a")
         .join(pre.alias("b"), "tok")
@@ -125,8 +157,17 @@ def prefix_filtered_jaccard_join(
             F.least("a.n", "b.n").cast("double")
             >= F.lit(threshold) * F.greatest("a.n", "b.n").cast("double")
         )
-        .select(F.col("a.d").alias("d1"), F.col("b.d").alias("d2"))
-        .distinct()
+        # one row per pair (replaces distinct — same shuffle) carrying
+        # the first-match positions for the positional filter
+        .groupBy(
+            F.col("a.d").alias("d1"),
+            F.col("b.d").alias("d2"),
+            F.col("a.n").alias("n1"),
+            F.col("b.n").alias("n2"),
+        )
+        .agg(F.min("a.pos").alias("i"), F.min("b.pos").alias("j"))
+        .filter(pos_bound >= alpha)
+        .select("d1", "d2")
     )
 
     inter = F.size(F.array_intersect("sa.toks", "sb.toks"))

@@ -310,6 +310,54 @@ def test_ppjoin_matches_naive_all_pairs(spark):
         assert got == naive(t), f"threshold {t}"
 
 
+def test_ppjoin_positional_filter_lossless_on_skewed_corpus(spark):
+    """Stress the positional filter's regime: many documents share a
+    moderately-rare token that lands LATE in their prefixes (the
+    candidate-explosion shape the filter prunes). Losslessness must
+    hold pair-for-pair vs the naive definition at every threshold."""
+    import random
+    from itertools import combinations
+
+    from nsp_bolt_pipeline_spark.operators.setjoin import (
+        prefix_filtered_jaccard_join,
+    )
+
+    rng = random.Random(42)
+    # vocabulary tiers: a handful of ubiquitous tokens, a shared
+    # "hub" token most docs carry, and per-doc rare tails
+    common = [f"common{i}" for i in range(4)]
+    rows = []
+    for d in range(60):
+        toks = set(rng.sample(common, rng.randint(2, 4)))
+        if rng.random() < 0.8:
+            toks.add("hubtoken")  # rare-ish, shared by ~80% of docs
+        toks.update(f"rare{d}_{i}" for i in range(rng.randint(1, 6)))
+        # clone clusters: a few genuine near-dup groups
+        if d % 17 == 0 and d > 0:
+            toks = set(rows[d - 1][1].split())
+            if rng.random() < 0.5:
+                toks.add(f"extra{d}")
+        rows.append((d, " ".join(sorted(toks))))
+    texts = dict(rows)
+
+    def naive(threshold):
+        out = set()
+        for a, b in combinations(sorted(texts), 2):
+            sa, sb = set(texts[a].split()), set(texts[b].split())
+            jac = len(sa & sb) / len(sa | sb)
+            if jac >= threshold:
+                out.add((a, b))
+        return out
+
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    for t in (0.4, 0.6, 0.8):
+        got = {
+            (r["d1"], r["d2"])
+            for r in prefix_filtered_jaccard_join(df, threshold=t).collect()
+        }
+        assert got == naive(t), f"threshold {t}"
+
+
 def test_ppjoin_shingle_grain_agrees_with_gram_join(spark):
     """Same exact semantics, different candidate plan: PPJoin on
     shingle sets must equal ngram_jaccard_pairs (any-shared-gram

@@ -27,6 +27,7 @@ Usage: python tools/plan_audit.py [sf_dir]
 
 from __future__ import annotations
 
+import os
 import re
 import sys
 
@@ -125,7 +126,15 @@ def has_global_window(plan: str) -> bool:
 
 
 def main() -> int:
-    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.001"
+    # usage: plan_audit.py [SF_DIR] [NAME...] — extra args filter by
+    # entry name (same convention as sweep_sf.py); a first arg that is
+    # an existing directory is the sf_dir, anything else is a name
+    args = sys.argv[1:]
+    sf_dir = "/root/testdata/sf0.001"
+    if args and os.path.isdir(args[0]):
+        sf_dir = args[0]
+        args = args[1:]
+    only = set(args)
 
     import __spark_entry__ as e
     from nsp_bolt_pipeline_spark.session import get_spark
@@ -134,6 +143,8 @@ def main() -> int:
     errors = 0
     for name, fn in e.queries().items():
         if name.startswith("stream_"):
+            continue
+        if only and name not in only:
             continue
         try:
             plan = fn(spark, sf_dir)._jdf.queryExecution().executedPlan().toString()
