@@ -69,7 +69,10 @@ HEADLINE = [
     # cluster-bounded semantic dedup, manifest-pruned Z-order scan,
     # and the codegen'd linear quality gate
     "ann_pq_topk",
-    "semdedup_prune",
+    # headline is the scaled twin (hierarchical cell assignment,
+    # O(n log n)); the flat derived-k form stays oracle-verified but
+    # pays n*k assignment, the round-5 sweep's 2.72x-per-2x grower
+    "semdedup_prune_scaled",
     "l12_manifest_pruned_scan",
     "text_quality_classifier",
     # distributed BPE learning + learned-vocab segmentation, MOSS

@@ -297,7 +297,6 @@ def semantic_dedup(
     ``cluster_id`` is the near-dup component (NOT the k-means
     cluster) and ``keep`` marks the smallest-id member."""
     from nsp_bolt_pipeline_spark.operators.graph import dedup_clusters
-    from nsp_bolt_pipeline_spark.operators.similarity import cosine
 
     if (k is None) == (target_cell_size is None):
         raise ValueError("pass exactly one of k / target_cell_size")
@@ -314,21 +313,291 @@ def semantic_dedup(
     members = assign_clusters(
         df, centroids, dim=dim, id_col=id_col, vec_col=vec_col
     ).select(id_col, vec_col, "cluster")
+    pairs = _pairs_within_cells(
+        members, threshold=threshold, id_col=id_col, vec_col=vec_col
+    )
+    return dedup_clusters(df, pairs, id_col=id_col)
+
+
+def _pairs_within_cells(
+    members: DataFrame,
+    *,
+    threshold: float,
+    id_col: str,
+    vec_col: str,
+    cell_col: str = "cluster",
+) -> DataFrame:
+    """All (d1, d2) with cosine >= threshold WITHIN a cell: one
+    self-equi-join on the cell key (hash shuffle, AQE splits skewed
+    cells). Cost is sum(|c_i|^2), never n^2 — the SemDeDup bound."""
+    from nsp_bolt_pipeline_spark.operators.similarity import cosine
+
     a = members.select(
-        "cluster",
+        cell_col,
         F.col(id_col).alias("d1"),
         F.col(vec_col).alias("v1"),
     )
     b = members.select(
-        "cluster",
+        cell_col,
         F.col(id_col).alias("d2"),
         F.col(vec_col).alias("v2"),
     )
-    pairs = (
-        a.join(b, "cluster")
+    return (
+        a.join(b, cell_col)
         .filter(F.col("d1") < F.col("d2"))
         .withColumn("sim", cosine(F.col("v1"), F.col("v2")))
         .filter(F.col("sim") >= threshold)
         .select("d1", "d2")
+    )
+
+
+def _grouped_lloyd_split(
+    members: DataFrame,
+    *,
+    b: int,
+    dim: int,
+    rounds: int,
+    id_col: str,
+    vec_col: str,
+    broadcast_model: bool,
+) -> DataFrame:
+    """One hierarchy level: split EVERY cell into <= b subcells by an
+    independent per-cell Lloyd run — all cells at once, as grouped
+    DataFrame ops (no driver loop, no driver-side model dict).
+
+    Semantics per cell are byte-identical to :func:`kmeans_lloyd` with
+    k = b on that cell's members: seeds are the b lowest ids in the
+    cell, assignment is squared-L2 with ties to the lowest seed id
+    (the sub index is ordered by seed id, so min_by on sub is the same
+    tie-break), the mean update is round-6 with empty-subcell
+    carry-over. A single root cell therefore reproduces the flat
+    k-means exactly — which is what lets the sf0.01 oracle replay the
+    depth-1 collapse of the hierarchy with the existing Lloyd CTEs.
+
+    Scale design: seeds come from a two-phase min-b aggregation
+    (per-input-partition slice of an array_sort'd collect_list, then a
+    per-cell merge of those <= b-element arrays) — NOT a row_number
+    window, which would funnel the whole corpus through one task at
+    the root level. The centroid model stays a (cell, sub, cv)
+    DataFrame end to end; it is broadcast to the assignment join only
+    while small (``broadcast_model``), otherwise the join shuffles on
+    the cell key, which is diverse exactly when the model is large.
+
+    Returns members re-labelled with ``cell -> cell * b + sub``."""
+    sid = F.struct(F.col(id_col).alias("sid"), F.col(vec_col).alias("sv"))
+    per_part = members.groupBy(
+        "cell", F.spark_partition_id().alias("_pid")
+    ).agg(F.slice(F.array_sort(F.collect_list(sid)), 1, b).alias("top"))
+    init = (
+        per_part.groupBy("cell")
+        .agg(
+            F.slice(
+                F.array_sort(F.flatten(F.collect_list("top"))), 1, b
+            ).alias("top")
+        )
+        .select("cell", F.posexplode("top").alias("sub", "s"))
+        .select(
+            "cell",
+            "sub",
+            F.transform(F.col("s.sv"), lambda x: x.cast("double")).alias(
+                "cv"
+            ),
+        )
+    )
+
+    def _assign(cent: DataFrame) -> DataFrame:
+        right = F.broadcast(cent) if broadcast_model else cent
+        scored = members.join(right, "cell").withColumn(
+            "d", sq_dist(F.col(vec_col), F.col("cv"))
+        )
+        best = F.min_by(F.col("sub"), F.struct(F.col("d"), F.col("sub")))
+        return (
+            scored.groupBy(id_col, "cell")
+            .agg(F.first(F.col(vec_col)).alias(vec_col), best.alias("sub"))
+            .select(id_col, vec_col, "cell", "sub")
+        )
+
+    cent = init
+    for _ in range(rounds - 1):
+        assigned = _assign(cent)
+        means = assigned.groupBy("cell", "sub").agg(
+            F.array(
+                *[
+                    _round6(F.avg(F.col(vec_col)[d].cast("double")))
+                    for d in range(dim)
+                ]
+            ).alias("mv")
+        )
+        cent = (
+            cent.join(means, ["cell", "sub"], "left")
+            .select(
+                "cell", "sub", F.coalesce("mv", "cv").alias("cv")
+            )
+        )
+    final = _assign(cent)
+    return final.select(
+        id_col,
+        vec_col,
+        (F.col("cell") * F.lit(b) + F.col("sub")).cast("long").alias("cell"),
+    )
+
+
+def hierarchical_cells(
+    df: DataFrame,
+    *,
+    target_cell_size: int,
+    branching: int = 8,
+    dim: int,
+    rounds: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    overflow_factor: int = 4,
+    max_overflow_passes: int = 8,
+) -> DataFrame:
+    """Partition the embedding space into ~ceil(n / target_cell_size)
+    k-means cells with assignment cost O(n * L * b * dim) instead of
+    the flat Lloyd's O(n * k * dim).
+
+    With k proportional to n (which SemDeDup requires — fixed k makes
+    the within-cell pair join quadratic again), flat nearest-of-k
+    assignment is itself quadratic: every vector scores against every
+    centroid. The hierarchy splits cells level by level (depth
+    L = min L with branching^L >= k, per-level fan-out b = smallest
+    integer with b^L >= k), so each vector only ever scores against
+    the b centroids of its current cell: O(n log n) total instead of
+    the flat form's measured ~2.7x growth per 2x data.
+    When k <= branching this collapses to depth 1 = exactly the flat
+    Lloyd (same seeds, ties, round-6 means), which keeps the DuckDB
+    oracle replay valid at oracle scale.
+
+    Overflow guard: a shallow top fan-out cannot separate corpora
+    with more natural clusters than b (measured on the sf1.0 scale
+    corpus: 10 planted centers vs b=6 left cells 12x over target,
+    tripling the downstream pair volume and OOMing the CC stage), so
+    after the fixed-depth loop any cell still holding more than
+    ``overflow_factor * target_cell_size`` members is re-split —
+    only those cells, repeatedly, until all comply or
+    ``max_overflow_passes`` is hit (duplicate-heavy cells can be
+    unsplittable: identical vectors land on one centroid forever).
+    At oracle scale the depth-1 cells sit far below the cap (pytest
+    pins max/target <= factor), so overflow never fires there and
+    the flat SQL replay stays exact.
+
+    Returns (id, vec, cell); cell ids are unique longs."""
+    n = df.count()
+    k = max(2, -(-n // target_cell_size))  # ceil division
+    depth = 1
+    while branching**depth < k:
+        depth += 1
+    b = max(2, int(k ** (1.0 / depth)))
+    while b**depth < k:  # integer-exact, immune to float pow rounding
+        b += 1
+
+    members = df.select(
+        F.col(id_col), F.col(vec_col), F.lit(0).cast("long").alias("cell")
+    )
+    prev = None
+    for level in range(depth):
+        # the model has b^(level+1) rows; broadcast while it is a few
+        # thousand vectors, shuffle on the (then-diverse) cell key after.
+        # localCheckpoint, NOT persist, between levels: persist caches
+        # the data but leaves the logical plan intact, so after L
+        # levels Catalyst re-analyzes a plan that nested L grouped
+        # Lloyd runs — the treeString of which alone OOMed the heap at
+        # depth 4 (the connected-components lesson, graph.py). The
+        # eager checkpoint keeps every level's plan constant-size; on
+        # a real cluster an executor loss mid-build loses the block
+        # (swap in df.checkpoint() there for fault tolerance).
+        members = _grouped_lloyd_split(
+            members,
+            b=b,
+            dim=dim,
+            rounds=rounds,
+            id_col=id_col,
+            vec_col=vec_col,
+            broadcast_model=(b ** (level + 1)) <= 8192,
+        ).localCheckpoint(eager=True)
+        if prev is not None:
+            prev.unpersist()
+        prev = members
+
+    cap = overflow_factor * target_cell_size
+    for _ in range(max_overflow_passes):
+        over_cells = (
+            members.groupBy("cell")
+            .count()
+            .filter(F.col("count") > cap)
+            .select("cell")
+        )
+        # bounded driver fetch: one row per over-cap cell id
+        over_ids = [r["cell"] for r in over_cells.collect()]
+        if not over_ids:
+            break
+        is_over = F.col("cell").isin(over_ids)
+        split = _grouped_lloyd_split(
+            members.filter(is_over),
+            b=b,
+            dim=dim,
+            rounds=rounds,
+            id_col=id_col,
+            vec_col=vec_col,
+            broadcast_model=len(over_ids) * b <= 8192,
+        )
+        # disjoint relabel: kept cells map to cell*(b+1), split cells
+        # to parent*(b+1) + 1 + sub — collision-free for sub < b.
+        # `div` keeps the arithmetic integer-exact on large composite
+        # cell ids (floor(col/b) would detour through double)
+        kept = members.filter(~is_over).withColumn(
+            "cell", F.col("cell") * (b + 1)
+        )
+        resplit = split.withColumn(
+            "cell",
+            F.expr(f"CAST(cell % {b} + (cell div {b}) * {b + 1} + 1 AS LONG)"),
+        )
+        members = kept.unionByName(resplit).localCheckpoint(eager=True)
+        prev.unpersist()
+        prev = members
+    return members
+
+
+def semantic_dedup_scaled(
+    df: DataFrame,
+    *,
+    target_cell_size: int,
+    dim: int,
+    threshold: float,
+    rounds: int = 2,
+    branching: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """SemDeDup with BOTH stages sub-quadratic: cells come from
+    :func:`hierarchical_cells` (k = ceil(n / target_cell_size) grows
+    with the corpus, assignment is hierarchical so it never pays the
+    flat n*k scoring), then the exact within-cell cosine pair join and
+    min-label connected components of :func:`semantic_dedup`. Same
+    output contract: (id, cluster_id, keep) with cluster_id the
+    near-dup component and keep marking the smallest-id member.
+
+    When ceil(n / target_cell_size) <= branching the result is
+    IDENTICAL to ``semantic_dedup(df, k=that)`` — the property the
+    oracle twin exploits at sf0.01."""
+    from nsp_bolt_pipeline_spark.operators.graph import dedup_clusters
+
+    members = hierarchical_cells(
+        df,
+        target_cell_size=target_cell_size,
+        branching=branching,
+        dim=dim,
+        rounds=rounds,
+        id_col=id_col,
+        vec_col=vec_col,
+    )
+    pairs = _pairs_within_cells(
+        members,
+        threshold=threshold,
+        id_col=id_col,
+        vec_col=vec_col,
+        cell_col="cell",
     )
     return dedup_clusters(df, pairs, id_col=id_col)

@@ -144,6 +144,134 @@ def test_semdedup_target_cell_size_derives_k(spark):
         semantic_dedup(df, dim=8, threshold=0.9)
 
 
+def test_semdedup_scaled_depth1_equals_flat(spark):
+    """When ceil(n / target) <= branching the hierarchy collapses to
+    depth 1 and must be row-identical to the flat fixed-k form — the
+    property that lets the sf0.01 oracle replay the scaled entry with
+    the flat Lloyd CTEs."""
+    from nsp_bolt_pipeline_spark.operators.clustering import (
+        semantic_dedup_scaled,
+    )
+
+    rng = np.random.default_rng(3)
+    rows = []
+    for gi in range(6):
+        b = rng.normal(size=8)
+        for j in range(3):
+            rows.append((gi * 3 + j, (b + 1e-4 * j).tolist()))
+    df = spark.createDataFrame(rows, ["vec_id", "embedding"])
+    # 18 vectors / target 6 -> k=3 <= branching 8 -> depth 1
+    scaled = semantic_dedup_scaled(
+        df, target_cell_size=6, branching=8, dim=8, threshold=0.999
+    ).collect()
+    flat = semantic_dedup(df, k=3, dim=8, threshold=0.999).collect()
+    assert sorted(map(tuple, scaled)) == sorted(map(tuple, flat))
+
+
+def test_grouped_lloyd_split_equals_per_cell_flat_lloyd(spark):
+    """The depth>=2 machinery: splitting pre-labelled cells with the
+    grouped Lloyd must give the SAME membership as running the flat
+    kmeans_lloyd independently on each cell's members (seeds = lowest
+    ids in the cell, ties to lowest seed, round-6 means) — the grouped
+    form is just all those runs at once."""
+    from nsp_bolt_pipeline_spark.operators.clustering import (
+        _grouped_lloyd_split,
+        kmeans_lloyd,
+    )
+
+    rng = np.random.default_rng(11)
+    rows = [(i, rng.normal(size=8).tolist(), i % 3) for i in range(60)]
+    members = spark.createDataFrame(rows, ["vec_id", "embedding", "cell"])
+    b = 4
+    got = {
+        r["vec_id"]: r["cell"]
+        for r in _grouped_lloyd_split(
+            members,
+            b=b,
+            dim=8,
+            rounds=2,
+            id_col="vec_id",
+            vec_col="embedding",
+            broadcast_model=True,
+        ).collect()
+    }
+    for cell in range(3):
+        sub_df = members.filter(F.col("cell") == cell).select(
+            "vec_id", "embedding"
+        )
+        flat = kmeans_lloyd(sub_df, k=b, dim=8, rounds=2)
+        # flat cluster label = seed vec_id; grouped sub index is the
+        # rank of that seed among the cell's seeds (ascending id)
+        seeds = sorted(
+            r["vec_id"]
+            for r in sub_df.orderBy("vec_id").limit(b).collect()
+        )
+        seed_rank = {sid: i for i, sid in enumerate(seeds)}
+        for r in flat.collect():
+            expected = cell * b + seed_rank[r["cluster"]]
+            assert got[r["vec_id"]] == expected, r["vec_id"]
+
+
+def test_semdedup_oracle_scale_never_triggers_overflow(spark):
+    """The scaled twin's oracle contract: at driver-oracle scale
+    (sf0.01, n=500 -> depth-1 k=8) every cell must sit at or below
+    overflow_factor * target, so the adaptive re-split never fires and
+    the static flat-Lloyd SQL replay stays exact. Measured max cell is
+    74 at target 64 (factor 4 cap = 256); this pin fails loudly if a
+    testdata regeneration ever pushes a cell over the cap."""
+    from nsp_bolt_pipeline_spark.operators.clustering import (
+        hierarchical_cells,
+    )
+
+    sf001 = "/root/testdata/sf0.01"
+    if not os.path.isdir(sf001):
+        import pytest as _pytest
+
+        _pytest.skip("sf0.01 testdata not present")
+    emb = read_table(spark, sf001, "embeddings")
+    cells = hierarchical_cells(
+        emb, target_cell_size=64, branching=8, dim=64, rounds=2
+    )
+    max_cell = (
+        cells.groupBy("cell").count().agg(F.max("count").alias("m"))
+    ).collect()[0]["m"]
+    assert max_cell <= 4 * 64, max_cell
+    # and the cell ids must be the UNRELABELLED depth-1 ids (overflow
+    # relabels by *(b+1)): 8 cells, ids within [0, 8)
+    ids = sorted(
+        r["cell"] for r in cells.select("cell").distinct().collect()
+    )
+    assert ids == list(range(8)), ids
+
+
+def test_semdedup_scaled_depth2_keeps_one_per_group(spark):
+    """Force depth 2 (k > branching) on planted near-duplicate groups:
+    copies are 1e-4 apart so they co-assign at every level, and the
+    scaled form must keep exactly one per group."""
+    from nsp_bolt_pipeline_spark.operators.clustering import (
+        semantic_dedup_scaled,
+    )
+
+    rng = np.random.default_rng(7)
+    rows = []
+    for gi in range(12):
+        b = rng.normal(size=8)
+        for j in range(3):
+            rows.append((gi * 3 + j, (b + 1e-4 * j).tolist()))
+    df = spark.createDataFrame(rows, ["vec_id", "embedding"])
+    # 36 vectors / target 4 -> k=9 > branching 2 -> depth 4, b=2
+    out = semantic_dedup_scaled(
+        df, target_cell_size=4, branching=2, dim=8, threshold=0.999
+    ).collect()
+    assert len(out) == 36
+    by_cluster: dict[int, list] = {}
+    for r in out:
+        by_cluster.setdefault(r["cluster_id"], []).append(r)
+    for cid, grp in by_cluster.items():
+        assert sum(1 for r in grp if r["keep"]) == 1
+        assert min(r["vec_id"] for r in grp) == cid
+
+
 # --------------------------------------------- manifest-pruned scan
 
 

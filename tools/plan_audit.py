@@ -49,6 +49,7 @@ EAGER_ENTRIES = {
     "ann_recall_eval",
     "ann_exact_topk_arrow",
     "semdedup_prune",
+    "semdedup_prune_scaled",
     "l12_manifest_pruned_scan",
     "ann_pq_topk",
     "ann_pq_recall_eval",
