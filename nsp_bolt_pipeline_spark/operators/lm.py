@@ -150,12 +150,55 @@ def _bigrams(text_col: str) -> Column:
     return _bigrams_of(_lower_tokens(text_col))
 
 
+def train_bigram_lm(
+    ref_docs: DataFrame, *, text_col: str = "text"
+) -> tuple[DataFrame, DataFrame]:
+    """Train the bigram model tables on the reference slice.
+
+    Returns ``(uni, bi)``: ``uni`` is (tok, c1) unigram counts, ``bi``
+    is (bg, num_mu) with the add-one numerator log pre-rounded to
+    integer micro-nats. Both are vocab-sized (the reference slice's
+    vocabulary, not the corpus) and eagerly ``localCheckpoint``-ed:
+    the checkpoint cuts lineage to the persisted reference token
+    arrays, which are released before returning — without it a
+    library caller scoring many corpora against one model leaks
+    executor storage per invocation. Recovery caveat: localCheckpoint
+    trades lineage for executor-local blocks, so on a multi-executor
+    cluster an executor loss mid-query makes the block unrecoverable
+    (fine for vocab-sized tables that rebuild in seconds; callers
+    that need fault-tolerant model reuse should persist the returned
+    tables to storage, or memoize collected rows driver-side the way
+    registry_text._bigram_model_en does)."""
+    ref = (
+        ref_docs.select(_lower_tokens(text_col).alias("_toks")).persist()
+    )
+    uni = (
+        ref.select(F.explode("_toks").alias("tok"))
+        .groupBy("tok")
+        .agg(F.count("*").cast("long").alias("c1"))
+        .localCheckpoint(eager=True)
+    )
+    bi = (
+        ref.select(F.explode(_bigrams_of(F.col("_toks"))).alias("bg"))
+        .groupBy("bg")
+        .agg(
+            F.round(F.log(F.count("*") + F.lit(1).cast("long")) * MU, 0)
+            .cast("long")
+            .alias("num_mu")
+        )
+        .localCheckpoint(eager=True)
+    )
+    ref.unpersist()
+    return uni, bi
+
+
 def bigram_cross_entropy_scores(
     docs: DataFrame,
-    ref_pred: Column,
+    ref_pred: Column | None = None,
     *,
     id_col: str = "doc_id",
     text_col: str = "text",
+    model: tuple[DataFrame, DataFrame] | None = None,
 ) -> DataFrame:
     """Per-document add-one BIGRAM cross-entropy against the model
     trained on ``docs.filter(ref_pred)`` — one n-gram order above
@@ -180,25 +223,18 @@ def bigram_cross_entropy_scores(
     two broadcast-hash joins (map-side) -> one groupBy(doc) integer
     sum. The 1-row scalar frame rides a broadcast nested-loop join,
     never a shuffle.
+
+    Pass ``model`` (the ``(uni, bi)`` pair from
+    :func:`train_bigram_lm`, or driver-memoized copies of its rows)
+    to score against a pre-trained model — every invocation without
+    it pays the training scan plus two eager checkpoint
+    materializations.
     """
-    # tokenize the reference slice ONCE: both model tables (unigram
-    # denominators, bigram numerators) derive from the same token
-    # arrays, so materializing them saves a second parse+lower pass
-    # over the reference text (the persist-the-reused-slim-frame
-    # pattern; released below once the model tables are checkpointed)
-    ref = (
-        docs.filter(ref_pred)
-        .select(_lower_tokens(text_col).alias("_toks"))
-        .persist()
-    )
-    uni = (
-        ref.select(F.explode("_toks").alias("tok"))
-        .groupBy("tok")
-        .agg(F.count("*").cast("long").alias("c1"))
-        # vocab-sized; eager checkpoint cuts the lineage to the
-        # persisted token arrays so scalars/den below never re-read ref
-        .localCheckpoint(eager=True)
-    )
+    if model is None:
+        if ref_pred is None:
+            raise ValueError("pass ref_pred or a pre-trained model")
+        model = train_bigram_lm(docs.filter(ref_pred), text_col=text_col)
+    uni, bi = model
     scalars = uni.agg(F.count("*").cast("long").alias("v"))
     den = uni.crossJoin(F.broadcast(scalars)).select(
         "tok",
@@ -206,23 +242,6 @@ def bigram_cross_entropy_scores(
         .cast("long")
         .alias("den_mu"),
     )
-    bi = (
-        ref.select(F.explode(_bigrams_of(F.col("_toks"))).alias("bg"))
-        .groupBy("bg")
-        .agg(
-            F.round(F.log(F.count("*") + F.lit(1).cast("long")) * MU, 0)
-            .cast("long")
-            .alias("num_mu")
-        )
-    )
-    # Both model tables are now checkpointed (vocab-sized — the
-    # reference slice's vocabulary, not the corpus), so the persisted
-    # token arrays can be released HERE instead of delegating cleanup
-    # to the runners' per-entry clearCache — a library caller scoring
-    # many corpora against one model would otherwise leak executor
-    # storage per invocation.
-    bi = bi.localCheckpoint(eager=True)
-    ref.unpersist()
 
     # score every bigram POSITION straight through the broadcast
     # joins and aggregate once per document: the per-(doc, bigram)

@@ -193,6 +193,50 @@ def test_bigram_entropy_prefers_reference_like_order(spark):
     assert got[100]["lm_mu"] == got[0]["lm_mu"]
 
 
+def test_bigram_entropy_pretrained_model_matches_inline_training(spark):
+    """Scoring against a pre-trained (or driver-memoized-and-recreated)
+    model must be row-identical to the inline ref_pred path — the
+    memoization the registry uses cannot change results. Also pins the
+    arg contract: no ref_pred and no model raises."""
+    import pytest as _pytest
+    import pyspark.sql.functions as F
+
+    from nsp_bolt_pipeline_spark.operators.lm import (
+        bigram_cross_entropy_scores,
+        train_bigram_lm,
+    )
+
+    ref = "the quick brown fox jumps over the lazy dog"
+    rows = [(i, ref, "en") for i in range(3)]
+    rows.append((100, "dog the over quick lazy fox brown jumps the", "xx"))
+    df = spark.createDataFrame(rows, "doc_id long, text string, lang string")
+
+    inline = sorted(
+        map(
+            tuple,
+            bigram_cross_entropy_scores(df, F.col("lang") == "en").collect(),
+        )
+    )
+    uni, bi = train_bigram_lm(df.filter(F.col("lang") == "en"))
+    # round-trip through collected rows, the registry memo's shape
+    uni2 = spark.createDataFrame(
+        [(r["tok"], r["c1"]) for r in uni.collect()], "tok string, c1 long"
+    )
+    bi2 = spark.createDataFrame(
+        [(r["bg"], r["num_mu"]) for r in bi.collect()],
+        "bg string, num_mu long",
+    )
+    via_model = sorted(
+        map(
+            tuple,
+            bigram_cross_entropy_scores(df, model=(uni2, bi2)).collect(),
+        )
+    )
+    assert via_model == inline
+    with _pytest.raises(ValueError):
+        bigram_cross_entropy_scores(df)
+
+
 def test_bigram_entropy_short_docs_surface_with_null_score(spark):
     """Docs below two tokens have no bigram positions: they must stay
     in the output (n_bigrams=0, NULL score) so the scorer covers the
