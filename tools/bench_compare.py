@@ -1,7 +1,18 @@
 """Diff two bench artifacts (BENCH_full*.json, or a driver
-BENCH_r{N}.json whose truncated stdout `tail` is recovered by regex).
+BENCH_r{N}.json whose truncated stdout `tail` is recovered by regex),
+normalizing for machine weather through each run's calibration stamp.
 
-Usage: python tools/bench_compare.py OLD NEW [--top N]
+The bench host is a shared VM: identical code has measured 30-50%
+apart in back-to-back runs, so raw cross-run ratios routinely flag
+phantom regressions. bench.py stamps every artifact with
+``machine: {spin_single_s, effective_cores}`` (one single-thread spin
+probe, one parallel one); this tool divides per-query times by the
+run's ``spin_single_s`` before ranking, prints BOTH the raw and
+normalized subtotal ratios, and refuses to rank without a loud banner
+when the two stamps disagree by more than 2x (at that point even the
+normalized numbers are weather, not code).
+
+Usage: python tools/bench_compare.py OLD NEW [--top N] [--raw]
 """
 
 from __future__ import annotations
@@ -11,17 +22,34 @@ import re
 import sys
 
 
-def load(path: str) -> dict[str, float]:
+def load(path: str) -> tuple[dict[str, float], dict[str, float]]:
+    """Returns (per-query seconds, machine stamp). The stamp is {} for
+    pre-round-5 artifacts that predate calibration."""
     with open(path) as f:
         d = json.load(f)
+    machine: dict[str, float] = {}
+    if isinstance(d.get("machine"), dict):
+        machine = {k: float(v) for k, v in d["machine"].items()}
     if "queries" in d:
-        return {k: float(v) for k, v in d["queries"].items()}
+        return {k: float(v) for k, v in d["queries"].items()}, machine
     if "tail" in d:  # driver capture: parse whatever survived truncation
         tail = d["tail"].replace('\\"', '"')
-        return {
+        m = re.search(
+            r'"machine":\s*\{"spin_single_s":\s*([0-9.]+),'
+            r'\s*"effective_cores":\s*([0-9.]+)\}',
+            tail,
+        )
+        if m:
+            machine = {
+                "spin_single_s": float(m.group(1)),
+                "effective_cores": float(m.group(2)),
+            }
+        queries = {
             k: float(v)
             for k, v in re.findall(r'"([a-z0-9_]+)":\s*([0-9.]+)', tail)
+            if k not in ("spin_single_s", "effective_cores", "sf", "value")
         }
+        return queries, machine
     raise SystemExit(f"{path}: neither a bench artifact nor a driver capture")
 
 
@@ -30,21 +58,78 @@ def main() -> int:
     top = 10
     if "--top" in sys.argv:
         top = int(sys.argv[sys.argv.index("--top") + 1])
-    old, new = load(args[0]), load(args[1])
+    raw_mode = "--raw" in sys.argv
+    old, om = load(args[0])
+    new, nm = load(args[1])
+
+    # weather normalization: divide each run's times by its own
+    # single-core spin probe, so a query's number is "spin units" —
+    # how many single-thread probe intervals it took on THAT machine
+    # state. Falls back to raw seconds when either stamp is missing.
+    o_spin = om.get("spin_single_s")
+    n_spin = nm.get("spin_single_s")
+    normalized = bool(o_spin and n_spin) and not raw_mode
+    o_div = o_spin if normalized else 1.0
+    n_div = n_spin if normalized else 1.0
+
+    banner = []
+    if o_spin and n_spin:
+        r = max(o_spin / n_spin, n_spin / o_spin)
+        if r > 2.0:
+            banner.append(
+                f"single-core calibration differs {r:.1f}x "
+                f"({o_spin:.3f}s vs {n_spin:.3f}s)"
+            )
+    oc, nc = om.get("effective_cores"), nm.get("effective_cores")
+    if oc and nc:
+        r = max(oc / nc, nc / oc)
+        if r > 2.0:
+            banner.append(
+                f"effective-cores calibration differs {r:.1f}x "
+                f"({oc:.1f} vs {nc:.1f})"
+            )
+    if banner:
+        print("!" * 72)
+        for b in banner:
+            print(f"! WEATHER WARNING: {b}")
+        print(
+            "! These runs saw very different machine states; even the\n"
+            "! normalized ratios below are weather, not code. Re-run one\n"
+            "! side on a quiet machine before believing any regression."
+        )
+        print("!" * 72)
+    if not normalized and not raw_mode:
+        print(
+            "(no calibration stamp on "
+            + ("either" if not o_spin and not n_spin else "one")
+            + " artifact — comparing RAW seconds)"
+        )
+
     common = sorted(
-        ((new[k] / old[k], k, old[k], new[k]) for k in new if old.get(k)),
+        (
+            ((new[k] / n_div) / (old[k] / o_div), k, old[k], new[k])
+            for k in new
+            if old.get(k)
+        ),
         reverse=True,
     )
     so = sum(o for _, _, o, _ in common)
     sn = sum(n for _, _, _, n in common)
+    unit = "spin-normalized" if normalized else "raw"
     print(
-        f"{len(common)} comparable  subtotal {so:.1f}s -> {sn:.1f}s "
-        f"({sn / so:.2f}x)   new-only: {len(new) - len(common)}"
+        f"{len(common)} comparable  raw subtotal {so:.1f}s -> {sn:.1f}s "
+        f"({sn / so:.2f}x raw"
+        + (
+            f", {(sn / n_div) / (so / o_div):.2f}x {unit})"
+            if normalized
+            else ")"
+        )
+        + f"   new-only: {len(new) - len(common)}"
     )
-    print("slowest-growing:")
+    print(f"slowest-growing ({unit} ratio, raw seconds shown):")
     for r, k, o, n in common[:top]:
         print(f"  {k}: {o:.2f} -> {n:.2f}  ({r:.2f}x)")
-    print("fastest-improving:")
+    print(f"fastest-improving ({unit} ratio, raw seconds shown):")
     for r, k, o, n in common[-top:]:
         print(f"  {k}: {o:.2f} -> {n:.2f}  ({r:.2f}x)")
     return 0
