@@ -365,11 +365,23 @@ def _bloom_sidecar_meta(
 
     if not dir_exists(spark, sidecar_dir):
         return None
-    seg = spark.read.parquet(sidecar_dir)
+    # mergeSchema: a mixed-era sidecar (legacy segments without
+    # bits/k + sized segments with them — which the legacy-constants
+    # upgrade path itself creates) must not depend on WHICH file Spark
+    # samples the schema from; and legacy rows then surface bits/k as
+    # NULL, which coalesce to the legacy constants (correct by
+    # construction: an existing sidecar's sizing always wins, so every
+    # sized segment in a mixed dir carries exactly those constants)
+    seg = spark.read.option("mergeSchema", "true").parquet(sidecar_dir)
     if "bits" not in seg.columns:
         return BLOOM_BITS, BLOOM_K
-    row = seg.select("bits", "k").first()
-    return (int(row["bits"]), int(row["k"]))
+    row = seg.agg(
+        F.max("bits").alias("bits"), F.max("k").alias("k")
+    ).first()
+    return (
+        int(row["bits"]) if row["bits"] is not None else BLOOM_BITS,
+        int(row["k"]) if row["k"] is not None else BLOOM_K,
+    )
 
 
 def run_corpus_ingest(
@@ -619,11 +631,28 @@ def compact_bloom_sidecar(spark: SparkSession, sidecar_dir: str) -> int:
         # crash between the two renames of a previous compaction:
         # restore the saved copy before doing anything else
         fs.rename(hp(old), hp(sidecar_dir))
-    seg = spark.read.parquet(sidecar_dir)
+    from nsp_bolt_pipeline_spark.operators.sketches import BLOOM_BITS, BLOOM_K
+
+    # mergeSchema + null-coalesce: see _bloom_sidecar_meta — a
+    # mixed-era sidecar reads legacy rows' bits/k as NULL, and
+    # first(ignorenulls=False) could write a null-sized merged
+    # segment. Compaction also UPGRADES a legacy-only sidecar by
+    # writing the constants explicitly.
+    seg = spark.read.option("mergeSchema", "true").parquet(sidecar_dir)
     meta_cols = (
-        [F.first("bits").alias("bits"), F.first("k").alias("k")]
+        [
+            F.coalesce(
+                F.first("bits", ignorenulls=True), F.lit(BLOOM_BITS)
+            ).alias("bits"),
+            F.coalesce(
+                F.first("k", ignorenulls=True), F.lit(BLOOM_K)
+            ).alias("k"),
+        ]
         if "bits" in seg.columns
-        else []
+        else [
+            F.lit(BLOOM_BITS).alias("bits"),
+            F.lit(BLOOM_K).alias("k"),
+        ]
     )
     merged = seg.groupBy("word").agg(
         F.bit_or("bits32").alias("bits32"), *meta_cols

@@ -885,6 +885,67 @@ def test_compact_bloom_sidecar_preserves_routing(spark, tmp_path):
     assert st[2]["n_maybe"] >= 1
 
 
+def test_bloom_sidecar_mixed_era_segments_read_null_safe(spark, tmp_path):
+    """A mixed-era sidecar — legacy segments without bits/k columns
+    alongside sized ones (the legacy-constants upgrade path creates
+    exactly this) — must not depend on which file Spark samples the
+    schema from: meta reads with mergeSchema and coalesces NULL
+    bits/k to the legacy constants, and compaction writes an
+    explicitly-sized merged segment (upgrading the legacy rows) with
+    no NULL sizing."""
+    from nsp_bolt_pipeline_spark.operators.sketches import (
+        BLOOM_BITS,
+        BLOOM_K,
+    )
+    from nsp_bolt_pipeline_spark.streaming.ingest import (
+        _bloom_sidecar_meta,
+        compact_bloom_sidecar,
+    )
+
+    src = tmp_path / "src"
+    src.mkdir()
+    out, ckpt = str(tmp_path / "out"), str(tmp_path / "ckpt")
+    side, stats = str(tmp_path / "side"), str(tmp_path / "stats")
+    # sized run at exactly the legacy constants (what an upgraded
+    # legacy sidecar contains)
+    kw = dict(
+        bloom_sidecar_dir=side,
+        stats_dir=stats,
+        bloom_bits=BLOOM_BITS,
+        bloom_k=BLOOM_K,
+    )
+    _write_doc_batch(src, "b0.json", range(40))
+    _corpus_run(spark, src, out, ckpt, **kw)
+    # forge a pre-sizing-era segment: same words, NO bits/k columns
+    legacy = spark.read.parquet(side).select("word", "bits32")
+    legacy.write.mode("append").parquet(side)
+
+    assert _bloom_sidecar_meta(spark, side) == (BLOOM_BITS, BLOOM_K)
+    n = compact_bloom_sidecar(spark, side)
+    compacted = spark.read.parquet(side)
+    assert compacted.count() == n
+    bad = compacted.filter(
+        F.col("bits").isNull()
+        | F.col("k").isNull()
+        | (F.col("bits") != BLOOM_BITS)
+        | (F.col("k") != BLOOM_K)
+    ).count()
+    assert bad == 0
+    # routing still dedups a batch-0 duplicate after the mixed read
+    import json as _j
+
+    with open(src / "b1.json", "w") as f:
+        f.write(
+            _j.dumps(
+                {"doc_id": 800, "text": _unique_doc(0), "lang": "en", "source": "s"}
+            )
+            + "\n"
+        )
+    _corpus_run(spark, src, out, ckpt, **kw)
+    kept = sorted(r["doc_id"] for r in spark.read.parquet(out).collect())
+    assert 800 not in kept and 0 in kept
+
+
 class TestStreamingSessions:
     """Watermarked session_window agg: late-event merging and the
     sentinel-flush emission contract (streaming.sessions)."""
