@@ -131,6 +131,25 @@ def seen_keys(
     return seen.select(*dedup_keys).dropDuplicates()
 
 
+def _effective_salt(
+    n_dates: int, dom_frac: float, files_per_partition: int
+) -> int:
+    """Width of the key-hash write salt for one micro-batch.
+
+    Production-cadence batches (1-2 event dates) keep the full salt so
+    a hot date spreads over ``files_per_partition`` write tasks; a
+    replay/backfill spanning many dates already parallelizes on the
+    date dimension, so the salt would only multiply small files. The
+    dominant-share clause keeps the salt when one date carries most of
+    the batch REGARDLESS of how many stray dates ride along —
+    date-count alone mislabels that shape (e.g. a hot date plus a few
+    stragglers or epoch-garbage-but-parseable timestamps) as a
+    backfill and serializes the hot date into a single task."""
+    if n_dates <= 2 or dom_frac >= 0.5:
+        return max(1, files_per_partition)
+    return 1
+
+
 def run_ingest(
     stream: DataFrame,
     *,
@@ -190,33 +209,48 @@ def run_ingest(
             winners = first_write_wins(valid, dedup_keys, order_cols)
             min_event_date = None
             n_dates = 1
+            dom_frac = 1.0
             if horizon_on:
                 winners = winners.withColumn(
                     EVENT_DATE_COL, F.to_date(F.col(dedup_ts_col))
                 )
-                # Anchor the horizon on the RAW persisted batch (one
-                # map-side agg over cached rows), not on `winners` —
-                # that would re-run the validate+dedup shuffle as a
-                # second job per batch. The raw min is a valid (>=-
-                # tight) lower bound: rejected rows can only loosen
-                # it, never miss a collision. The distinct-date count
-                # rides the same single job and sizes the write salt.
-                # approx_count_distinct, not countDistinct: the exact
-                # form adds a distinct shuffle to this bookkeeping
-                # job; the HLL estimate folds map-side in the same
-                # single pass as the min, and a ±5% date-count error
-                # cannot matter to a <=2-vs-many salt threshold
-                row = batch.agg(
-                    F.min(F.to_date(F.col(dedup_ts_col))).alias("lo"),
-                    F.approx_count_distinct(
-                        F.to_date(F.col(dedup_ts_col))
-                    ).alias("nd"),
-                ).collect()[0]
+                # Anchor the horizon on VALID rows, not on `winners` —
+                # that would re-run the dedup shuffle as a second job
+                # per batch, while `valid` is only map-side work
+                # (coerce + filter) over the persisted batch. Valid's
+                # min is a valid (>=-tight) lower bound because
+                # winners is a subset of valid; counting dates after
+                # validation also keeps corrupt timestamps (rejected
+                # rows) out of the salt decision. The per-date counts
+                # additionally surface the DOMINANT date's share, so a
+                # mostly-single-date batch polluted by a few stray
+                # parseable dates keeps its key-hash salt instead of
+                # silently serializing the hot date into one task
+                # (perf advice, round 5). Cost: one bookkeeping
+                # shuffle whose map-side partials collapse to
+                # (partitions x dates) rows — noise next to the dedup
+                # shuffle it sizes the write for.
+                row = (
+                    valid.groupBy(
+                        F.to_date(F.col(dedup_ts_col)).alias("_d")
+                    )
+                    .agg(F.count("*").alias("_c"))
+                    .filter(F.col("_d").isNotNull())
+                    .agg(
+                        F.min("_d").alias("lo"),
+                        F.count("*").alias("nd"),
+                        F.max("_c").alias("dom"),
+                        F.sum("_c").alias("tot"),
+                    )
+                    .collect()[0]
+                )
                 if row["lo"] is not None:
                     min_event_date = row["lo"] - _dt.timedelta(
                         days=dedup_horizon_days
                     )
                 n_dates = max(1, row["nd"])
+                if row["tot"]:
+                    dom_frac = row["dom"] / row["tot"]
                 # all-null/empty batch: fall back to the unbounded scan
             # existence probe, not try/except PATH_NOT_FOUND: reading
             # a nonexistent dir makes FileStreamSink log a spurious
@@ -247,15 +281,22 @@ def run_ingest(
                 # would only multiply small files and commit renames
                 # (measured: ~30% of the availableNow whole-month
                 # replay's wall-time at sf0.1).
-                eff_salt = (
-                    max(1, files_per_partition) if n_dates <= 2 else 1
+                eff_salt = _effective_salt(
+                    n_dates, dom_frac, files_per_partition
                 )
                 salt = F.pmod(
                     F.xxhash64(*[F.col(k) for k in dedup_keys]),
                     F.lit(eff_salt),
                 )
+                # explicit partition count (the number of useful write
+                # tasks = date-spread x salt): without it AQE is free
+                # to coalesce the shuffle below the salt width on
+                # small batches, silently serializing the hot date —
+                # the exact behavior the salt exists to prevent
                 winners = winners.repartition(
-                    *[F.col(c) for c in bronze_parts], salt
+                    max(1, n_dates) * eff_salt,
+                    *[F.col(c) for c in bronze_parts],
+                    salt,
                 )
             writer = winners.write.mode("append")
             if bronze_parts:

@@ -152,6 +152,64 @@ class TestIngestDedup:
         )
         assert fares == [1.0, 3.0]
 
+    def test_hot_date_keeps_write_salt_despite_stray_dates(
+        self, spark, tmp_path
+    ):
+        """The adaptive write salt must not be disabled by a handful
+        of stray dates riding a hot-date batch: the dominant date
+        carries ~97% of rows here, so the key-hash salt stays on and
+        the hot partition dir gets multiple files (parallel write
+        tasks), not one serialized task's single file. The decision
+        table itself is pinned separately on _effective_salt; the
+        end-to-end run uses a wide salt because hash-repartition can
+        legitimately collapse 2 salt values into 1 task by modulo
+        collision."""
+        from nsp_bolt_pipeline_spark.streaming.ingest import (
+            _effective_salt,
+        )
+
+        # decision table: production cadence, hot+stray, true backfill
+        assert _effective_salt(1, 1.0, 2) == 2
+        assert _effective_salt(2, 0.6, 2) == 2
+        assert _effective_salt(7, 0.97, 2) == 2  # hot + strays
+        assert _effective_salt(7, 0.97, 1) == 1
+        assert _effective_salt(30, 1 / 30, 2) == 1  # uniform backfill
+        assert _effective_salt(3, 0.4, 2) == 1
+
+        src, bronze, dlq, ckpt = _dirs(
+            tmp_path, "src", "bronze", "dlq", "ckpt"
+        )
+        day = 24 * US_PER_HOUR
+        rows = [
+            {"key": f"k{i}", "ts": T0 + i, "fare": float(i)}
+            for i in range(200)  # one hot date
+        ] + [
+            {"key": f"s{i}", "ts": T0 + (i + 2) * day, "fare": 1.0}
+            for i in range(6)  # six stray dates (salt would die at >2)
+        ]
+        _write_batch(src, "b0.json", rows)
+        _ingest(
+            spark, src, bronze, dlq, ckpt,
+            dedup_ts_col="ts", dedup_horizon_days=7,
+            files_per_partition=8,
+        )
+        hot_dirs = [
+            d for d in os.listdir(str(bronze)) if d.startswith("event_date=")
+        ]
+        assert len(hot_dirs) == 7
+        hot = max(
+            hot_dirs,
+            key=lambda d: len(os.listdir(os.path.join(str(bronze), d))),
+        )
+        n_files = len(
+            [
+                f
+                for f in os.listdir(os.path.join(str(bronze), hot))
+                if f.endswith(".parquet")
+            ]
+        )
+        assert n_files >= 2, f"hot date serialized into {n_files} file(s)"
+
     def test_horizon_seen_scan_is_partition_pruned(self, spark, tmp_path):
         """The per-batch cross-batch-dedup probe must push the horizon
         bound into the scan's PartitionFilters — only event_date
