@@ -83,7 +83,10 @@ HEADLINE = [
     "neardup_winnowing_guarded",
     "t12_ewma_user_score",
     "l13_negative_samples",
-    "neardup_winnowing_arrow",
+    # neardup_winnowing_arrow retired from the headline in round 6:
+    # the JVM twins are 2-3x faster since the fingerprint persist +
+    # boilerplate guard landed (see its registry docstring); it stays
+    # oracle-verified in the registry
     "ann_ivfpq_topk",
     "corpus_curation_budget",
     "d8_cdc_dedup_stats",

@@ -1013,11 +1013,18 @@ def q_winnowing_arrow(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The Arrow-vectorized winnowing path: numpy Rabin-Karp gram
     hashes + sliding-window minima inside mapInPandas (k vectorized
     passes per doc, no interpreted per-element fold), then the same
-    fingerprint-bucketed pair join. Per-core throughput path for
-    corpus scale; the JVM expression form (neardup_winnowing_pairs)
-    stays the zero-Python twin. Integer hash arithmetic makes the
+    fingerprint-bucketed pair join. Integer hash arithmetic makes the
     Python stage exactly replayable — the oracle folds the identical
-    recurrence per position."""
+    recurrence per position.
+
+    Status: NOT the headline (dropped from bench.py in round 6). Its
+    round-3 rationale (3.9s vs the then-8.4s JVM form) inverted once
+    the JVM path gained persisted fingerprints and the boilerplate
+    guard — measured in isolation at sf0.1: arrow 5.5s vs guarded JVM
+    2.4s vs plain JVM 1.6s. Kept as the oracle-verified reference for
+    the Arrow/mapInPandas batch shape (the pattern the multimodal
+    decoders use) and for environments where Python cores outnumber
+    JVM shuffle capacity; use the JVM twins for throughput."""
     from nsp_bolt_pipeline_spark.operators.neardup import (
         winnowing_pairs_arrow,
     )

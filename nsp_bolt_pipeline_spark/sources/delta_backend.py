@@ -34,6 +34,15 @@ skips cleanly when ``delta-spark`` is absent (as in this sandbox,
 where the module has therefore never executed against a real Delta
 runtime — the API surface follows the published delta-spark Python
 docs).
+
+Install attempts (documented per round): round 5 — no package, no
+broker. Round 6 — ``pip install delta-spark`` and ``pip download``
+both fail at DNS (no network route to any index), the bundled Spark
+distribution at /opt/spark-4.1.2-bin-hadoop3/jars ships no
+delta/kafka jars to side-load, and no Kafka binaries exist on the
+box. The parity harness remains the first thing to run in any CI
+environment that has either; until then this layer stays EXPERIMENTAL
+and the plain-parquet twins are the supported path.
 """
 
 from __future__ import annotations
