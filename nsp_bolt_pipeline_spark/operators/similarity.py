@@ -822,6 +822,7 @@ def pq_topk(
     dim: int,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    codebooks: dict[tuple[int, int], list[float]] | None = None,
 ) -> DataFrame:
     """Cosine top-k over the PQ-compressed corpus via asymmetric
     distance computation (ADC): per query, a (m x k_sub) lookup table
@@ -831,10 +832,16 @@ def pq_topk(
     corpus is scanned once, the full vectors never touch the scoring
     join. sim = sum_m lut_dot[m][code] / (|q| * sqrt(sum_m
     |centroid[m][code]|^2)): numerator exact in q, denominator the
-    quantized corpus norm (standard ADC cosine)."""
-    codebooks = pq_train_codebooks(
-        corpus, m=m, k_sub=k_sub, dim=dim, id_col=id_col, vec_col=vec_col
-    )
+    quantized corpus norm (standard ADC cosine).
+
+    Pass ``codebooks`` (from :func:`pq_train_codebooks`, or a memo of
+    its rows) to serve against a frozen model — a serving index trains
+    offline and freezes between retrains; training inline benches the
+    wrong thing (the trained_centroids lesson)."""
+    if codebooks is None:
+        codebooks = pq_train_codebooks(
+            corpus, m=m, k_sub=k_sub, dim=dim, id_col=id_col, vec_col=vec_col
+        )
     codes = pq_encode(
         corpus, codebooks, m=m, dim=dim, id_col=id_col, vec_col=vec_col
     )
@@ -920,6 +927,7 @@ def ivfpq_topk(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     centroids: DataFrame | None = None,
+    codebooks: dict[tuple[int, int], list[float]] | None = None,
 ) -> DataFrame:
     """IVF-PQ: the standard billion-vector serving layout — a coarse
     inverted index bounds WHICH vectors are scored (nprobe/n_centroids
@@ -937,10 +945,12 @@ def ivfpq_topk(
 
     ``centroids``: trained coarse quantizer as a (cid, cv) frame (see
     :func:`ivf_topk`); defaults to the first ``n_centroids`` corpus
-    vectors (deterministic fixture)."""
-    codebooks = pq_train_codebooks(
-        corpus, m=m, k_sub=k_sub, dim=dim, id_col=id_col, vec_col=vec_col
-    )
+    vectors (deterministic fixture). ``codebooks``: a frozen PQ model
+    (see :func:`pq_topk` — training inline benches the wrong thing)."""
+    if codebooks is None:
+        codebooks = pq_train_codebooks(
+            corpus, m=m, k_sub=k_sub, dim=dim, id_col=id_col, vec_col=vec_col
+        )
     codes = pq_encode(
         corpus, codebooks, m=m, dim=dim, id_col=id_col, vec_col=vec_col
     )

@@ -306,45 +306,41 @@ def _semdedup_sql() -> str:
     """
 
 
-@query("semdedup_prune", _semdedup_sql())
-def q_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Semantic dedup end to end (SemDeDup, arXiv:2303.09540): Lloyd
-    k-means partitions the embedding space, exact cosine pairs are
-    found within clusters only (sum |c|^2, never n^2), and the
-    min-label CC keeps the smallest-id member of each near-dup
-    group. Complementary to cosine_neardup_clusters: SRP-LSH recall
-    is probabilistic everywhere; SemDeDup recall is exact within a
-    cluster and zero across clusters."""
-    from nsp_bolt_pipeline_spark.operators.clustering import semantic_dedup
-
-    emb = read_table(spark, sf_dir, "embeddings")
-    # k grows with the corpus so per-cluster membership stays bounded
-    # (the published SemDeDup scaling); at the oracle scale (500
-    # vectors, sf<=0.01) this resolves to exactly K=8, matching the
-    # static SQL replay. At sf0.1 it is 78 -> ~10x fewer pairs.
-    k = max(K, emb.count() // 64)
-    return semantic_dedup(
-        emb, k=k, dim=DIM, rounds=ROUNDS, threshold=SEMDEDUP_TAU
-    )
-
-
 SEMDEDUP_CELL = 64
+
+# NOTE (round 6): the flat `semdedup_prune` registry entry (Lloyd with
+# k = n // 64 and flat nearest-of-k assignment) is SUPERSEDED by the
+# scaled twin below and was removed from the registry. With k
+# proportional to n — which SemDeDup requires — flat assignment is
+# structurally quadratic (n*k distance evaluations): the round-5 sweep
+# measured 2.72x per 2x data and the round-6 sf4.0 sweep OOMed the
+# 6 GiB JVM outright (200k vectors, k=3125). The flat
+# operators.clustering.semantic_dedup FUNCTION stays: it is the
+# semantic anchor the scaled form collapses to at depth 1 (pinned by
+# pytest and by this entry's oracle), and the small-scale API for
+# callers who know their k is bounded.
 
 
 @query("semdedup_prune_scaled", _semdedup_sql())
 def q_semdedup_scaled(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """SemDeDup with BOTH stages sub-quadratic (the bench headline for
-    this family): k = ceil(n / 64) derives from one COUNT, and cell
-    assignment is the hierarchical grouped Lloyd — every vector scores
-    against the b centroids of its current cell across depth
-    ceil(log8 k) levels, O(n log n) total, instead of the flat form's
-    n*k scoring (the sweep-measured 2.72x-per-2x grower that the
-    fixed-cell pair join alone cannot explain). At oracle scale
-    (n=500 -> k=8 <= branching) the hierarchy collapses to depth 1 =
-    exactly the flat Lloyd, so the same static SQL replay (Lloyd CTEs
-    + recursive-CTE reachability) verifies this entry end to end; the
-    depth>=2 path is pinned by pytest against an independent per-cell
-    flat-Lloyd replay."""
+    """Semantic dedup end to end (SemDeDup, arXiv:2303.09540), BOTH
+    stages sub-quadratic: k = ceil(n / 64) derives from one COUNT so
+    per-cell membership stays bounded (the paper's own regime), and
+    cell assignment is the hierarchical grouped Lloyd — every vector
+    scores against the b centroids of its current cell across depth
+    ceil(log8 k) levels, O(n log n) total, instead of flat
+    nearest-of-k's n*k scoring (the sweep-measured 2.72x-per-2x
+    grower that the bounded pair join alone cannot explain). Exact
+    cosine pairs are then found within cells only and the min-label
+    CC keeps the smallest-id member per near-dup group. At oracle
+    scale (n=500 -> k=8 <= branching) the hierarchy collapses to
+    depth 1 = exactly the flat Lloyd, so the static SQL replay (Lloyd
+    CTEs + recursive-CTE reachability) verifies this entry end to
+    end; the depth>=2 path is pinned by pytest against an independent
+    per-cell flat-Lloyd replay. Complementary to
+    cosine_neardup_clusters: SRP-LSH recall is probabilistic
+    everywhere; SemDeDup recall is exact within a cell and zero
+    across cells."""
     from nsp_bolt_pipeline_spark.operators.clustering import (
         semantic_dedup_scaled,
     )

@@ -48,7 +48,6 @@ EAGER_ENTRIES = {
     "l9_shard_manifest",
     "ann_recall_eval",
     "ann_exact_topk_arrow",
-    "semdedup_prune",
     "semdedup_prune_scaled",
     "l12_manifest_pruned_scan",
     "ann_pq_topk",
