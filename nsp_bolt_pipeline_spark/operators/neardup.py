@@ -326,6 +326,7 @@ def ngram_containment_pairs(
     text_col: str = "text",
     n: int = 3,
     threshold: float = 0.6,
+    max_gram_df: int | None = None,
 ) -> DataFrame:
     """Directed n-gram CONTAINMENT: |A∩B| / |A| per ordered pair —
     the asymmetric twin of Jaccard. A short document quoted inside a
@@ -337,9 +338,26 @@ def ngram_containment_pairs(
     Same inverted-gram-index plan as ngram_jaccard_pairs (shared-gram
     counts per pair plus a broadcastable per-doc size projection);
     pairs where either direction clears ``threshold`` survive, with
-    both directions reported."""
+    both directions reported.
+
+    ``max_gram_df`` is the stop-shingle guard (the ngram_jaccard_pairs
+    pattern): grams shared by more docs than the cap leave the
+    inverted index before pairing, so a ubiquitous shingle cannot fan
+    out quadratically — the round-6 sf4.0 sweep OOMed the unguarded
+    join (hot-gram SMJ groups buffer in executor memory). Dropped
+    grams no longer count toward |A∩B| while sizes stay full, so the
+    guarded containment is a LOWER BOUND of the exact one —
+    conservative for a dedup decision."""
     grams = _grams_df(df, id_col=id_col, text_col=text_col, n=n).persist()
     inv = grams.select(F.col(id_col).alias("d"), F.explode("g").alias("gram"))
+    if max_gram_df is not None:
+        hot = (
+            inv.groupBy("gram")
+            .agg(F.count("*").alias("gdf"))
+            .filter(F.col("gdf") > max_gram_df)
+            .select("gram")
+        )
+        inv = inv.join(F.broadcast(hot), "gram", "left_anti")
     a, b = inv.alias("a"), inv.alias("b")
     pairs = (
         a.join(

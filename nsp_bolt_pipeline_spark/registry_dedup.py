@@ -147,15 +147,32 @@ def q_neardup_ngram_guarded(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 CONTAIN_THRESHOLD = 0.6
 
+# NOTE (round 6): the unguarded `neardup_containment` entry was
+# SUPERSEDED by the guarded twin below. Unlike its Jaccard sibling
+# (slow but finite at sf4.0: 120.5s), the unguarded containment join
+# OOMed the sweep JVM outright — hot-gram SMJ groups buffer in
+# executor memory and containment's max-direction threshold keeps far
+# more of the candidate volume alive. The unguarded
+# ngram_containment_pairs form stays available as the function
+# default (max_gram_df=None) for bounded corpora and tests.
+
 
 @query(
-    "neardup_containment",
+    "neardup_containment_guarded",
     f"""
     WITH {_GRAMS_CTE},
     inv AS (SELECT doc_id AS d, unnest(g) AS gram FROM grams),
+    hot AS (
+        SELECT gram FROM inv GROUP BY gram
+        HAVING COUNT(*) > {NGRAM_GRAM_CAP}
+    ),
+    fin AS (
+        SELECT i.* FROM inv i
+        WHERE NOT EXISTS (SELECT 1 FROM hot h WHERE h.gram = i.gram)
+    ),
     pairs AS (
         SELECT a.d AS d1, b.d AS d2, COUNT(*) AS common
-        FROM inv a JOIN inv b ON a.gram = b.gram AND a.d < b.d
+        FROM fin a JOIN fin b ON a.gram = b.gram AND a.d < b.d
         GROUP BY 1, 2
     )
     SELECT d1, d2, c_1_in_2, c_2_in_1 FROM (
@@ -170,16 +187,25 @@ CONTAIN_THRESHOLD = 0.6
     ) WHERE GREATEST(c_1_in_2, c_2_in_1) >= {CONTAIN_THRESHOLD}
     """,
 )
-def q_neardup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q_neardup_containment_guarded(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
     """Asymmetric near-dup: quote/subset detection by directed shingle
     containment — the case Jaccard structurally misses (a short doc
-    inside a long one has tiny |A∩B|/|A∪B| but |A∩B|/|A| ~ 1)."""
+    inside a long one has tiny |A∩B|/|A∪B| but |A∩B|/|A| ~ 1). The
+    stop-shingle guard (``max_gram_df``, same cap as the guarded
+    Jaccard twin) drops ubiquitous grams before pairing; the reported
+    containment is a lower bound of the exact one above the cap —
+    conservative for dedup. The oracle replays df -> drop -> count ->
+    lower-bound end to end."""
     from nsp_bolt_pipeline_spark.operators.neardup import (
         ngram_containment_pairs,
     )
 
     docs = read_table(spark, sf_dir, "documents")
-    return ngram_containment_pairs(docs, n=N, threshold=CONTAIN_THRESHOLD)
+    return ngram_containment_pairs(
+        docs, n=N, threshold=CONTAIN_THRESHOLD, max_gram_df=NGRAM_GRAM_CAP
+    )
 
 
 def _lsh_banded_ctes() -> str:

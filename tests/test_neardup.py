@@ -68,6 +68,49 @@ def test_containment_catches_quote_that_jaccard_misses(spark):
     assert ngram_jaccard_pairs(df, threshold=0.5).count() == 0
 
 
+def test_containment_guard_drops_hot_gram_but_keeps_quote(spark):
+    """The stop-shingle guard: a boilerplate shingle shared by EVERY
+    doc leaves the inverted index before pairing (no quadratic
+    fan-out), the planted quote pair still clears the threshold on
+    its remaining shingles, and unrelated docs that only shared the
+    boilerplate no longer pair at all. Guarded containment is a lower
+    bound of the exact value."""
+    from nsp_bolt_pipeline_spark.operators.neardup import (
+        ngram_containment_pairs,
+    )
+
+    boiler = "subscribe to our newsletter now"
+    quote = "the quick brown fox jumps over the lazy dog"
+    rows = [(1, quote + " " + boiler)]
+    rows.append(
+        (2, quote + " " + boiler + " "
+         + " ".join(f"filler{i} pad{i}" for i in range(20)))
+    )
+    # many near-boilerplate-only docs: one unique token + the boiler,
+    # so their shared shingles DOMINATE (c = 3/4 = 0.75 >= 0.6) and
+    # the exact form pairs the whole family quadratically — the
+    # candidate-explosion shape that OOMed the sf4.0 sweep
+    rows += [(10 + i, f"unique{i} " + boiler) for i in range(12)]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    exact = {
+        (r["d1"], r["d2"]): r["c_1_in_2"]
+        for r in ngram_containment_pairs(df, threshold=0.6).collect()
+    }
+    guarded = {
+        (r["d1"], r["d2"]): r["c_1_in_2"]
+        for r in ngram_containment_pairs(
+            df, threshold=0.6, max_gram_df=8
+        ).collect()
+    }
+    # the exact form drowns in the hot family (66 boiler-only pairs)
+    assert sum(1 for d1, d2 in exact if d1 >= 10 and d2 >= 10) == 66
+    assert (1, 2) in guarded  # quote pair survives on its own shingles
+    # lower bound: guarded score <= exact score for the surviving pair
+    assert guarded[(1, 2)] <= exact[(1, 2)]
+    # boilerplate-only pairs are gone from the guarded output
+    assert not any(d1 >= 10 and d2 >= 10 for d1, d2 in guarded)
+
+
 def test_minhash_lsh_agrees_with_exact_on_planted_pair(spark):
     pairs = minhash_lsh_pairs(_docs(spark), threshold=0.5).collect()
     assert [(r["d1"], r["d2"]) for r in pairs] == [(1, 2)]
