@@ -74,22 +74,19 @@ def q_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return exact_dedup_docs(read_table(spark, sf_dir, "documents"))
 
 
-@query(
-    "neardup_ngram_jaccard",
-    f"""
-    WITH {_GRAMS_CTE},
-    inv AS (SELECT doc_id AS d, unnest(g) AS gram FROM grams),
-    pairs AS (
-        SELECT a.d AS d1, b.d AS d2
-        FROM inv a JOIN inv b ON a.gram = b.gram AND a.d < b.d
-        GROUP BY 1, 2
-    )
-    {_JACCARD_VERIFY}
-    """,
-)
-def q_neardup_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = read_table(spark, sf_dir, "documents")
-    return ngram_jaccard_pairs(docs, n=N, threshold=THRESHOLD)
+# NOTE (round 6): the unguarded `neardup_ngram_jaccard` entry
+# (any-shared-gram inverted-index candidates) was SUPERSEDED and
+# removed. It sat at the sf4.0 heap cliff (completed once at 120.5s,
+# OOMed the 6 GiB JVM on the next run — hot-gram SMJ groups buffer in
+# executor memory), and it is STRICTLY DOMINATED in the registry:
+# `neardup_ppjoin_shingles` computes the IDENTICAL exact pair set
+# (same 3-gram shingle grain, same 0.5 threshold, same naive
+# all-pairs oracle; pair-for-pair equality pinned by
+# tests/test_neardup.py::test_ppjoin_shingle_grain_agrees_with_gram_join)
+# through the lossless prefix + length + positional filters, and
+# `neardup_ngram_jaccard_guarded` remains the bounded lower-bound
+# form. The ngram_jaccard_pairs FUNCTION stays for bounded corpora
+# and as the guarded twin's implementation.
 
 
 #: stop-shingle cap for the GUARDED n-gram twin: tiny so it fires on
@@ -596,7 +593,19 @@ from nsp_bolt_pipeline_spark.registry import REGISTRY as _REG  # noqa: E402
 
 
 def _dedup_recall_sql() -> str:
-    exact_sql = _REG["neardup_ngram_jaccard"][1]
+    # the exact side is the naive all-pairs definition inline (the
+    # superseded unguarded entry's SQL); the Spark side computes the
+    # identical pair set through the PPJoin lossless-filter plan
+    exact_sql = f"""
+    WITH {_GRAMS_CTE},
+    inv AS (SELECT doc_id AS d, unnest(g) AS gram FROM grams),
+    pairs AS (
+        SELECT a.d AS d1, b.d AS d2
+        FROM inv a JOIN inv b ON a.gram = b.gram AND a.d < b.d
+        GROUP BY 1, 2
+    )
+    {_JACCARD_VERIFY}
+    """
     lsh_sql = _REG["neardup_minhash_lsh"][1]
     return f"""
     SELECT (SELECT COUNT(*) FROM ({exact_sql})) AS n_exact,
@@ -611,12 +620,23 @@ def _dedup_recall_sql() -> str:
 def q_dedup_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The banding-math check run in-engine: how many of the true
     Jaccard >= threshold pairs does the banded LSH candidate pass
-    recover? Tune bands/rows on this number before a 100 TB run."""
+    recover? Tune bands/rows on this number before a 100 TB run.
+    The exact side runs through the PPJoin lossless-filter plan
+    (identical pair set to the naive definition, pinned by pytest and
+    by this oracle) — the any-shared-gram inverted-index form OOMed
+    the sf4.0 sweep."""
+    from nsp_bolt_pipeline_spark.operators.neardup import word_ngrams
+    from nsp_bolt_pipeline_spark.operators.setjoin import (
+        prefix_filtered_jaccard_join,
+    )
+
     docs = read_table(spark, sf_dir, "documents")
     # persist both pair sets: each feeds a count AND the overlap join
     # (three actions total) — without a cache point the full shingle ->
     # hash -> band -> rescore pipeline would run three times over
-    exact = ngram_jaccard_pairs(docs, n=N, threshold=THRESHOLD).persist()
+    exact = prefix_filtered_jaccard_join(
+        docs, threshold=THRESHOLD, set_expr=word_ngrams("text", n=N)
+    ).persist()
     lsh = minhash_lsh_pairs(
         docs, n=N, num_hashes=NUM_HASHES, bands=BANDS, threshold=THRESHOLD
     ).persist()
