@@ -631,15 +631,23 @@ def q_dedup_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     docs = read_table(spark, sf_dir, "documents")
-    # persist both pair sets: each feeds a count AND the overlap join
-    # (three actions total) — without a cache point the full shingle ->
-    # hash -> band -> rescore pipeline would run three times over
+    # PHASED evaluation: each generator is materialized to an eager
+    # localCheckpoint (the pair sets are tiny — |pairs| rows of two
+    # ids) and the generator's own internal caches (shingle frames,
+    # banding indexes — hundreds of MB at sf4.0) are dropped before
+    # the next generator runs. Running both pipelines with both
+    # operators' internals co-resident exhausted the local-mode JVM's
+    # storage at sf4.0 ("not enough memory to build and broadcast")
+    # even though each entry passes alone; checkpoint blocks are not
+    # catalog-cached, so clearCache frees only the internals.
     exact = prefix_filtered_jaccard_join(
         docs, threshold=THRESHOLD, set_expr=word_ngrams("text", n=N)
-    ).persist()
+    ).localCheckpoint(eager=True)
+    spark.catalog.clearCache()
     lsh = minhash_lsh_pairs(
         docs, n=N, num_hashes=NUM_HASHES, bands=BANDS, threshold=THRESHOLD
-    ).persist()
+    ).localCheckpoint(eager=True)
+    spark.catalog.clearCache()
     try:
         n_exact = exact.count()
         n_lsh = lsh.count()

@@ -67,6 +67,13 @@ def main() -> int:
     _r.load_all()
     spark = get_spark("sweep_sf")
 
+    def _jvm_alive() -> bool:
+        try:
+            spark.sql("SELECT 1").collect()
+            return True
+        except Exception:  # noqa: BLE001
+            return False
+
     failures = 0
     ran = 0
     for name, (fn, _) in REGISTRY.items():
@@ -78,12 +85,43 @@ def main() -> int:
         t0 = time.time()
         try:
             fn(spark, sf_dir).write.mode("overwrite").format("noop").save()
-            print(f"ok   {name} ({time.time() - t0:.1f}s)")
+            print(f"ok   {name} ({time.time() - t0:.1f}s)", flush=True)
         except Exception as ex:  # noqa: BLE001
             failures += 1
-            print(f"FAIL {name}: {type(ex).__name__}: {str(ex)[:300]}")
+            print(
+                f"FAIL {name}: {type(ex).__name__}: {str(ex)[:300]}",
+                flush=True,
+            )
+            # a heap OOM can take the whole local-mode JVM down, which
+            # would turn every REMAINING entry into a collateral
+            # ConnectionRefused FAIL (measured: one entry's OOM
+            # poisoned 20+ sound entries). Probe and restart the
+            # session so one bad entry costs one FAIL line, not the
+            # rest of the sweep.
+            if not _jvm_alive():
+                print(f"JVM dead after {name}; restarting session", flush=True)
+                try:
+                    spark.stop()
+                except Exception:  # noqa: BLE001
+                    pass
+                # the py4j gateway process itself is gone after a heap
+                # death — reset the lazily-created gateway handles so
+                # getOrCreate launches a fresh JVM instead of
+                # ConnectionRefused-ing against the corpse
+                from pyspark import SparkContext
+                from pyspark.sql import SparkSession as _SS
+
+                SparkContext._gateway = None
+                SparkContext._jvm = None
+                SparkContext._active_spark_context = None
+                _SS._instantiatedSession = None
+                _SS._activeSession = None
+                spark = get_spark("sweep_sf")
         finally:
-            spark.catalog.clearCache()
+            try:
+                spark.catalog.clearCache()
+            except Exception:  # noqa: BLE001
+                pass
     print(f"\n{ran - failures}/{ran} executed clean at {sf_dir}")
     return 1 if failures else 0
 
