@@ -37,7 +37,9 @@ HEADLINE = [
     "neardup_minhash_lsh",
     "ann_exact_topk",
     "ann_ivf_topk",
-    "srp_neardup_pairs",
+    # srp_neardup_pairs / srp_multiprobe_pairs / neardup_winnowing_pairs
+    # superseded by their _guarded twins in round 6 (unguarded forms
+    # OOMed the sf4.0 sweep; guards are the production path)
     "ann_quantized_topk",
     "kmeans_clusters",
     "text_tfidf",
@@ -59,7 +61,7 @@ HEADLINE = [
     # Z-order sharding, exact per-stratum quotas, frame explode, and
     # the versioned streaming SCD1 merge
     "ann_exact_topk_arrow",
-    "cosine_neardup_clusters",
+    "cosine_neardup_clusters_guarded",
     "fuzzy_entity_clusters",
     "l8_zorder_layout",
     "l11_stratified_quota_sample",
@@ -79,7 +81,6 @@ HEADLINE = [
     # winnowing overlap pairs, EWMA decay scores, negative sampling
     "text_bpe_merges",
     "text_bpe_segment",
-    "neardup_winnowing_pairs",
     "neardup_winnowing_guarded",
     "t12_ewma_user_score",
     "l13_negative_samples",
@@ -99,7 +100,6 @@ HEADLINE = [
     "stream_sketch_cms",
     "sel_dsir_importance",
     "eval_quality_auc",
-    "srp_multiprobe_pairs",
     "srp_multiprobe_guarded",
     "sel_leakage_safe_split",
     # round-3 additions: Gopher rule filter (scan-speed projection)

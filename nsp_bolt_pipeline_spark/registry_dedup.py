@@ -902,51 +902,16 @@ def _gram_hash32_sql(g: str) -> str:
     return f"CAST({terms} AS BIGINT)"
 
 
-def _winnow_sql() -> str:
-    k, w = WINNOW_K, WINNOW_W
-    return f"""
-    WITH n AS (
-        SELECT doc_id,
-               regexp_replace(lower(trim(text)), '\\s+', ' ', 'g') AS s
-        FROM documents
-    ),
-    g AS (
-        SELECT doc_id,
-               list_transform(range(1, length(s) - {k} + 2),
-                   i -> {_gram_hash32_sql(f"substr(s, i, {k})")}) AS grams
-        FROM n
-    ),
-    m AS (
-        SELECT doc_id,
-               CASE WHEN len(grams) >= {w}
-                    THEN list_distinct(list_transform(
-                        range(1, len(grams) - {w} + 2),
-                        i -> list_min(list_slice(grams, i, i + {w} - 1))))
-                    ELSE [] END AS fps
-        FROM g
-    ),
-    f AS (SELECT doc_id, unnest(fps) AS fp FROM m)
-    SELECT a.doc_id AS d1, b.doc_id AS d2,
-           CAST(COUNT(*) AS BIGINT) AS n_shared
-    FROM f a JOIN f b ON a.fp = b.fp AND a.doc_id < b.doc_id
-    GROUP BY d1, d2
-    HAVING COUNT(*) >= {WINNOW_MIN_SHARED}
-    """
-
-
-@query("neardup_winnowing_pairs", _winnow_sql())
-def q_winnowing_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Partial-overlap / quote detection via winnowing fingerprints
-    (Schleimer et al. 2003): window-minimum k-gram hashes explode to
-    a (doc, fp) table ~|chars|/w rows, and the self-join collides
-    only documents sharing an actual fingerprint — the LSH-bucket
-    shape, never all pairs; AQE splits boilerplate-hot prints."""
-    from nsp_bolt_pipeline_spark.operators.neardup import winnowing_pairs
-
-    docs = read_table(spark, sf_dir, "documents")
-    return winnowing_pairs(
-        docs, k=WINNOW_K, w=WINNOW_W, min_shared=WINNOW_MIN_SHARED
-    )
+# NOTE (round 6): the UNGUARDED `neardup_winnowing_pairs` entry was
+# SUPERSEDED by `neardup_winnowing_guarded` and removed. On corpora
+# with shared boilerplate (any real one, and the scale generator's)
+# a hot fingerprint's bucket grows with n and the self-join is
+# quadratic: the unguarded form OOMed the 6 GiB JVM at the sf4.0
+# sweep while the guarded twin ran 64.5s. The winnowing_pairs
+# FUNCTION keeps its unguarded default (max_fp_df=None) for bounded
+# corpora; the guarded entry's MOSS `max_fp_df` cap is the
+# load-bearing production form (Schleimer et al. 2003 §5 discard
+# ubiquitous prints for exactly this reason).
 
 
 #: boilerplate-print cap for the GUARDED winnowing twin: tiny so it
@@ -1053,10 +1018,18 @@ def _winnow_poly_sql() -> str:
                     ELSE [] END AS fps
         FROM g
     ),
-    f AS (SELECT doc_id, unnest(fps) AS fp FROM m)
+    f AS (SELECT doc_id, unnest(fps) AS fp FROM m),
+    hotfp AS (
+        SELECT fp FROM f GROUP BY fp
+        HAVING COUNT(DISTINCT doc_id) > {WINNOW_FP_CAP}
+    ),
+    ff AS (
+        SELECT f.* FROM f
+        WHERE NOT EXISTS (SELECT 1 FROM hotfp h WHERE h.fp = f.fp)
+    )
     SELECT a.doc_id AS d1, b.doc_id AS d2,
            CAST(COUNT(*) AS BIGINT) AS n_shared
-    FROM f a JOIN f b ON a.fp = b.fp AND a.doc_id < b.doc_id
+    FROM ff a JOIN ff b ON a.fp = b.fp AND a.doc_id < b.doc_id
     GROUP BY d1, d2
     HAVING COUNT(*) >= {WINNOW_MIN_SHARED}
     """
@@ -1067,9 +1040,13 @@ def q_winnowing_arrow(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The Arrow-vectorized winnowing path: numpy Rabin-Karp gram
     hashes + sliding-window minima inside mapInPandas (k vectorized
     passes per doc, no interpreted per-element fold), then the same
-    fingerprint-bucketed pair join. Integer hash arithmetic makes the
-    Python stage exactly replayable — the oracle folds the identical
-    recurrence per position.
+    fingerprint-bucketed pair join — WITH the boilerplate guard
+    (``max_fp_df``, round 6): the unguarded pair join OOMed the sf4.0
+    sweep exactly like its JVM twin, and the guard lives in the shared
+    JVM join stage, so the Arrow fingerprint stage is unchanged.
+    Integer hash arithmetic makes the Python stage exactly replayable
+    — the oracle folds the identical recurrence per position, then
+    replays df -> drop -> join -> min_shared.
 
     Status: NOT the headline (dropped from bench.py in round 6). Its
     round-3 rationale (3.9s vs the then-8.4s JVM form) inverted once
@@ -1078,14 +1055,18 @@ def q_winnowing_arrow(spark: SparkSession, sf_dir: str) -> DataFrame:
     2.4s vs plain JVM 1.6s. Kept as the oracle-verified reference for
     the Arrow/mapInPandas batch shape (the pattern the multimodal
     decoders use) and for environments where Python cores outnumber
-    JVM shuffle capacity; use the JVM twins for throughput."""
+    JVM shuffle capacity; use the JVM twin for throughput."""
     from nsp_bolt_pipeline_spark.operators.neardup import (
         winnowing_pairs_arrow,
     )
 
     docs = read_table(spark, sf_dir, "documents")
     return winnowing_pairs_arrow(
-        docs, k=WINNOW_K, w=WINNOW_W, min_shared=WINNOW_MIN_SHARED
+        docs,
+        k=WINNOW_K,
+        w=WINNOW_W,
+        min_shared=WINNOW_MIN_SHARED,
+        max_fp_df=WINNOW_FP_CAP,
     )
 
 

@@ -372,34 +372,18 @@ def _srp_pairs_guarded_sql(*, multiprobe: bool = False) -> str:
     """
 
 
-@query("srp_neardup_pairs", _srp_pairs_sql())
-def q_srp_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    emb = read_table(spark, sf_dir, "embeddings")
-    return srp_neardup_pairs(
-        emb,
-        threshold=NEARDUP_THRESHOLD,
-        n_planes=SRP_PLANES,
-        bands=SRP_BANDS,
-        dim=DIM,
-    )
-
-
-@query("srp_multiprobe_pairs", _srp_pairs_sql(multiprobe=True))
-def q_srp_multiprobe(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Multi-probe SRP-LSH (Lv et al. VLDB'07 shape): each band key
-    also probes its r one-bit-flip neighbors, recovering
-    near-threshold pairs a single flipped sign bit would otherwise
-    hide — a strict superset of srp_neardup_pairs at identical index
-    size and precision (exact rescore)."""
-    emb = read_table(spark, sf_dir, "embeddings")
-    return srp_neardup_pairs(
-        emb,
-        threshold=NEARDUP_THRESHOLD,
-        n_planes=SRP_PLANES,
-        bands=SRP_BANDS,
-        dim=DIM,
-        multiprobe=True,
-    )
+# NOTE (round 6): the UNGUARDED `srp_neardup_pairs` and
+# `srp_multiprobe_pairs` entries were SUPERSEDED by their `_guarded`
+# twins and removed. On clustered embedding corpora (any real one, and
+# the scale generator's) bucket population grows with n and the
+# within-bucket join is quadratic: both OOMed the 6 GiB JVM at the
+# sf4.0 sweep while the guarded twins ran 19.6s / 68.1s. The guard is
+# not a pathological-case backstop here but the load-bearing form (see
+# q_srp_neardup_guarded); the unguarded srp_neardup_pairs FUNCTION
+# remains the default (max_bucket_df=None) for bounded corpora, and
+# the multi-probe shape (Lv et al. VLDB'07 — each band key also
+# probes its one-bit-flip neighbors, a strict recall superset at
+# identical index size) lives on in srp_multiprobe_guarded.
 
 
 @query("srp_neardup_guarded", _srp_pairs_guarded_sql())
@@ -456,47 +440,13 @@ def q_srp_multiprobe_guarded(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 
-@query(
-    "cosine_neardup_clusters",
-    f"""
-    WITH RECURSIVE
-    edges AS (SELECT d1, d2 FROM ({_srp_pairs_sql()})),
-    und AS (SELECT d1 AS a, d2 AS b FROM edges
-            UNION ALL
-            SELECT d2 AS a, d1 AS b FROM edges),
-    walk(node, comp) AS (
-        SELECT vec_id, vec_id FROM embeddings
-        UNION
-        SELECT e.b, w.comp FROM walk w JOIN und e ON w.node = e.a
-    )
-    SELECT node AS vec_id,
-           MIN(comp) AS cluster_id,
-           node = MIN(comp) AS keep
-    FROM walk
-    GROUP BY node
-    """,
-)
-def q_cosine_neardup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Embedding near-dup dedup end to end, with NO all-pairs join in
-    the plan: SRP-LSH banded candidates (map-side signatures, band-key
-    equi-join) -> exact cosine on candidates only -> iterative
-    min-label connected components -> smallest-id keeper per cluster.
-    The oracle replays the LSH selection and walks reachability with a
-    recursive CTE — different algorithms, same fixpoint, so the hash
-    compare pins both. This is the scale path for embedding dedup;
-    cosine_neardup_pairs (all-pairs) is retained solely as the
-    ground-truth verifier the recall eval scores against."""
-    from nsp_bolt_pipeline_spark.operators.graph import dedup_clusters
-
-    emb = read_table(spark, sf_dir, "embeddings")
-    pairs = srp_neardup_pairs(
-        emb,
-        threshold=NEARDUP_THRESHOLD,
-        n_planes=SRP_PLANES,
-        bands=SRP_BANDS,
-        dim=DIM,
-    )
-    return dedup_clusters(emb, pairs, id_col="vec_id")
+# NOTE (round 6): the UNGUARDED `cosine_neardup_clusters` entry
+# (unguarded SRP candidates feeding the CC) was SUPERSEDED by the
+# `_guarded` twin below and removed — it OOMed the 6 GiB JVM at the
+# sf4.0 sweep while the guarded form ran 29.5s; the guard's STAR
+# semantics are what make the composition linear on clustered
+# corpora. cosine_neardup_pairs (capped all-pairs) remains the
+# ground-truth verifier.
 
 
 @query(
@@ -528,8 +478,9 @@ def q_cosine_neardup_clusters_guarded(
     reach each other through the representative (CC connectivity
     preserved whenever the rep passes the exact-cosine threshold with
     both), so the edge set shrinks linearly while the components stay
-    the dedup-meaningful ones. The unguarded entry grew 3.1x for 2x
-    rows on the clustered sf1.0 sweep; this is the form a 100 TB
+    the dedup-meaningful ones. The unguarded form grew 3.1x for 2x
+    rows on the clustered sf1.0 sweep and OOMed outright at sf4.0
+    (superseded in round 6); this is the form a 100 TB
     embedding-dedup run would use. Oracle: guarded pair SQL composed
     into the same recursive-CTE reachability walk."""
     from nsp_bolt_pipeline_spark.operators.graph import dedup_clusters
@@ -1104,8 +1055,12 @@ SWEEP_THRESHOLDS = [0.35, 0.45, 0.55, 0.65]
 
 
 def _dedup_sweep_sql() -> str:
+    # candidate side = the GUARDED generator (the production form
+    # since round 6) — measuring ITS recall is the number that tunes
+    # a real deployment, and the guard's hot-bucket star pairing is
+    # part of the recall being measured
     truth = _REGISTRY["cosine_neardup_pairs"][1]
-    cand = _REGISTRY["srp_neardup_pairs"][1]
+    cand = _REGISTRY["srp_neardup_guarded"][1]
     vals = ", ".join(f"({t!r})" for t in SWEEP_THRESHOLDS)
     return f"""
     WITH truth AS ({truth}),
@@ -1134,9 +1089,9 @@ def _dedup_sweep_sql() -> str:
 
 @query("dedup_threshold_sweep", _dedup_sweep_sql())
 def q_dedup_threshold_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Recall of the SRP-LSH candidate set against exact all-pairs
-    ground truth at {SWEEP_THRESHOLDS} cutoffs, in one join + one
-    conditional aggregate — the S-curve measurement that tunes
+    """Recall of the (guarded, production-form) SRP-LSH candidate set
+    against exact all-pairs ground truth at {SWEEP_THRESHOLDS}
+    cutoffs, in one join + one conditional aggregate — the S-curve measurement that tunes
     bands/planes for a target recall tier. Ground truth is the capped
     exact sample (vec_id < GT_CAP): recall is estimated on the sample,
     so the sweep's cost is O(cap²) + one banded candidate pass, never
@@ -1151,6 +1106,7 @@ def q_dedup_threshold_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
         n_planes=SRP_PLANES,
         bands=SRP_BANDS,
         dim=DIM,
+        max_bucket_df=SRP_GUARD_CAP,
     ).select("d1", "d2", F.lit(True).alias("hit"))
     m = truth.join(cand, ["d1", "d2"], "left").select(
         "sim", F.coalesce(F.col("hit"), F.lit(False)).alias("hit")

@@ -60,7 +60,7 @@ EAGER_ENTRIES = {
     # iterative min-label CC / pagerank builders: each round runs a
     # localCheckpoint + fixpoint count, so construction executes jobs
     "neardup_clusters",
-    "cosine_neardup_clusters",
+    "cosine_neardup_clusters_guarded",
     "fuzzy_entity_clusters",
     "d10_golden_record",
     "sel_leakage_safe_split",
