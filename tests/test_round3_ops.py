@@ -529,14 +529,21 @@ def test_fs_scores_match_python_model(spark):
     from nsp_bolt_pipeline_spark.operators.fuzzy import fs_weights
 
     load_all()
-    fn, _ = REGISTRY["fs_record_linkage"]
+    # the unrefined entry was superseded in round 6; the refined twin
+    # scores with the identical weight table, which is what this test
+    # pins against the python model
+    fn, _ = REGISTRY["fs_record_linkage_refined"]
+    # sf0.01, not the module default sf0.001: the refined composite
+    # key yields zero candidate pairs on the tiny fixture, which would
+    # make this model comparison vacuous
+    fs_sf = "/root/testdata/sf0.01"
     got = {
         (r["id1"], r["id2"]): (r["score"], r["decision"])
-        for r in fn(spark, SF_DIR).collect()
+        for r in fn(spark, fs_sf).collect()
     }
     cust = {
         r["c_custkey"]: r
-        for r in read_table(spark, SF_DIR, "customer").collect()
+        for r in read_table(spark, fs_sf, "customer").collect()
     }
     import math
 
@@ -547,10 +554,14 @@ def test_fs_scores_match_python_model(spark):
     }
     want = {}
     keys = sorted(cust)
-    by_nation: dict[int, list] = {}
+    by_block: dict[tuple, list] = {}
     for k in keys:
-        by_nation.setdefault(cust[k]["c_nationkey"], []).append(k)
-    for nation, members in by_nation.items():
+        # refined composite key: (nation, last-3-of-name) — mirrors
+        # q_fs_linkage_refined's blocking exactly
+        by_block.setdefault(
+            (cust[k]["c_nationkey"], cust[k]["c_name"][-3:]), []
+        ).append(k)
+    for _blk, members in by_block.items():
         for i, k1 in enumerate(members):
             for k2 in members[i + 1 :]:
                 a, b = cust[k1], cust[k2]
@@ -567,6 +578,7 @@ def test_fs_scores_match_python_model(spark):
                         s,
                         "match" if s >= 6.0 else "possible",
                     )
+    assert want, "fixture drifted: model found no blocked pairs"
     assert got == want
 
 

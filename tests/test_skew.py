@@ -195,13 +195,27 @@ def test_fs_refined_block_key_preserves_every_match_decision(spark):
     threshold cannot lose a 'match' — only clerical-queue rows. Pins
     the fs_record_linkage_refined twin's weight-table argument on the
     real driver tables."""
+    from nsp_bolt_pipeline_spark.operators.fuzzy import fs_match_scores
     from nsp_bolt_pipeline_spark.registry_dedup import (
-        q_fs_linkage,
+        _FS_LOWER,
+        _FS_UPPER,
+        _fs_spark_fields,
         q_fs_linkage_refined,
     )
+    from nsp_bolt_pipeline_spark.sources.readers import read_table
 
     sf = "/root/testdata/sf0.01"  # sf0.001 has zero 'match' rows
-    full = q_fs_linkage(spark, sf)
+    # the unrefined registry entry was superseded in round 6; rebuild
+    # its definition inline (nation-only block) as the comparison base
+    cust = read_table(spark, sf, "customer")
+    full = fs_match_scores(
+        cust,
+        id_col="c_custkey",
+        block_col="c_nationkey",
+        fields=_fs_spark_fields(),
+        upper=_FS_UPPER,
+        lower=_FS_LOWER,
+    )
     refined = q_fs_linkage_refined(spark, sf)
 
     def matches(df):
