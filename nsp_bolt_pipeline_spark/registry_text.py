@@ -957,7 +957,10 @@ FROM documents d LEFT JOIN agg a USING (doc_id)
 """
 
 
-#: trained bigram-LM memo keyed by (sf_dir, ref predicate label) —
+#: trained bigram-LM memo keyed by (dataset fingerprint, ref
+#: predicate label) — a regenerated dataset under the same path
+#: re-trains instead of serving the stale model, and superseded
+#: fingerprints are evicted (round-6 advice) —
 #: the trained_centroids pattern (registry_similarity._CENT_CACHE): a
 #: quality-scoring service trains its reference model once and scores
 #: many corpora against it; re-training inside every invocation would
@@ -975,8 +978,16 @@ def _bigram_model_en(
 ) -> tuple[DataFrame, DataFrame]:
     from nsp_bolt_pipeline_spark.operators.lm import train_bigram_lm
 
-    key = (sf_dir, "lang=en")
+    from nsp_bolt_pipeline_spark.sources.readers import dataset_fingerprint
+
+    fp = dataset_fingerprint(sf_dir, "documents")
+    key = (fp, "lang=en")
     if key not in _BIGRAM_LM_CACHE:
+        for k in [
+            k for k in _BIGRAM_LM_CACHE
+            if k[0][0] == fp[0] and k[1] == key[1] and k != key
+        ]:
+            del _BIGRAM_LM_CACHE[k]
         docs = read_table(spark, sf_dir, "documents")
         uni, bi = train_bigram_lm(docs.filter(F.col("lang") == "en"))
         _BIGRAM_LM_CACHE[key] = (

@@ -32,6 +32,33 @@ TABLES = (
 )
 
 
+def dataset_fingerprint(sf_dir: str, name: str) -> tuple:
+    """Cheap content-identity key for one table dir: (path, file count,
+    total bytes, max mtime_ns). Process-lifetime memos (PQ codebooks,
+    LM model tables) key on THIS instead of the raw path so a
+    regenerated dataset under the same directory invalidates the memo
+    instead of serving a model trained on the old data (round-6
+    advice). Pure ``os`` metadata — no Spark job, no file reads. For a
+    non-local path (no such directory visible to the driver) the
+    fingerprint degrades to the path string, the old behavior."""
+    import os
+
+    root = os.path.join(sf_dir, f"{name}.parquet")
+    if not os.path.isdir(root):
+        return (root,)
+    n_files, total, mtime = 0, 0, 0
+    for dirpath, _dirs, files in os.walk(root):
+        for f in files:
+            try:
+                st = os.stat(os.path.join(dirpath, f))
+            except OSError:
+                continue
+            n_files += 1
+            total += st.st_size
+            mtime = max(mtime, st.st_mtime_ns)
+    return (root, n_files, total, mtime)
+
+
 def read_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Read one synthetic parquet table.
 

@@ -263,6 +263,25 @@ def run_ingest(
                     min_event_date=min_event_date,
                 )
                 winners = winners.join(seen, list(dedup_keys), "left_anti")
+            # Caller-supplied partition columns contribute their own
+            # spread to the useful write-task count: n_dates alone
+            # (pinned to 1 when horizon is off) would collapse a
+            # many-tenant batch into eff_salt tasks — a write-
+            # parallelism regression vs the count-less repartition
+            # this explicit width replaced (round-6 advice). One
+            # bookkeeping count-distinct job, map-side partials, only
+            # paid by partitioned ingests.
+            n_ptuples = 1
+            if partition_cols:
+                n_ptuples = max(
+                    1,
+                    valid.agg(
+                        F.count_distinct(
+                            *[F.col(c) for c in partition_cols]
+                        )
+                    ).first()[0]
+                    or 1,
+                )
             if bronze_parts:
                 # co-locate each output partition before the dynamic-
                 # partition write: without this every shuffle task
@@ -293,8 +312,13 @@ def run_ingest(
                 # to coalesce the shuffle below the salt width on
                 # small batches, silently serializing the hot date —
                 # the exact behavior the salt exists to prevent
+                # max (not product) of the two spread dimensions:
+                # the product over-counts on a backfill touching many
+                # (date x tenant) combos and would multiply small
+                # files; with max, a task holds a few partition tuples
+                # and still writes one file per dir it owns
                 winners = winners.repartition(
-                    max(1, n_dates) * eff_salt,
+                    max(1, n_dates, n_ptuples) * eff_salt,
                     *[F.col(c) for c in bronze_parts],
                     salt,
                 )
@@ -416,9 +440,28 @@ def _bloom_sidecar_meta(
     seg = spark.read.option("mergeSchema", "true").parquet(sidecar_dir)
     if "bits" not in seg.columns:
         return BLOOM_BITS, BLOOM_K
-    row = seg.agg(
-        F.max("bits").alias("bits"), F.max("k").alias("k")
-    ).first()
+    # Exactly ONE distinct non-null (bits, k) sizing may exist: taking
+    # max(bits)/max(k) independently could silently combine bits from
+    # one era with k from another if a config change ever landed
+    # without compaction, and a Bloom probe with a franken-sizing
+    # manufactures false negatives (missed dups). Fail loudly instead
+    # — a mixed sidecar needs compaction, not a guess. (round-6
+    # advice; the legacy-NULL rows still coalesce to the constants.)
+    sizings = (
+        seg.filter(F.col("bits").isNotNull() | F.col("k").isNotNull())
+        .select("bits", "k")
+        .distinct()
+        .collect()
+    )
+    if len(sizings) > 1:
+        raise ValueError(
+            f"Bloom sidecar at {sidecar_dir} holds {len(sizings)} distinct "
+            f"(bits, k) sizings {sorted((r['bits'], r['k']) for r in sizings)}; "
+            "compact the sidecar to one sizing before probing"
+        )
+    if not sizings:
+        return BLOOM_BITS, BLOOM_K
+    row = sizings[0]
     return (
         int(row["bits"]) if row["bits"] is not None else BLOOM_BITS,
         int(row["k"]) if row["k"] is not None else BLOOM_K,
