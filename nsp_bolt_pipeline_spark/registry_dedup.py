@@ -543,18 +543,26 @@ def q_fuzzy_entity_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-#: short-code corpus for the symmetric-delete entry: 12-char hex
+#: short-code corpus for the symmetric-delete entry: 12-char BASE64
 #: digests (all below the Ed-Join q-gram threshold of 16), with a
 #: deterministic near-dup family planted in every 5-id group — the
-#: driver's documents carry no exact-dup texts, and purely random hex
-#: pairs within lev<=3 are (by design) vanishingly rare at 12 chars,
-#: so matches stay LINEAR in corpus size (sweep-safe) and nonzero.
+#: driver's documents carry no exact-dup texts. Base64, not hex, and
+#: that choice is load-bearing: d=3 deletion variants of 12-char
+#: codes are 9-char keys, and over hex (16^9 ≈ 7e10 key space) the
+#: ~300 variants/string birthday-collide QUADRATICALLY once the
+#: corpus passes ~50k rows (measured 3.8x per 2x rows at sf1->2 —
+#: genuine 2d-neighborhood density of random hex, not a plan defect);
+#: over base64 (64^9 ≈ 2e16) the collision term is ~zero through
+#: sf8, so matches stay LINEAR in corpus size (sweep-safe) and
+#: nonzero.
 _SHORT_CODE_SQL_EXPR = """
     CASE
-      WHEN doc_id % 5 = 0 THEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 12)
-      WHEN doc_id % 5 = 4 THEN substr(md5(CAST(doc_id - 4 AS VARCHAR)), 1, 11)
-                               || substr(md5('x' || CAST(doc_id AS VARCHAR)), 1, 1)
-      ELSE substr(md5(text), 1, 12)
+      WHEN doc_id % 5 = 0
+        THEN substr(to_base64(unhex(md5(CAST(doc_id AS VARCHAR)))), 1, 12)
+      WHEN doc_id % 5 = 4
+        THEN substr(to_base64(unhex(md5(CAST(doc_id - 4 AS VARCHAR)))), 1, 11)
+             || substr(to_base64(unhex(md5('x' || CAST(doc_id AS VARCHAR)))), 1, 1)
+      ELSE substr(to_base64(unhex(md5(text))), 1, 12)
     END
 """
 
@@ -581,14 +589,15 @@ def q_fuzzy_short_codes(spark: SparkSession, sf_dir: str) -> DataFrame:
     corpus-wide all-pairs block, quadratic in n on exactly this
     corpus; deletion-variant keys grow with the vocabulary, so bucket
     population tracks local edit density (here: one planted lev<=1
-    family per 5-id group), not corpus size. The oracle is the NAIVE
-    all-pairs definition — the driver's hash compare is the
+    family per 5-id group; base64 keeps the random 2d-neighborhood
+    empty — see _SHORT_CODE_SQL_EXPR), not corpus size. The oracle is
+    the NAIVE all-pairs definition — the driver's hash compare is the
     losslessness proof."""
     from nsp_bolt_pipeline_spark.operators.fuzzy import edit_distance_pairs
 
-    md5s = lambda c: F.md5(c.cast("binary"))  # noqa: E731
+    b64 = lambda c: F.base64(F.unhex(F.md5(c.cast("binary"))))  # noqa: E731
     base12 = F.substring(
-        md5s((F.col("doc_id") - F.col("doc_id") % 5).cast("string")), 1, 12
+        b64((F.col("doc_id") - F.col("doc_id") % 5).cast("string")), 1, 12
     )
     code = (
         F.when(F.col("doc_id") % 5 == 0, base12)
@@ -596,15 +605,15 @@ def q_fuzzy_short_codes(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("doc_id") % 5 == 4,
             F.concat(
                 F.substring(
-                    md5s((F.col("doc_id") - F.lit(4)).cast("string")), 1, 11
+                    b64((F.col("doc_id") - F.lit(4)).cast("string")), 1, 11
                 ),
                 F.substring(
-                    md5s(F.concat(F.lit("x"), F.col("doc_id").cast("string"))),
+                    b64(F.concat(F.lit("x"), F.col("doc_id").cast("string"))),
                     1, 1,
                 ),
             ),
         )
-        .otherwise(F.substring(md5s(F.col("text")), 1, 12))
+        .otherwise(F.substring(b64(F.col("text")), 1, 12))
     )
     codes = read_table(spark, sf_dir, "documents").select(
         "doc_id", code.alias("code")

@@ -203,32 +203,50 @@ def gen(spark: SparkSession, sf: float, out: str) -> None:
         ),
         "events",
     )
-    # documents: word-salad text over VOCAB; every 20th doc is an EXACT
-    # copy of its family base, every 10th a NEAR-dup (one word appended)
-    # — the collision structure exact/minhash/simhash dedup needs
+    # documents: Zipf word salad over a HEAPS-LAW vocabulary; every
+    # 20th doc is an EXACT copy of its family base, every 10th a
+    # NEAR-dup (one word appended) — the collision structure
+    # exact/minhash/simhash dedup needs.
+    #
+    # Round-6 finding (sweeps/README.md): a FIXED 44-word vocabulary
+    # makes every shingle's document frequency double with corpus
+    # size, so rare-prefix inverted lists densify quadratically and
+    # any df-driven candidate plan (PPJoin, Ed-Join, containment)
+    # measures superlinear REGARDLESS of its filters — a property of
+    # the data regime, not the plan. Real corpora grow vocabulary
+    # ~ O(tokens^beta), beta≈0.5 (Heaps' law), which keeps tail-gram
+    # df roughly constant. Here: V = ceil(3 * sqrt(total tokens)),
+    # ranks drawn Zipf(1) via the inverse-CDF trick rank=floor(V^u)
+    # (P(r) ∝ 1/r), the 44 head ranks mapped to the legacy VOCAB so
+    # stopword/quality/boilerplate operators still see English-ish
+    # head tokens; tail ranks render as "w<rank>". Everything stays
+    # pure hash arithmetic — byte-identical across runs/partitioning.
+    avg_words = (19 + 79) / 2 + 1  # doc length ~ U{20..80}
+    heaps_v = max(len(VOCAB) + 1, int(3 * (avg_words * n["documents"]) ** 0.5))
+    vocab_arr = F.array(*[F.lit(w) for w in VOCAB])
+
+    def zipf_word(seed: str, key: F.Column, i: F.Column) -> F.Column:
+        u = (
+            F.abs(F.xxhash64(F.lit(seed), key, i)) % 1_000_000
+        ).cast("double") / 1_000_000.0
+        rank = F.floor(F.pow(F.lit(float(heaps_v)), u)).cast("int")
+        return F.when(
+            rank <= len(VOCAB), F.element_at(vocab_arr, rank)
+        ).otherwise(F.concat(F.lit("w"), rank))
+
     base_id = (F.col("id") - F.col("id") % 20).alias("base")
     words = F.transform(
         F.sequence(
             F.lit(0),
             (_h(base_id, salt="dl") % 60 + 19).cast("int"),
         ),
-        lambda i: F.element_at(
-            F.array(*[F.lit(w) for w in VOCAB]),
-            (
-                F.abs(F.xxhash64(F.lit("dw"), base_id, i)) % len(VOCAB) + 1
-            ).cast("int"),
-        ),
+        lambda i: zipf_word("dw", base_id, i),
     )
     text = F.concat_ws(" ", words)
     near = F.concat(text, F.lit(" "), _pick(VOCAB, "id", salt="dn"))
     fresh_words = F.transform(
         F.sequence(F.lit(0), (_h("id", salt="dl2") % 60 + 19).cast("int")),
-        lambda i: F.element_at(
-            F.array(*[F.lit(w) for w in VOCAB]),
-            (
-                F.abs(F.xxhash64(F.lit("dw2"), F.col("id"), i)) % len(VOCAB) + 1
-            ).cast("int"),
-        ),
+        lambda i: zipf_word("dw2", F.col("id"), i),
     )
     fresh = F.concat_ws(" ", fresh_words)
     doc_text = (
