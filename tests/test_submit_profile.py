@@ -1,0 +1,117 @@
+"""Pure-arithmetic tests for the 100 TB submission profile
+(nsp_bolt_pipeline_spark/submit_profile.py) — no SparkSession."""
+
+import pytest
+
+from nsp_bolt_pipeline_spark.submit_profile import (
+    build_profile,
+    kafka_source_options,
+    submit_command,
+)
+
+TB = 1 << 40
+
+
+def test_100tb_batch_profile_sizes_shuffle_from_input():
+    conf = build_profile(
+        input_bytes=100 * TB, executors=1000,
+        executor_cores=4, executor_memory_gb=16,
+    )
+    parts = int(conf["spark.sql.shuffle.partitions"])
+    # 100 TB / 128 MB = 819200 partitions; far above the 2-waves floor
+    assert parts == 100 * TB // (128 << 20)
+    # every partition lands near the advisory target
+    assert int(conf["spark.sql.adaptive.advisoryPartitionSizeInBytes"]) == (
+        128 << 20
+    )
+    assert conf["spark.sql.adaptive.enabled"] == "true"
+    assert conf["spark.sql.adaptive.skewJoin.enabled"] == "true"
+    assert conf["spark.dynamicAllocation.enabled"] == "true"
+    assert conf["spark.sql.session.timeZone"] == "UTC"
+
+
+def test_small_job_floors_at_two_waves():
+    conf = build_profile(
+        input_bytes=1 << 30, executors=10, executor_cores=4,
+        executor_memory_gb=16,
+    )
+    # 1 GiB / 128 MB = 8 by size; the 2-waves floor (80) wins
+    assert int(conf["spark.sql.shuffle.partitions"]) == 80
+
+
+def test_partition_fits_heap_share():
+    conf = build_profile(
+        input_bytes=100 * TB, executors=1000,
+        executor_cores=8, executor_memory_gb=8,  # skinny: 1 GiB/core
+    )
+    mpb = int(conf["spark.sql.files.maxPartitionBytes"])
+    heap_per_core = 8 * (1 << 30) / 8
+    assert mpb <= heap_per_core * 0.25
+    # and never above the scan target
+    assert mpb <= 128 << 20
+
+
+def test_shuffle_fraction_scales_partition_count_down():
+    full = build_profile(
+        input_bytes=100 * TB, executors=1000, executor_cores=4,
+        executor_memory_gb=16,
+    )
+    tenth = build_profile(
+        input_bytes=100 * TB, executors=1000, executor_cores=4,
+        executor_memory_gb=16, shuffle_fraction=0.1,
+    )
+    assert int(tenth["spark.sql.shuffle.partitions"]) == (
+        int(full["spark.sql.shuffle.partitions"]) // 10
+    )
+
+
+def test_streaming_profile_requires_reliable_checkpoint():
+    with pytest.raises(ValueError, match="checkpoint_root"):
+        build_profile(
+            input_bytes=TB, executors=100, streaming=True,
+        )
+    conf = build_profile(
+        input_bytes=TB, executors=100, streaming=True,
+        checkpoint_root="s3://bucket/pipeline/",
+    )
+    assert conf["spark.sql.streaming.checkpointLocation"] == (
+        "s3://bucket/pipeline/checkpoints"
+    )
+    assert "RocksDBStateStoreProvider" in conf[
+        "spark.sql.streaming.stateStore.providerClass"
+    ]
+    # state stores must not be torn down between micro-batches
+    assert conf["spark.dynamicAllocation.enabled"] == "false"
+
+
+def test_kafka_options_bound_catchup_batches():
+    opts = kafka_source_options(
+        bootstrap_servers="broker:9092", topic="trip-events",
+        events_per_second=1000, trigger_seconds=60,
+    )
+    # 2x steady-state volume per trigger: catches up without an
+    # unbounded backlog batch (BASELINE.md iterator-age regime)
+    assert int(opts["maxOffsetsPerTrigger"]) == 120_000
+    assert opts["subscribe"] == "trip-events"
+    assert opts["failOnDataLoss"] == "false"
+
+
+def test_submit_command_is_shell_safe_list():
+    conf = build_profile(
+        input_bytes=TB, executors=10, executor_cores=4,
+        executor_memory_gb=16,
+    )
+    argv = submit_command(conf, app="pipeline.py")
+    assert argv[0] == "spark-submit" and argv[-1] == "pipeline.py"
+    assert argv.count("--conf") == len(conf)
+
+
+def test_rejects_degenerate_shapes():
+    with pytest.raises(ValueError):
+        build_profile(input_bytes=0, executors=10)
+    with pytest.raises(ValueError):
+        build_profile(input_bytes=TB, executors=0)
+    with pytest.raises(ValueError):
+        kafka_source_options(
+            bootstrap_servers="b", topic="t", events_per_second=0,
+        )

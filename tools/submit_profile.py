@@ -1,0 +1,63 @@
+"""Print the spark-submit command for the 100 TB posture.
+
+Thin CLI over nsp_bolt_pipeline_spark.submit_profile.build_profile
+(the pure, pytest-covered sizing arithmetic).
+
+Usage:
+  python tools/submit_profile.py --input-tb 100 --executors 1000 \
+      [--cores 4] [--mem-gb 16] [--shuffle-fraction 1.0]
+  python tools/submit_profile.py --input-tb 1 --executors 100 \
+      --streaming --checkpoint-root s3://bucket/pipeline/
+"""
+
+from __future__ import annotations
+
+import argparse
+import sys
+
+sys.path.insert(0, ".")
+
+from nsp_bolt_pipeline_spark.submit_profile import (  # noqa: E402
+    build_profile,
+    submit_command,
+)
+
+
+def main() -> int:
+    p = argparse.ArgumentParser(description=__doc__)
+    p.add_argument("--input-tb", type=float, required=True,
+                   help="bytes the job's largest shuffle moves, in TB")
+    p.add_argument("--executors", type=int, required=True)
+    p.add_argument("--cores", type=int, default=4)
+    p.add_argument("--mem-gb", type=int, default=16)
+    p.add_argument("--shuffle-fraction", type=float, default=1.0)
+    p.add_argument("--streaming", action="store_true")
+    p.add_argument("--checkpoint-root", default=None)
+    p.add_argument("--app", default="job.py")
+    p.add_argument("--master", default="yarn")
+    a = p.parse_args()
+
+    conf = build_profile(
+        input_bytes=int(a.input_tb * (1 << 40)),
+        executors=a.executors,
+        executor_cores=a.cores,
+        executor_memory_gb=a.mem_gb,
+        streaming=a.streaming,
+        checkpoint_root=a.checkpoint_root,
+        shuffle_fraction=a.shuffle_fraction,
+    )
+    argv = submit_command(conf, app=a.app, master=a.master)
+    lines, i = [], 0
+    while i < len(argv):
+        if argv[i].startswith("--") and i + 1 < len(argv):
+            lines.append(f"{argv[i]} {argv[i + 1]}")
+            i += 2
+        else:
+            lines.append(argv[i])
+            i += 1
+    print(" \\\n  ".join(lines))
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
