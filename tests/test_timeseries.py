@@ -310,3 +310,29 @@ def test_edit_distance_pairs_short_corpus_symmetric_delete(spark):
         .first()["v"]
     )
     assert sorted(vs) == ["ab", "abc", "ac", "bc"]
+
+
+def test_edit_distance_pairs_plan_never_broadcasts(spark):
+    """Plan-shape pin for the round-7 sf4.0 OOM: `base` is persisted,
+    and Catalyst's explode estimates don't model the ~300x deletion-
+    variant fan-out, so without hints the planner statically chose a
+    BroadcastHashJoin whose build side was the ENTIRE exploded variant
+    relation (57.6M rows at sf4.0 — a fatal build in a 6 GiB JVM).
+    Every join inside edit_distance_pairs has two O(corpus) sides at
+    design scale, so none may ever broadcast, regardless of what the
+    stats claim."""
+    from nsp_bolt_pipeline_spark.operators.fuzzy import (
+        edit_distance_pairs,
+        release_caches,
+    )
+
+    rows = [(i, f"code{i:04d}") for i in range(50)]  # all short (8ch)
+    rows += [(100 + i, "longtitlestring%02d with words" % i)
+             for i in range(20)]  # all long (>= q*(d+1))
+    df = spark.createDataFrame(rows, ["rid", "t"])
+    out = edit_distance_pairs(df, id_col="rid", text_col="t",
+                              max_distance=3)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" not in plan, plan
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+    release_caches()
