@@ -334,6 +334,7 @@ def common_neighbor_links(
     src_col: str = "d1",
     dst_col: str = "d2",
     min_common: int = 2,
+    center_pred=None,
 ) -> DataFrame:
     """Link prediction over an undirected graph by common-neighbor
     count + neighborhood Jaccard — in the near-dup graph this
@@ -348,6 +349,22 @@ def common_neighbor_links(
     and a broadcast-scale degree rejoin. jacc6 =
     round6(cn / (deg(a) + deg(b) - cn)), the engine-portable
     neighborhood Jaccard.
+
+    ``center_pred``: optional Column-predicate (callable, Column ->
+    boolean Column) restricting which nodes may serve as the wedge
+    CENTER. On a bipartite graph this is load-bearing, not cosmetic:
+    wedges centered in partition P only ever produce pairs WITHIN the
+    other partition, so a caller that wants (say) supplier-supplier
+    links through shared parts must center on parts — otherwise the
+    join also materializes every part-part pair through each
+    supplier, a sum(deg(supplier)^2) term where supplier degree grows
+    with the corpus (the round-7 sf8.0 sweep OOMed a task exactly
+    there, computing pairs the caller's own output filter then threw
+    away). Pairs produced through excluded centers simply don't
+    exist downstream, and ``cn`` counts only wedges through allowed
+    centers — for a bipartite caller that is exactly the semantics
+    (all opposite-partition pairs arise through allowed centers
+    only, so output is IDENTICAL to filtering afterward).
     """
     e = edges.select(F.col(src_col).alias("u"), F.col(dst_col).alias("v"))
     und = e.unionByName(
@@ -356,8 +373,11 @@ def common_neighbor_links(
     deg = und.groupBy("u").agg(F.count(F.lit(1)).alias("deg"))
     # wedges through the shared neighbor u: (a -u- b), emitted once
     # per direction; a < b keeps one
-    x = und.select(F.col("u").alias("c"), F.col("v").alias("a"))
-    y = und.select(F.col("u").alias("c"), F.col("v").alias("b"))
+    centers = und if center_pred is None else und.filter(
+        center_pred(F.col("u"))
+    )
+    x = centers.select(F.col("u").alias("c"), F.col("v").alias("a"))
+    y = centers.select(F.col("u").alias("c"), F.col("v").alias("b"))
     cand = (
         x.join(y, "c")
         .filter(F.col("a") < F.col("b"))

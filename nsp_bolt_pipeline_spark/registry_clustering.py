@@ -927,5 +927,14 @@ def q_graph_link_prediction(spark: SparkSession, sf_dir: str) -> DataFrame:
         (-(F.col("l_partkey") + 1)).cast("long").alias("d1"),
         F.col("l_suppkey").cast("long").alias("d2"),
     ).distinct()
-    links = common_neighbor_links(edges, min_common=_LINK_MIN_COMMON)
+    # center wedges on the PART partition (negative ids): supplier
+    # pairs only ever arise through shared parts, so the output is
+    # identical — but without the restriction the symmetric wedge
+    # join also materializes every part-part pair through each
+    # supplier, a sum(deg(supplier)^2) term that grows quadratically
+    # with the corpus and that the a,b >= 0 filter below discards
+    # anyway (round-7 sf8.0 sweep: task OOM from exactly that junk).
+    links = common_neighbor_links(
+        edges, min_common=_LINK_MIN_COMMON, center_pred=lambda c: c < 0
+    )
     return links.filter((F.col("a") >= 0) & (F.col("b") >= 0))

@@ -169,3 +169,40 @@ class TestLinkPrediction:
             "d1 long, d2 long",
         )
         assert common_neighbor_links(edges, min_common=1).count() == 0
+
+    def test_bipartite_center_pred_is_exactly_the_post_filter(self, spark):
+        """On a bipartite graph (parts < 0, suppliers >= 0),
+        restricting wedge centers to the part partition must yield
+        EXACTLY the supplier pairs the unrestricted form yields after
+        filtering — opposite-partition pairs only ever arise through
+        part centers, so center_pred removes the sum(deg(supplier)^2)
+        part-part junk and nothing else (round-7 sf8.0 sweep: that
+        junk task-OOMed a 6 GiB JVM while the caller discarded it)."""
+        import random
+
+        from nsp_bolt_pipeline_spark.operators.graph import (
+            common_neighbor_links,
+        )
+
+        rng = random.Random(11)
+        # 12 suppliers x 30 parts, ~4 suppliers per part
+        edges = spark.createDataFrame(
+            [
+                (-(p + 1), s)
+                for p in range(30)
+                for s in rng.sample(range(12), 4)
+            ],
+            "d1 long, d2 long",
+        )
+        full = {
+            (r["a"], r["b"], r["cn"], r["deg_a"], r["deg_b"], r["jacc6"])
+            for r in common_neighbor_links(edges, min_common=2).collect()
+            if r["a"] >= 0 and r["b"] >= 0
+        }
+        centered = {
+            (r["a"], r["b"], r["cn"], r["deg_a"], r["deg_b"], r["jacc6"])
+            for r in common_neighbor_links(
+                edges, min_common=2, center_pred=lambda c: c < 0
+            ).collect()
+        }
+        assert full and centered == full
