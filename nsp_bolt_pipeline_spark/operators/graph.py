@@ -335,6 +335,7 @@ def common_neighbor_links(
     dst_col: str = "d2",
     min_common: int = 2,
     center_pred=None,
+    max_center_deg: int | None = None,
 ) -> DataFrame:
     """Link prediction over an undirected graph by common-neighbor
     count + neighborhood Jaccard — in the near-dup graph this
@@ -365,6 +366,19 @@ def common_neighbor_links(
     centers — for a bipartite caller that is exactly the semantics
     (all opposite-partition pairs arise through allowed centers
     only, so output is IDENTICAL to filtering afterward).
+
+    ``max_center_deg``: optional hot-center guard, the same
+    documented-LOSSY cap every other hot-key family here carries
+    (MinHash ``max_band_df``, SRP ``max_bucket_df``, winnowing
+    ``max_fp_df``, containment ``max_gram_df``): wedge centers of
+    degree > cap are dropped before the self-join, bounding its
+    fan-out at sum(min(deg, cap)^2) — without it one hub contributes
+    deg^2 wedges, quadratic if hub degree grows with the corpus. The
+    signal argument is the same as MOSS boilerplate: a neighbor
+    shared by everyone identifies nothing, and the ``cn`` it inflates
+    are exactly the spurious ones. Callers that need exactness keep
+    the default None; ``cn`` then counts wedges through ALL allowed
+    centers.
     """
     e = edges.select(F.col(src_col).alias("u"), F.col(dst_col).alias("v"))
     und = e.unionByName(
@@ -376,6 +390,12 @@ def common_neighbor_links(
     centers = und if center_pred is None else und.filter(
         center_pred(F.col("u"))
     )
+    if max_center_deg is not None:
+        centers = (
+            centers.join(deg, "u")
+            .filter(F.col("deg") <= max_center_deg)
+            .drop("deg")
+        )
     x = centers.select(F.col("u").alias("c"), F.col("v").alias("a"))
     y = centers.select(F.col("u").alias("c"), F.col("v").alias("b"))
     cand = (

@@ -938,3 +938,72 @@ def q_graph_link_prediction(spark: SparkSession, sf_dir: str) -> DataFrame:
         edges, min_common=_LINK_MIN_COMMON, center_pred=lambda c: c < 0
     )
     return links.filter((F.col("a") >= 0) & (F.col("b") >= 0))
+
+
+_LINK_MAX_CENTER_DEG = 24
+
+
+def _link_pred_guarded_sql() -> str:
+    return f"""
+    WITH edges AS (
+        SELECT DISTINCT -(l_partkey + 1) AS u, l_suppkey AS v
+        FROM lineitem
+    ),
+    und AS (SELECT u, v FROM edges UNION ALL SELECT v AS u, u AS v FROM edges),
+    deg AS (SELECT u, CAST(COUNT(*) AS BIGINT) AS deg FROM und GROUP BY u),
+    centers AS (
+        SELECT und.u, und.v FROM und
+        JOIN deg ON deg.u = und.u
+        WHERE und.u < 0 AND deg.deg <= {_LINK_MAX_CENTER_DEG}
+    ),
+    cand AS (
+        SELECT x.v AS a, y.v AS b, CAST(COUNT(*) AS BIGINT) AS cn
+        FROM centers x JOIN centers y ON x.u = y.u AND x.v < y.v
+        GROUP BY 1, 2
+        HAVING COUNT(*) >= {_LINK_MIN_COMMON}
+    ),
+    missing AS (
+        SELECT c.a, c.b, c.cn FROM cand c
+        ANTI JOIN edges e ON e.u = c.a AND e.v = c.b
+    )
+    SELECT m.a, m.b, m.cn,
+           da.deg AS deg_a, db.deg AS deg_b,
+           FLOOR((CAST(m.cn AS DOUBLE) / (da.deg + db.deg - m.cn))*1e6 + 0.5)/1e6
+               AS jacc6
+    FROM missing m
+    JOIN deg da ON da.u = m.a
+    JOIN deg db ON db.u = m.b
+    WHERE m.a >= 0 AND m.b >= 0
+    """
+
+
+@query("graph_link_prediction_guarded", _link_pred_guarded_sql())
+def q_graph_link_prediction_guarded(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """The hot-center-guarded twin (documented-lossy, the production
+    form for hub-heavy graphs): wedge centers above
+    _LINK_MAX_CENTER_DEG are dropped before the self-join — a part
+    supplied by everyone identifies no supplier affinity, and it is
+    exactly the deg^2 term that grows when hub degree grows with the
+    corpus (the unguarded entry stays linear on THIS generator only
+    because suppliers-per-part is flat ~60). The oracle replays the
+    cap exactly (deg <= cap on the center side, full degrees in the
+    Jaccard), so the driver hash pins the guard's semantics, same
+    pattern as max_band_df / max_gram_df / max_fp_df."""
+    from nsp_bolt_pipeline_spark.operators.graph import (
+        common_neighbor_links,
+    )
+
+    li = read_table(spark, sf_dir, "lineitem")
+    edges = li.select(
+        (-(F.col("l_partkey") + 1)).cast("long").alias("d1"),
+        F.col("l_suppkey").cast("long").alias("d2"),
+    ).distinct()
+    links = common_neighbor_links(
+        edges,
+        min_common=_LINK_MIN_COMMON,
+        center_pred=lambda c: c < 0,
+        max_center_deg=_LINK_MAX_CENTER_DEG,
+    )
+    return links.filter((F.col("a") >= 0) & (F.col("b") >= 0))

@@ -206,3 +206,36 @@ class TestLinkPrediction:
             ).collect()
         }
         assert full and centered == full
+
+    def test_max_center_deg_drops_hub_wedges_only(self, spark):
+        """Hot-center guard: a hub neighbor shared by EVERY node may
+        not certify links (its deg^2 wedges are the quadratic term);
+        capping center degree removes pairs certified only by the
+        hub while pairs with enough low-degree shared neighbors
+        survive with their cn counting non-hub wedges only."""
+        from nsp_bolt_pipeline_spark.operators.graph import (
+            common_neighbor_links,
+        )
+
+        # nodes 1..6 all attached to hubs 98 and 99 (deg 6 each);
+        # {1,2} also share low-degree neighbors 7 and 8; {3,4} share
+        # only the hubs
+        edges = spark.createDataFrame(
+            [(n, h) for n in range(1, 7) for h in (98, 99)]
+            + [(1, 7), (2, 7), (1, 8), (2, 8)],
+            "d1 long, d2 long",
+        )
+        unguarded = {
+            (r["a"], r["b"]): r["cn"]
+            for r in common_neighbor_links(edges, min_common=2).collect()
+        }
+        guarded = {
+            (r["a"], r["b"]): r["cn"]
+            for r in common_neighbor_links(
+                edges, min_common=2, max_center_deg=4
+            ).collect()
+        }
+        assert unguarded[(3, 4)] == 2  # hub-only pair: cn counts hubs
+        assert (3, 4) not in guarded  # ...and dies under the cap
+        assert guarded[(1, 2)] == 2  # 7,8 survive; hub wedges dropped
+        assert unguarded[(1, 2)] == 4
