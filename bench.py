@@ -147,6 +147,12 @@ HEADLINE = [
     "stream_scd2_history",
     # broadcast stream-static PIT join against the SCD2 history
     "stream_pit_enrich",
+    # round-7 additions: symmetric-delete short-string fuzzy join
+    # (the sub-q-gram-threshold path: variant-hash equi-join, every
+    # O(corpus) side pinned shuffle_merge) and the hot-center-capped
+    # common-neighbor link prediction (bipartite wedge centers)
+    "fuzzy_short_code_matches",
+    "graph_link_prediction_guarded",
 ]
 
 
