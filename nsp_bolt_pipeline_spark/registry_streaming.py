@@ -564,6 +564,15 @@ WHERE e.dropoff_datetime >= s.pickup_datetime
 
 @query("stream_j1_completion_join", _STREAM_J1_ORACLE)
 def q_stream_j1(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Raw (un-deduped) watermarked stream-stream completion join.
+    Scale note (round-7 sf8.0 sweep): OUTPUT cardinality is the
+    data's start x end pair count per key — on the generator's
+    planted hot user (events grow linearly with sf) that is
+    quadratic, and join TIME measures 1.88x per 2x step against
+    3.83x output growth (sub-output-linear; the oracle pins the same
+    rows). The bounded production composition is dedup-BEFORE-join:
+    ``stream_chained_dedup_join`` (<=1 start/end per key, 1.3x per
+    2x)."""
     dirs = _workdir("stream_j1")
     _dump_events(spark, sf_dir, dirs["src"])
     starts = (
