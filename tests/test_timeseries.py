@@ -312,15 +312,20 @@ def test_edit_distance_pairs_short_corpus_symmetric_delete(spark):
     assert sorted(vs) == ["ab", "abc", "ac", "bc"]
 
 
-def test_edit_distance_pairs_plan_never_broadcasts(spark):
+def test_edit_distance_pairs_plan_never_broadcasts_exploded_sides(spark):
     """Plan-shape pin for the round-7 sf4.0 OOM: `base` is persisted,
     and Catalyst's explode estimates don't model the ~300x deletion-
     variant fan-out, so without hints the planner statically chose a
     BroadcastHashJoin whose build side was the ENTIRE exploded variant
     relation (57.6M rows at sf4.0 — a fatal build in a 6 GiB JVM).
-    Every join inside edit_distance_pairs has two O(corpus) sides at
-    design scale, so none may ever broadcast, regardless of what the
-    stats claim."""
+    The two exploded SELF-joins (variant key `v`, gram key `gr`) must
+    stay shuffle joins regardless of what the stats claim; the
+    verification joins on id1/id2 are deliberately unpinned — their
+    sides carry honest persisted stats, and broadcasting them at
+    small scale is the right plan (pinning them measured 2.1x on the
+    sf0.1 bench for verification-heavy consumers)."""
+    import re
+
     from nsp_bolt_pipeline_spark.operators.fuzzy import (
         edit_distance_pairs,
         release_caches,
@@ -333,6 +338,10 @@ def test_edit_distance_pairs_plan_never_broadcasts(spark):
     out = edit_distance_pairs(df, id_col="rid", text_col="t",
                               max_distance=3)
     plan = out._jdf.queryExecution().executedPlan().toString()
-    assert "BroadcastHashJoin" not in plan, plan
+    bad = [
+        ln for ln in plan.splitlines()
+        if re.search(r"Broadcast\w*Join \[(v|gr)#", ln)
+    ]
+    assert not bad, bad
     assert "BroadcastNestedLoopJoin" not in plan, plan
     release_caches()
