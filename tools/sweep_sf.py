@@ -120,6 +120,17 @@ def main() -> int:
         finally:
             try:
                 spark.catalog.clearCache()
+                # clearCache drops CACHED frames, but localCheckpoint
+                # blocks (pagerank/CC iterations, phased recall evals)
+                # are plain RDD blocks freed only when the JVM-side
+                # RDD object is garbage-collected — the 5-min periodic
+                # cleaner is too slow for a sweep that runs the next
+                # heavy entry seconds later, and the accumulated
+                # residue is exactly the co-resident-heap OOM class
+                # (r6 dedup_recall_eval, r7 in-sweep graph entries).
+                # Force a GC cycle so the ContextCleaner reclaims them
+                # before the next entry starts.
+                spark.sparkContext._jvm.System.gc()
             except Exception:  # noqa: BLE001
                 pass
     print(f"\n{ran - failures}/{ran} executed clean at {sf_dir}")
