@@ -422,9 +422,30 @@ def q2_min_supply_qty(spark: SparkSession, sf_dir: str) -> DataFrame:
     back on partkey. Both sides of that join come from the SAME
     grouped child, so they share one shuffle on (l_partkey); quantity
     sums are integer-exact (FLOOR pins the bigint/double seam), making
-    the min-equality compare deterministic across engines."""
+    the min-equality compare deterministic across engines.
+
+    The p_size filter SEMI-JOINS into lineitem BEFORE the supply
+    aggregation — lossless, because the correlated MIN is per-part
+    over that part's own suppliers, and the filter is on the part
+    dimension (dropping a part drops its whole group, never a
+    member). Catalyst cannot infer this push (the filter lives above
+    two aggregations); doing it by hand cuts the heavy groupBy's
+    input by the filter's ~10x selectivity — at 100 TB this is the
+    difference between aggregating the full fact table and a tenth
+    of it (round-7 sf8 sweep flagged the unpushed form's agg spill
+    onset at 2.4x per 2x)."""
     li = read_table(spark, sf_dir, "lineitem").select(
         "l_partkey", "l_suppkey", "l_quantity"
+    )
+    keep_parts = (
+        read_table(spark, sf_dir, "part")
+        .filter(F.col("p_size") <= 5)
+        .select("p_partkey")
+    )
+    li = li.join(
+        F.broadcast(keep_parts),
+        F.col("p_partkey") == F.col("l_partkey"),
+        "left_semi",
     )
     supply = li.groupBy("l_partkey", "l_suppkey").agg(
         F.floor(F.sum("l_quantity")).alias("total_qty")
