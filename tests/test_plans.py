@@ -82,6 +82,18 @@ def test_filtered_scans_push_predicates(plans):
     assert "EqualTo(event_type" in plan
 
 
+def test_q2_part_filter_semi_joins_below_supply_agg(plans):
+    # q2's p_size filter is hand-pushed BELOW the per-(part,supplier)
+    # supply aggregation as a lossless semi-join (Catalyst can't infer
+    # it across two aggregations); reverting it re-opens the agg-spill
+    # growth the round-7 sf8 sweep flagged. Parents print before
+    # children, so the partial agg must precede its LeftSemi child.
+    plan = plans["q2_min_supply_qty"]
+    assert "LeftSemi" in plan
+    assert plan.index("partial_sum") < plan.index("LeftSemi")
+    assert "LessThanOrEqual(p_size,5)" in plan
+
+
 def test_runtime_bloom_filter_join_pruning_engages(spark):
     """At 100 TB the fact side of a selective dim join is pre-pruned
     by Spark's runtime bloom filter (a semi-join pushdown built from
