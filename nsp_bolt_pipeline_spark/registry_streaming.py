@@ -84,7 +84,9 @@ EVENT_WIRE_SCHEMA_STR_VALUE = T.StructType(
 
 def _workdir(tag: str) -> dict[str, str]:
     base = tempfile.mkdtemp(prefix=f"nsp_{tag}_")
-    return {d: os.path.join(base, d) for d in ("src", "out", "dlq", "ckpt")}
+    return {
+        d: os.path.join(base, d) for d in ("src", "out", "dlq", "ckpt", "dim")
+    }
 
 
 def _dump_events_df(ev: DataFrame, out_dir: str) -> None:
@@ -1585,27 +1587,38 @@ def _pit_enrich_oracle() -> str:
 
 @query("stream_pit_enrich", _pit_enrich_oracle())
 def q_stream_pit_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """availableNow run of the streaming PIT join: the SCD2 history
-    (customer priority regimes from orders) broadcasts into every
-    micro-batch and each event picks the interval containing its own
-    event time — events before a user's first regime keep nulls,
-    exactly as the batch point-in-time join and the SQL replay
-    define."""
+    """availableNow run of the streaming PIT join: each event picks
+    the SCD2 interval (customer priority regimes from orders)
+    containing its own event time — events before a user's first
+    regime keep nulls, exactly as the batch point-in-time join and
+    the SQL replay define. The history is PUBLISHED to parquet before
+    the stream starts (publish_dimension_snapshot): stream-static
+    joins re-execute the static plan per micro-batch, so joining the
+    live SCD2 lineage would rebuild the gaps-and-islands windows over
+    orders every batch — the growth the sf8 sweep flagged — and the
+    published snapshot's honest file stats let Catalyst broadcast
+    only while the history actually fits (forced broadcast OOMed at
+    sf16)."""
     from nsp_bolt_pipeline_spark.registry_temporal import _scd2_history
     from nsp_bolt_pipeline_spark.streaming.enrich import (
         enrich_stream_point_in_time,
+        publish_dimension_snapshot,
         run_enrich,
     )
 
     dirs = _workdir("stream_pit")
     ev = read_table(spark, sf_dir, "events")
     _dump_events_df(ev, dirs["src"])
-    hist = _scd2_history(spark, sf_dir).select(
-        F.col("o_custkey").alias("user_id"),
-        F.col("o_orderpriority").alias("priority"),
-        "valid_from",
-        "valid_to",
-        "version",
+    hist = publish_dimension_snapshot(
+        _scd2_history(spark, sf_dir).select(
+            F.col("o_custkey").alias("user_id"),
+            F.col("o_orderpriority").alias("priority"),
+            "valid_from",
+            "valid_to",
+            "version",
+        ),
+        dirs["dim"],
+        spark=spark,
     )
     enriched = enrich_stream_point_in_time(
         _event_stream(spark, dirs["src"]).select(

@@ -18,8 +18,28 @@ from __future__ import annotations
 
 from collections.abc import Sequence
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+
+
+def publish_dimension_snapshot(
+    dim: DataFrame, path: str, *, spark: SparkSession | None = None
+) -> DataFrame:
+    """Materialize a dimension build to parquet and return the
+    read-back frame for the stream-static join's static side.
+
+    Stream-static joins re-plan AND re-execute the static plan every
+    micro-batch, so handing the join a live lineage (window functions
+    over the source table, an SCD2 gaps-and-islands build, ...) pays
+    the whole build per batch — the cost the sf8 sweep measured
+    growing with the dimension. Publishing the snapshot first turns
+    the per-batch price into a scan of a small parquet, and is the
+    production contract anyway: the dimension pipeline publishes, the
+    serving join reads the latest published snapshot, and republishing
+    between batches is how dimension updates reach the stream."""
+    dim.write.mode("overwrite").parquet(path)
+    ss = spark if spark is not None else dim.sparkSession
+    return ss.read.parquet(path)
 
 
 def enrich_stream(
@@ -62,16 +82,24 @@ def enrich_stream_point_in_time(
     *,
     key: str,
     event_ts: str,
-    broadcast_dim: bool = True,
+    broadcast_dim: bool | None = None,
 ) -> DataFrame:
     """PIT variant of :func:`enrich_stream`: each streaming event is
     left-joined to the SCD2 dimension VERSION current at the event's
     own timestamp (operators.scd.point_in_time_join semantics) — the
     leakage-free feature join on the serving path. Stream-static
     joins re-plan the static side per micro-batch, so republishing
-    the history between batches serves updated intervals; the
-    interval bounds are residual predicates on a broadcast hash join,
-    so the stream never shuffles."""
+    the history between batches serves updated intervals.
+
+    Broadcast is stats-driven by default (``broadcast_dim=None``):
+    pass the history through :func:`publish_dimension_snapshot` and
+    the static side carries honest parquet file stats, so Catalyst
+    broadcasts exactly when it fits ``autoBroadcastJoinThreshold``
+    (the stream never shuffles) and falls back to a shuffle join on
+    the bounded micro-batch when it doesn't — a forced hint OOMed the
+    6 GiB sweep JVM at sf16 where the history outgrew the heap.
+    ``True`` forces the hint (un-published lineage whose stats
+    Catalyst can't see); ``False`` forbids it."""
     from nsp_bolt_pipeline_spark.operators.scd import point_in_time_join
 
     dim = F.broadcast(history) if broadcast_dim else history

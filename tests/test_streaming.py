@@ -1392,3 +1392,105 @@ class TestScd2History:
         # must come back as ONE 4-row A interval, version 7 of 8
         assert (7, "A", 4) in runs
         assert len(runs) == 8
+
+
+class TestPitEnrichSnapshot:
+    """The PIT serving join's static-side contract: publish the SCD2
+    history to parquet first (stream-static joins re-execute the
+    static plan per micro-batch), and let the snapshot's honest file
+    stats drive the broadcast decision — a forced hint OOMed the
+    6 GiB sweep JVM at sf16 where the history outgrew the heap."""
+
+    def _frames(self, spark):
+        import datetime as dt
+
+        d = dt.datetime
+        hist = spark.createDataFrame(
+            [
+                (1, "A", d(2020, 1, 1), d(2020, 3, 1), 1),
+                (1, "B", d(2020, 3, 1), None, 2),
+                (2, "C", d(2020, 2, 1), None, 1),
+            ],
+            "k int, attr string, valid_from timestamp, "
+            "valid_to timestamp, version int",
+        )
+        facts = spark.createDataFrame(
+            [
+                (10, d(2020, 2, 15), 1),
+                (11, d(2020, 6, 1), 1),
+                (12, d(2019, 6, 1), 1),
+                (13, d(2020, 6, 1), 2),
+                (14, d(2020, 6, 1), 3),
+            ],
+            "event_id int, ts timestamp, k int",
+        )
+        return facts, hist
+
+    def test_snapshot_reads_back_as_bare_scan(self, spark, tmp_path):
+        from pyspark.sql.window import Window
+
+        from nsp_bolt_pipeline_spark.streaming.enrich import (
+            publish_dimension_snapshot,
+        )
+
+        _, hist = self._frames(spark)
+        # a live lineage with a window build must not survive into
+        # the read-back: per-batch re-execution would pay it N times
+        lineage = hist.withColumn(
+            "rk",
+            F.row_number().over(
+                Window.partitionBy("k").orderBy("valid_from")
+            ),
+        )
+        snap = publish_dimension_snapshot(
+            lineage, str(tmp_path / "dim"), spark=spark
+        )
+        assert snap.inputFiles(), "snapshot must be file-backed"
+        plan = snap._jdf.queryExecution().executedPlan().toString()
+        assert "Window" not in plan
+        assert snap.count() == 3
+
+    def test_pit_parity_and_stats_driven_broadcast(self, spark, tmp_path):
+        from nsp_bolt_pipeline_spark.operators.scd import (
+            point_in_time_join,
+        )
+        from nsp_bolt_pipeline_spark.streaming.enrich import (
+            enrich_stream_point_in_time,
+            publish_dimension_snapshot,
+        )
+
+        facts, hist = self._frames(spark)
+        snap = publish_dimension_snapshot(
+            hist, str(tmp_path / "dim"), spark=spark
+        )
+        want = sorted(
+            (r["event_id"], r["dim_attr"], r["dim_version"])
+            for r in point_in_time_join(
+                facts, hist, key="k", fact_ts="ts"
+            ).collect()
+        )
+
+        def run_and_plan():
+            j = enrich_stream_point_in_time(
+                facts, snap, key="k", event_ts="ts"
+            )
+            got = sorted(
+                (r["event_id"], r["dim_attr"], r["dim_version"])
+                for r in j.collect()
+            )
+            return got, j._jdf.queryExecution().executedPlan().toString()
+
+        saved = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+        try:
+            # small snapshot under the threshold: Catalyst broadcasts
+            got, plan = run_and_plan()
+            assert got == want
+            assert "BroadcastHashJoin" in plan
+            # history over the threshold: no forced hint, so the plan
+            # degrades to a shuffle join instead of OOMing the build
+            spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+            got, plan = run_and_plan()
+            assert got == want
+            assert "BroadcastHashJoin" not in plan
+        finally:
+            spark.conf.set("spark.sql.autoBroadcastJoinThreshold", saved)
