@@ -773,17 +773,25 @@ _ENRICH_ORACLE = """
 def q_stream_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
     """availableNow run of a stream-static left join: the static side
     (per-user first-seen day) is computed in batch from the same
-    events table and broadcast into every micro-batch."""
+    events table, PUBLISHED to parquet (stream-static joins re-execute
+    the static plan per micro-batch — a live aggregation would be
+    recomputed every batch), and joined with Catalyst deciding
+    broadcast from the snapshot's honest file stats."""
     from nsp_bolt_pipeline_spark.streaming.enrich import (
         enrich_stream,
+        publish_dimension_snapshot,
         run_enrich,
     )
 
     dirs = _workdir("stream_enrich")
     ev = read_table(spark, sf_dir, "events")
     _dump_events_df(ev, dirs["src"])
-    cohort = ev.groupBy("user_id").agg(
-        F.min(F.to_date("ts")).cast("string").alias("cohort_day")
+    cohort = publish_dimension_snapshot(
+        ev.groupBy("user_id").agg(
+            F.min(F.to_date("ts")).cast("string").alias("cohort_day")
+        ),
+        dirs["dim"],
+        spark=spark,
     )
     enriched = enrich_stream(
         _event_stream(spark, dirs["src"]).select(

@@ -47,12 +47,18 @@ def enrich_stream(
     dim: DataFrame,
     *,
     on: Sequence[str],
-    broadcast_dim: bool = True,
+    broadcast_dim: bool | None = None,
 ) -> DataFrame:
-    """Left-join a static dimension onto a streaming frame. With
-    ``broadcast_dim`` (default) the dimension is broadcast — the only
-    sane plan when the stream is unbounded and the dim fits in
-    executor memory; disable for a large bucketed dim."""
+    """Left-join a static dimension onto a streaming frame. The
+    default (``broadcast_dim=None``) leaves the plan choice to
+    Catalyst: pass the dimension through
+    :func:`publish_dimension_snapshot` so the static side carries
+    honest parquet file stats, and it broadcasts exactly while it
+    fits ``autoBroadcastJoinThreshold`` (the stream never shuffles),
+    degrading to a shuffle join on the bounded micro-batch when the
+    dimension outgrows the heap. ``True`` forces the broadcast hint
+    (only for un-published lineage whose stats Catalyst can't see);
+    ``False`` forbids it (a large bucketed dim)."""
     right = F.broadcast(dim) if broadcast_dim else dim
     return stream.join(right, list(on), "left")
 
