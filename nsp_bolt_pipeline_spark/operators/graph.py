@@ -224,8 +224,20 @@ def pagerank(
     is ``localCheckpoint``-ed to cut lineage growth (the
     connected-components lesson: chained plans double otherwise).
     Nodes are taken from the edge list (no dangling-node handling —
-    every listed node has degree >= 1)."""
-    e = edges.select(F.col(src).alias("s"), F.col(dst).alias("d")).persist()
+    every listed node has degree >= 1).
+
+    The edge table is hash-partitioned by ``s`` BEFORE the persist, so
+    the per-iteration rank join and the degree aggregate both reuse
+    the cached partitioning (no Exchange above the InMemoryTableScan)
+    — only the O(nodes) rank side shuffles each round. Callers with
+    corpus-scale graphs should pass compact integer node ids: the
+    columnar cache stores what you give it, and deserialized string
+    ids were what saturated the 6 GiB sweep heap at sf32."""
+    e = (
+        edges.select(F.col(src).alias("s"), F.col(dst).alias("d"))
+        .repartition(F.col("s"))
+        .persist()
+    )
     deg = e.groupBy("s").agg(F.count("*").alias("deg"))
     nodes = e.select(F.col("s").alias("node")).distinct().persist()
     n_total = nodes.count()

@@ -220,15 +220,26 @@ def _pr_iter_sql(prev: str, out: str) -> str:
     """,
 )
 def q_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Node ids stay tagged LONGS in flight (part k -> 2k, supplier
+    k -> 2k+1) and become the oracle's 'p{k}'/'s{k}' strings only in
+    the final projection: the edge table is persisted across the
+    iterations, and caching tens of millions of deserialized id
+    strings is what OOMed the 6 GiB sf32 sweep JVM — 16-byte long
+    pairs cache an order of magnitude smaller and hash/join faster."""
     li = read_table(spark, sf_dir, "lineitem")
     pairs = li.select(
-        F.concat(F.lit("p"), F.col("l_partkey")).alias("a"),
-        F.concat(F.lit("s"), F.col("l_suppkey")).alias("b"),
+        (F.col("l_partkey").cast("long") * 2).alias("a"),
+        (F.col("l_suppkey").cast("long") * 2 + 1).alias("b"),
     ).distinct()
     edges = pairs.unionByName(
         pairs.select(F.col("b").alias("a"), F.col("a").alias("b"))
     )
-    return pagerank(edges, iterations=3, damping=0.85)
+    ranks = pagerank(edges, iterations=3, damping=0.85)
+    tag = F.when(
+        F.col("node").bitwiseAND(F.lit(1)) == 0, F.lit("p")
+    ).otherwise(F.lit("s"))
+    key = F.shiftright(F.col("node"), 1).cast("string")
+    return ranks.select(F.concat(tag, key).alias("node"), "rank")
 
 
 # ---------------------------------------------------------------------------

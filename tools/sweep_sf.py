@@ -17,6 +17,7 @@ it). The optional ratio (default 2.5) sets the reported threshold.
 
 from __future__ import annotations
 
+import os
 import re
 import sys
 import time
@@ -61,11 +62,73 @@ def main() -> int:
     only = set(args[1:])
 
     from nsp_bolt_pipeline_spark import registry as _r
+    from nsp_bolt_pipeline_spark import submit_profile as _sp
     from nsp_bolt_pipeline_spark.registry import REGISTRY
     from nsp_bolt_pipeline_spark.session import get_spark
 
     _r.load_all()
-    spark = get_spark("sweep_sf")
+
+    # Shape the session the way submit_profile shapes a cluster job,
+    # instead of inheriting local[$CPUS] x 6 GiB blindly. local[32]
+    # over a 6 GiB heap is 0.19 GB per task slot — a 21x distortion
+    # of the profile's 16g/4-core executor — and at sf32 the unified
+    # pool starves (UNABLE_TO_ACQUIRE_MEMORY / 128 MB page allocation
+    # failures in the pagerank distinct) for operators that are
+    # measured linear. Measured working point at 6 GiB: ~384 MiB of
+    # heap per task slot, shuffle partitions sized to ~24 MiB wire
+    # (heap / (16*slots)) so a sort task's pointer array + 2-3x
+    # deserialized working set fit a slot's execution share even with
+    # ~2 GiB of cache blocks resident — at 48 MiB partitions the
+    # pagerank entry still coin-flipped on 128 MiB pointer-array
+    # doublings; at 24 MiB it passes twice consecutively (263s/298s).
+    # The sweep is a saturation test of the OPERATORS under a
+    # deployable shape, not of an executor shape no profile would
+    # emit.
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", str(os.cpu_count() or 4)))
+    heap = 6 << 30  # session.py pins 6g driver memory
+    slots = max(4, min(cpus, heap // (384 << 20)))
+    part_target = min(
+        _sp.TARGET_PARTITION_MB << 20, heap // (16 * slots)
+    )
+    input_bytes = sum(
+        os.path.getsize(os.path.join(root, f))
+        for root, _, files in os.walk(sf_dir)
+        for f in files
+    )
+    shuffle_partitions = max(2 * slots, -(-input_bytes // part_target))
+
+    def _session():
+        return get_spark(
+            "sweep_sf",
+            master=f"local[{slots}]",
+            shuffle_partitions=shuffle_partitions,
+            extra_conf={
+                "spark.sql.files.maxPartitionBytes": str(part_target),
+                # iterative entries persist corpus-scale frames
+                # (pagerank's edge table caches ~2 GiB columnar at
+                # sf32); the default 0.5 storageFraction protects
+                # half the unified pool from eviction and execution
+                # sees "Unable to acquire ... got 0". Let execution
+                # push cold cache blocks to disk instead.
+                "spark.memory.storageFraction": "0.3",
+                # TaskMemoryManager sizes pages up to 128 MiB, which
+                # G1 treats as humongous allocations; with ~2 GiB of
+                # cache blocks resident the heap fragments and the
+                # page allocation fails outright ("Failed to allocate
+                # a page (134217728 bytes)", GCLocker retry warnings)
+                # even though free memory exists. Smaller pages
+                # allocate from normal regions.
+                "spark.buffer.pageSize": "16m",
+            },
+        )
+
+    print(
+        f"session: local[{slots}], {shuffle_partitions} shuffle "
+        f"partitions, {part_target >> 20} MiB scan splits "
+        f"({input_bytes >> 20} MiB input, {cpus} cpus)",
+        flush=True,
+    )
+    spark = _session()
 
     def _jvm_alive() -> bool:
         try:
@@ -116,7 +179,7 @@ def main() -> int:
                 SparkContext._active_spark_context = None
                 _SS._instantiatedSession = None
                 _SS._activeSession = None
-                spark = get_spark("sweep_sf")
+                spark = _session()
         finally:
             try:
                 spark.catalog.clearCache()
