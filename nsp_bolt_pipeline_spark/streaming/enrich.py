@@ -42,6 +42,41 @@ def publish_dimension_snapshot(
     return ss.read.parquet(path)
 
 
+def publish_dimension_snapshot_bucketed(
+    dim: DataFrame,
+    table: str,
+    *,
+    bucket_by: str,
+    n_buckets: int = 64,
+    spark: SparkSession | None = None,
+) -> DataFrame:
+    """Bucketed variant of :func:`publish_dimension_snapshot` for a
+    dimension too large to broadcast: `saveAsTable` with
+    ``bucketBy(bucket_by)`` + ``sortBy`` publishes the snapshot
+    pre-hash-partitioned AND pre-sorted on the join key, so the
+    serving join's sort-merge plan reads the buckets directly — no
+    Exchange and no Sort above the dimension scan, in batch or in
+    every micro-batch of a stream-static join. The per-batch price
+    collapses to shuffling the (bounded) micro-batch; the dimension,
+    however large, is never re-shuffled or re-sorted after publish.
+    This is the 100 TB serving-join layout: the sf32 sweep measured
+    the flat snapshot paying a full static-side shuffle per batch
+    once the history outgrew the broadcast threshold.
+
+    ``n_buckets`` should divide evenly into the cluster's shuffle
+    width (submit_profile's partition count) so the stream side's
+    exchange matches bucket granularity."""
+    ss = spark if spark is not None else dim.sparkSession
+    (
+        dim.write.mode("overwrite")
+        .format("parquet")
+        .bucketBy(n_buckets, bucket_by)
+        .sortBy(bucket_by)
+        .saveAsTable(table)
+    )
+    return ss.table(table)
+
+
 def enrich_stream(
     stream: DataFrame,
     dim: DataFrame,

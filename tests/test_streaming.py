@@ -1494,3 +1494,51 @@ class TestPitEnrichSnapshot:
             assert "BroadcastHashJoin" not in plan
         finally:
             spark.conf.set("spark.sql.autoBroadcastJoinThreshold", saved)
+
+    def test_bucketed_snapshot_join_reads_buckets_directly(self, spark):
+        from nsp_bolt_pipeline_spark.operators.scd import (
+            point_in_time_join,
+        )
+        from nsp_bolt_pipeline_spark.streaming.enrich import (
+            enrich_stream_point_in_time,
+            publish_dimension_snapshot_bucketed,
+        )
+
+        facts, hist = self._frames(spark)
+        table = "pit_dim_bucketed_test"
+        saved = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+        try:
+            snap = publish_dimension_snapshot_bucketed(
+                hist, table, bucket_by="k", n_buckets=4, spark=spark
+            )
+            # force the over-threshold regime: the dimension must ride
+            # its bucketed layout, not a broadcast
+            spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+            j = enrich_stream_point_in_time(
+                facts, snap, key="k", event_ts="ts"
+            )
+            got = sorted(
+                (r["event_id"], r["dim_attr"], r["dim_version"])
+                for r in j.collect()
+            )
+            want = sorted(
+                (r["event_id"], r["dim_attr"], r["dim_version"])
+                for r in point_in_time_join(
+                    facts, hist, key="k", fact_ts="ts"
+                ).collect()
+            )
+            assert got == want
+            # AQE prints "Final Plan" then "Initial Plan"; scope the
+            # shape assertions to the final one
+            plan = (
+                j._jdf.queryExecution().executedPlan().toString()
+            ).split("== Initial Plan ==")[0]
+            assert "SortMergeJoin" in plan
+            assert plan.count("Bucketed: true") == 1
+            # exactly one hash exchange — the fact side shuffling to
+            # bucket granularity; the dimension is read
+            # pre-partitioned from its buckets, never re-shuffled
+            assert plan.count("Exchange hashpartitioning") == 1
+        finally:
+            spark.conf.set("spark.sql.autoBroadcastJoinThreshold", saved)
+            spark.sql(f"DROP TABLE IF EXISTS {table}")
