@@ -225,12 +225,23 @@ def q_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     the final projection: the edge table is persisted across the
     iterations, and caching tens of millions of deserialized id
     strings is what OOMed the 6 GiB sf32 sweep JVM — 16-byte long
-    pairs cache an order of magnitude smaller and hash/join faster."""
+    pairs cache an order of magnitude smaller and hash/join faster.
+
+    Precondition: the parity-based decode (shiftright + bit 0) is
+    only injective for NON-NEGATIVE keys — a negative id would
+    mis-decode silently, and a null propagates. TPC-H keys are >= 1
+    by spec; the filter below makes the assumption executable rather
+    than hoped-for (it prunes nothing on conforming data and costs a
+    pushed-down predicate)."""
     li = read_table(spark, sf_dir, "lineitem")
-    pairs = li.select(
-        (F.col("l_partkey").cast("long") * 2).alias("a"),
-        (F.col("l_suppkey").cast("long") * 2 + 1).alias("b"),
-    ).distinct()
+    pairs = (
+        li.filter((F.col("l_partkey") >= 0) & (F.col("l_suppkey") >= 0))
+        .select(
+            (F.col("l_partkey").cast("long") * 2).alias("a"),
+            (F.col("l_suppkey").cast("long") * 2 + 1).alias("b"),
+        )
+        .distinct()
+    )
     edges = pairs.unionByName(
         pairs.select(F.col("b").alias("a"), F.col("a").alias("b"))
     )

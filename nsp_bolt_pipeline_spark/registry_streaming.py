@@ -572,9 +572,15 @@ def q_stream_j1(spark: SparkSession, sf_dir: str) -> DataFrame:
     planted hot user (events grow linearly with sf) that is
     quadratic, and join TIME measures 1.88x per 2x step against
     3.83x output growth (sub-output-linear; the oracle pins the same
-    rows). The bounded production composition is dedup-BEFORE-join:
+    rows). At sf32 the mandated output reaches ~2e9 rows and the
+    entry FAILs on write volume alone
+    (``sweeps/sweep_sf32.0_stream_r7.log``) — correct behavior,
+    adversarial input, and the wall any hot trip_id reproduces. The
+    bounded production composition is dedup-BEFORE-join:
     ``stream_chained_dedup_join`` (<=1 start/end per key, 1.3x per
-    2x)."""
+    2x, 93.5s clean at sf32); see
+    ``streaming.completion.streaming_completed_trips``'s hot-key
+    docstring for the full regime."""
     dirs = _workdir("stream_j1")
     _dump_events(spark, sf_dir, dirs["src"])
     starts = (
@@ -801,6 +807,57 @@ def q_stream_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
         on=["user_id"],
     )
     run_enrich(enriched, out_dir=dirs["out"], checkpoint_dir=dirs["ckpt"])
+    return spark.read.parquet(dirs["out"]).select(
+        "event_id", "user_id", "event_type", "cohort_day"
+    )
+
+
+@query("stream_static_enrich_bucketed", _ENRICH_ORACLE)
+def q_stream_enrich_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Over-broadcast twin of ``stream_static_enrich`` — same oracle,
+    but the dimension is published through
+    ``publish_dimension_snapshot_bucketed`` (bucketBy+sortBy on the
+    join key) and joined with ``broadcast_dim=False`` (MERGE hint):
+    the serving join's sort-merge plan reads the buckets directly, so
+    NO micro-batch ever shuffles or re-sorts the dimension — only the
+    bounded batch side exchanges, at bucket granularity. This is the
+    100 TB regime where the dimension outgrows
+    ``autoBroadcastJoinThreshold``; the zero-Exchange plan shape is
+    pinned by tests/test_streaming.py's bucketed-snapshot test. The
+    snapshot table is namespaced per run (single-writer contract of a
+    managed-table publish) and dropped after the stream drains —
+    output rides the parquet sink, not the table."""
+    from nsp_bolt_pipeline_spark.streaming.enrich import (
+        enrich_stream,
+        publish_dimension_snapshot_bucketed,
+        run_enrich,
+    )
+
+    dirs = _workdir("stream_enrichb")
+    run_tag = os.path.basename(os.path.dirname(dirs["src"]))
+    ev = read_table(spark, sf_dir, "events")
+    _dump_events_df(ev, dirs["src"])
+    cohort = publish_dimension_snapshot_bucketed(
+        ev.groupBy("user_id").agg(
+            F.min(F.to_date("ts")).cast("string").alias("cohort_day")
+        ),
+        "cohort_snapshot",
+        bucket_by="user_id",
+        n_buckets=8,
+        database=run_tag,
+        spark=spark,
+    )
+    enriched = enrich_stream(
+        _event_stream(spark, dirs["src"]).select(
+            "event_id", "user_id", "event_type"
+        ),
+        cohort,
+        on=["user_id"],
+        broadcast_dim=False,
+    )
+    run_enrich(enriched, out_dir=dirs["out"], checkpoint_dir=dirs["ckpt"])
+    spark.sql(f"DROP TABLE IF EXISTS {run_tag}.cohort_snapshot")
+    spark.sql(f"DROP DATABASE IF EXISTS {run_tag}")
     return spark.read.parquet(dirs["out"]).select(
         "event_id", "user_id", "event_type", "cohort_day"
     )

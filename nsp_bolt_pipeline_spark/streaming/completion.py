@@ -53,7 +53,24 @@ def streaming_completed_trips(
     ``assume_watermarked=True`` skips the withWatermark calls — for
     inputs that already carry one (e.g. downstream of a watermarked
     dedup), where redefining the watermark is disallowed under
-    multi-stateful chaining."""
+    multi-stateful chaining.
+
+    **Hot-key output regime (known, by construction):** a raw
+    stream-stream join emits the CROSS PRODUCT of same-key rows inside
+    the time bound — a key with m starts and n ends within ``within``
+    emits m*n matches. State stays bounded (eviction is unaffected)
+    and per-match cost is flat, but OUTPUT cardinality is quadratic in
+    the hot key's rate: the sf32 sweep's planted hot user mandated a
+    ~2e9-row result that no sink should be asked to absorb
+    (``sweeps/sweep_sf32.0_stream_r7.log`` — join time itself grew
+    sub-output-linearly at 1.88x per 2x). Any upstream at-least-once
+    wire (Kinesis/Kafka redelivery, simulator replays) produces
+    duplicate keys, so the PRODUCTION composition is
+    :func:`deduped_completion_stream` (registry
+    ``stream_chained_dedup_join``): watermarked first-write-wins dedup
+    on each side caps the per-key cross product at 1x1 before the join
+    ever sees it. Use the raw form only on keys guaranteed unique per
+    side (e.g. downstream of a keyed-table sink)."""
     if assume_watermarked:
         s, e = starts.alias("s"), ends.alias("e")
     else:

@@ -48,6 +48,7 @@ def publish_dimension_snapshot_bucketed(
     *,
     bucket_by: str,
     n_buckets: int = 64,
+    database: str | None = None,
     spark: SparkSession | None = None,
 ) -> DataFrame:
     """Bucketed variant of :func:`publish_dimension_snapshot` for a
@@ -65,8 +66,18 @@ def publish_dimension_snapshot_bucketed(
 
     ``n_buckets`` should divide evenly into the cluster's shuffle
     width (submit_profile's partition count) so the stream side's
-    exchange matches bucket granularity."""
+    exchange matches bucket granularity.
+
+    Unlike the path-scoped flat publisher, this writes a MANAGED
+    metastore table under ``mode=overwrite`` — the table name is a
+    single-writer contract: two pipelines sharing one warehouse and
+    one name silently clobber each other. Pass ``database`` to
+    namespace the snapshot per pipeline (created if absent), the
+    table-name analogue of the flat publisher's path scoping."""
     ss = spark if spark is not None else dim.sparkSession
+    if database is not None:
+        ss.sql(f"CREATE DATABASE IF NOT EXISTS {database}")
+        table = f"{database}.{table}"
     (
         dim.write.mode("overwrite")
         .format("parquet")
@@ -93,8 +104,16 @@ def enrich_stream(
     degrading to a shuffle join on the bounded micro-batch when the
     dimension outgrows the heap. ``True`` forces the broadcast hint
     (only for un-published lineage whose stats Catalyst can't see);
-    ``False`` forbids it (a large bucketed dim)."""
-    right = F.broadcast(dim) if broadcast_dim else dim
+    ``False`` pins a MERGE hint — without it Catalyst would still
+    auto-broadcast a dimension under ``autoBroadcastJoinThreshold``,
+    so a mere absence of the hint cannot express "large bucketed dim:
+    ride the bucket layout, never the broadcast"."""
+    if broadcast_dim:
+        right = F.broadcast(dim)
+    elif broadcast_dim is False:
+        right = dim.hint("MERGE")
+    else:
+        right = dim
     return stream.join(right, list(on), "left")
 
 
@@ -140,8 +159,15 @@ def enrich_stream_point_in_time(
     the bounded micro-batch when it doesn't — a forced hint OOMed the
     6 GiB sweep JVM at sf16 where the history outgrew the heap.
     ``True`` forces the hint (un-published lineage whose stats
-    Catalyst can't see); ``False`` forbids it."""
+    Catalyst can't see); ``False`` pins a MERGE hint (a bucketed
+    history must ride its layout — absent the hint Catalyst would
+    still auto-broadcast under the threshold)."""
     from nsp_bolt_pipeline_spark.operators.scd import point_in_time_join
 
-    dim = F.broadcast(history) if broadcast_dim else history
+    if broadcast_dim:
+        dim = F.broadcast(history)
+    elif broadcast_dim is False:
+        dim = history.hint("MERGE")
+    else:
+        dim = history
     return point_in_time_join(stream, dim, key=key, fact_ts=event_ts)

@@ -567,6 +567,56 @@ class TestStreamStreamJoin:
 
 
 class TestChainedStatefulOps:
+    def test_raw_join_hot_key_emits_cross_product(self, spark, tmp_path):
+        """Pin the documented hot-key regime: the RAW stream-stream
+        join emits m*n matches for a key with m starts and n ends
+        inside the bound (the sf32 sweep's ~2e9-row FAIL is this, by
+        generator construction). The production composition —
+        deduped_completion_stream / stream_chained_dedup_join — caps
+        it at 1; the next test pins that side."""
+        s_src, e_src, out, ckpt = _dirs(tmp_path, "s", "e", "out", "ckpt")
+        s_schema = T.StructType(
+            [
+                T.StructField("trip_id", T.StringType()),
+                T.StructField("pickup_datetime", T.LongType()),
+            ]
+        )
+        e_schema = T.StructType(
+            [
+                T.StructField("trip_id", T.StringType()),
+                T.StructField("dropoff_datetime", T.LongType()),
+            ]
+        )
+        m, n = 3, 4
+        _write_batch(
+            s_src,
+            "b.json",
+            [
+                {"trip_id": "hot", "pickup_datetime": T0 + i * 60_000_000}
+                for i in range(m)
+            ],
+        )
+        _write_batch(
+            e_src,
+            "b.json",
+            [
+                {
+                    "trip_id": "hot",
+                    "dropoff_datetime": T0 + US_PER_HOUR + j * 60_000_000,
+                }
+                for j in range(n)
+            ],
+        )
+        starts = decode_event_times(
+            read_wire_stream(spark, s_src, s_schema), ["pickup_datetime"]
+        ).drop("_corrupt_record")
+        ends = decode_event_times(
+            read_wire_stream(spark, e_src, e_schema), ["dropoff_datetime"]
+        ).drop("_corrupt_record")
+        joined = streaming_completed_trips(starts, ends, within="4 hours")
+        run_completion_join(joined, out_dir=out, checkpoint_dir=ckpt)
+        assert spark.read.parquet(out).count() == m * n
+
     def test_dedup_then_join_in_one_query_drops_duplicates(
         self, spark, tmp_path
     ):
@@ -1542,3 +1592,67 @@ class TestPitEnrichSnapshot:
         finally:
             spark.conf.set("spark.sql.autoBroadcastJoinThreshold", saved)
             spark.sql(f"DROP TABLE IF EXISTS {table}")
+
+    def test_broadcast_dim_false_declines_auto_broadcast(
+        self, spark, tmp_path
+    ):
+        """broadcast_dim=False must be behaviorally distinct from None
+        (round-7 advice): even UNDER autoBroadcastJoinThreshold, False
+        pins MERGE so a bucketed dim rides its layout — Catalyst would
+        otherwise auto-broadcast the tiny dimension."""
+        from nsp_bolt_pipeline_spark.streaming.enrich import (
+            enrich_stream,
+            enrich_stream_point_in_time,
+            publish_dimension_snapshot,
+        )
+
+        facts, hist = self._frames(spark)
+        # published snapshot: honest file stats, well under the
+        # broadcast threshold — the regime where None and False differ
+        dim = publish_dimension_snapshot(
+            hist.select("k", "attr"), str(tmp_path / "dim"), spark=spark
+        )
+        j = enrich_stream(facts, dim, on=["k"], broadcast_dim=False)
+        plan = j._jdf.queryExecution().executedPlan().toString()
+        assert "BroadcastHashJoin" not in plan
+        assert "SortMergeJoin" in plan
+        # the tiny stats-carrying dim broadcasts when the hint is
+        # absent — the distinction False exists to draw
+        j_none = enrich_stream(facts, dim, on=["k"])
+        assert "BroadcastHashJoin" in (
+            j_none._jdf.queryExecution().executedPlan().toString()
+        )
+        pit = enrich_stream_point_in_time(
+            facts, hist, key="k", event_ts="ts", broadcast_dim=False
+        )
+        pit_plan = pit._jdf.queryExecution().executedPlan().toString()
+        assert "BroadcastHashJoin" not in pit_plan
+
+    def test_bucketed_publisher_database_namespacing(self, spark):
+        """Two pipelines publishing the same table name under
+        different databases must not clobber each other (round-7
+        advice: the managed-table publish is single-writer per name)."""
+        from nsp_bolt_pipeline_spark.streaming.enrich import (
+            publish_dimension_snapshot_bucketed,
+        )
+
+        _, hist = self._frames(spark)
+        a = hist.filter(F.col("k") == 1)
+        b = hist.filter(F.col("k") == 2)
+        try:
+            snap_a = publish_dimension_snapshot_bucketed(
+                a, "dim_snap", bucket_by="k", n_buckets=2,
+                database="nsp_ns_a", spark=spark,
+            )
+            snap_b = publish_dimension_snapshot_bucketed(
+                b, "dim_snap", bucket_by="k", n_buckets=2,
+                database="nsp_ns_b", spark=spark,
+            )
+            assert snap_a.count() == 2 and snap_b.count() == 1
+            # re-read A: B's publish under the same bare name did not
+            # overwrite it
+            assert spark.table("nsp_ns_a.dim_snap").count() == 2
+        finally:
+            for ns in ("nsp_ns_a", "nsp_ns_b"):
+                spark.sql(f"DROP TABLE IF EXISTS {ns}.dim_snap")
+                spark.sql(f"DROP DATABASE IF EXISTS {ns}")

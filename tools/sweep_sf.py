@@ -85,7 +85,14 @@ def main() -> int:
     # deployable shape, not of an executor shape no profile would
     # emit.
     cpus = int(os.environ.get("SPARK_GRAFT_CPUS", str(os.cpu_count() or 4)))
-    heap = 6 << 30  # session.py pins 6g driver memory
+    # derive the heap from the session's own conf so slot/partition
+    # sizing can never drift from the JVM actually launched (round-7
+    # advice: a hardcoded 6<<30 duplicated session.py's setting)
+    from nsp_bolt_pipeline_spark import session as _sess
+
+    _mem = _sess._SCALE_CONF["spark.driver.memory"].lower()
+    _units = {"g": 30, "m": 20, "k": 10}
+    heap = int(_mem[:-1]) << _units[_mem[-1]]
     slots = max(4, min(cpus, heap // (384 << 20)))
     part_target = min(
         _sp.TARGET_PARTITION_MB << 20, heap // (16 * slots)
