@@ -1,0 +1,61 @@
+"""Driver-contract shape tests for __spark_entry__.py (no Spark jobs
+— pure dict/ordering assertions, cheap).
+
+The external driver hash-gates the FIRST 50 keys of ``queries()``
+(every CORRECTNESS_r*.json through round 7 is exactly a prefix of the
+dict order), so the ordering is coverage policy: round 8 front-loads
+50 entries that had never received a driver CORRECTNESS row.
+"""
+
+from __future__ import annotations
+
+import importlib.util
+import json
+import os
+import sys
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)
+
+_spec = importlib.util.spec_from_file_location(
+    "spark_entry", os.path.join(REPO, "__spark_entry__.py")
+)
+spark_entry = importlib.util.module_from_spec(_spec)
+_spec.loader.exec_module(_spec and spark_entry)
+
+
+def test_front_block_is_the_queries_prefix():
+    names = list(spark_entry.queries())
+    front = spark_entry._DRIVER_SAMPLE_FRONT
+    assert len(front) == 50
+    assert names[: len(front)] == front
+    assert len(names) == len(set(names))
+
+
+def test_front_block_is_fully_hash_gated():
+    """Every front entry must carry a SQL oracle: the driver's strong
+    (hash) check, never the weaker rows-only fallback."""
+    oracles = spark_entry.oracle_sql()
+    for name in spark_entry._DRIVER_SAMPLE_FRONT:
+        assert name in oracles, f"{name} lacks an oracle"
+
+
+def test_front_block_rotates_never_sampled_names():
+    """>=30 front names absent from every prior CORRECTNESS round —
+    the round-8 coverage-rotation criterion. Uses the committed
+    r01-r07 artifacts (fixed history)."""
+    seen: set[str] = set()
+    for n in range(1, 8):
+        path = os.path.join(REPO, f"CORRECTNESS_r0{n}.json")
+        if os.path.exists(path):
+            with open(path) as f:
+                seen |= set(json.load(f))
+    fresh = [n for n in spark_entry._DRIVER_SAMPLE_FRONT if n not in seen]
+    assert len(fresh) >= 30, f"only {len(fresh)} never-sampled names"
+
+
+def test_every_registry_entry_is_served():
+    from nsp_bolt_pipeline_spark.registry import REGISTRY
+
+    names = list(spark_entry.queries())
+    assert set(names) == set(REGISTRY)
