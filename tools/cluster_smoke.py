@@ -1,0 +1,168 @@
+"""Multi-executor validation of submit_profile (round-7 judge item #5).
+
+``submit_profile.build_profile`` was pure-function-tested but never
+APPLIED: this tool launches a real ``local-cluster[2,4,1024]`` session
+(two separate executor JVMs — actual cross-process shuffles, actual
+serialization, actual per-executor memory limits; no network needed),
+configures it from ``build_profile``'s output exactly as a
+spark-submit would, pins that the session picked the profile up, and
+runs a representative entry set end-to-end through the noop sink.
+
+What this validates that local[*] cannot:
+
+- conf plumbing: the derived shuffle-partition / AQE / Arrow /
+  maxPartitionBytes settings reach a REAL cluster session through the
+  same key strings spark-submit would pass;
+- multi-executor execution: every entry's plan survives executor-side
+  serialization (broadcast vars, pandas-UDF workers on executors,
+  RocksDB state store for the streaming profile) under a 1 GiB
+  executor heap — the shape a 1000-executor cluster is made of.
+
+Usage::
+
+    python tools/cluster_smoke.py [SF_DIR] [NAME ...]
+
+Defaults: sf0.01, the bench top-10 by round-7 cost. Writes a log line
+per entry; exits non-zero on any failure.
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+import tempfile
+import time
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)
+
+#: bench top-10 by round-7 steady-state cost (BENCH_full.json at
+#: 2e76e03), batch + streaming so both profile variants are exercised
+DEFAULT_ENTRIES = [
+    "semdedup_prune_scaled",
+    "stream_t19_debounce",
+    "stream_scd2_history",
+    "fuzzy_short_code_matches",
+    "l12_manifest_pruned_scan",
+    "cosine_neardup_clusters_guarded",
+    "neardup_exact_substring",
+    "ann_ivfpq_topk",
+    "graph_link_prediction_guarded",
+    "stream_d1_ingest_dedup",
+]
+
+#: profile keys that must round-trip into the live session verbatim
+_PINNED_KEYS = (
+    "spark.sql.shuffle.partitions",
+    "spark.sql.files.maxPartitionBytes",
+    "spark.sql.adaptive.enabled",
+    "spark.sql.adaptive.skewJoin.enabled",
+    "spark.sql.execution.arrow.pyspark.enabled",
+    "spark.sql.session.timeZone",
+)
+
+
+def _dir_bytes(path: str) -> int:
+    return sum(
+        os.path.getsize(os.path.join(root, f))
+        for root, _, files in os.walk(path)
+        for f in files
+    )
+
+
+def build_session(profile: dict[str, str], app: str = "nsp_cluster_smoke"):
+    """A local-cluster[2,4,1024] session configured from a profile
+    dict — the in-sandbox stand-in for ``submit_command``'s argv."""
+    os.environ.setdefault("SPARK_LOCAL_IP", "127.0.0.1")
+    from pyspark.sql import SparkSession
+
+    b = (
+        SparkSession.builder.master("local-cluster[2,4,1024]")
+        .appName(app)
+        .config("spark.ui.enabled", "false")
+        .config("spark.driver.memory", "4g")
+    )
+    for k, v in profile.items():
+        # cluster-manager keys a fixed local-cluster ignores by
+        # construction (worker count/shape is in the master URL)
+        if k.startswith(("spark.executor.instances",
+                         "spark.dynamicAllocation.")):
+            continue
+        b = b.config(k, v)
+    spark = b.getOrCreate()
+    sc = spark.sparkContext
+    deadline = time.time() + 60
+    while time.time() < deadline:
+        if sc._jsc.sc().getExecutorMemoryStatus().size() >= 3:
+            break
+        time.sleep(0.5)
+    else:
+        raise RuntimeError("executors never registered")
+    return spark
+
+
+def main() -> int:
+    args = sys.argv[1:]
+    sf_dir = args[0] if args else "/root/testdata/sf0.01"
+    names = args[1:] or DEFAULT_ENTRIES
+
+    from nsp_bolt_pipeline_spark import registry as _registry
+    from nsp_bolt_pipeline_spark.registry import REGISTRY
+    from nsp_bolt_pipeline_spark.submit_profile import build_profile
+
+    _registry.load_all()
+
+    has_stream = any(n.startswith("stream_") for n in names)
+    ckpt_root = tempfile.mkdtemp(prefix="nsp_smoke_ckpt_")
+    profile = build_profile(
+        input_bytes=max(1, _dir_bytes(sf_dir)),
+        executors=2,
+        executor_cores=4,
+        executor_memory_gb=1,
+        streaming=has_stream,
+        checkpoint_root=ckpt_root if has_stream else None,
+    )
+    spark = build_session(profile)
+    sc = spark.sparkContext
+
+    n_exec = sc._jsc.sc().getExecutorMemoryStatus().size() - 1
+    print(f"cluster: {n_exec} executors registered (master "
+          f"{sc.master}), driver 4g, executor "
+          f"{profile['spark.executor.memory']}")
+    failures = []
+    for key in _PINNED_KEYS:
+        got = spark.conf.get(key, None)
+        if got != profile[key]:
+            failures.append(f"conf {key}: profile={profile[key]} live={got}")
+    if has_stream:
+        prov = spark.conf.get(
+            "spark.sql.streaming.stateStore.providerClass", "")
+        if "RocksDB" not in prov:
+            failures.append(f"state store provider not RocksDB: {prov}")
+    for f in failures:
+        print(f"FAIL {f}")
+
+    for name in names:
+        if name not in REGISTRY:
+            print(f"FAIL {name}: not in registry")
+            failures.append(name)
+            continue
+        fn, _ = REGISTRY[name]
+        t0 = time.time()
+        try:
+            fn(spark, sf_dir).write.mode("overwrite").format("noop").save()
+            print(f"ok   {name}: {time.time() - t0:.1f}s")
+        except Exception as exc:  # noqa: BLE001 — smoke harness
+            print(f"FAIL {name}: {type(exc).__name__}: "
+                  f"{str(exc).splitlines()[0][:300]}")
+            failures.append(name)
+        spark.catalog.clearCache()
+
+    spark.stop()
+    print(f"\n{len(names) - len(failures)}/{len(names)} passing on the "
+          f"profile-shaped local-cluster session")
+    return 1 if failures else 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
