@@ -153,6 +153,10 @@ HEADLINE = [
     # common-neighbor link prediction (bipartite wedge centers)
     "fuzzy_short_code_matches",
     "graph_link_prediction_guarded",
+    # round-8 addition: the over-broadcast serving join — dimension
+    # published bucketBy+sortBy, stream-static join pinned MERGE, zero
+    # dimension Exchange per micro-batch
+    "stream_static_enrich_bucketed",
 ]
 
 
