@@ -20,7 +20,11 @@ disappears entirely.
 
 from __future__ import annotations
 
+from collections.abc import Sequence
+
 from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
 
 
 def completed_trips(
@@ -31,3 +35,72 @@ def completed_trips(
     from ``key`` (select/alias upstream, mirroring the reference's
     defensive projections at KPI-Aggregator.py:66-95)."""
     return starts.join(ends, on=key, how="inner")
+
+
+def _cap_side(
+    df: DataFrame,
+    key: str,
+    order_cols: Sequence[str],
+    max_rows: int,
+    rank_col: str,
+    keep: bool,
+) -> DataFrame:
+    rn = F.row_number().over(
+        Window.partitionBy(key).orderBy(*[F.col(c) for c in order_cols])
+    )
+    ranked = df.withColumn(rank_col, rn)
+    cond = F.col(rank_col) <= max_rows
+    return ranked.filter(cond if keep else ~cond)
+
+
+def completed_trips_capped(
+    starts: DataFrame,
+    ends: DataFrame,
+    *,
+    key: str = "trip_id",
+    max_rows_per_key: int,
+    start_order: Sequence[str],
+    end_order: Sequence[str],
+    emit: str = "kept",
+) -> DataFrame:
+    """Guarded twin of :func:`completed_trips` for the hot-key output
+    regime (see ``streaming.completion.streaming_completed_trips``'s
+    docstring): a key with m starts and n ends makes an inner join
+    emit m*n rows — quadratic in the hot key's rate, the class that
+    mandated a ~2e9-row result at sf32. This form caps EACH SIDE to
+    its first ``max_rows_per_key`` rows per key (deterministic rank
+    over ``start_order`` / ``end_order``, which must be total — e.g.
+    ``(ts, event_id)``), bounding output at cap^2 per key BEFORE the
+    join ever runs; ``max_rows_per_key=1`` degenerates to the
+    dedup-then-join production composition (first_write_wins x2).
+
+    ``emit="overflow"`` returns the DROPPED rows of both sides
+    instead (each tagged with its rank and a ``side`` column) — the
+    side-output that makes the cap auditable rather than silent.
+
+    Plan shape: the per-side rank windows partition by ``key``, the
+    same key the join shuffles on, so each side pays one Exchange
+    total (window and join reuse the partitioning); the guard's cost
+    is two sorts, not an extra shuffle."""
+    if max_rows_per_key < 1:
+        raise ValueError("max_rows_per_key must be >= 1")
+    if emit == "kept":
+        s = _cap_side(
+            starts, key, start_order, max_rows_per_key, "start_rank", True
+        )
+        e = _cap_side(
+            ends, key, end_order, max_rows_per_key, "end_rank", True
+        )
+        return s.join(e, on=key, how="inner")
+    if emit == "overflow":
+        s = _cap_side(
+            starts, key, start_order, max_rows_per_key, "overflow_rank",
+            False,
+        ).select(
+            F.lit("start").alias("side"), key, "overflow_rank",
+        )
+        e = _cap_side(
+            ends, key, end_order, max_rows_per_key, "overflow_rank", False
+        ).select(F.lit("end").alias("side"), key, "overflow_rank")
+        return s.unionByName(e)
+    raise ValueError(f"emit must be 'kept' or 'overflow', got {emit!r}")

@@ -32,6 +32,9 @@ from nsp_bolt_pipeline_spark.pipeline import (
 from nsp_bolt_pipeline_spark.functions.datetime import parse_wire_timestamp
 from nsp_bolt_pipeline_spark.functions.scalar import sort_key
 from nsp_bolt_pipeline_spark.functions.validation import required_fields_present
+from nsp_bolt_pipeline_spark.operators.completion import (
+    completed_trips_capped,
+)
 from nsp_bolt_pipeline_spark.operators.dedup import first_write_wins
 from nsp_bolt_pipeline_spark.sources.readers import read_table
 
@@ -318,6 +321,52 @@ def q_j1(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return starts_d.join(ends_d, "trip_id", "inner").select(
         "trip_id", "pickup_datetime", "dropoff_datetime", "fare_amount"
+    )
+
+
+_J1_CAPPED_ORACLE = f"""
+WITH starts AS (
+    SELECT CAST(user_id AS VARCHAR) AS trip_id, ts AS pickup_datetime,
+           row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id)
+               AS start_rank
+    FROM events WHERE event_type = '{START_EVENT}'
+), ends AS (
+    SELECT CAST(user_id AS VARCHAR) AS trip_id, ts AS dropoff_datetime,
+           value AS fare_amount,
+           row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id)
+               AS end_rank
+    FROM events WHERE event_type = '{END_EVENT}'
+)
+SELECT s.trip_id, s.pickup_datetime, s.start_rank,
+       e.dropoff_datetime, e.fare_amount, e.end_rank
+FROM starts s JOIN ends e ON s.trip_id = e.trip_id
+WHERE s.start_rank <= 2 AND e.end_rank <= 2
+"""
+
+
+@query("j1_completion_join_capped", _J1_CAPPED_ORACLE)
+def q_j1_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Emit-capped guarded twin of j1 (round-7 verdict item #4's
+    hot-key wall, batch side): each side keeps its first 2 rows per
+    trip key (deterministic (ts, event_id) rank), bounding output at
+    4 rows/key BEFORE the join runs instead of letting a hot key emit
+    its full m*n cross product (~2e9 rows at sf32 by generator
+    construction). cap=1 degenerates to j1_completion_join's
+    dedup-then-join; the overflow side-output is pytest-covered
+    (tests/test_trip_pipeline.py)."""
+    starts, ends = events_as_trip_streams(read_table(spark, sf_dir, "events"))
+    capped = completed_trips_capped(
+        starts.select("trip_id", "pickup_datetime", "start_event_id"),
+        ends.select(
+            "trip_id", "dropoff_datetime", "fare_amount", "end_event_id"
+        ),
+        max_rows_per_key=2,
+        start_order=["pickup_datetime", "start_event_id"],
+        end_order=["dropoff_datetime", "end_event_id"],
+    )
+    return capped.select(
+        "trip_id", "pickup_datetime", "start_rank",
+        "dropoff_datetime", "fare_amount", "end_rank",
     )
 
 

@@ -150,3 +150,119 @@ def test_daily_kpis_na_fill(spark):
     ends = _ends(spark, [("a", _ts("2024-07-11 10:00:00"), None, 1)])
     row = daily_kpis(ends.withColumn("date", F.lit(None))).collect()[0]
     assert row.total_fare == 0.0
+
+
+def test_capped_join_bounds_hot_key_output(spark):
+    # Hot-key regime (round-7 verdict #4): 3 starts x 4 ends on one
+    # key would emit 12 rows raw; cap=2 bounds it at 4, taking the
+    # deterministically FIRST 2 per side.
+    from nsp_bolt_pipeline_spark.operators.completion import (
+        completed_trips_capped,
+    )
+
+    starts = _starts(
+        spark,
+        [("hot", _ts(f"2024-01-01T0{i}:00:00"), 100 + i) for i in range(3)]
+        + [("cold", _ts("2024-01-01T00:00:00"), 200)],
+    )
+    ends = _ends(
+        spark,
+        [
+            ("hot", _ts(f"2024-01-01T0{i}:30:00"), 10.0 + i, 300 + i)
+            for i in range(4)
+        ]
+        + [("cold", _ts("2024-01-01T01:00:00"), 5.0, 400)],
+    )
+    kept = completed_trips_capped(
+        starts,
+        ends,
+        max_rows_per_key=2,
+        start_order=["pickup_datetime", "start_event_id"],
+        end_order=["dropoff_datetime", "end_event_id"],
+    )
+    rows = kept.collect()
+    hot = [r for r in rows if r["trip_id"] == "hot"]
+    assert len(hot) == 4  # 2x2, not 3x4
+    assert {r["start_event_id"] for r in hot} == {100, 101}
+    assert {r["end_event_id"] for r in hot} == {300, 301}
+    assert len([r for r in rows if r["trip_id"] == "cold"]) == 1
+
+    # the cap is auditable, not silent: overflow side-output carries
+    # exactly the dropped rows with their ranks
+    overflow = completed_trips_capped(
+        starts,
+        ends,
+        max_rows_per_key=2,
+        start_order=["pickup_datetime", "start_event_id"],
+        end_order=["dropoff_datetime", "end_event_id"],
+        emit="overflow",
+    ).collect()
+    assert sorted(
+        (r["side"], r["trip_id"], r["overflow_rank"]) for r in overflow
+    ) == [("end", "hot", 3), ("end", "hot", 4), ("start", "hot", 3)]
+
+
+def test_capped_join_cap1_equals_dedup_composition(spark):
+    from nsp_bolt_pipeline_spark.operators.completion import (
+        completed_trips_capped,
+    )
+
+    starts = _starts(
+        spark,
+        [
+            ("t1", _ts("2024-01-01T00:00:00"), 1),
+            ("t1", _ts("2024-01-01T01:00:00"), 2),
+        ],
+    )
+    ends = _ends(
+        spark,
+        [
+            ("t1", _ts("2024-01-01T02:00:00"), 9.0, 3),
+            ("t1", _ts("2024-01-01T03:00:00"), 8.0, 4),
+        ],
+    )
+    capped = completed_trips_capped(
+        starts,
+        ends,
+        max_rows_per_key=1,
+        start_order=["pickup_datetime", "start_event_id"],
+        end_order=["dropoff_datetime", "end_event_id"],
+    ).select("trip_id", "pickup_datetime", "dropoff_datetime", "fare_amount")
+    want = completed_trips(
+        first_write_wins(
+            starts, keys=["trip_id"],
+            order_cols=["pickup_datetime", "start_event_id"],
+        ),
+        first_write_wins(
+            ends, keys=["trip_id"],
+            order_cols=["dropoff_datetime", "end_event_id"],
+        ),
+    ).select("trip_id", "pickup_datetime", "dropoff_datetime", "fare_amount")
+    assert sorted(map(tuple, capped.collect())) == sorted(
+        map(tuple, want.collect())
+    )
+
+
+def test_capped_join_exchanges_once_per_side(spark):
+    # the guard must ride the join's own shuffle: window partition key
+    # == join key, so each side pays ONE Exchange (plus sorts), never
+    # a second shuffle for the rank
+    from nsp_bolt_pipeline_spark.operators.completion import (
+        completed_trips_capped,
+    )
+
+    starts = _starts(spark, [("t1", _ts("2024-01-01T00:00:00"), 1)])
+    ends = _ends(spark, [("t1", _ts("2024-01-01T01:00:00"), 1.0, 2)])
+    plan = (
+        completed_trips_capped(
+            starts.hint("merge"),
+            ends,
+            max_rows_per_key=2,
+            start_order=["pickup_datetime", "start_event_id"],
+            end_order=["dropoff_datetime", "end_event_id"],
+        )
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    ).split("== Initial Plan ==")[0]
+    assert plan.count("Exchange hashpartitioning") == 2
