@@ -939,7 +939,16 @@ def q_graph_link_prediction(spark: SparkSession, sf_dir: str) -> DataFrame:
     bipartite CF form): cn = co-supplied parts, jacc6 = neighborhood
     Jaccard over part sets. Wedge fan-out is bounded by per-part
     supplier count, never corpus size; degrees rejoin broadcast-
-    scale."""
+    scale.
+
+    Measured wall (round 8): even with the center restriction the
+    per-part wedge term saturates a 6 GiB JVM at sf16 — FAILs
+    ISOLATED, not just in-sweep (at sf8 it needed the heap fresh:
+    138.8s isolated, OOM co-resident). The production form is
+    ``graph_link_prediction_guarded`` (adds the
+    ``max_center_deg=24`` hot-center cap, oracle replays the cap):
+    126.1s IN-SWEEP at sf16. This unguarded entry stays registered as
+    the exact-semantics baseline for scales that fit."""
     from nsp_bolt_pipeline_spark.operators.graph import (
         common_neighbor_links,
     )
