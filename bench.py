@@ -317,6 +317,17 @@ def main() -> None:
         # another, so clearing bounds executor storage across the
         # 60+ query session instead of leaning on GC
         spark.catalog.clearCache()
+        # reclaim the stream entries' wire/sink workdirs (two per
+        # streaming query here: warm-up + timed) once materialized —
+        # the round-8 sf16 sweep filled the disk with exactly these
+        try:
+            from nsp_bolt_pipeline_spark.registry_streaming import (
+                cleanup_workdirs,
+            )
+
+            cleanup_workdirs()
+        except Exception:  # noqa: BLE001
+            pass
 
     # re-stamp at END of run: the artifact records the exact code
     # state it measured even if the tree changed mid-bench

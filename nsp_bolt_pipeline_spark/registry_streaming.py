@@ -82,11 +82,37 @@ EVENT_WIRE_SCHEMA_STR_VALUE = T.StructType(
 )
 
 
+#: every wire/output/checkpoint workdir this process created — at
+#: sf0.01 they are MBs, but a scale sweep leaks GBs per stream entry
+#: (round 8: 259 dirs / ~67 GB filled /tmp at sf16 and six entries
+#: died on ENOSPC). Harnesses call :func:`cleanup_workdirs` between
+#: entries (safe once the entry's output is materialized); atexit
+#: covers every other exit path.
+_WORKDIRS: list[str] = []
+
+
 def _workdir(tag: str) -> dict[str, str]:
     base = tempfile.mkdtemp(prefix=f"nsp_{tag}_")
+    _WORKDIRS.append(base)
     return {
         d: os.path.join(base, d) for d in ("src", "out", "dlq", "ckpt", "dim")
     }
+
+
+def cleanup_workdirs() -> None:
+    """Remove every workdir created so far by this process's stream
+    entries. Only call after the current entry's result has been
+    fully materialized (collected / noop-written): the returned
+    DataFrame lazily reads the workdir's output parquet."""
+    import shutil
+
+    while _WORKDIRS:
+        shutil.rmtree(_WORKDIRS.pop(), ignore_errors=True)
+
+
+import atexit as _atexit  # noqa: E402
+
+_atexit.register(cleanup_workdirs)
 
 
 def _dump_events_df(ev: DataFrame, out_dir: str) -> None:

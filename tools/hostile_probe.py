@@ -59,6 +59,17 @@ def main() -> int:
             print(f"FAIL {name}: spark error: {ex}")
             failures += 1
             continue
+        finally:
+            # reclaim stream-entry wire/sink workdirs once the result
+            # is materialized (the round-8 sf16 ENOSPC class)
+            try:
+                from nsp_bolt_pipeline_spark.registry_streaming import (
+                    cleanup_workdirs,
+                )
+
+                cleanup_workdirs()
+            except Exception:  # noqa: BLE001
+                pass
         if name not in oracles:
             print(f"ok   {name}: rows-only ({len(spark_pdf)} rows)")
             continue

@@ -203,6 +203,20 @@ def main() -> int:
                 spark.sparkContext._jvm.System.gc()
             except Exception:  # noqa: BLE001
                 pass
+            # stream entries dump the full wire + sinks into mkdtemp
+            # workdirs: GBs apiece at sweep scale (round 8: 259 dirs /
+            # ~67 GB filled the disk at sf16 and six entries died on
+            # ENOSPC, not on their own plans). The noop save above
+            # fully materialized this entry's result, so the dirs are
+            # dead weight now.
+            try:
+                from nsp_bolt_pipeline_spark.registry_streaming import (
+                    cleanup_workdirs,
+                )
+
+                cleanup_workdirs()
+            except Exception:  # noqa: BLE001
+                pass
     print(f"\n{ran - failures}/{ran} executed clean at {sf_dir}")
     return 1 if failures else 0
 

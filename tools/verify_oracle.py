@@ -133,8 +133,19 @@ def main() -> int:
         finally:
             # entries persist() intermediates for their own reuse; the
             # blocks are never shared across entries, so drop them to
-            # bound executor storage over the 235-entry session
+            # bound executor storage over the 240-entry session
             spark.catalog.clearCache()
+            # toPandas() above fully materialized the result, so the
+            # stream entries' wire/sink workdirs are safe to reclaim
+            # (GBs apiece at scale — the round-8 sf16 ENOSPC class)
+            try:
+                from nsp_bolt_pipeline_spark.registry_streaming import (
+                    cleanup_workdirs,
+                )
+
+                cleanup_workdirs()
+            except Exception:  # noqa: BLE001
+                pass
         if name not in oracles:
             print(f"ok   {name}: rows-only ({len(spark_pdf)} rows, "
                   f"{time.time()-t0:.1f}s)")
