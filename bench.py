@@ -169,12 +169,37 @@ def _spin(n: int = 4_000_000) -> int:
     return s
 
 
+def _disk_write_mbps(size_mb: int = 256) -> float | None:
+    """Sequential write+fsync throughput of the scratch filesystem.
+    The CPU spin cannot see I/O weather: round 8 measured disk-bound
+    stream entries at 2.6x a prior round while spin read near-equal —
+    without a disk figure in the stamp that looks like a plan
+    regression. One 256 MB write approximates what a stream entry's
+    wire dump + parquet sink pay per query."""
+    import tempfile
+
+    buf = b"\0" * (1 << 20)
+    try:
+        with tempfile.NamedTemporaryFile(dir=tempfile.gettempdir()) as f:
+            t0 = time.time()
+            for _ in range(size_mb):
+                f.write(buf)
+            f.flush()
+            os.fsync(f.fileno())
+            dt = time.time() - t0
+        return round(size_mb / dt, 1) if dt > 0 else None
+    except OSError:
+        return None
+
+
 def _machine_calibration() -> dict:
-    """Fixed CPU spin, timed single-threaded and across all cores: the
-    bench host is a shared VM whose deliverable CPU varies run to run
-    (observed 19x-30x effective cores from the same 32-thread box).
-    Stamping both figures into the artifact lets cross-round total
-    comparisons separate plan regressions from machine weather."""
+    """Fixed CPU spin, timed single-threaded and across all cores,
+    plus a sequential disk-write probe: the bench host is a shared VM
+    whose deliverable CPU varies run to run (observed 19x-30x
+    effective cores from the same 32-thread box) and whose disk
+    varies independently. Stamping all three figures into the
+    artifact lets cross-round total comparisons separate plan
+    regressions from machine weather on BOTH axes."""
     import multiprocessing as mp
 
     _spin(100_000)  # warm the allocator / freq governor
@@ -190,7 +215,11 @@ def _machine_calibration() -> dict:
         scaling = round(single * ncpu / allcore, 1) if allcore else None
     except OSError:
         scaling = None
-    return {"spin_single_s": round(single, 3), "effective_cores": scaling}
+    return {
+        "spin_single_s": round(single, 3),
+        "effective_cores": scaling,
+        "disk_write_mbps": _disk_write_mbps(),
+    }
 
 
 def _git_state(repo_dir: str | None = None) -> str:
