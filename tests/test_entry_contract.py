@@ -2,9 +2,12 @@
 — pure dict/ordering assertions, cheap).
 
 The external driver hash-gates the FIRST 50 keys of ``queries()``
-(every CORRECTNESS_r*.json through round 7 is exactly a prefix of the
-dict order), so the ordering is coverage policy: round 8 front-loads
-50 entries that had never received a driver CORRECTNESS row.
+(every CORRECTNESS_r*.json through round 8 is exactly a prefix of the
+dict order), so the ordering is coverage policy. Since round 9 the
+order is DERIVED from the committed CORRECTNESS_r*.json history —
+least-recently-sampled first, oracle-backed first within a recency
+class, registry order as tiebreak — so no hand-curated list can keep
+an entry out of external gating. These tests pin that policy.
 """
 
 from __future__ import annotations
@@ -24,34 +27,58 @@ spark_entry = importlib.util.module_from_spec(_spec)
 _spec.loader.exec_module(_spec and spark_entry)
 
 
+def _sampled_through(last_round: int) -> set[str]:
+    seen: set[str] = set()
+    for n in range(1, last_round + 1):
+        path = os.path.join(REPO, f"CORRECTNESS_r{n:02d}.json")
+        if os.path.exists(path):
+            with open(path) as f:
+                seen |= set(json.load(f))
+    return seen
+
+
 def test_front_block_is_the_queries_prefix():
     names = list(spark_entry.queries())
-    front = spark_entry._DRIVER_SAMPLE_FRONT
-    assert len(front) == 50
+    front = spark_entry.driver_sample_front()
+    assert len(front) == spark_entry.DRIVER_SAMPLE_SIZE == 50
     assert names[: len(front)] == front
     assert len(names) == len(set(names))
 
 
 def test_front_block_is_fully_hash_gated():
     """Every front entry must carry a SQL oracle: the driver's strong
-    (hash) check, never the weaker rows-only fallback."""
+    (hash) check, never the weaker rows-only fallback. Guaranteed
+    structurally by the oracle-first tiebreak as long as >=50
+    oracle-backed names share the minimum recency class."""
     oracles = spark_entry.oracle_sql()
-    for name in spark_entry._DRIVER_SAMPLE_FRONT:
+    for name in spark_entry.driver_sample_front():
         assert name in oracles, f"{name} lacks an oracle"
 
 
+def test_order_is_least_recently_sampled_first():
+    """The structural policy itself: along the full queries() order,
+    the last-sampled round is non-decreasing, so committed CORRECTNESS
+    history — not a hand-curated list — decides who the driver gates
+    next."""
+    history = spark_entry._sample_history()
+    rounds = [history.get(n, 0) for n in spark_entry.queries()]
+    assert rounds == sorted(rounds)
+
+
 def test_front_block_rotates_never_sampled_names():
-    """>=30 front names absent from every prior CORRECTNESS round —
-    the round-8 coverage-rotation criterion. Uses the committed
-    r01-r07 artifacts (fixed history)."""
-    seen: set[str] = set()
-    for n in range(1, 8):
-        path = os.path.join(REPO, f"CORRECTNESS_r0{n}.json")
-        if os.path.exists(path):
-            with open(path) as f:
-                seen |= set(json.load(f))
-    fresh = [n for n in spark_entry._DRIVER_SAMPLE_FRONT if n not in seen]
-    assert len(fresh) >= 30, f"only {len(fresh)} never-sampled names"
+    """While never-sampled names remain (>=50 of them), the whole
+    front block must be fresh vs every committed CORRECTNESS round.
+    Once fewer than 50 remain, the front must still contain all of
+    them (the policy degrades to oldest-first, which is correct)."""
+    seen = _sampled_through(99)
+    front = spark_entry.driver_sample_front()
+    never = [n for n in spark_entry.queries() if n not in seen]
+    fresh = [n for n in front if n not in seen]
+    expect = min(len(never), len(front))
+    assert len(fresh) >= expect, (
+        f"only {len(fresh)} never-sampled names in front, "
+        f"{len(never)} still unsampled"
+    )
 
 
 def test_every_registry_entry_is_served():
