@@ -249,8 +249,14 @@ def _git_state(repo_dir: str | None = None) -> str:
             ["git", "rev-parse", "--short", "HEAD"],
             cwd=repo_dir, capture_output=True, text=True, timeout=10,
         ).stdout.strip()
+        # -uall: plain --porcelain collapses an untracked directory
+        # into one '?? dir/' line, which would let uncommitted .py
+        # files inside a NEW directory stamp as clean (round-8 ADVICE
+        # item). With -uall every untracked file is listed
+        # individually; a path still ending in '/' is treated as
+        # dirty (fail-safe — we can't see inside it).
         porcelain = subprocess.run(
-            ["git", "status", "--porcelain"],
+            ["git", "status", "--porcelain", "-uall"],
             cwd=repo_dir, capture_output=True, text=True, timeout=10,
         ).stdout.strip()
         dirty = []
@@ -264,7 +270,9 @@ def _git_state(repo_dir: str | None = None) -> str:
             status, path = parts
             if path.startswith("BENCH_"):
                 continue
-            if status == "??" and not path.rstrip('"').endswith(".py"):
+            bare = path.rstrip('"')
+            if status == "??" and not bare.endswith(".py") \
+                    and not bare.endswith("/"):
                 continue  # untracked non-code: can't change the plans
             dirty.append(ln)
         return (sha + ("-dirty" if dirty else "")) or "unknown"
@@ -390,6 +398,15 @@ def main() -> None:
         os.makedirs(os.path.dirname(path), exist_ok=True)
         with open(path, "w") as f:
             json.dump(result, f, indent=1)
+        # Run log: every run also APPENDS one line here, so
+        # tools/promote_bench.py can enforce the best-of-2 policy
+        # (two same-HEAD full runs, promote the lower total, both
+        # totals + machine stamps recorded in the promoted artifact)
+        # instead of promoting whichever single run happens to sit in
+        # the scratch slot.
+        runlog = os.path.join(repo_dir, "sweeps", "scratch", "runs.jsonl")
+        with open(runlog, "a") as f:
+            f.write(json.dumps(result) + "\n")
     except OSError:
         pass  # read-only checkout: stdout line is still the contract
     print(json.dumps(result))

@@ -74,9 +74,14 @@ def completed_trips_capped(
     join ever runs; ``max_rows_per_key=1`` degenerates to the
     dedup-then-join production composition (first_write_wins x2).
 
-    ``emit="overflow"`` returns the DROPPED rows of both sides
-    instead (each tagged with its rank and a ``side`` column) — the
-    side-output that makes the cap auditable rather than silent.
+    ``emit="overflow"`` returns one row per DROPPED input row of both
+    sides: ``(side, key, overflow_rank, order_values)``, where
+    ``order_values`` is the row's order columns serialized to a JSON
+    string (the two sides' order columns may differ in name/type, so
+    a uniform string column is what lets them union). Together with
+    the key this identifies each concrete dropped row without
+    re-deriving the rank — the side-output that makes the cap
+    auditable rather than silent.
 
     Plan shape: the per-side rank windows partition by ``key``, the
     same key the join shuffles on, so each side pays one Exchange
@@ -97,10 +102,18 @@ def completed_trips_capped(
             starts, key, start_order, max_rows_per_key, "overflow_rank",
             False,
         ).select(
-            F.lit("start").alias("side"), key, "overflow_rank",
+            F.lit("start").alias("side"),
+            key,
+            "overflow_rank",
+            F.to_json(F.struct(*start_order)).alias("order_values"),
         )
         e = _cap_side(
             ends, key, end_order, max_rows_per_key, "overflow_rank", False
-        ).select(F.lit("end").alias("side"), key, "overflow_rank")
+        ).select(
+            F.lit("end").alias("side"),
+            key,
+            "overflow_rank",
+            F.to_json(F.struct(*end_order)).alias("order_values"),
+        )
         return s.unionByName(e)
     raise ValueError(f"emit must be 'kept' or 'overflow', got {emit!r}")

@@ -69,6 +69,25 @@ def test_untracked_python_file_dirties(scratch_repo):
     assert bench._git_state(scratch_repo).endswith("-dirty")
 
 
+def test_untracked_python_inside_new_directory_dirties(scratch_repo):
+    """Plain --porcelain collapses an untracked dir into one
+    '?? dir/' line, which hid .py files inside new directories
+    (round-8 ADVICE item); -uall lists them individually."""
+    sub = os.path.join(scratch_repo, "newpkg", "nested")
+    os.makedirs(sub)
+    with open(os.path.join(sub, "sneaky.py"), "w") as f:
+        f.write("x = 2\n")
+    assert bench._git_state(scratch_repo).endswith("-dirty")
+
+
+def test_untracked_directory_of_noncode_stays_clean(scratch_repo):
+    sub = os.path.join(scratch_repo, "logs")
+    os.makedirs(sub)
+    with open(os.path.join(sub, "run.log"), "w") as f:
+        f.write("ok\n")
+    assert not bench._git_state(scratch_repo).endswith("-dirty")
+
+
 def test_tracked_modification_dirties(scratch_repo):
     with open(os.path.join(scratch_repo, "module.py"), "a") as f:
         f.write("y = 2\n")
@@ -169,3 +188,52 @@ def test_promote_refuses_subset_run():
     del art["queries"]["trip_daily_kpi"]
     probs = promote_bench.validate(art)
     assert any("subset" in p for p in probs)
+
+
+# ---- best-of-2 promotion policy (round-8 judge item #1) ----
+
+def test_select_refuses_single_run():
+    promoted, problems = promote_bench.select([_artifact(value=100.0)])
+    assert promoted is None
+    assert any("best-of-2" in p for p in problems)
+
+
+def test_select_promotes_lower_total_with_full_provenance():
+    runs = [
+        _artifact(value=184.7, machine={"disk_write_mbps": 76.0}),
+        _artifact(value=151.8, machine={"disk_write_mbps": 364.0}),
+    ]
+    promoted, problems = promote_bench.select(runs)
+    assert problems == []
+    assert promoted["value"] == 151.8
+    prov = promoted["promotion"]
+    assert prov["attempts"] == 2
+    totals = [r["value"] for r in prov["runs"]]
+    assert totals == [184.7, 151.8]  # BOTH runs recorded, log order
+    assert [r["selected"] for r in prov["runs"]] == [False, True]
+    assert prov["runs"][0]["machine"] == {"disk_write_mbps": 76.0}
+
+
+def test_load_candidates_filters_invalid_runs(tmp_path, monkeypatch):
+    """Smoke/subset/dirty/stale lines in runs.jsonl never count
+    toward the best-of-2 quorum."""
+    log = tmp_path / "runs.jsonl"
+    lines = [
+        _artifact(value=150.0),                             # valid
+        _artifact(value=90.0, sf=0.01),                     # wrong sf
+        _artifact(value=80.0, git="0000000"),               # stale sha
+        _artifact(value=70.0,
+                  git=promote_bench.head_sha() + "-dirty"),  # dirty
+        _artifact(value=140.0),                             # valid
+    ]
+    subset = _artifact(value=1.0)
+    subset["queries"] = {"trip_daily_kpi": 1.0}             # subset run
+    lines.append(subset)
+    log.write_text(
+        "\n".join(json.dumps(a) for a in lines) + "\nnot json\n")
+    monkeypatch.setattr(promote_bench, "RUNLOG", str(log))
+    cands = promote_bench.load_candidates()
+    assert [c["value"] for c in cands] == [150.0, 140.0]
+    promoted, problems = promote_bench.select(cands)
+    assert problems == []
+    assert promoted["value"] == 140.0

@@ -31,6 +31,6 @@ def test_profile_shaped_local_cluster_runs_entries():
         cwd=REPO, capture_output=True, text=True, timeout=570,
     )
     assert proc.returncode == 0, (proc.stdout[-2000:], proc.stderr[-1000:])
-    assert "2/2 passing" in proc.stdout
+    assert "2/2 entries passing" in proc.stdout
     assert "2 executors registered" in proc.stdout
-    assert "FAIL" not in proc.stdout
+    assert "FAIL" not in proc.stdout  # covers CONF-FAIL lines too

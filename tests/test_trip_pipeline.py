@@ -200,6 +200,24 @@ def test_capped_join_bounds_hot_key_output(spark):
     assert sorted(
         (r["side"], r["trip_id"], r["overflow_rank"]) for r in overflow
     ) == [("end", "hot", 3), ("end", "hot", 4), ("start", "hot", 3)]
+    # ... and identifies the concrete dropped rows (order columns as
+    # JSON), not just their ranks (round-8 ADVICE item)
+    import json as _json
+
+    dropped_ids = {
+        (r["side"],) + tuple(sorted(_json.loads(r["order_values"]).items()))
+        for r in overflow
+    }
+    assert {s for s, *_ in dropped_ids} == {"start", "end"}
+    start_drop = next(
+        _json.loads(r["order_values"]) for r in overflow
+        if r["side"] == "start"
+    )
+    assert start_drop["start_event_id"] == 102
+    assert {
+        _json.loads(r["order_values"])["end_event_id"]
+        for r in overflow if r["side"] == "end"
+    } == {302, 303}
 
 
 def test_capped_join_cap1_equals_dedup_composition(spark):

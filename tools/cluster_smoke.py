@@ -129,23 +129,29 @@ def main() -> int:
     print(f"cluster: {n_exec} executors registered (master "
           f"{sc.master}), driver 4g, executor "
           f"{profile['spark.executor.memory']}")
-    failures = []
+    # Conf mismatches and entry failures are tracked SEPARATELY: the
+    # summary line counts entries only, so a conf mismatch can never
+    # make 'X/Y passing' misreport (or go negative) when all entries
+    # pass (round-8 ADVICE item). Either list non-empty => exit 1.
+    conf_failures = []
     for key in _PINNED_KEYS:
         got = spark.conf.get(key, None)
         if got != profile[key]:
-            failures.append(f"conf {key}: profile={profile[key]} live={got}")
+            conf_failures.append(
+                f"conf {key}: profile={profile[key]} live={got}")
     if has_stream:
         prov = spark.conf.get(
             "spark.sql.streaming.stateStore.providerClass", "")
         if "RocksDB" not in prov:
-            failures.append(f"state store provider not RocksDB: {prov}")
-    for f in failures:
-        print(f"FAIL {f}")
+            conf_failures.append(f"state store provider not RocksDB: {prov}")
+    for f in conf_failures:
+        print(f"CONF-FAIL {f}")
 
+    entry_failures = []
     for name in names:
         if name not in REGISTRY:
             print(f"FAIL {name}: not in registry")
-            failures.append(name)
+            entry_failures.append(name)
             continue
         fn, _ = REGISTRY[name]
         t0 = time.time()
@@ -155,13 +161,16 @@ def main() -> int:
         except Exception as exc:  # noqa: BLE001 — smoke harness
             print(f"FAIL {name}: {type(exc).__name__}: "
                   f"{str(exc).splitlines()[0][:300]}")
-            failures.append(name)
+            entry_failures.append(name)
         spark.catalog.clearCache()
 
     spark.stop()
-    print(f"\n{len(names) - len(failures)}/{len(names)} passing on the "
-          f"profile-shaped local-cluster session")
-    return 1 if failures else 0
+    print(f"\n{len(names) - len(entry_failures)}/{len(names)} entries "
+          f"passing on the profile-shaped local-cluster session")
+    if conf_failures:
+        print(f"{len(conf_failures)} conf mismatch(es) — see CONF-FAIL "
+              f"lines above")
+    return 1 if (entry_failures or conf_failures) else 0
 
 
 if __name__ == "__main__":
