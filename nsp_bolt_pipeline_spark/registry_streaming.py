@@ -28,6 +28,7 @@ from nsp_bolt_pipeline_spark.pipeline import (
     trip_daily_kpis,
 )
 from nsp_bolt_pipeline_spark.registry import (
+    SCALE_WALLS,
     _TRIP_KPI_ORACLE,
     _r2,
     _round2,
@@ -588,6 +589,19 @@ FROM starts s JOIN ends e ON s.trip_id = e.trip_id
 WHERE e.dropoff_datetime >= s.pickup_datetime
   AND e.dropoff_datetime <= s.pickup_datetime + INTERVAL 7 DAY
 """
+
+
+# Round-7 measured wall: the DATA mandates ~2e9 output rows at sf32
+# (hot-key start x end pairs grow quadratically with sf) and the entry
+# fails on write volume alone (sweeps/sweep_sf32.0_stream_r7.log) —
+# correct behavior on adversarial input. Production twin:
+# stream_chained_dedup_join (dedup-before-join, 93.5s clean at sf32).
+SCALE_WALLS["stream_j1_completion_join"] = (
+    16.0,
+    "un-deduped hot-key join output is ~2e9 rows at sf32 (mandated "
+    "by the data); production twin stream_chained_dedup_join sweeps "
+    "every rung",
+)
 
 
 @query("stream_j1_completion_join", _STREAM_J1_ORACLE)

@@ -86,3 +86,24 @@ def test_every_registry_entry_is_served():
 
     names = list(spark_entry.queries())
     assert set(names) == set(REGISTRY)
+
+
+def test_scale_walls_name_real_entries_and_twins():
+    """Documented scale walls (sweep-excluded-by-design above
+    max_sf_ok) must point at registered entries, and each reason must
+    name a production twin that is itself a registered, oracle-backed
+    entry — a wall without a swept twin would silently shrink
+    coverage."""
+    from nsp_bolt_pipeline_spark import registry as _registry
+    from nsp_bolt_pipeline_spark.registry import REGISTRY, SCALE_WALLS
+
+    _registry.load_all()
+    assert SCALE_WALLS, "expected documented walls to be registered"
+    for name, (max_ok, reason) in SCALE_WALLS.items():
+        assert name in REGISTRY, name
+        assert max_ok >= 0.1  # never below the official bench scale
+        twins = [t for t in REGISTRY
+                 if t != name and t in reason]
+        assert twins, f"{name}'s wall reason names no registered twin"
+        for t in twins:
+            assert REGISTRY[t][1] is not None, f"twin {t} lacks oracle"

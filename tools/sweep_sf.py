@@ -63,10 +63,13 @@ def main() -> int:
 
     from nsp_bolt_pipeline_spark import registry as _r
     from nsp_bolt_pipeline_spark import submit_profile as _sp
-    from nsp_bolt_pipeline_spark.registry import REGISTRY
+    from nsp_bolt_pipeline_spark.registry import REGISTRY, SCALE_WALLS
     from nsp_bolt_pipeline_spark.session import get_spark
 
     _r.load_all()
+
+    m = re.search(r"sf([0-9.]+)", sf_dir)
+    sweep_sf = float(m.group(1).rstrip(".")) if m else 0.0
 
     # Shape the session the way submit_profile shapes a cluster job,
     # instead of inheriting local[$CPUS] x 6 GiB blindly. local[32]
@@ -151,6 +154,21 @@ def main() -> int:
             continue
         if batch_only and name.startswith("stream_"):
             continue
+        # documented scale walls: exact-semantics baselines whose
+        # data-mandated cost exceeds the harness above max_sf_ok are
+        # SKIPPED (visibly) instead of re-paying a known failure each
+        # rung; an explicit name argument overrides the skip (for
+        # re-probing whether a wall moved). Their production twins
+        # sweep at every rung.
+        if name in SCALE_WALLS and not only:
+            max_ok, reason = SCALE_WALLS[name]
+            if sweep_sf > max_ok:
+                print(
+                    f"skip {name}: documented wall above sf{max_ok} "
+                    f"({reason})",
+                    flush=True,
+                )
+                continue
         ran += 1
         t0 = time.time()
         try:
