@@ -472,11 +472,12 @@ def q_fuzzy_titles(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id", F.substring("text", 1, _FUZZY_PREFIX).alias("t")
     )
     # Single-space split mirrors the oracle's split_part exactly. The
-    # candidate plan is the Ed-Join q-gram prefix filter (round 6):
-    # first-token blocks grow linearly on a fixed vocabulary and their
-    # within-block Levenshtein is quadratic (11x per 2x rows measured
-    # at sf4.0); the prefix filter is lossless, so this oracle — the
-    # blocked naive definition — is unchanged.
+    # candidate plan is PassJoin segment matching (round 9; replaced
+    # the round-6 Ed-Join gram prefixes whose key space saturated:
+    # isolated sf16->sf32 measured the gram path at 2.52x per 2x vs
+    # 1.42x for segments, 113s->38.7s at sf16). The filter is
+    # lossless, so this oracle — the blocked naive definition — is
+    # unchanged.
     return edit_distance_pairs(
         docs,
         id_col="doc_id",
@@ -544,7 +545,7 @@ def q_fuzzy_entity_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 #: short-code corpus for the symmetric-delete entry: 12-char BASE64
-#: digests (all below the Ed-Join q-gram threshold of 16), with a
+#: digests (all below the long-string segment threshold of 16), with a
 #: deterministic near-dup family planted in every 5-id group — the
 #: driver's documents carry no exact-dup texts. Base64, not hex, and
 #: that choice is load-bearing: d=3 deletion variants of 12-char
@@ -582,10 +583,10 @@ _SHORT_CODE_SQL_EXPR = """
 def q_fuzzy_short_codes(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Edit-distance join on a corpus that is ENTIRELY short strings
     (12-char content digests — the username/SKU/code shape): every
-    string sits below the Ed-Join q-gram threshold (len < q*(d+1) =
+    string sits below the long-string threshold (len < q*(d+1) =
     16), so the whole corpus rides the symmetric-delete variant join
-    (operators/fuzzy.py::deletion_variants) rather than the q-gram
-    prefix filter. Round-6 judge item: the previous short path was one
+    (operators/fuzzy.py::deletion_variants) rather than the PassJoin
+    segment path. Round-6 judge item: the previous short path was one
     corpus-wide all-pairs block, quadratic in n on exactly this
     corpus; deletion-variant keys grow with the vocabulary, so bucket
     population tracks local edit density (here: one planted lev<=1

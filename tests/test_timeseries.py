@@ -318,12 +318,13 @@ def test_edit_distance_pairs_plan_never_broadcasts_exploded_sides(spark):
     variant fan-out, so without hints the planner statically chose a
     BroadcastHashJoin whose build side was the ENTIRE exploded variant
     relation (57.6M rows at sf4.0 — a fatal build in a 6 GiB JVM).
-    The two exploded SELF-joins (variant key `v`, gram key `gr`) must
-    stay shuffle joins regardless of what the stats claim; the
-    verification joins on id1/id2 are deliberately unpinned — their
-    sides carry honest persisted stats, and broadcasting them at
-    small scale is the right plan (pinning them measured 2.1x on the
-    sf0.1 bench for verification-heavy consumers)."""
+    The two exploded joins (variant key `v`, PassJoin segment keys
+    `l`/`i`/`seg`) must stay shuffle joins regardless of what the
+    stats claim; the verification joins on id1/id2 are deliberately
+    unpinned — their sides carry honest persisted stats, and
+    broadcasting them at small scale is the right plan (pinning them
+    measured 2.1x on the sf0.1 bench for verification-heavy
+    consumers)."""
     import re
 
     from nsp_bolt_pipeline_spark.operators.fuzzy import (
@@ -340,8 +341,12 @@ def test_edit_distance_pairs_plan_never_broadcasts_exploded_sides(spark):
     plan = out._jdf.queryExecution().executedPlan().toString()
     bad = [
         ln for ln in plan.splitlines()
-        if re.search(r"Broadcast\w*Join \[(v|gr)#", ln)
+        if re.search(r"Broadcast\w*Join \[(v|l|seg)#", ln)
     ]
     assert not bad, bad
+    # both candidate paths must actually be in the plan (a regression
+    # that drops one side would also pass the no-broadcast assertion)
+    assert re.search(r"SortMergeJoin \[v#", plan), "variant join missing"
+    assert re.search(r"SortMergeJoin \[l#", plan), "segment join missing"
     assert "BroadcastNestedLoopJoin" not in plan, plan
     release_caches()
