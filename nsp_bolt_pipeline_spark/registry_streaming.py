@@ -29,6 +29,7 @@ from nsp_bolt_pipeline_spark.pipeline import (
 )
 from nsp_bolt_pipeline_spark.registry import (
     SCALE_WALLS,
+    _J1_CAPPED_ORACLE,
     _TRIP_KPI_ORACLE,
     _r2,
     _round2,
@@ -653,6 +654,81 @@ def q_stream_j1(spark: SparkSession, sf_dir: str) -> DataFrame:
         "dropoff_datetime",
         "fare_amount",
         "end_event_id",
+    )
+
+
+# ---------------------------------------------------------------------------
+# Streaming J1 capped twin (round-8 verdict item #6): per-side rank
+# cap BEFORE any join, merge-on-read. Native stateful-cap -> join
+# chaining is blocked (correctness checker / broken protobuf — see
+# run_capped_completion_log's docstring for both probes), so the
+# stream folds the wire into a <=cap-rows-per-(side,key) keeper state
+# (top-N is a semilattice: arrival-order-independent) and the serving
+# view runs the BATCH completed_trips_capped over that state — the
+# same operator, so this entry shares j1_completion_join_capped's
+# oracle verbatim.
+# ---------------------------------------------------------------------------
+
+
+@query("stream_j1_completion_capped", _J1_CAPPED_ORACLE)
+def q_stream_j1_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Emit-capped streaming completion: cap^2-bounded output per key
+    (cap=2, matching the batch twin) with state bounded by the cap
+    itself — no watermark, no time bound, O(keys * cap) state. The
+    overflow regime and scrambled-arrival convergence are pinned by
+    tests/test_streaming.py."""
+    from nsp_bolt_pipeline_spark.operators.completion import (  # noqa: PLC0415
+        completed_trips_capped,
+    )
+    from nsp_bolt_pipeline_spark.streaming.completion import (  # noqa: PLC0415
+        read_keeper_state,
+        run_capped_completion_log,
+    )
+
+    dirs = _workdir("stream_j1cap")
+    _dump_events(spark, sf_dir, dirs["src"])
+    wire = (
+        _event_stream(spark, dirs["src"])
+        .filter(F.col("event_type").isin(START_EVENT, END_EVENT))
+        .select(
+            F.when(F.col("event_type") == START_EVENT, F.lit("start"))
+            .otherwise(F.lit("end"))
+            .alias("side"),
+            F.col("user_id").cast("string").alias("trip_id"),
+            "ts",
+            "event_id",
+            "value",
+        )
+    )
+    run_capped_completion_log(
+        wire,
+        state_root=dirs["out"],
+        checkpoint_dir=dirs["ckpt"],
+        key="trip_id",
+        order_cols=("ts", "event_id"),
+        max_rows_per_key=2,
+    )
+    state = read_keeper_state(spark, dirs["out"])
+    starts = state.filter(F.col("side") == "start").select(
+        "trip_id",
+        F.col("ts").alias("pickup_datetime"),
+        F.col("event_id").alias("start_event_id"),
+    )
+    ends = state.filter(F.col("side") == "end").select(
+        "trip_id",
+        F.col("ts").alias("dropoff_datetime"),
+        F.col("value").alias("fare_amount"),
+        F.col("event_id").alias("end_event_id"),
+    )
+    return completed_trips_capped(
+        starts,
+        ends,
+        max_rows_per_key=2,
+        start_order=["pickup_datetime", "start_event_id"],
+        end_order=["dropoff_datetime", "end_event_id"],
+    ).select(
+        "trip_id", "pickup_datetime", "start_rank",
+        "dropoff_datetime", "fare_amount", "end_rank",
     )
 
 

@@ -20,7 +20,9 @@ batch variant.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+import os
+
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 
@@ -153,6 +155,132 @@ def deduped_completion_stream(
         within=within,
         watermark_delay=watermark_delay,
         assume_watermarked=True,  # the dedup stage already set them
+    )
+
+
+def run_capped_completion_log(
+    wire: DataFrame,
+    *,
+    state_root: str,
+    checkpoint_dir: str,
+    key: str = "trip_id",
+    side_col: str = "side",
+    order_cols: tuple[str, ...] = ("ts", "event_id"),
+    max_rows_per_key: int,
+) -> None:
+    """Streaming side of the emit-capped completion twin
+    (``operators.completion.completed_trips_capped``): fold the wire
+    into a KEEPER STATE of at most ``max_rows_per_key`` rows per
+    (side, key) — the first rows by ``order_cols`` seen so far — via
+    ``foreachBatch``. The serving view then runs the BATCH capped
+    join over the keeper state (:func:`read_keeper_state` +
+    ``completed_trips_capped``), so streaming and batch converge on
+    the same operator by construction.
+
+    Why merge-on-read and not a native stateful cap feeding the
+    stream-stream join (round-8 verdict item #6's first choice; both
+    probes pinned by ``tests/test_streaming.py``):
+
+    - ``applyInPandasWithState`` -> stream-stream join is rejected by
+      Spark's correctness checker, and rightly so: an exact
+      event-time rank can only be emitted once the watermark passes a
+      row's timestamp, i.e. the capped rows leave the operator ALREADY
+      LATE for the downstream join's watermark, which would discard
+      them. (``dropDuplicatesWithinWatermark`` chains legally because
+      it forwards rows at arrival time — a luxury an N-rank cap does
+      not have.)
+    - ``transformWithStateInPandas`` (which relaxes the chaining
+      rules) is environment-blocked here: its driver worker dies with
+      ``ImportError: cannot import name 'descriptor' from
+      'google.protobuf'`` (probed 2026-08-16; re-probe if the sandbox
+      ever gains a working protobuf).
+
+    The merge-on-read shape needs neither, because top-N per key is a
+    SEMILATTICE: topN(A ∪ B) = topN(topN(A) ∪ B), so folding batches
+    in ANY arrival order converges to the batch answer — no watermark,
+    no sealing, state bounded by the cap itself (<= cap rows per side
+    per key, independent of time or rate). Eager per-batch MATCH
+    emission is deliberately not offered: a late-arriving earlier row
+    can displace a keeper and would retract its already-emitted
+    matches, which an append sink cannot express — the same
+    over-merge argument behind streaming/scd2.py's merge-on-read.
+
+    Idempotence under at-least-once delivery: the fold drops
+    duplicate (side, key, *order_cols) rows, and each batch writes
+    the full keeper state to ``state_root/v=<batch_id>`` derived
+    deterministically from the latest version BELOW batch_id (a
+    retried batch rewrites its own version from the same inputs —
+    the scd2 version discipline). Versions older than the previous
+    one are pruned: structured streaming only ever retries the last
+    uncommitted batch.
+    """
+    from nsp_bolt_pipeline_spark.streaming.scd2 import (  # noqa: PLC0415
+        _list_versions,
+    )
+
+    cols = list(wire.columns)
+    dedup_keys = [side_col, key, *order_cols]
+
+    def fold(batch: DataFrame, batch_id: int) -> None:
+        spark = batch.sparkSession
+        versions = sorted(
+            v for v in _list_versions(spark, state_root) if v < batch_id
+        )
+        cur = batch.select(*cols).dropDuplicates(dedup_keys)
+        if versions:
+            prev = spark.read.parquet(
+                os.path.join(state_root, f"v={versions[-1]}")
+            )
+            cur = cur.unionByName(prev).dropDuplicates(dedup_keys)
+        rn = F.row_number().over(
+            Window.partitionBy(side_col, key).orderBy(
+                *[F.col(c) for c in order_cols]
+            )
+        )
+        keep = (
+            cur.withColumn("_rn", rn)
+            .filter(F.col("_rn") <= max_rows_per_key)
+            .drop("_rn")
+        )
+        keep.write.mode("overwrite").parquet(
+            os.path.join(state_root, f"v={batch_id}")
+        )
+        # prune all but the immediately-previous version (crash-retry
+        # of THIS batch re-reads it; older ones are unreachable)
+        jvm = spark._jvm
+        fs = jvm.org.apache.hadoop.fs.Path(state_root).getFileSystem(
+            spark._jsc.hadoopConfiguration()
+        )
+        for v in versions[:-1]:
+            fs.delete(
+                jvm.org.apache.hadoop.fs.Path(
+                    os.path.join(state_root, f"v={v}")
+                ),
+                True,
+            )
+
+    q = (
+        wire.writeStream.foreachBatch(fold)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+
+def read_keeper_state(spark, state_root: str) -> DataFrame:
+    """Latest committed keeper state written by
+    :func:`run_capped_completion_log` (raises if no version exists —
+    the stream has not run)."""
+    from nsp_bolt_pipeline_spark.streaming.scd2 import (  # noqa: PLC0415
+        _list_versions,
+    )
+
+    versions = _list_versions(spark, state_root)
+    if not versions:
+        raise FileNotFoundError(f"no keeper state under {state_root}")
+    return spark.read.parquet(
+        os.path.join(state_root, f"v={max(versions)}")
     )
 
 

@@ -566,6 +566,192 @@ class TestStreamStreamJoin:
         assert "note" in out.columns and "end_note" in out.columns
 
 
+class TestCappedCompletion:
+    """stream_j1_completion_capped: merge-on-read per-side rank cap
+    (round-8 verdict item #6). Top-N per key is a semilattice, so the
+    foreachBatch fold must converge to the batch operator under ANY
+    arrival order, including displacement of an already-kept row by a
+    later-arriving earlier one — the case eager match emission cannot
+    retract and the reason this is merge-on-read."""
+
+    WIRE = T.StructType(
+        [
+            T.StructField("side", T.StringType()),
+            T.StructField("trip_id", T.StringType()),
+            T.StructField("ts", T.LongType()),
+            T.StructField("event_id", T.LongType()),
+            T.StructField("value", T.DoubleType()),
+        ]
+    )
+
+    def _row(self, side, key, hours, eid, value=None):
+        return {
+            "side": side, "trip_id": key,
+            "ts": T0 + int(hours * US_PER_HOUR),
+            "event_id": eid, "value": value,
+        }
+
+    def test_scrambled_arrival_converges_to_batch_capped(
+        self, spark, tmp_path
+    ):
+        from nsp_bolt_pipeline_spark.operators.completion import (
+            completed_trips_capped,
+        )
+        from nsp_bolt_pipeline_spark.streaming.completion import (
+            read_keeper_state,
+            run_capped_completion_log,
+        )
+
+        src, state, ckpt = _dirs(tmp_path, "src", "state", "ckpt")
+        batches = [
+            # b0: mid-timestamp starts arrive first
+            [self._row("start", "hot", 3, 103),
+             self._row("start", "hot", 4, 104),
+             self._row("end", "hot", 5, 300, 50.0),
+             self._row("start", "cold", 0, 110)],
+            # b1: an EARLIER start arrives late -> displaces eid 104
+            [self._row("start", "hot", 0, 100),
+             self._row("end", "cold", 1, 310, 9.0),
+             # duplicate delivery of an already-kept row (at-least-once)
+             self._row("start", "hot", 3, 103)],
+            # b2: an earlier end displaces nothing (cap not exceeded
+            # until 302 arrives and ranks third)
+            [self._row("end", "hot", 1, 301, 20.0),
+             self._row("end", "hot", 6, 302, 60.0)],
+        ]
+        all_rows = [r for b in batches for r in b]
+        for n, rows in enumerate(batches):
+            _write_batch(src, f"b{n}.json", rows)
+        wire = decode_event_times(
+            read_wire_stream(
+                spark, src, self.WIRE, max_files_per_trigger=1
+            ),
+            ["ts"],
+        ).drop("_corrupt_record")
+        run_capped_completion_log(
+            wire, state_root=state, checkpoint_dir=ckpt,
+            key="trip_id", order_cols=("ts", "event_id"),
+            max_rows_per_key=2,
+        )
+        kept = read_keeper_state(spark, state)
+        # state bounded by the cap, duplicates folded away
+        per_key = (
+            kept.groupBy("side", "trip_id").count().collect()
+        )
+        assert all(r["count"] <= 2 for r in per_key)
+        assert kept.count() == 6  # hot: 2 starts + 2 ends; cold: 1 + 1
+
+        def serve(st):
+            starts = st.filter(F.col("side") == "start").select(
+                "trip_id",
+                F.col("ts").alias("pickup_datetime"),
+                F.col("event_id").alias("start_event_id"),
+            )
+            ends = st.filter(F.col("side") == "end").select(
+                "trip_id",
+                F.col("ts").alias("dropoff_datetime"),
+                F.col("value").alias("fare_amount"),
+                F.col("event_id").alias("end_event_id"),
+            )
+            return completed_trips_capped(
+                starts, ends, max_rows_per_key=2,
+                start_order=["pickup_datetime", "start_event_id"],
+                end_order=["dropoff_datetime", "end_event_id"],
+            )
+
+        got = {
+            (r["trip_id"], r["start_event_id"], r["end_event_id"],
+             r["start_rank"], r["end_rank"])
+            for r in serve(kept).collect()
+        }
+        # displaced rows (start 104, end 302) must be gone; ranks are
+        # the FINAL event-time ranks, not arrival ranks
+        assert got == {
+            ("hot", 100, 301, 1, 1), ("hot", 100, 300, 1, 2),
+            ("hot", 103, 301, 2, 1), ("hot", 103, 300, 2, 2),
+            ("cold", 110, 310, 1, 1),
+        }
+        # equivalence with the batch operator over the full data
+        batch_df = spark.createDataFrame(
+            [(r["side"], r["trip_id"], r["ts"], r["event_id"], r["value"])
+             for r in all_rows],
+            self.WIRE,
+        ).withColumn(
+            "ts", F.timestamp_micros(F.col("ts"))
+        ).dropDuplicates(["side", "trip_id", "ts", "event_id"])
+        want = {
+            (r["trip_id"], r["start_event_id"], r["end_event_id"],
+             r["start_rank"], r["end_rank"])
+            for r in serve(batch_df).collect()
+        }
+        assert got == want
+
+    def test_stateful_cap_to_join_chaining_still_blocked(
+        self, spark, tmp_path
+    ):
+        """Falsifiability pin for the merge-on-read design decision:
+        if Spark ever ACCEPTS applyInPandasWithState upstream of a
+        stream-stream join, this fails loudly so the native capped
+        twin gets (re)considered. The block is the global-watermark
+        correctness check — and it is RIGHT: an exact event-time rank
+        emits rows already behind the watermark, which the join would
+        drop as late."""
+        src, out, ckpt = _dirs(tmp_path, "src", "out", "ckpt")
+        _write_batch(src, "b0.json", [self._row("start", "k", 0, 1)])
+        wire = decode_event_times(
+            read_wire_stream(spark, src, self.WIRE), ["ts"]
+        ).drop("_corrupt_record")
+
+        def passthrough(key, pdfs, state):
+            yield from pdfs
+
+        capped = (
+            wire.withWatermark("ts", "1 hour")
+            .groupBy("trip_id")
+            .applyInPandasWithState(
+                passthrough,
+                "trip_id string, ts timestamp, event_id long",
+                "trip_id string, n int",
+                "append",
+                "EventTimeTimeout",
+            )
+        )
+        other = decode_event_times(
+            read_wire_stream(spark, src, self.WIRE), ["ts"]
+        ).drop("_corrupt_record").withWatermark("ts", "1 hour")
+        j = capped.alias("s").join(
+            other.alias("e"),
+            (F.col("s.trip_id") == F.col("e.trip_id"))
+            & (F.col("e.ts") >= F.col("s.ts")),
+            "inner",
+        )
+        with pytest.raises(Exception, match="correctness|watermark"):
+            q = (
+                j.writeStream.format("noop")
+                .option("checkpointLocation", ckpt)
+                .trigger(availableNow=True)
+                .start()
+            )
+            q.awaitTermination()
+
+    def test_transform_with_state_still_env_blocked(self, spark, tmp_path):
+        """transformWithStateInPandas (the API that relaxes stateful
+        chaining) is environment-blocked: its driver worker needs
+        google.protobuf, broken in this container. If this probe ever
+        SUCCEEDS, fail loudly — build the native capped twin with it
+        (round-8 verdict item #6's preferred form)."""
+        try:
+            from google.protobuf import descriptor  # noqa: F401
+        except ImportError:
+            return  # still blocked, merge-on-read stands
+        pytest.fail(
+            "google.protobuf now importable: re-probe "
+            "transformWithStateInPandas chaining and build the native "
+            "stream_j1_completion_capped (see "
+            "streaming/completion.py::run_capped_completion_log)"
+        )
+
+
 class TestChainedStatefulOps:
     def test_raw_join_hot_key_emits_cross_product(self, spark, tmp_path):
         """Pin the documented hot-key regime: the RAW stream-stream
