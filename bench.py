@@ -157,6 +157,9 @@ HEADLINE = [
     # published bucketBy+sortBy, stream-static join pinned MERGE, zero
     # dimension Exchange per micro-batch
     "stream_static_enrich_bucketed",
+    # round 9: merge-on-read capped completion (the bounded streaming
+    # form of the J1 hot-key regime)
+    "stream_j1_completion_capped",
 ]
 
 
