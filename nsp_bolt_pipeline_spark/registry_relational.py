@@ -271,10 +271,16 @@ def q_small_quantity(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.avg("l_quantity") * 0.5).alias("qty_thr")
     )
     part = read_table(spark, sf_dir, "part").select("p_partkey", "p_brand")
+    # part is UNhinted: its pruned 2-column scan carries honest file
+    # stats, so Catalyst broadcasts it while it fits and shuffles it
+    # when it doesn't. The former F.broadcast(part) pin OOMed the
+    # round-9 isolated sf32 rung (part grows with sf — ~6.4M rows
+    # there; a pinned broadcast is exactly the does-not-survive-
+    # scale-up class this repo bans elsewhere).
     return (
         li.join(thr, "l_partkey")
         .filter(F.col("l_quantity") < F.col("qty_thr"))
-        .join(F.broadcast(part), F.col("l_partkey") == F.col("p_partkey"))
+        .join(part, F.col("l_partkey") == F.col("p_partkey"))
         .groupBy("p_brand")
         .agg(
             _r2(F.sum("l_extendedprice")).alias("sum_extprice"),
