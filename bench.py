@@ -407,11 +407,22 @@ def main() -> None:
         # totals + machine stamps recorded in the promoted artifact)
         # instead of promoting whichever single run happens to sit in
         # the scratch slot.
-        runlog = os.path.join(repo_dir, "sweeps", "scratch", "runs.jsonl")
-        with open(runlog, "a") as f:
-            f.write(json.dumps(result) + "\n")
     except OSError:
         pass  # read-only checkout: stdout line is still the contract
+    # The run log gets its OWN makedirs + try block: when
+    # SPARK_GRAFT_BENCH_OUT points outside sweeps/scratch/, the
+    # artifact write above never creates the scratch dir, and sharing
+    # its except clause would silently drop this run from the
+    # best-of-2 quorum (round-9 advice).
+    try:
+        runlog = os.path.join(repo_dir, "sweeps", "scratch", "runs.jsonl")
+        os.makedirs(os.path.dirname(runlog), exist_ok=True)
+        with open(runlog, "a") as f:
+            f.write(json.dumps(result) + "\n")
+    except OSError as e:
+        print(f"WARNING: run-log append failed ({e}); this run will "
+              f"not count toward the best-of-2 promotion quorum",
+              file=sys.stderr)
     print(json.dumps(result))
 
 

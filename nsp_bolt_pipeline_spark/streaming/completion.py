@@ -206,7 +206,15 @@ def run_capped_completion_log(
     over-merge argument behind streaming/scd2.py's merge-on-read.
 
     Idempotence under at-least-once delivery: the fold drops
-    duplicate (side, key, *order_cols) rows, and each batch writes
+    duplicate (side, key, *order_cols) rows — which assumes
+    ``order_cols`` (default ``(ts, event_id)``) uniquely identifies a
+    physical wire row, i.e. a redelivery is byte-identical. A wire
+    that can deliver two DIFFERENT payloads under the same
+    (side, key, ts, event_id) would fold to an arbitrary survivor
+    here while the shared capped-join oracle ranks every physical
+    row; callers with such a wire must widen ``order_cols`` (or
+    pre-assign a unique event_id, as the repo's generators do).
+    Each batch writes
     the full keeper state to ``state_root/v=<batch_id>`` derived
     deterministically from the latest version BELOW batch_id (a
     retried batch rewrites its own version from the same inputs —

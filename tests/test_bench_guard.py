@@ -157,6 +157,7 @@ def _artifact(**over):
         "git": promote_bench.head_sha(),
         "sf": 0.1,
         "value": 100.0,
+        "machine": {"disk_write_mbps": 200.0},
         "queries": {n: 1.0 for n in bench.HEADLINE},
     }
     base.update(over)
@@ -188,6 +189,20 @@ def test_promote_refuses_subset_run():
     del art["queries"]["trip_daily_kpi"]
     probs = promote_bench.validate(art)
     assert any("subset" in p for p in probs)
+
+
+def test_promote_refuses_missing_or_bad_value():
+    """select() ranks on 'value' and main() indexes it — a run
+    without it must be refused at validate time, not crash later
+    (round-9 advice)."""
+    art = _artifact()
+    del art["value"]
+    assert any("'value'" in p for p in promote_bench.validate(art))
+    assert any("'value'" in p
+               for p in promote_bench.validate(_artifact(value="fast")))
+    art = _artifact()
+    del art["machine"]
+    assert any("'machine'" in p for p in promote_bench.validate(art))
 
 
 # ---- best-of-2 promotion policy (round-8 judge item #1) ----

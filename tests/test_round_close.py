@@ -1,0 +1,113 @@
+"""Round-close discipline pins (round-9 verdict item #1).
+
+The failure being pinned: round 9's official driver bench returned
+rc=3 ("refusing to bench a dirty tree") because a still-running sf32
+streaming sweep appended to a TRACKED sweeps/*.log after the round's
+final commit. The fixes under test:
+
+- tools/sweep_sf.py tees its live output into gitignored
+  sweeps/scratch/ — a mid-run sweep can no longer dirty the tree;
+- tools/promote_sweep.py is the only path into tracked sweeps/ and
+  refuses logs without a terminal summary line (= cut mid-run);
+- tools/round_close_check.py detects live writer processes and a
+  dirty tree before handover.
+"""
+
+from __future__ import annotations
+
+import os
+import subprocess
+import sys
+
+import pytest
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+SCRATCH = os.path.join(REPO, "sweeps", "scratch")
+
+
+def _porcelain() -> str:
+    return subprocess.run(
+        ["git", "status", "--porcelain", "-uall"],
+        cwd=REPO, capture_output=True, text=True,
+    ).stdout
+
+
+def test_scratch_dir_is_invisible_to_uall():
+    """A new file under sweeps/scratch/ — including a .py in a fresh
+    subdirectory, the round-8 advice hole — never dirties the tree."""
+    os.makedirs(os.path.join(SCRATCH, "newdir_pin"), exist_ok=True)
+    probe = os.path.join(SCRATCH, "newdir_pin", "probe.py")
+    before = _porcelain()
+    try:
+        with open(probe, "w") as f:
+            f.write("# scratch probe\n")
+        after = _porcelain()
+        assert "probe.py" not in after
+        assert after == before
+    finally:
+        os.remove(probe)
+        os.rmdir(os.path.dirname(probe))
+
+
+def test_promote_sweep_refuses_cut_log(tmp_path):
+    sys.path.insert(0, os.path.join(REPO, "tools"))
+    import promote_sweep
+
+    os.makedirs(SCRATCH, exist_ok=True)
+    cut = os.path.join(SCRATCH, "pin_cut.log")
+    done = os.path.join(SCRATCH, "pin_done.log")
+    try:
+        with open(cut, "w") as f:
+            f.write("ok   trip_daily_kpi (1.2s)\nok   a1_daily\n")
+        with open(done, "w") as f:
+            f.write("ok   trip_daily_kpi (1.2s)\n\n"
+                    "1/1 executed clean at /root/testdata/sf0.001\n")
+        dst = os.path.join(REPO, "sweeps", "pin_promoted.log")
+        assert promote_sweep.validate(cut, dst), "cut log must be refused"
+        assert promote_sweep.validate(done, dst) == []
+        # destination policy: never back into scratch, never outside sweeps/
+        assert promote_sweep.validate(done, os.path.join(SCRATCH, "x.log"))
+        assert promote_sweep.validate(done, str(tmp_path / "x.log"))
+    finally:
+        for p in (cut, done):
+            if os.path.exists(p):
+                os.remove(p)
+
+
+def test_live_writer_matcher():
+    sys.path.insert(0, os.path.join(REPO, "tools"))
+    import round_close_check as rcc
+
+    cmdlines = [
+        (100, "python tools/sweep_sf.py /root/repo/.scaledata/sf32.0"),
+        (101, "python bench.py"),
+        (102, "tee sweeps/scratch/foo.log"),          # not python
+        (103, "python tools/round_close_check.py"),   # not a writer
+        (104, "python -m pytest tests/ -x -q"),
+    ]
+    hits = rcc.live_writers(cmdlines, self_pid=104)
+    assert any("sweep_sf.py" in h for h in hits)
+    assert any("bench.py" in h for h in hits)
+    assert not any("tee " in h for h in hits)
+    assert not any("round_close_check" in h for h in hits)
+    assert not any("pytest" in h for h in hits), "self pid must be excluded"
+
+
+def test_mid_run_sweep_cannot_dirty_tree():
+    """End-to-end pin: run a real (tiny) sweep as a subprocess and
+    assert the tree's porcelain -uall state is unchanged afterward —
+    the sweep's own tee is the only log writer and it lands in
+    scratch."""
+    before = _porcelain()
+    proc = subprocess.run(
+        [sys.executable, "tools/sweep_sf.py", "/root/testdata/sf0.001",
+         "p1_required_field_filter"],
+        cwd=REPO, capture_output=True, text=True, timeout=600,
+    )
+    assert proc.returncode == 0, proc.stdout[-2000:] + proc.stderr[-2000:]
+    assert "(live log: " in proc.stdout
+    log_path = proc.stdout.split("(live log: ", 1)[1].split(")", 1)[0]
+    assert os.path.commonpath([log_path, SCRATCH]) == SCRATCH
+    assert os.path.exists(log_path)
+    assert _porcelain() == before
+    os.remove(log_path)

@@ -66,6 +66,16 @@ def validate(artifact: dict) -> list[str]:
             f"artifact sf={artifact.get('sf')} is not the official "
             f"sf={OFFICIAL_SF}"
         )
+    # select() ranks by "value" and main() indexes promoted["value"]:
+    # a run missing it (or carrying a non-numeric one) must be refused
+    # here, not crash there (round-9 advice).
+    if not isinstance(artifact.get("value"), (int, float)):
+        problems.append(
+            f"artifact 'value' is missing or non-numeric: "
+            f"{artifact.get('value')!r}"
+        )
+    if not isinstance(artifact.get("machine"), dict):
+        problems.append("artifact 'machine' calibration stamp is missing")
     import bench
 
     expected = [n for n in bench.HEADLINE]
@@ -156,8 +166,19 @@ def main() -> int:
         return 0
     with open(TRACKED, "w") as f:
         json.dump(promoted, f, indent=1)
+    # Rotate the run log on successful promotion: every superseded
+    # run's total + machine stamp is already recorded in the promoted
+    # artifact's promotion block, and without rotation the log grows
+    # without bound (every smoke/subset run appends its full per-query
+    # artifact) and load_candidates() rescans all of it (round-9
+    # advice).
+    try:
+        os.replace(RUNLOG, RUNLOG + ".promoted")
+    except OSError:
+        pass
     print(f"promoted best of {len(candidates)} runs {totals} -> {TRACKED} "
-          f"(git={promoted['git']}, total={promoted['value']}s)")
+          f"(git={promoted['git']}, total={promoted['value']}s; "
+          f"run log rotated to {RUNLOG}.promoted)")
     return 0
 
 

@@ -1,0 +1,72 @@
+"""Promote a COMPLETED sweep log from gitignored sweeps/scratch/ into
+tracked sweeps/.
+
+Why this exists (round 9): the driver's official bench refused to run
+(rc=3, "dirty tree") because a still-running sf32 streaming sweep kept
+appending to a TRACKED sweeps/*.log after the round's final commit.
+The rule since: live sweeps write ONLY under sweeps/scratch/ (which
+tools/sweep_sf.py now enforces by teeing its own stdout there), and a
+log enters the tracked tree only through this tool — which refuses any
+log that does not end in the sweep's summary line, so a cut-mid-run
+log can never be promoted and a promoted log can never gain lines.
+
+Usage: python tools/promote_sweep.py sweeps/scratch/<live>.log sweeps/<name>.log
+"""
+
+from __future__ import annotations
+
+import os
+import re
+import shutil
+import sys
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+#: a completed sweep ends with exactly one of these (tools/sweep_sf.py)
+_SUMMARY = re.compile(
+    r"^\d+/\d+ executed clean at \S+|^\d+ entries at >= [\d.]+x growth"
+)
+
+
+def validate(src: str, dst: str) -> list[str]:
+    """Return refusal reasons (empty = promotable)."""
+    problems: list[str] = []
+    scratch = os.path.join(REPO, "sweeps", "scratch")
+    sweeps = os.path.join(REPO, "sweeps")
+    if os.path.commonpath([os.path.abspath(src), scratch]) != scratch:
+        problems.append(f"source {src!r} is not under sweeps/scratch/")
+    dst_abs = os.path.abspath(dst)
+    if os.path.commonpath([dst_abs, scratch]) == scratch:
+        problems.append(f"destination {dst!r} is inside sweeps/scratch/")
+    elif os.path.commonpath([dst_abs, sweeps]) != sweeps:
+        problems.append(f"destination {dst!r} is not under sweeps/")
+    if not os.path.exists(src):
+        problems.append(f"source {src!r} does not exist")
+        return problems
+    lines = [ln.rstrip("\n") for ln in open(src) if ln.strip()]
+    if not lines or not _SUMMARY.match(lines[-1]):
+        problems.append(
+            "log has no summary line as its last line — the sweep is "
+            "still running or was cut mid-run; refusing to promote an "
+            "incomplete log"
+        )
+    return problems
+
+
+def main() -> int:
+    if len(sys.argv) != 3:
+        print(__doc__, file=sys.stderr)
+        return 2
+    src, dst = sys.argv[1], sys.argv[2]
+    problems = validate(src, dst)
+    if problems:
+        for p in problems:
+            print(f"REFUSED: {p}", file=sys.stderr)
+        return 3
+    shutil.copyfile(src, dst)
+    print(f"promoted {src} -> {dst} (git add it with the round's commit)")
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

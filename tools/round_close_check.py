@@ -1,0 +1,93 @@
+"""Round-close gate: verify the repo is handover-safe BEFORE the final
+commit is declared done.
+
+Checks, in order:
+
+1. **No live writers** — no other python process on the box is running
+   a workload that appends to files the driver's bench would see
+   (sweep_sf.py, bench.py, verify_oracle.py, hostile_probe.py,
+   pytest). Round 9's official bench failed rc=3 because a
+   still-running sf32 streaming sweep kept appending to a tracked log
+   after the final commit; the guard did its job, the close process
+   did not.
+2. **Clean tree** — ``git status --porcelain -uall`` is empty (same
+   flag set the bench guard uses, so passing here implies the bench
+   will not refuse).
+
+Exit 0 = safe to hand over; nonzero prints every violated condition.
+
+Usage: python tools/round_close_check.py
+"""
+
+from __future__ import annotations
+
+import os
+import subprocess
+import sys
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+#: argv substrings that mark a process as a live repo-workload writer
+WRITER_MARKERS = (
+    "sweep_sf.py",
+    "bench.py",
+    "verify_oracle.py",
+    "hostile_probe.py",
+    "gen_scaled_data.py",
+    "pytest",
+)
+
+
+def live_writers(cmdlines: list[tuple[int, str]], self_pid: int) -> list[str]:
+    """Pure matcher over (pid, cmdline) pairs — separated so the test
+    can pin the policy without spawning real sweeps."""
+    hits = []
+    for pid, cmd in cmdlines:
+        if pid == self_pid:
+            continue
+        if "python" not in cmd:
+            continue
+        for marker in WRITER_MARKERS:
+            if marker in cmd:
+                hits.append(f"pid {pid}: {cmd[:160]}")
+                break
+    return hits
+
+
+def scan_proc() -> list[tuple[int, str]]:
+    out = []
+    for entry in os.listdir("/proc"):
+        if not entry.isdigit():
+            continue
+        try:
+            with open(f"/proc/{entry}/cmdline", "rb") as f:
+                cmd = f.read().replace(b"\x00", b" ").decode(errors="replace")
+        except OSError:
+            continue
+        if cmd.strip():
+            out.append((int(entry), cmd))
+    return out
+
+
+def main() -> int:
+    problems: list[str] = []
+    for hit in live_writers(scan_proc(), os.getpid()):
+        problems.append(f"live writer still running: {hit}")
+    status = subprocess.run(
+        ["git", "status", "--porcelain", "-uall"],
+        cwd=REPO, capture_output=True, text=True,
+    ).stdout.strip()
+    if status:
+        problems.append(
+            "tree is dirty under --porcelain -uall:\n" + status
+        )
+    if problems:
+        for p in problems:
+            print(f"NOT SAFE TO CLOSE: {p}", file=sys.stderr)
+        return 1
+    print("round-close check OK: no live writers, tree clean (-uall)")
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

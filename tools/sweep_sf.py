@@ -61,6 +61,38 @@ def main() -> int:
     sf_dir = args[0] if args else "/root/testdata/sf0.1"
     only = set(args[1:])
 
+    # Live sweep output is ALWAYS teed into GITIGNORED sweeps/scratch/
+    # by the sweep itself — never pipe a running sweep into a tracked
+    # sweeps/*.log (round 9: the official driver bench failed rc=3
+    # "dirty tree" because a still-running sf32 stream sweep kept
+    # appending to a tracked log after the round's final commit).
+    # Completed logs are promoted into tracked sweeps/ via
+    # tools/promote_sweep.py, which refuses a log with no summary line.
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    scratch_dir = os.path.join(repo, "sweeps", "scratch")
+    os.makedirs(scratch_dir, exist_ok=True)
+    tag = re.sub(r"[^A-Za-z0-9._-]", "_", os.path.basename(sf_dir.rstrip("/")))
+    live_log = os.path.join(
+        scratch_dir, f"sweep_{tag}_pid{os.getpid()}.log"
+    )
+
+    class _Tee:
+        def __init__(self, stream, path):
+            self._s = stream
+            self._f = open(path, "a")
+
+        def write(self, data):
+            self._s.write(data)
+            self._f.write(data)
+            self._f.flush()
+
+        def flush(self):
+            self._s.flush()
+            self._f.flush()
+
+    sys.stdout = _Tee(sys.stdout, live_log)
+    print(f"(live log: {live_log})", flush=True)
+
     from nsp_bolt_pipeline_spark import registry as _r
     from nsp_bolt_pipeline_spark import submit_profile as _sp
     from nsp_bolt_pipeline_spark.registry import REGISTRY, SCALE_WALLS
