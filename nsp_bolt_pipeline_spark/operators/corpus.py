@@ -456,15 +456,22 @@ def strip_segments(
     text_col: str = "text",
     seg_words: int = 4,
 ) -> DataFrame:
-    """Remove every occurrence of the (small, broadcast) ``boiler``
-    segment set from ``df`` and reassemble survivors in original
-    order — the apply half of :func:`boilerplate_strip`, reusable
-    against a pre-trained boilerplate set (e.g. per micro-batch in
-    the streaming intake)."""
+    """Remove every occurrence of the ``boiler`` segment set from
+    ``df`` and reassemble survivors in original order — the apply
+    half of :func:`boilerplate_strip`, reusable against a pre-trained
+    boilerplate set (e.g. per micro-batch in the streaming intake,
+    which calls this inside foreachBatch — a batch plan, so AQE
+    applies there too).
+
+    The boiler side is not broadcast-pinned: a corpus-trained set
+    (segments with df >= min_df) GROWS with the corpus under Heaps'
+    law, so runtime stats decide — AQE converts the anti-join to a
+    broadcast while the set is actually small and keeps a linear
+    shuffle join once it is not (the q17/LM-model lesson, round 9)."""
     segs = segment_rows(
         df, id_col=id_col, text_col=text_col, seg_words=seg_words
     )
-    kept = segs.join(F.broadcast(boiler.select("seg")), "seg", "left_anti")
+    kept = segs.join(boiler.select("seg"), "seg", "left_anti")
     rebuilt = kept.groupBy(id_col).agg(
         F.array_join(
             F.transform(

@@ -26,10 +26,14 @@ scalar float op per row.
 
 Scale design (100 TB):
 
-- The LM is ``|vocabulary|`` rows of (token, count) — broadcast-sized
-  for any natural-language vocabulary (same argument as TF-IDF's DF
-  table, operators/text.py). The corpus side never re-shuffles for
-  the model join.
+- The LM is ``|vocabulary|`` rows of (token, count). Vocabulary is a
+  Heaps-law quantity — it grows with the reference corpus — so the
+  model is broadcast only while provably below
+  ``LM_BROADCAST_MAX_ROWS`` (the corpus side then never re-shuffles
+  for the model join); a larger model falls back to a shuffle join
+  keyed on the n-gram, which stays linear at any scale. Measured at
+  sf32 the bigram table reaches 17.1M rows — pinning its broadcast
+  was the round-9 scale failure this bound fixes.
 - Training scans only the reference slice (a filter pushed to the
   scan); scoring is explode → broadcast model join (map-side) →
   per-doc integer sum. ONE shuffle total — the groupBy(doc), whose
@@ -50,6 +54,29 @@ from nsp_bolt_pipeline_spark.operators.text import tokens
 #: micro-nat scale: one rounding per distinct (token) log-count,
 #: applied identically in the DuckDB oracle.
 MU = 1_000_000
+
+#: model-table broadcast bound, in rows. A trained model's vocabulary
+#: follows Heaps' law (V ~ k·n^β) and GROWS with the reference
+#: corpus: measured on the Heaps-law generator the bigram table is
+#: 931 rows at sf0.1 but 2.5M at sf4 and 17.1M at sf32 — a
+#: corpus-scale relation that OOMed the sf32 sweep when pinned
+#: ``F.broadcast`` (round-9 verdict item #2; same class as the q17
+#: pinned part-table broadcast removed in 80dd412). At or below the
+#: bound the model rides a map-side broadcast-hash join (zero corpus
+#: shuffle — the right plan for every bounded natural-language
+#: vocabulary); above it the scorer falls back to a shuffle join
+#: keyed on the n-gram, which is linear and spill-safe at any model
+#: size. The join strategy cannot change a single output bit: the
+#: micro-nat terms are integers fixed at model-build time.
+LM_BROADCAST_MAX_ROWS = 1_000_000
+
+
+def _model_side(tbl: DataFrame, n_rows: int) -> DataFrame:
+    """The model side of a scoring join: broadcast-pinned only while
+    the model is provably broadcast-sized (see LM_BROADCAST_MAX_ROWS).
+    ``n_rows`` must come from a cheap count — every caller holds the
+    table as a localCheckpoint or a driver-local relation."""
+    return F.broadcast(tbl) if n_rows <= LM_BROADCAST_MAX_ROWS else tbl
 
 
 def _lower_tokens(text_col: str) -> Column:
@@ -76,6 +103,12 @@ def unigram_lm(
                 "long"
             ),
         )
+        # one training materialization: without the checkpoint the
+        # scorer's model join AND the scalars fold would each re-run
+        # the training scan (and the broadcast-bound row count would
+        # pay a third) — vocab-sized table, same recovery caveat as
+        # train_bigram_lm below.
+        .localCheckpoint(eager=True)
     )
     scalars = lm.agg(
         F.sum("c").cast("long").alias("n"),
@@ -113,7 +146,7 @@ def cross_entropy_scores(
         F.col(id_col), F.explode(_lower_tokens(text_col)).alias("tok")
     )
     terms = doc_tok.join(
-        F.broadcast(lm.select("tok", "log_mu")), "tok", "left"
+        _model_side(lm.select("tok", "log_mu"), lm.count()), "tok", "left"
     )
     per_doc = terms.groupBy(id_col).agg(
         F.count("*").cast("long").alias("n_tokens"),
@@ -218,11 +251,15 @@ def bigram_cross_entropy_scores(
     aggregate is then an associative BIGINT sum, and the only float
     ops are one division and one subtraction-free final scale per row.
 
-    Scale design: both model tables are broadcast-sized (bigram vocab
-    of a reference slice, not the corpus); scoring is explode ->
-    two broadcast-hash joins (map-side) -> one groupBy(doc) integer
-    sum. The 1-row scalar frame rides a broadcast nested-loop join,
-    never a shuffle.
+    Scale design: the model tables are Heaps-law objects — they grow
+    with the reference corpus, so they are broadcast only while
+    provably small (LM_BROADCAST_MAX_ROWS). Below the bound scoring
+    is explode -> two broadcast-hash joins (map-side) -> one
+    groupBy(doc) integer sum; above it each model join becomes a
+    shuffle join keyed on the n-gram — linear, spill-safe, and
+    bit-identical (the micro-nat terms are fixed at model-build
+    time). The 1-row scalar frame always rides a broadcast
+    nested-loop join, never a shuffle.
 
     Pass ``model`` (the ``(uni, bi)`` pair from
     :func:`train_bigram_lm`, or driver-memoized copies of its rows)
@@ -235,6 +272,10 @@ def bigram_cross_entropy_scores(
             raise ValueError("pass ref_pred or a pre-trained model")
         model = train_bigram_lm(docs.filter(ref_pred), text_col=text_col)
     uni, bi = model
+    # cheap counts: both tables are localCheckpoints or driver-local
+    # relations (train_bigram_lm / the registry memo); they gate the
+    # broadcast-vs-shuffle decision per LM_BROADCAST_MAX_ROWS.
+    n_uni, n_bi = uni.count(), bi.count()
     scalars = uni.agg(F.count("*").cast("long").alias("v"))
     den = uni.crossJoin(F.broadcast(scalars)).select(
         "tok",
@@ -261,8 +302,8 @@ def bigram_cross_entropy_scores(
         doc_bg.withColumn(
             "ctx", F.substring_index(F.col("bg"), " ", 1)
         )
-        .join(F.broadcast(bi), "bg", "left")
-        .join(F.broadcast(den), F.col("ctx") == F.col("tok"), "left")
+        .join(_model_side(bi, n_bi), "bg", "left")
+        .join(_model_side(den, n_uni), F.col("ctx") == F.col("tok"), "left")
         .crossJoin(F.broadcast(scalars))
         .select(
             F.col(id_col),

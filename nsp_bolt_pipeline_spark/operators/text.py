@@ -233,10 +233,14 @@ def term_frequencies(
 def tf_idf(df: DataFrame, *, id_col: str, text_col: str) -> DataFrame:
     """Corpus TF-IDF: tf x ln(N / df) per (doc, term).
 
-    The document-frequency side has |vocabulary| rows — broadcast it
-    so the (doc, term) side joins map-side without a second shuffle.
-    N is computed once on the driver (a count over the corpus; cheap
-    and exact) rather than via a cross-join with an agg.
+    The document-frequency side has |vocabulary| rows — a Heaps-law
+    quantity that grows with the corpus (27k at sf32 on the scaled
+    generator; order-of-millions at 100 TB), so it is NOT
+    broadcast-pinned: runtime stats decide (AQE converts the join to
+    a map-side broadcast while the vocab is actually small, and keeps
+    a linear shuffle join once it is not — the q17/LM-model lesson,
+    round 9). N is computed once on the driver (a count over the
+    corpus; cheap and exact) rather than via a cross-join with an agg.
     """
     n_docs = df.count()
     # persist: tf feeds both the output and the document-frequency
@@ -245,7 +249,7 @@ def tf_idf(df: DataFrame, *, id_col: str, text_col: str) -> DataFrame:
     tf = term_frequencies(df, id_col=id_col, text_col=text_col).persist()
     dfreq = tf.groupBy("term").agg(F.count("*").alias("df"))
     return (
-        tf.join(F.broadcast(dfreq), "term")
+        tf.join(dfreq, "term")
         .withColumn(
             "tfidf",
             F.col("tf").cast("double")
@@ -422,9 +426,13 @@ def collocations(
     bi = bi.filter(F.col("c_ab") >= min_count)
     u1 = uni.select(F.col("w").alias("w1"), F.col("c_w").alias("c_a"))
     u2 = uni.select(F.col("w").alias("w2"), F.col("c_w").alias("c_b"))
+    # u1/u2 are |vocabulary| rows — Heaps-growing, so no broadcast
+    # pin; runtime stats decide (the probe side, min_count-filtered
+    # bigrams, is itself model-scale, so even the fallback shuffle
+    # join is small). The 1-row n1/n2 frames stay pinned.
     scored = (
-        bi.join(F.broadcast(u1), "w1")
-        .join(F.broadcast(u2), "w2")
+        bi.join(u1, "w1")
+        .join(u2, "w2")
         .crossJoin(F.broadcast(n1))
         .crossJoin(F.broadcast(n2))
         .select(

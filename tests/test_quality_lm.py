@@ -262,3 +262,59 @@ def test_bigram_entropy_short_docs_surface_with_null_score(spark):
     for d in (2, 3):
         assert out[d]["n_bigrams"] == 0
         assert out[d]["cross_entropy"] is None
+
+
+def test_model_join_strategy_is_size_bounded_and_lossless(spark, monkeypatch):
+    """The Heaps-law bound (round-9 verdict item #2): a model above
+    LM_BROADCAST_MAX_ROWS must NOT be broadcast-pinned — the initial
+    physical plan falls back to a shuffle join on the n-gram key —
+    and the scores must be bit-identical either way (integer
+    micro-nat terms are fixed at model build time)."""
+    from nsp_bolt_pipeline_spark.operators import lm
+
+    df = spark.createDataFrame(
+        [(i, f"tok{i % 7} tok{(i + 1) % 7} tok{(i + 2) % 5} end", "en")
+         for i in range(40)],
+        "doc_id long, text string, lang string",
+    )
+    pred = F.col("lang") == "en"
+
+    # kill stats-driven auto-broadcast for the duration so the plan
+    # shows ONLY the explicit hint — on the real corpus-scale model
+    # the stats themselves would refuse the broadcast.
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        small_bound = sorted(
+            map(tuple, lm.bigram_cross_entropy_scores(df, pred).collect())
+        )
+        plan_pinned = (
+            lm.bigram_cross_entropy_scores(df, pred)
+            ._jdf.queryExecution().executedPlan().toString()
+        )
+        assert "BroadcastHashJoin" in plan_pinned
+
+        monkeypatch.setattr(lm, "LM_BROADCAST_MAX_ROWS", 0)
+        over_bound = sorted(
+            map(tuple, lm.bigram_cross_entropy_scores(df, pred).collect())
+        )
+        plan_free = (
+            lm.bigram_cross_entropy_scores(df, pred)
+            ._jdf.queryExecution().executedPlan().toString()
+        )
+        assert over_bound == small_bound
+        # no broadcast-HASH join in the initial plan (the 1-row
+        # scalar frame still rides a BroadcastNestedLoopJoin, which
+        # is size-independent); on a live run AQE may re-broadcast
+        # when the model turns out tiny — the desired adaptive path.
+        assert "BroadcastHashJoin" not in plan_free
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+
+    uni_small = sorted(
+        map(tuple, lm.cross_entropy_scores(df, pred).collect())
+    )
+    monkeypatch.setattr(lm, "LM_BROADCAST_MAX_ROWS", 10**9)
+    assert sorted(
+        map(tuple, lm.cross_entropy_scores(df, pred).collect())
+    ) == uni_small
