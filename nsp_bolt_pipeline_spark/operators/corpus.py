@@ -6,12 +6,17 @@ redaction, chunking).
 
 Scale design (100 TB):
 
-- Decontamination (:func:`contamination_hits`): the eval/test side is
-  tiny (thousands of docs) next to the train corpus; its exploded
-  shingle set is broadcast, so the scan over the train side stays
+- Decontamination (:func:`contamination_hits`): when the eval/test
+  side is genuinely tiny (a fixed benchmark suite), its exploded
+  shingle set is broadcast and the scan over the train side stays
   shuffle-free — each train partition probes the broadcast hash set
-  and emits hits. The train side's shingles are never materialized
-  corpus-wide.
+  and emits hits. But the test side is NOT always bounded: the
+  registry's split-by-hash entries feed a corpus FRACTION as the
+  eval side, a relation that grows with the corpus (the sf64 rung
+  OOMed the heap broadcasting ~4M exploded 8-grams), so the
+  broadcast is pinned only below a measured row bound and the join
+  falls back to a shuffle keyed on the gram above it — linear and
+  spill-safe at any eval size (the LM-model / q17 lesson).
 - Repetition stats (:func:`repetition_stats`): stateless projection,
   pure expressions per row — scan-speed, no shuffle.
 - PII redaction (:func:`redact_pii`): stateless projection. The regex
@@ -38,6 +43,15 @@ from nsp_bolt_pipeline_spark.operators.text import tokens
 EMAIL_PATTERN = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
 PHONE_PATTERN = r"\+?[0-9][0-9()\[\] .-]{6,}[0-9]"
 
+#: test-side shingle broadcast bound, in exploded gram rows. Below it
+#: the decontamination join is a map-side broadcast probe (zero train
+#: shuffle — the right plan for a fixed eval suite); above it the join
+#: shuffles on the gram key instead. Sized like LM_BROADCAST_MAX_ROWS
+#: (operators/lm.py) but lower: a gram row carries an ~n-word string,
+#: several times a token row's bytes, and the sf64 rung measured the
+#: unbounded pin OOMing the corpus_e2e_pipeline heap at ~4M grams.
+CONTAM_BROADCAST_MAX_GRAMS = 500_000
+
 
 def contamination_hits(
     train: DataFrame,
@@ -55,8 +69,12 @@ def contamination_hits(
     Returns one row per contaminated train doc:
     (doc_id, n_shared_grams, n_test_docs) — how many distinct shingles
     leak and how many eval docs they touch. The test-side shingle
-    table is broadcast (eval sets are small by construction), so the
-    train scan never shuffles.
+    table is broadcast only while it is measurably broadcast-sized
+    (CONTAM_BROADCAST_MAX_GRAMS — the registry's hash-split entries
+    feed a corpus FRACTION as the test side, which grows with the
+    corpus and OOMed the sf64 rung when pinned); above the bound the
+    join shuffles on the gram key. The strategy cannot change a bit
+    of output — only where the equi-join executes.
     """
     tr = train.select(
         F.col(id_col).alias("train_id"),
@@ -66,8 +84,14 @@ def contamination_hits(
         F.col(id_col).alias("test_id"),
         F.explode(word_ngrams(text_col, n)).alias("gram"),
     )
+    # one streaming pass over the test side (map-side partial count,
+    # nothing materialized) buys the exact row count the pin needs
+    n_te_grams = te.count()
+    side = (
+        F.broadcast(te) if n_te_grams <= CONTAM_BROADCAST_MAX_GRAMS else te
+    )
     return (
-        tr.join(F.broadcast(te), "gram")
+        tr.join(side, "gram")
         .groupBy("train_id")
         .agg(
             F.count_distinct("gram").alias("n_shared_grams"),

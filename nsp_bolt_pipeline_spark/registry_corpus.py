@@ -345,10 +345,13 @@ E2E_N_SHARDS = 8
 def q_corpus_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The production composition at 100 TB: every stage is a
     shuffle-bounded operator (stats are per-row maps; dedup shuffles
-    (fp, id) pairs only; the eval shingle set broadcasts; the shard
-    assignment is a pure map) — the composed plan never carries text
-    through a shuffle except the fp groupBy's md5 input, and Catalyst
-    prunes text out of every stage that doesn't read it."""
+    (fp, id) pairs only; the eval shingle set broadcasts below its
+    measured bound and shuffle-joins on the gram above it — here the
+    eval side is a corpus FRACTION, so at sf64+ it takes the shuffle
+    path; the shard assignment is a pure map) — the composed plan
+    never carries text through a shuffle except the fp groupBy's md5
+    input, and Catalyst prunes text out of every stage that doesn't
+    read it."""
     docs = read_table(spark, sf_dir, "documents").select("doc_id", "text")
     stats = repetition_stats(docs)
     keep1 = docs.join(

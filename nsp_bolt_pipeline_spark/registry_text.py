@@ -1145,9 +1145,13 @@ def _spearman_sql() -> str:
         FROM j
     )
     SELECT CAST(COUNT(*) AS BIGINT) AS n,
-           CAST(SUM((rq - rh) * (rq - rh)) AS BIGINT) AS sum_d2,
-           1.0 - CAST(6 * SUM((rq - rh) * (rq - rh)) AS DOUBLE)
-               / CAST(COUNT(*) * (COUNT(*) * COUNT(*) - 1) AS DOUBLE)
+           CAST(CAST(SUM(CAST((rq - rh) * (rq - rh) AS HUGEINT)) AS HUGEINT)
+                % 2305843009213693951 AS BIGINT) AS sum_d2_mod,
+           1.0 - CAST(6 * SUM(CAST((rq - rh) * (rq - rh) AS HUGEINT))
+                      AS DOUBLE)
+               / CAST(CAST(COUNT(*) AS HUGEINT)
+                      * (CAST(COUNT(*) AS HUGEINT) * COUNT(*) - 1)
+                      AS DOUBLE)
                AS spearman_rho
     FROM r
     """
@@ -1159,8 +1163,9 @@ def q_eval_spearman(spark: SparkSession, sf_dir: str) -> DataFrame:
     entropy rankings over the joined doc set. Both rank vectors come
     from the two-level prefix sum (operators.corpus.prefix_sum) over
     integer micro-unit sort keys — exact permutation ranks, no
-    global window; d^2 sums as BIGINT; rho is one terminal
-    division."""
+    global window; d^2 sums exactly as DECIMAL(38,0) (int64 overflows
+    past ~2.1M docs — sf64 rung), surfaced as the mod-2^61-1 house
+    checksum; rho is one terminal division."""
     from nsp_bolt_pipeline_spark.operators.corpus import prefix_sum
     from nsp_bolt_pipeline_spark.operators.lm import (
         bigram_cross_entropy_scores,
@@ -1199,18 +1204,33 @@ def q_eval_spearman(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
 
     r = ranks(j, "q_mu", "rq").join(ranks(j, "h_mu", "rh"), "doc_id")
+    # Σd² ~ n³/6 for uncorrelated ranks and the denominator is
+    # n·(n²−1): both blow through int64 once n passes ~2.1M docs
+    # (caught by the sf64 rung — ANSI ARITHMETIC_OVERFLOW). All the
+    # >64-bit integer arithmetic rides DECIMAL(38,0) (exact to 1e38;
+    # n up to ~4e9 keeps n³ ≤ 6.4e28), mirrored as HUGEINT in the
+    # oracle; the surfaced checksum column is the house digest
+    # pattern, the exact sum reduced mod 2⁶¹−1 (cf.
+    # d7_reconciliation_checksum). rho stays bit-exact: both engines
+    # cast the SAME exact integers to double (IEEE round-to-nearest)
+    # before the one terminal division.
     d2 = (F.col("rq") - F.col("rh")) * (F.col("rq") - F.col("rh"))
     agg = r.agg(
         F.count(F.lit(1)).cast("long").alias("n"),
-        F.sum(d2).cast("long").alias("sum_d2"),
+        F.sum(d2.cast("decimal(38,0)")).alias("_sum_d2"),
     )
+    n_dec = F.col("n").cast("decimal(38,0)")
     return agg.select(
         "n",
-        "sum_d2",
+        (F.col("_sum_d2") % F.lit(2305843009213693951).cast("decimal(38,0)"))
+        .cast("long")
+        .alias("sum_d2_mod"),
         (
             F.lit(1.0)
-            - (F.lit(6) * F.col("sum_d2")).cast("double")
-            / (F.col("n") * (F.col("n") * F.col("n") - 1)).cast("double")
+            - (F.lit(6).cast("decimal(38,0)") * F.col("_sum_d2"))
+            .cast("double")
+            / (n_dec * (n_dec * n_dec - F.lit(1).cast("decimal(38,0)")))
+            .cast("double")
         ).alias("spearman_rho"),
     )
 

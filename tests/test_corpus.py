@@ -32,6 +32,53 @@ def test_contamination_flags_shared_ngram_only(spark):
     assert rows[1]["n_shared_grams"] >= 1 and rows[1]["n_test_docs"] == 1
 
 
+def test_contamination_join_is_size_bounded_and_lossless(spark, monkeypatch):
+    """The eval-shingle broadcast bound (sf64 rung): a test side above
+    CONTAM_BROADCAST_MAX_GRAMS must NOT be broadcast-pinned — the
+    initial physical plan falls back to a shuffle join on the gram —
+    and the hit set must be identical either way (an equi-join's
+    strategy cannot change its output)."""
+    from nsp_bolt_pipeline_spark.operators import corpus
+
+    shared = "alpha beta gamma delta epsilon zeta eta theta"
+    train = spark.createDataFrame(
+        [(i, f"doc {i} padding {shared} tail words") for i in range(20)],
+        ["doc_id", "text"],
+    )
+    test = spark.createDataFrame(
+        [(100 + j, f"eval {j} holds {shared} verbatim") for j in range(5)],
+        ["doc_id", "text"],
+    )
+
+    # kill stats-driven auto-broadcast so the plan shows ONLY the
+    # explicit hint — on a real corpus-fraction eval side the stats
+    # themselves would refuse the broadcast.
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        pinned = sorted(
+            map(tuple, contamination_hits(train, test, n=8).collect())
+        )
+        plan_pinned = (
+            contamination_hits(train, test, n=8)
+            ._jdf.queryExecution().executedPlan().toString()
+        )
+        assert "BroadcastHashJoin" in plan_pinned
+
+        monkeypatch.setattr(corpus, "CONTAM_BROADCAST_MAX_GRAMS", 0)
+        free = sorted(
+            map(tuple, contamination_hits(train, test, n=8).collect())
+        )
+        plan_free = (
+            contamination_hits(train, test, n=8)
+            ._jdf.queryExecution().executedPlan().toString()
+        )
+        assert free == pinned
+        assert "BroadcastHashJoin" not in plan_free
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+
+
 def test_repetition_stats_separates_loops_from_prose(spark):
     clean = "the quick brown fox jumps over the lazy dog near riverbank today"
     loops = "buy now " * 30  # 60 tokens, almost all duplicate 2-grams
