@@ -493,6 +493,8 @@ def hierarchical_cells(
     while b**depth < k:  # integer-exact, immune to float pow rounding
         b += 1
 
+    from pyspark import StorageLevel
+
     members = df.select(
         F.col(id_col), F.col(vec_col), F.lit(0).cast("long").alias("cell")
     )
@@ -508,6 +510,15 @@ def hierarchical_cells(
         # eager checkpoint keeps every level's plan constant-size; on
         # a real cluster an executor loss mid-build loses the block
         # (swap in df.checkpoint() there for fault tolerance).
+        # DISK_ONLY, not the MEMORY_AND_DISK default: the members
+        # relation is corpus-scale (id + the full embedding vector —
+        # ~1 GiB per level at sf64) and unpersist() on the superseded
+        # level does NOT free its checkpoint RDD's blocks (only the
+        # ContextCleaner does, after JVM GC) — at depth 6 the dead
+        # levels accumulated in the heap faster than the cleaner
+        # reclaimed them and OOMed the isolated sf64 run. On disk the
+        # dead levels cost scratch space, not heap, and each level
+        # reads its predecessor back exactly once.
         members = _grouped_lloyd_split(
             members,
             b=b,
@@ -516,7 +527,7 @@ def hierarchical_cells(
             id_col=id_col,
             vec_col=vec_col,
             broadcast_model=(b ** (level + 1)) <= 8192,
-        ).localCheckpoint(eager=True)
+        ).localCheckpoint(eager=True, storageLevel=StorageLevel.DISK_ONLY)
         if prev is not None:
             prev.unpersist()
         prev = members
@@ -554,7 +565,9 @@ def hierarchical_cells(
             "cell",
             F.expr(f"CAST(cell % {b} + (cell div {b}) * {b + 1} + 1 AS LONG)"),
         )
-        members = kept.unionByName(resplit).localCheckpoint(eager=True)
+        members = kept.unionByName(resplit).localCheckpoint(
+            eager=True, storageLevel=StorageLevel.DISK_ONLY
+        )
         prev.unpersist()
         prev = members
     return members

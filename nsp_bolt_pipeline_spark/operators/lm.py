@@ -192,19 +192,23 @@ def train_bigram_lm(
     is (bg, num_mu) with the add-one numerator log pre-rounded to
     integer micro-nats. Both are vocab-sized (the reference slice's
     vocabulary, not the corpus) and eagerly ``localCheckpoint``-ed:
-    the checkpoint cuts lineage to the persisted reference token
-    arrays, which are released before returning — without it a
-    library caller scoring many corpora against one model leaks
-    executor storage per invocation. Recovery caveat: localCheckpoint
-    trades lineage for executor-local blocks, so on a multi-executor
-    cluster an executor loss mid-query makes the block unrecoverable
-    (fine for vocab-sized tables that rebuild in seconds; callers
-    that need fault-tolerant model reuse should persist the returned
-    tables to storage, or memoize collected rows driver-side the way
-    registry_text._bigram_model_en does)."""
-    ref = (
-        ref_docs.select(_lower_tokens(text_col).alias("_toks")).persist()
-    )
+    without the checkpoint a library caller scoring many corpora
+    against one model would re-run the training scan per consumer.
+
+    The two training aggregates each SCAN the reference slice rather
+    than sharing a persisted tokenized copy: caching the token arrays
+    is a corpus-scale DESERIALIZED structure (pointer-per-token — at
+    sf64 the cached en-slice arrays out-heaped the 6 GiB sweep JVM
+    while both training scans are pipeline-streaming explodes with
+    near-zero footprint), and at 100 TB no one trades executor memory
+    proportional to the corpus for one saved re-scan of it. Recovery
+    caveat: localCheckpoint trades lineage for executor-local blocks,
+    so on a multi-executor cluster an executor loss mid-query makes
+    the block unrecoverable (fine for vocab-sized tables that rebuild
+    in seconds; callers that need fault-tolerant model reuse should
+    persist the returned tables to storage, or memoize collected rows
+    driver-side the way registry_text._bigram_model_en does)."""
+    ref = ref_docs.select(_lower_tokens(text_col).alias("_toks"))
     uni = (
         ref.select(F.explode("_toks").alias("tok"))
         .groupBy("tok")
@@ -221,7 +225,6 @@ def train_bigram_lm(
         )
         .localCheckpoint(eager=True)
     )
-    ref.unpersist()
     return uni, bi
 
 
