@@ -1,0 +1,108 @@
+"""Per-query bench profiler: split each headline entry's steady-state
+cost into BUILD (the registry function body — eager dumps, collects,
+whole streaming runs) vs EXEC (the noop write of the returned frame),
+and count the Spark jobs each phase launches.
+
+The bench times ``fn(spark, sf_dir) -> noop write`` as one number; for
+optimization we need to know whether the seconds live in driver-side
+plan construction, eager actions inside the function body, or the
+final materialization — they need different fixes (guide §1).
+
+Usage:
+    python tools/profile_bench.py                # whole headline set
+    python tools/profile_bench.py name1,name2    # subset
+
+Prints one JSON line per query:
+    {"name": ..., "build_s": ..., "exec_s": ..., "build_jobs": N,
+     "exec_jobs": N}
+and a final summary line sorted by total.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def main() -> None:
+    from bench import HEADLINE
+    from nsp_bolt_pipeline_spark import registry as _registry
+    from nsp_bolt_pipeline_spark.registry import REGISTRY
+    from nsp_bolt_pipeline_spark.session import get_spark
+
+    _registry.load_all()
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    spark = get_spark("nsp_profile")
+    sc = spark.sparkContext
+
+    if len(sys.argv) > 1 and sys.argv[1].strip():
+        names = [n.strip() for n in sys.argv[1].split(",") if n.strip()]
+    else:
+        names = [n for n in HEADLINE if n in REGISTRY]
+
+    def _n_jobs(group: str) -> int:
+        try:
+            return len(sc.statusTracker().getJobIdsForGroup(group))
+        except Exception:  # noqa: BLE001
+            return -1
+
+    # session warm-up (same discipline as bench.py)
+    for _ in range(3):
+        REGISTRY[names[0]][0](spark, sf_dir).write.mode(
+            "overwrite"
+        ).format("noop").save()
+    spark.catalog.clearCache()
+
+    rows = []
+    for name in names:
+        fn, _ = REGISTRY[name]
+        # warm-up run (JIT, codegen, page cache, persisted frames)
+        fn(spark, sf_dir).write.mode("overwrite").format("noop").save()
+        gb = f"profile_build_{name}"
+        sc.setJobGroup(gb, name)
+        t0 = time.time()
+        df = fn(spark, sf_dir)
+        t1 = time.time()
+        ge = f"profile_exec_{name}"
+        sc.setJobGroup(ge, name)
+        df.write.mode("overwrite").format("noop").save()
+        t2 = time.time()
+        sc.setJobGroup("profile_idle", "idle")
+        row = {
+            "name": name,
+            "build_s": round(t1 - t0, 3),
+            "exec_s": round(t2 - t1, 3),
+            "total_s": round(t2 - t0, 3),
+            "build_jobs": _n_jobs(gb),
+            "exec_jobs": _n_jobs(ge),
+        }
+        rows.append(row)
+        print(json.dumps(row), flush=True)
+        spark.catalog.clearCache()
+        try:
+            from nsp_bolt_pipeline_spark.registry_streaming import (
+                cleanup_workdirs,
+            )
+
+            cleanup_workdirs()
+        except Exception:  # noqa: BLE001
+            pass
+
+    rows.sort(key=lambda r: -r["total_s"])
+    print(json.dumps({
+        "total_s": round(sum(r["total_s"] for r in rows), 2),
+        "build_s": round(sum(r["build_s"] for r in rows), 2),
+        "exec_s": round(sum(r["exec_s"] for r in rows), 2),
+        "top": [
+            (r["name"], r["total_s"], r["build_s"], r["exec_s"])
+            for r in rows[:20]
+        ],
+    }))
+
+
+if __name__ == "__main__":
+    main()
