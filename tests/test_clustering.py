@@ -109,3 +109,46 @@ def test_lloyd_seeds_k_lowest_ids_on_any_id_domain(spark):
     assert len(set(got.values())) == 2
     assert got[1001] == got[1002]
     assert got[2001] == got[2002]
+
+
+def test_mean6_exprs_semantics(spark):
+    """The F.expr-built round-6 mean aggregates (the py4j-storm fix,
+    round 10) must resolve to EXACTLY the Column-chain expressions
+    they replaced — same analyzed semantics, so bit-identical results
+    at every scale."""
+    from pyspark.sql import functions as F
+
+    from nsp_bolt_pipeline_spark.functions.expr import round6
+    from nsp_bolt_pipeline_spark.operators.clustering import _mean6_exprs
+
+    df = spark.createDataFrame(
+        [(0, 1, [0.5, 1.25, -3.0]), (1, 1, [2.0, 0.0, 7.5])],
+        "vec_id long, cluster int, embedding array<float>",
+    )
+    dim = 3
+    old = df.groupBy("cluster").agg(
+        *[
+            round6(F.avg(F.col("embedding")[d].cast("double"))).alias(
+                f"c_{d}"
+            )
+            for d in range(dim)
+        ]
+    )
+    new = df.groupBy("cluster").agg(*_mean6_exprs("embedding", dim))
+    assert new.sameSemantics(old)
+    # array form (hierarchical level means): one parser call, same
+    # element expressions
+    terms = ", ".join(
+        f"floor(avg(cast(`embedding`[{d}] as double)) * 1e6 + 0.5D) / 1e6"
+        for d in range(dim)
+    )
+    old_arr = df.groupBy("cluster").agg(
+        F.array(
+            *[
+                round6(F.avg(F.col("embedding")[d].cast("double")))
+                for d in range(dim)
+            ]
+        ).alias("mv")
+    )
+    new_arr = df.groupBy("cluster").agg(F.expr(f"array({terms})").alias("mv"))
+    assert new_arr.sameSemantics(old_arr)

@@ -1,0 +1,68 @@
+"""Capture ``explain("formatted")`` for headline entries into
+``plans/<tag>/<name>_<suffix>.txt`` — the before/after plan evidence an
+optimization round commits alongside code changes.
+
+Streaming entries run their whole availableNow query at build time and
+return a bare parquet read; their committed plan would be the
+read-back, so they are skipped by default (same policy as
+tools/plan_audit.py). EAGER batch entries (boundary collects, recall
+evals) do execute work during capture; the captured plan is the final
+frame's.
+
+Usage:
+    python tools/capture_plans.py r10 before [name1,name2,...]
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def main() -> int:
+    from bench import HEADLINE
+    from nsp_bolt_pipeline_spark import registry as _registry
+    from nsp_bolt_pipeline_spark.registry import REGISTRY
+    from nsp_bolt_pipeline_spark.session import get_spark
+
+    _registry.load_all()
+    tag = sys.argv[1] if len(sys.argv) > 1 else "r10"
+    suffix = sys.argv[2] if len(sys.argv) > 2 else "before"
+    if len(sys.argv) > 3 and sys.argv[3].strip():
+        names = [n.strip() for n in sys.argv[3].split(",") if n.strip()]
+    else:
+        names = [
+            n
+            for n in HEADLINE
+            if n in REGISTRY and not n.startswith("stream_")
+        ]
+
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    out_dir = os.path.join(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+        "plans",
+        tag,
+    )
+    os.makedirs(out_dir, exist_ok=True)
+    spark = get_spark("nsp_capture_plans")
+    for name in names:
+        fn, _ = REGISTRY[name]
+        try:
+            df = fn(spark, sf_dir)
+            plan = df._sc._jvm.PythonSQLUtils.explainString(
+                df._jdf.queryExecution(), "formatted"
+            )
+        except Exception as e:  # noqa: BLE001
+            plan = f"CAPTURE ERROR: {e}\n"
+        path = os.path.join(out_dir, f"{name}_{suffix}.txt")
+        with open(path, "w") as f:
+            f.write(plan)
+        n_ex = plan.count("Exchange")
+        print(f"{name}: {n_ex} Exchange -> {path}", flush=True)
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
