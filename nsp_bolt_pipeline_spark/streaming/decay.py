@@ -115,10 +115,19 @@ def track_user_ewma(
         )
         ts_us, event_ids, values = list(ts_us), list(event_ids), list(values)
         for pdf in pdfs:
-            for t, e, v in zip(pdf[ts_col], pdf["event_id"], pdf["value"]):
-                ts_us.append(int(pd.Timestamp(t).value // 1000))
-                event_ids.append(int(e))
-                values.append(float(v))
+            # vectorized batch ingest (guide §4.2): datetime64[ns] ->
+            # epoch-micros via one array op, not a pd.Timestamp per row
+            # (.value // 1000 row-at-a-time measured ~1-2 us/row — the
+            # whole event stream passes through here)
+            ts_us.extend(
+                (
+                    pdf[ts_col].to_numpy(dtype="datetime64[ns]")
+                    .astype("int64")
+                    // 1000
+                ).tolist()
+            )
+            event_ids.extend(pdf["event_id"].astype("int64").tolist())
+            values.extend(pdf["value"].astype("float64").tolist())
         state.update((ts_us, event_ids, values))
         if values:
             last_ms = max(ts_us) // 1000
@@ -211,9 +220,15 @@ def track_debounce(
         ts_us, event_ids = state.get if state.exists else ([], [])
         ts_us, event_ids = list(ts_us), list(event_ids)
         for pdf in pdfs:
-            for t, e in zip(pdf[ts_col], pdf["event_id"]):
-                ts_us.append(int(pd.Timestamp(t).value // 1000))
-                event_ids.append(int(e))
+            # vectorized batch ingest — see track_user_ewma
+            ts_us.extend(
+                (
+                    pdf[ts_col].to_numpy(dtype="datetime64[ns]")
+                    .astype("int64")
+                    // 1000
+                ).tolist()
+            )
+            event_ids.extend(pdf["event_id"].astype("int64").tolist())
         state.update((ts_us, event_ids))
         if ts_us:
             # Clamp above the current watermark: a late batch for a key whose

@@ -98,10 +98,20 @@ def track_daily_bottomk(
         pairs = list(zip(hashes, event_ids))
         last_us = 0
         for pdf in pdfs:
-            pairs.extend(zip(pdf["h"], (int(e) for e in pdf["event_id"])))
+            # vectorized batch ingest (guide §4.2): one array op for
+            # the epoch-micros max instead of a pd.Timestamp per row —
+            # the whole day's events pass through this loop
+            pairs.extend(
+                zip(pdf["h"].tolist(), pdf["event_id"].astype("int64").tolist())
+            )
             last_us = max(
                 last_us,
-                max(int(pd.Timestamp(t).value // 1000) for t in pdf[ts_col]),
+                int(
+                    pdf[ts_col].to_numpy(dtype="datetime64[ns]")
+                    .astype("int64")
+                    .max()
+                    // 1000
+                ),
             )
         # the bounded merge: sort, dedup (at-least-once redelivery
         # lands on identical pairs), truncate to k
