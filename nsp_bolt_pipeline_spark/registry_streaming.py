@@ -16,6 +16,7 @@ from __future__ import annotations
 
 import os
 import tempfile
+from contextlib import contextmanager as _contextmanager
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -117,15 +118,89 @@ import atexit as _atexit  # noqa: E402
 _atexit.register(cleanup_workdirs)
 
 
+def _wire_fanout(spark: SparkSession) -> int:
+    """File fan-out for single-batch replay dumps: every consumer of
+    :func:`_dump_events_df` reads the dump back WITHOUT
+    ``maxFilesPerTrigger``, so the whole dump is ONE availableNow
+    micro-batch no matter how many part files it holds — file count
+    cannot change batch boundaries or any stateful fold. The fan-out
+    parallelizes the JSON encode + write (guide §2.6: an n_files=1
+    dump funnels the whole wire through one task); capped so the file
+    source never pays a thousands-of-tiny-files listing."""
+    return max(1, min(16, spark.sparkContext.defaultParallelism))
+
+
 def _dump_events_df(ev: DataFrame, out_dir: str) -> None:
     cols = [c for c in ("event_id", "ts", "user_id", "event_type", "value", "props") if c in ev.columns]
     wire = encode_event_times(ev.select(*cols), ["ts"])
     order = [c for c in ("ts", "event_id") if c in cols]
-    dump_json_batches(wire, out_dir, order_cols=order)
+    dump_json_batches(
+        wire, out_dir, order_cols=order,
+        n_files=_wire_fanout(ev.sparkSession),
+    )
 
 
 def _dump_events(spark: SparkSession, sf_dir: str, out_dir: str) -> None:
     _dump_events_df(read_table(spark, sf_dir, "events"), out_dir)
+
+
+#: Target bytes per micro-batch shuffle partition. AQE is disabled in
+#: micro-batch plans, so a streaming query pays the session's FULL
+#: ``spark.sql.shuffle.partitions`` in shuffle tasks, state-store
+#: opens/commits and sink files on EVERY micro-batch no matter how
+#: small the batch is. The replay harness derives the partition count
+#: from the measured wire size instead — the same
+#: bytes-per-partition sizing AQE coalescing applies to batch plans
+#: (guide §2.2: fewer, larger partitions) — clamped to the session
+#: setting, which stays the cluster-scale ceiling.
+_REPLAY_PARTITION_BYTES = 32 << 20
+_REPLAY_MIN_PARTITIONS = 4
+
+
+def _wire_bytes(src_dir: str) -> int:
+    total = 0
+    for root, _dirs, files in os.walk(src_dir):
+        for f in files:
+            if f.startswith(("_", ".")):
+                continue
+            try:
+                total += os.path.getsize(os.path.join(root, f))
+            except OSError:
+                continue
+    return total
+
+
+@_contextmanager
+def _replay_shuffle(
+    spark: SparkSession, src_dir: str, *, n_batches: int = 1
+):
+    """Scope ``spark.sql.shuffle.partitions`` to a measured, per-batch
+    value for one availableNow replay: ceil(bytes-per-batch / 32 MiB),
+    clamped to [{_REPLAY_MIN_PARTITIONS}, session setting]. Restores
+    the session value on exit (the serving-view reads after the stream
+    run under normal AQE again).
+
+    Only used for replays whose per-row work is JVM-vectorized or
+    whose state keys are few: a Python-stateful fold over MANY keys
+    (trip lifecycle, per-user EWMA/debounce) is CPU-bound in the
+    Python workers and keeps the session's full parallelism instead.
+    Partition count is semantics-free for every entry here (all
+    per-batch reductions are deterministic min_by/window/agg forms),
+    which the oracle hash-compares pin."""
+    import math
+
+    cap = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    per_batch = _wire_bytes(src_dir) / max(1, n_batches)
+    parts = max(
+        min(_REPLAY_MIN_PARTITIONS, cap),
+        min(cap, math.ceil(per_batch / _REPLAY_PARTITION_BYTES)),
+    )
+    old = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", str(parts))
+    try:
+        yield parts
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", old)
 
 
 def _event_stream(spark: SparkSession, src: str, schema=EVENT_WIRE_SCHEMA) -> DataFrame:
@@ -153,23 +228,25 @@ def _event_stream(spark: SparkSession, src: str, schema=EVENT_WIRE_SCHEMA) -> Da
 def q_stream_d1(spark: SparkSession, sf_dir: str) -> DataFrame:
     dirs = _workdir("stream_d1")
     _dump_events(spark, sf_dir, dirs["src"])
-    run_ingest(
-        _event_stream(spark, dirs["src"]),
-        bronze_dir=dirs["out"],
-        dlq_dir=dirs["dlq"],
-        checkpoint_dir=dirs["ckpt"],
-        required={"user_id": "long", "event_type": "string", "event_id": "long"},
-        optional={"value": "double"},
-        dedup_keys=["user_id", "event_type"],
-        order_cols=["ts", "event_id"],
-        partition_cols=["event_type"],
-        # horizon-bounded cross-batch dedup: bronze is partitioned by
-        # event_date and the per-batch key anti-join scan is pruned to
-        # the horizon (fixture spans ~30 days, so 40 keeps semantics
-        # identical to the unbounded oracle under any batching)
-        dedup_ts_col="ts",
-        dedup_horizon_days=40,
-    )
+    with _replay_shuffle(spark, dirs["src"]):
+        run_ingest(
+            _event_stream(spark, dirs["src"]),
+            bronze_dir=dirs["out"],
+            dlq_dir=dirs["dlq"],
+            checkpoint_dir=dirs["ckpt"],
+            required={"user_id": "long", "event_type": "string", "event_id": "long"},
+            optional={"value": "double"},
+            dedup_keys=["user_id", "event_type"],
+            order_cols=["ts", "event_id"],
+            partition_cols=["event_type"],
+            # horizon-bounded cross-batch dedup: bronze is partitioned
+            # by event_date and the per-batch key anti-join scan is
+            # pruned to the horizon (fixture spans ~30 days, so 40
+            # keeps semantics identical to the unbounded oracle under
+            # any batching)
+            dedup_ts_col="ts",
+            dedup_horizon_days=40,
+        )
     return spark.read.parquet(dirs["out"]).select(
         "user_id", "event_type", "event_id", "ts", "value"
     )
@@ -257,19 +334,20 @@ def q_stream_d1_horizon(spark: SparkSession, sf_dir: str) -> DataFrame:
                 f.write(_json.dumps(r.asDict()) + "\n")
         os.utime(path, (base_mtime + i, base_mtime + i))
     stream = _event_stream_max1(spark, dirs["src"])
-    run_ingest(
-        stream,
-        bronze_dir=dirs["out"],
-        dlq_dir=dirs["dlq"],
-        checkpoint_dir=dirs["ckpt"],
-        required={"user_id": "long", "event_type": "string", "event_id": "long"},
-        optional={"value": "double"},
-        dedup_keys=["user_id", "event_type"],
-        order_cols=["ts", "event_id"],
-        partition_cols=["event_type"],
-        dedup_ts_col="ts",
-        dedup_horizon_days=_HORIZON_DAYS,
-    )
+    with _replay_shuffle(spark, dirs["src"], n_batches=len(by_day)):
+        run_ingest(
+            stream,
+            bronze_dir=dirs["out"],
+            dlq_dir=dirs["dlq"],
+            checkpoint_dir=dirs["ckpt"],
+            required={"user_id": "long", "event_type": "string", "event_id": "long"},
+            optional={"value": "double"},
+            dedup_keys=["user_id", "event_type"],
+            order_cols=["ts", "event_id"],
+            partition_cols=["event_type"],
+            dedup_ts_col="ts",
+            dedup_horizon_days=_HORIZON_DAYS,
+        )
     return spark.read.parquet(dirs["out"]).select(
         "user_id", "event_type", "event_id", "ts", "value"
     )
@@ -313,20 +391,21 @@ def q_stream_s8(spark: SparkSession, sf_dir: str) -> DataFrame:
     dump_json_batches(
         encode_event_times(ev, ["ts"]), dirs["src"], order_cols=["ts", "event_id"]
     )
-    run_ingest(
-        _event_stream(spark, dirs["src"], EVENT_WIRE_SCHEMA_STR_VALUE),
-        bronze_dir=dirs["out"],
-        dlq_dir=dirs["dlq"],
-        checkpoint_dir=dirs["ckpt"],
-        required={
-            "user_id": "long",
-            "event_type": "string",
-            "event_id": "long",
-            "value": "double",
-        },
-        dedup_keys=["user_id", "event_type"],
-        order_cols=["ts", "event_id"],
-    )
+    with _replay_shuffle(spark, dirs["src"]):
+        run_ingest(
+            _event_stream(spark, dirs["src"], EVENT_WIRE_SCHEMA_STR_VALUE),
+            bronze_dir=dirs["out"],
+            dlq_dir=dirs["dlq"],
+            checkpoint_dir=dirs["ckpt"],
+            required={
+                "user_id": "long",
+                "event_type": "string",
+                "event_id": "long",
+                "value": "double",
+            },
+            dedup_keys=["user_id", "event_type"],
+            order_cols=["ts", "event_id"],
+        )
     return spark.read.parquet(dirs["dlq"]).select("event_id", "user_id", "event_type")
 
 
@@ -366,7 +445,8 @@ def q_stream_a1(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     kpis = windowed_daily_kpis(ends)
-    run_windowed_kpis(kpis, out_dir=dirs["out"], checkpoint_dir=dirs["ckpt"])
+    with _replay_shuffle(spark, dirs["src"]):
+        run_windowed_kpis(kpis, out_dir=dirs["out"], checkpoint_dir=dirs["ckpt"])
     out = spark.read.parquet(dirs["out"])
     return _stable_avg(_round2(out, ["total_fare"])).select(
         "date", "total_fare", "count_trips", "average_fare", "max_fare", "min_fare"
@@ -387,19 +467,20 @@ def q_stream_a1(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_stream_flagship(spark: SparkSession, sf_dir: str) -> DataFrame:
     dirs = _workdir("stream_flagship")
     _dump_events(spark, sf_dir, dirs["src"])
-    run_ingest(
-        _event_stream(spark, dirs["src"]),
-        bronze_dir=dirs["out"],
-        dlq_dir=dirs["dlq"],
-        checkpoint_dir=dirs["ckpt"],
-        required={"user_id": "long", "event_type": "string", "event_id": "long"},
-        optional={"value": "double"},
-        dedup_keys=["user_id", "event_type"],
-        order_cols=["ts", "event_id"],
-        partition_cols=["event_type"],
-        dedup_ts_col="ts",
-        dedup_horizon_days=40,
-    )
+    with _replay_shuffle(spark, dirs["src"]):
+        run_ingest(
+            _event_stream(spark, dirs["src"]),
+            bronze_dir=dirs["out"],
+            dlq_dir=dirs["dlq"],
+            checkpoint_dir=dirs["ckpt"],
+            required={"user_id": "long", "event_type": "string", "event_id": "long"},
+            optional={"value": "double"},
+            dedup_keys=["user_id", "event_type"],
+            order_cols=["ts", "event_id"],
+            partition_cols=["event_type"],
+            dedup_ts_col="ts",
+            dedup_horizon_days=40,
+        )
     bronze = spark.read.parquet(dirs["out"]).select(
         "event_id", "ts", "user_id", "event_type", "value"
     )
@@ -467,7 +548,8 @@ def q_stream_chained(spark: SparkSession, sf_dir: str) -> DataFrame:
     joined = deduped_completion_stream(
         starts, ends, within="7 days", watermark_delay="1 hour"
     )
-    run_completion_join(joined, out_dir=dirs["out"], checkpoint_dir=dirs["ckpt"])
+    with _replay_shuffle(spark, dirs["src"]):
+        run_completion_join(joined, out_dir=dirs["out"], checkpoint_dir=dirs["ckpt"])
     return spark.read.parquet(dirs["out"]).select(
         "trip_id", "pickup_datetime", "dropoff_datetime", "fare_amount"
     )
@@ -646,7 +728,10 @@ def q_stream_j1(spark: SparkSession, sf_dir: str) -> DataFrame:
     joined = streaming_completed_trips(
         starts, ends, within="7 days", watermark_delay="1 hour"
     )
-    run_completion_join(joined, out_dir=dirs["out"], checkpoint_dir=dirs["ckpt"])
+    with _replay_shuffle(spark, dirs["src"]):
+        run_completion_join(
+            joined, out_dir=dirs["out"], checkpoint_dir=dirs["ckpt"]
+        )
     return spark.read.parquet(dirs["out"]).select(
         "trip_id",
         "pickup_datetime",
@@ -700,14 +785,15 @@ def q_stream_j1_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
             "value",
         )
     )
-    run_capped_completion_log(
-        wire,
-        state_root=dirs["out"],
-        checkpoint_dir=dirs["ckpt"],
-        key="trip_id",
-        order_cols=("ts", "event_id"),
-        max_rows_per_key=2,
-    )
+    with _replay_shuffle(spark, dirs["src"]):
+        run_capped_completion_log(
+            wire,
+            state_root=dirs["out"],
+            checkpoint_dir=dirs["ckpt"],
+            key="trip_id",
+            order_cols=("ts", "event_id"),
+            max_rows_per_key=2,
+        )
     state = read_keeper_state(spark, dirs["out"])
     starts = state.filter(F.col("side") == "start").select(
         "trip_id",
@@ -779,23 +865,27 @@ def q_stream_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = read_table(spark, sf_dir, "documents").select(
         "doc_id", "text", "lang", "source"
     )
-    dump_json_batches(docs, dirs["src"], order_cols=["doc_id"])
+    dump_json_batches(
+        docs, dirs["src"], order_cols=["doc_id"],
+        n_files=_wire_fanout(spark),
+    )
     stream = spark.readStream.schema(DOC_WIRE_SCHEMA).json(dirs["src"])
     # Bloom-sidecar routing on: bronze is probed only for the
     # bloom-positive slice of each batch (semantics identical to the
     # unbounded anti-join — the sidecar has no false negatives — so
     # the same oracle hash-matches; the scan bound is what changes)
-    run_corpus_ingest(
-        stream,
-        bronze_dir=dirs["out"],
-        checkpoint_dir=dirs["ckpt"],
-        bloom_sidecar_dir=os.path.join(dirs["out"] + "_bloom"),
-        # sized for the corpus this table will REACH (~10 bits/key at
-        # 1% FP); oversizing is ~free — segments store touched words
-        # only — while the old fixed 4096-bit filter saturated after a
-        # few thousand fingerprints and stopped routing anything
-        expected_fingerprints=1_000_000,
-    )
+    with _replay_shuffle(spark, dirs["src"]):
+        run_corpus_ingest(
+            stream,
+            bronze_dir=dirs["out"],
+            checkpoint_dir=dirs["ckpt"],
+            bloom_sidecar_dir=os.path.join(dirs["out"] + "_bloom"),
+            # sized for the corpus this table will REACH (~10 bits/key at
+            # 1% FP); oversizing is ~free — segments store touched words
+            # only — while the old fixed 4096-bit filter saturated after a
+            # few thousand fingerprints and stopped routing anything
+            expected_fingerprints=1_000_000,
+        )
     return spark.read.parquet(dirs["out"]).select("doc_id", "fp")
 
 
@@ -865,7 +955,8 @@ def q_stream_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
         },
         watermark_delay="1 hour",
     )
-    run_session_agg(sessions, out_dir=dirs["out"], checkpoint_dir=dirs["ckpt"])
+    with _replay_shuffle(spark, dirs["src"]):
+        run_session_agg(sessions, out_dir=dirs["out"], checkpoint_dir=dirs["ckpt"])
     return (
         spark.read.parquet(dirs["out"])
         .filter(F.col("user_id") >= 0)
@@ -922,7 +1013,8 @@ def q_stream_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
         cohort,
         on=["user_id"],
     )
-    run_enrich(enriched, out_dir=dirs["out"], checkpoint_dir=dirs["ckpt"])
+    with _replay_shuffle(spark, dirs["src"]):
+        run_enrich(enriched, out_dir=dirs["out"], checkpoint_dir=dirs["ckpt"])
     return spark.read.parquet(dirs["out"]).select(
         "event_id", "user_id", "event_type", "cohort_day"
     )
@@ -971,7 +1063,8 @@ def q_stream_enrich_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
         on=["user_id"],
         broadcast_dim=False,
     )
-    run_enrich(enriched, out_dir=dirs["out"], checkpoint_dir=dirs["ckpt"])
+    with _replay_shuffle(spark, dirs["src"]):
+        run_enrich(enriched, out_dir=dirs["out"], checkpoint_dir=dirs["ckpt"])
     spark.sql(f"DROP TABLE IF EXISTS {run_tag}.cohort_snapshot")
     spark.sql(f"DROP DATABASE IF EXISTS {run_tag}")
     return spark.read.parquet(dirs["out"]).select(
@@ -1017,7 +1110,10 @@ def q_stream_hopping(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("ts", F.col("value").alias("fare_amount"))
     )
     kpis = hopping_kpis(ends, ts_col="ts", fare_col="fare_amount")
-    run_windowed_kpis(kpis, out_dir=dirs["out"], checkpoint_dir=dirs["ckpt"])
+    with _replay_shuffle(spark, dirs["src"]):
+        run_windowed_kpis(
+            kpis, out_dir=dirs["out"], checkpoint_dir=dirs["ckpt"]
+        )
     return spark.read.parquet(dirs["out"]).select(
         "win_start", "win_end", "total_fare", "n_trips", "max_fare"
     )
@@ -1066,20 +1162,21 @@ def q_stream_dlq_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
     dump_json_batches(
         encode_event_times(ev, ["ts"]), dirs["src"], order_cols=["ts", "event_id"]
     )
-    run_ingest(
-        _event_stream(spark, dirs["src"], EVENT_WIRE_SCHEMA_STR_VALUE),
-        bronze_dir=dirs["out"],
-        dlq_dir=dirs["dlq"],
-        checkpoint_dir=dirs["ckpt"],
-        required={
-            "user_id": "long",
-            "event_type": "string",
-            "event_id": "long",
-            "value": "double",
-        },
-        dedup_keys=["user_id", "event_type"],
-        order_cols=["ts", "event_id"],
-    )
+    with _replay_shuffle(spark, dirs["src"]):
+        run_ingest(
+            _event_stream(spark, dirs["src"], EVENT_WIRE_SCHEMA_STR_VALUE),
+            bronze_dir=dirs["out"],
+            dlq_dir=dirs["dlq"],
+            checkpoint_dir=dirs["ckpt"],
+            required={
+                "user_id": "long",
+                "event_type": "string",
+                "event_id": "long",
+                "value": "double",
+            },
+            dedup_keys=["user_id", "event_type"],
+            order_cols=["ts", "event_id"],
+        )
     # Recovery pass (batch): DLQ rows already carry typed columns with
     # the failed field nulled; re-admit them under the relaxed schema,
     # first-write-wins among themselves, then MERGE-insert only keys
@@ -1177,7 +1274,10 @@ def q_stream_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
         watermark_delay="1 hour",
         how="left_outer",
     )
-    run_completion_join(joined, out_dir=dirs["out"], checkpoint_dir=dirs["ckpt"])
+    with _replay_shuffle(spark, dirs["src"]):
+        run_completion_join(
+            joined, out_dir=dirs["out"], checkpoint_dir=dirs["ckpt"]
+        )
     return (
         spark.read.parquet(dirs["out"])
         .filter(~F.col("trip_id").isin("-1", "-2"))
@@ -1214,15 +1314,16 @@ def q_stream_d3(spark: SparkSession, sf_dir: str) -> DataFrame:
     the global maximum."""
     dirs = _workdir("stream_d3")
     _dump_events(spark, sf_dir, dirs["src"])
-    latest = run_silver_upsert(
-        _event_stream(spark, dirs["src"]).select(
-            "user_id", "event_type", "event_id", "ts", "value"
-        ),
-        silver_root=dirs["out"],
-        checkpoint_dir=dirs["ckpt"],
-        keys=["user_id", "event_type"],
-        order_cols=["ts", "event_id"],
-    )
+    with _replay_shuffle(spark, dirs["src"]):
+        latest = run_silver_upsert(
+            _event_stream(spark, dirs["src"]).select(
+                "user_id", "event_type", "event_id", "ts", "value"
+            ),
+            silver_root=dirs["out"],
+            checkpoint_dir=dirs["ckpt"],
+            keys=["user_id", "event_type"],
+            order_cols=["ts", "event_id"],
+        )
     return spark.read.parquet(latest).select(
         "user_id", "event_type", "event_id", "ts", "value"
     )
@@ -1385,15 +1486,17 @@ def q_stream_dq_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
         expect_not_null("user_id"),
         expect_between("value", 0.0, _DQ_V_HI),
     ]
-    q = run_dq_gated_ingest(
-        stream,
-        suite,
-        good_dir=dirs["out"],
-        quarantine_dir=dirs["dlq"],
-        metrics_dir=os.path.join(dirs["out"] + "_metrics"),
-        checkpoint_dir=dirs["ckpt"],
-    )
-    q.awaitTermination()
+    n_day_files = len(os.listdir(dirs["src"]))
+    with _replay_shuffle(spark, dirs["src"], n_batches=n_day_files):
+        q = run_dq_gated_ingest(
+            stream,
+            suite,
+            good_dir=dirs["out"],
+            quarantine_dir=dirs["dlq"],
+            metrics_dir=os.path.join(dirs["out"] + "_metrics"),
+            checkpoint_dir=dirs["ckpt"],
+        )
+        q.awaitTermination()
     from nsp_bolt_pipeline_spark.streaming.ingest import dir_exists
 
     cols = ["event_id", "ts", "user_id", "event_type", "value"]
@@ -1450,9 +1553,10 @@ def q_stream_sketch_cms(spark: SparkSession, sf_dir: str) -> DataFrame:
         .option("maxFilesPerTrigger", "1")
         .json(dirs["src"])
     )
-    run_cms_ingest(
-        stream, sketch_dir=dirs["out"], checkpoint_dir=dirs["ckpt"]
-    )
+    with _replay_shuffle(spark, dirs["src"], n_batches=4):
+        run_cms_ingest(
+            stream, sketch_dir=dirs["out"], checkpoint_dir=dirs["ckpt"]
+        )
     segments = spark.read.parquet(dirs["out"])
     return segments.groupBy("row", "bucket").agg(F.sum("cnt").alias("cnt"))
 
@@ -1513,15 +1617,20 @@ def q_stream_daily_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     out = track_daily_bottomk(
         stream, k=_DAILY_K, horizon_ms=3_600_000, watermark_delay="1 hour"
     )
-    q = (
-        out.writeStream.format("parquet")
-        .option("path", dirs["out"])
-        .option("checkpointLocation", dirs["ckpt"])
-        .outputMode("append")
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
+    # day-keyed state: a handful of keys with a trivial Python merge
+    # per key, so the wire-sized partition count (not the session's
+    # batch parallelism) bounds the state-store/commit overhead the
+    # two micro-batches pay
+    with _replay_shuffle(spark, dirs["src"]):
+        q = (
+            out.writeStream.format("parquet")
+            .option("path", dirs["out"])
+            .option("checkpointLocation", dirs["ckpt"])
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
     return spark.read.parquet(dirs["out"]).select("day", "event_id", "h")
 
 
@@ -1566,15 +1675,19 @@ def q_stream_boilerplate(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("_df") >= SEG_MIN_DF)
         .select("seg")
     )
-    dump_json_batches(docs, dirs["src"], order_cols=["doc_id"])
-    stream = spark.readStream.schema(DOC_WIRE_SCHEMA).json(dirs["src"])
-    run_boilerplate_ingest(
-        stream,
-        boiler,
-        bronze_dir=dirs["out"],
-        checkpoint_dir=dirs["ckpt"],
-        seg_words=SEG_WORDS,
+    dump_json_batches(
+        docs, dirs["src"], order_cols=["doc_id"],
+        n_files=_wire_fanout(spark),
     )
+    stream = spark.readStream.schema(DOC_WIRE_SCHEMA).json(dirs["src"])
+    with _replay_shuffle(spark, dirs["src"]):
+        run_boilerplate_ingest(
+            stream,
+            boiler,
+            bronze_dir=dirs["out"],
+            checkpoint_dir=dirs["ckpt"],
+            seg_words=SEG_WORDS,
+        )
     return spark.read.parquet(dirs["out"]).select(
         "doc_id", "clean_text", "n_segments", "n_removed"
     )
@@ -1636,7 +1749,10 @@ def q_stream_ivf_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
     centroids = trained_centroids(spark, sf_dir).select(
         F.col("cid").alias("vec_id"), F.col("cv").alias("embedding")
     )
-    dump_json_batches(emb, dirs["src"], order_cols=["vec_id"])
+    dump_json_batches(
+        emb, dirs["src"], order_cols=["vec_id"],
+        n_files=_wire_fanout(spark),
+    )
     wire = T.StructType(
         [
             T.StructField("vec_id", T.LongType()),
@@ -1650,13 +1766,14 @@ def q_stream_ivf_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
             dirs["out"]
         )
 
-    q = (
-        stream.writeStream.foreachBatch(process_batch)
-        .option("checkpointLocation", dirs["ckpt"])
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
+    with _replay_shuffle(spark, dirs["src"]):
+        q = (
+            stream.writeStream.foreachBatch(process_batch)
+            .option("checkpointLocation", dirs["ckpt"])
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
     return spark.read.parquet(dirs["out"]).select("vec_id", "cid")
 
 
@@ -1727,13 +1844,14 @@ def q_stream_scd2(spark: SparkSession, sf_dir: str) -> DataFrame:
             ["ts"],
         )
     )
-    latest = run_scd2_history(
-        stream,
-        history_root=dirs["out"],
-        checkpoint_dir=dirs["ckpt"],
-        key="user_id",
-        attr="event_type",
-    )
+    with _replay_shuffle(spark, dirs["src"], n_batches=6):
+        latest = run_scd2_history(
+            stream,
+            history_root=dirs["out"],
+            checkpoint_dir=dirs["ckpt"],
+            key="user_id",
+            attr="event_type",
+        )
     hist = close_intervals(
         spark.read.parquet(latest), key="user_id", attr="event_type"
     )
@@ -1809,15 +1927,16 @@ def q_stream_pit_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
         key="user_id",
         event_ts="ts",
     )
-    run_enrich(
-        enriched.select(
-            "event_id", "ts", "user_id",
-            F.col("dim_priority").alias("dim_priority"),
-            F.col("dim_version").alias("dim_version"),
-        ),
-        out_dir=dirs["out"],
-        checkpoint_dir=dirs["ckpt"],
-    )
+    with _replay_shuffle(spark, dirs["src"]):
+        run_enrich(
+            enriched.select(
+                "event_id", "ts", "user_id",
+                F.col("dim_priority").alias("dim_priority"),
+                F.col("dim_version").alias("dim_version"),
+            ),
+            out_dir=dirs["out"],
+            checkpoint_dir=dirs["ckpt"],
+        )
     return spark.read.parquet(dirs["out"]).select(
         "event_id", "ts", "user_id", "dim_priority", "dim_version"
     )
