@@ -315,8 +315,32 @@ def zorder_layout(
     for cb, bc in brows:
         bucket_before.append((cb, n_total))
         n_total += bc
+    # Only the buckets STRADDLING a shard-boundary cumulative count
+    # can contain a shard's first morton: shard s starts at the first
+    # distinct morton with c_before >= t_s = ceil((s-1) * N / S), and
+    # every later bucket's mortons are larger (cb is monotone in
+    # morton). Restricting the within-bucket window to those <= S-1
+    # buckets makes the boundary pass O(S * bucket_width) instead of
+    # a window + broadcast-join over EVERY distinct curve position —
+    # the boundaries produced are bit-identical (same c_before, same
+    # integer shard formula, same min-per-shard).
+    targets = [
+        -(-((s - 1) * n_total) // n_shards) for s in range(2, n_shards + 1)
+    ]
+    straddling = []
+    ti = 0
+    for i, (cb, start) in enumerate(bucket_before):
+        end = bucket_before[i + 1][1] if i + 1 < len(bucket_before) else n_total
+        while ti < len(targets) and targets[ti] < start:
+            ti += 1  # defensive: target behind every remaining bucket
+        took = False
+        while ti < len(targets) and start <= targets[ti] < end:
+            if not took:
+                straddling.append((cb, start))
+                took = True
+            ti += 1
     bmap = base.sparkSession.createDataFrame(
-        bucket_before, "cb long, bucket_before long"
+        straddling or [(-1, 0)], "cb long, bucket_before long"
     )
     within = F.coalesce(
         F.sum("c").over(
@@ -327,7 +351,7 @@ def zorder_layout(
         F.lit(0),
     )
     shard_of_distinct = (
-        counts.join(F.broadcast(bmap), "cb")
+        counts.join(F.broadcast(bmap), "cb")  # inner join = bucket prune
         .withColumn("c_before", F.col("bucket_before") + within)
         .withColumn(
             "shard",
@@ -402,7 +426,15 @@ def manifest_pruned_scan(
         bits=bits,
         keep_cols=keep_cols,
     )
-    laid.write.mode("overwrite").partitionBy("shard").parquet(layout_path)
+    # Cluster by shard before the partitioned write (Iceberg's hash
+    # write.distribution-mode, guide §6): without it every scan task
+    # writes up to n_shards files — a lineitem-sized scan of few input
+    # splits serializes the whole publish through those tasks and
+    # sprays small files. One shuffle of the projected layout buys
+    # n_shards-way parallel writers and one file per shard.
+    laid.repartition(n_shards, "shard").write.mode("overwrite").partitionBy(
+        "shard"
+    ).parquet(layout_path)
 
     spark = df.sparkSession
     published = spark.read.parquet(layout_path)
