@@ -39,6 +39,13 @@ from pyspark.sql import types as T
 from pyspark.sql import Window as W
 
 
+#: Heap budget for the hierarchical-cells checkpoint pile (all live
+#: + dead levels): below it, level checkpoints stay memory-backed and
+#: skip a per-level disk round-trip; above it they go DISK_ONLY (see
+#: hierarchical_cells). Sized well inside the 6 GiB local driver heap
+#: and any production executor tier.
+_CKPT_HEAP_BUDGET_BYTES = 1 << 30
+
 def _round6(c: Column) -> Column:
     from nsp_bolt_pipeline_spark.functions.expr import round6
 
@@ -515,6 +522,26 @@ def hierarchical_cells(
 
     from pyspark import StorageLevel
 
+    # Level-checkpoint storage: unpersist() on a superseded level does
+    # NOT free its checkpoint RDD's blocks (only the ContextCleaner
+    # after a JVM GC does), so the dead levels of the loop below pile
+    # up for the life of the build. Whether that pile is allowed in
+    # heap is a measured-size decision (the house bound pattern): the
+    # members relation is n * (id + dim doubles + cell) bytes per
+    # level; while the WHOLE pile across depth + overflow passes fits
+    # comfortably under the budget, memory-backed checkpoints skip a
+    # disk round-trip per level — at corpus scale (~1 GiB/level at
+    # sf64, where heap-resident corpses OOMed the isolated run) every
+    # level goes DISK_ONLY and dead levels cost scratch space, not
+    # heap.
+    est_level_bytes = n * (dim * 8 + 32)
+    est_pile_bytes = est_level_bytes * (depth + max_overflow_passes)
+    ckpt_level = (
+        StorageLevel.MEMORY_AND_DISK
+        if est_pile_bytes <= _CKPT_HEAP_BUDGET_BYTES
+        else StorageLevel.DISK_ONLY
+    )
+
     members = df.select(
         F.col(id_col), F.col(vec_col), F.lit(0).cast("long").alias("cell")
     )
@@ -547,7 +574,7 @@ def hierarchical_cells(
             id_col=id_col,
             vec_col=vec_col,
             broadcast_model=(b ** (level + 1)) <= 8192,
-        ).localCheckpoint(eager=True, storageLevel=StorageLevel.DISK_ONLY)
+        ).localCheckpoint(eager=True, storageLevel=ckpt_level)
         if prev is not None:
             prev.unpersist()
         prev = members
@@ -586,7 +613,7 @@ def hierarchical_cells(
             F.expr(f"CAST(cell % {b} + (cell div {b}) * {b + 1} + 1 AS LONG)"),
         )
         members = kept.unionByName(resplit).localCheckpoint(
-            eager=True, storageLevel=StorageLevel.DISK_ONLY
+            eager=True, storageLevel=ckpt_level
         )
         prev.unpersist()
         prev = members
