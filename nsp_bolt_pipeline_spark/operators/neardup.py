@@ -678,10 +678,14 @@ def winnowing_pairs(
     sf1->sf2 sweep measured 3x time for 2x rows because common-phrase
     prints grow with the corpus. ``max_fp_df`` is the guard (see
     :func:`_fp_shared_pairs`)."""
+    from nsp_bolt_pipeline_spark.sources.readers import spread_small_scan
+
     # persist the slim (id, fp) table: the rolling-hash fingerprint
     # fold is the expensive stage and feeds BOTH sides of the
-    # self-join (the MinHash banding-index pattern)
-    fps = docs.select(
+    # self-join (the MinHash banding-index pattern). One md5 per
+    # character position: spread an under-split scan first so the
+    # digest pass uses every core (no-op at scale).
+    fps = spread_small_scan(docs.select(id_col, text_col)).select(
         F.col(id_col),
         F.explode(
             winnow_fingerprint_ints(text_col, k=k, w=w)
@@ -884,7 +888,12 @@ def cdc_dedup_stats(
     shuffles ((group, fp) then group), report chunk/byte totals and
     the dedup ratio. The corpus is scanned once; the chunk table is
     ~chars/divisor rows."""
-    ch = docs.select(
+    from nsp_bolt_pipeline_spark.sources.readers import spread_small_scan
+
+    # one md5 per character position: spread an under-split scan
+    # before the digest pass (no-op when the input already has >=
+    # cores partitions)
+    ch = spread_small_scan(docs.select(group_col, text_col)).select(
         F.col(group_col),
         F.explode(cdc_chunks(text_col, k=k, divisor=divisor)).alias("c"),
     ).select(group_col, F.col("c.fp").alias("fp"), F.col("c.length").alias("length"))

@@ -421,7 +421,11 @@ _WINNOW_K, _WINNOW_W = 12, 4
     """,
 )
 def q_winnow(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = read_table(spark, sf_dir, "documents")
+    from nsp_bolt_pipeline_spark.sources.readers import spread_small_scan
+
+    # one md5 per character position: spread an under-split scan so
+    # the digest pass uses every core (no-op at scale)
+    docs = spread_small_scan(read_table(spark, sf_dir, "documents"))
     fps = docs.select(
         "doc_id",
         winnow_fingerprints("text", k=_WINNOW_K, window=_WINNOW_W).alias("fp"),

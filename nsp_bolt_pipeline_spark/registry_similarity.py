@@ -1058,8 +1058,12 @@ def q_eval_retrieval_ranking(spark: SparkSession, sf_dir: str) -> DataFrame:
     twin of ann_recall_eval. Join size is O(queries x k); the corpus
     is never touched beyond the two already-oracled rankings."""
     from nsp_bolt_pipeline_spark.operators.evalmetrics import ranking_metrics
+    from nsp_bolt_pipeline_spark.sources.readers import spread_small_scan
 
     emb, queries, cents = _ivf_inputs(spark, sf_dir)
+    # both rankings score a per-row cosine fold over the corpus scan:
+    # spread an under-split input first (no-op at scale)
+    emb = spread_small_scan(emb)
     rel = exact_topk(emb, queries, k=K)
     sys = ivf_topk(emb, queries, k=K, nprobe=NPROBE, centroids=cents)
     return ranking_metrics(rel, sys, k=K, disc_micro=NDCG_DISC_MICRO)

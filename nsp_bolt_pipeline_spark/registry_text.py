@@ -1038,8 +1038,11 @@ def q_lm_bigram_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
     from nsp_bolt_pipeline_spark.operators.lm import (
         bigram_cross_entropy_scores,
     )
+    from nsp_bolt_pipeline_spark.sources.readers import spread_small_scan
 
-    docs = read_table(spark, sf_dir, "documents")
+    # per-doc tokenize + bigram explode is the heavy projection:
+    # spread an under-split scan first (no-op at scale)
+    docs = spread_small_scan(read_table(spark, sf_dir, "documents"))
     return bigram_cross_entropy_scores(
         docs, model=_bigram_model_en(spark, sf_dir)
     )
@@ -1170,8 +1173,11 @@ def q_eval_spearman(spark: SparkSession, sf_dir: str) -> DataFrame:
     from nsp_bolt_pipeline_spark.operators.lm import (
         bigram_cross_entropy_scores,
     )
+    from nsp_bolt_pipeline_spark.sources.readers import spread_small_scan
 
-    docs = read_table(spark, sf_dir, "documents")
+    # both scorers run tokenize-heavy projections over the same scan:
+    # spread an under-split input first (no-op at scale)
+    docs = spread_small_scan(read_table(spark, sf_dir, "documents"))
     cols = quality_logit("text", stopwords=LANGUAGE_PROFILES["en"])
     q = docs.select(
         "doc_id",

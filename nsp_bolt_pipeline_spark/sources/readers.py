@@ -95,6 +95,31 @@ def read_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return spark.read.parquet(path)
 
 
+def spread_small_scan(df: DataFrame, min_parts: int | None = None) -> DataFrame:
+    """Round-robin-repartition an input whose partition count cannot
+    occupy the session's cores — the guard heavy per-row expression
+    passes (per-position digests, tokenizations, per-row model
+    scoring) put between their scan and the expression.
+
+    Scale-adaptive by construction (guide §2.2/§2.5): at corpus scale
+    the scan already yields >= cores splits, the branch is not taken,
+    and the plan carries NO extra Exchange — the shuffle exists only
+    when the input is too small or too unsplittable (single parquet
+    row group) to parallelize, exactly the regime where moving it
+    once is ~free and leaving it on one core serializes an
+    expression pass measured at multiples of the whole query's
+    runtime. Streaming plans pass through untouched (their
+    micro-batch partitioning is the replay harness's business, and
+    ``.rdd`` is not defined for them)."""
+    if df.isStreaming:
+        return df
+    sc = df.sparkSession.sparkContext
+    target = min_parts or sc.defaultParallelism
+    if df.rdd.getNumPartitions() >= target:
+        return df
+    return df.repartition(target)
+
+
 def read_csv_events(spark: SparkSession, path: str, schema: T.StructType) -> DataFrame:
     """S1: header CSV scan with a declared schema (no inference in the
     data plane) — the simulator's csv.DictReader equivalent."""

@@ -105,3 +105,25 @@ class TestSchemaEvolution:
         assert rows[1].score is None
         assert rows[3].score == 9.5
         assert len(rows) == 3
+
+
+def test_spread_small_scan_spreads_and_noops(spark):
+    from nsp_bolt_pipeline_spark.sources.readers import spread_small_scan
+
+    one = spark.range(100).coalesce(1)
+    spread = spread_small_scan(one, min_parts=4)
+    assert spread.rdd.getNumPartitions() == 4
+    assert spread.count() == 100
+
+    wide = spark.range(100).repartition(8)
+    # already at/above target: identical plan, no extra exchange
+    assert spread_small_scan(wide, min_parts=4) is wide
+
+
+def test_spread_small_scan_streaming_passthrough(spark):
+    from nsp_bolt_pipeline_spark.sources.readers import spread_small_scan
+
+    stream = (
+        spark.readStream.format("rate").option("rowsPerSecond", 1).load()
+    )
+    assert spread_small_scan(stream, min_parts=64) is stream
