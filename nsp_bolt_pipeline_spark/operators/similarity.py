@@ -416,6 +416,11 @@ def srp_neardup_pairs(
     # (same pattern and reason as the MinHash banding persist); vectors
     # are NOT carried through the band shuffle — candidates become
     # distinct id pairs first, then the vectors join back to rescore.
+    # The signature is n_planes interpreted dot-folds per row: spread
+    # an under-split scan first (no-op at scale).
+    from nsp_bolt_pipeline_spark.sources.readers import spread_small_scan
+
+    df = spread_small_scan(df)
     keyed = (
         df.select(F.col(id_col), F.col(vec_col))
         .crossJoin(F.broadcast(planes_df))

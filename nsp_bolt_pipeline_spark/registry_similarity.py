@@ -228,9 +228,18 @@ def trained_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _ivf_inputs(spark: SparkSession, sf_dir: str):
+def _ivf_inputs(spark: SparkSession, sf_dir: str, spread: bool = True):
+    from nsp_bolt_pipeline_spark.sources.readers import spread_small_scan
+
     emb = read_table(spark, sf_dir, "embeddings")
     queries = emb.filter(emb.vec_id < N_QUERIES)
+    # the cosine-fold consumers spread an under-split scan (no-op at
+    # scale); the query side stays on the raw scan (broadcast-sized
+    # anyway). The IVF-PQ consumer opts out: its corpus pass is the
+    # cheap code-assignment join, and the interleaved A/B showed the
+    # extra exchange net-negative there (2.21 vs 2.52 median).
+    if spread:
+        emb = spread_small_scan(emb)
     return emb, queries, trained_centroids(spark, sf_dir)
 
 
@@ -900,7 +909,7 @@ def q_ann_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
     build, and nowhere else."""
     from nsp_bolt_pipeline_spark.operators.similarity import ivfpq_topk
 
-    emb, queries, cents = _ivf_inputs(spark, sf_dir)
+    emb, queries, cents = _ivf_inputs(spark, sf_dir, spread=False)
     return ivfpq_topk(
         emb,
         queries,
