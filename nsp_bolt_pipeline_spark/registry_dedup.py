@@ -1659,11 +1659,18 @@ def q_d10_golden_record(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Survivorship merge over the fuzzy entity clusters: per entity,
     the most-complete text (longest, ties to smallest id), the
     majority language (ties lexicographic), the smallest member id as
-    the canonical key, plus member/source/char tallies. Field picks
-    are per-entity windows over cluster-sized frames — the global
-    frame never sorts."""
+    the canonical key, plus member/source/char tallies.
+
+    Field picks are ordered-struct aggregates, not windows: the
+    longest-text rule is ``max(struct(length, -doc_id, text))`` inside
+    the tallies aggregation, so the map side keeps ONE candidate text
+    per entity per task and the shuffle carries candidates, not the
+    corpus — the window form sorted every member's full text by
+    entity. The majority language is the same trick over the
+    (entity, lang) counts. Tie-breaks replicate the oracle's
+    row_number orderings exactly (doc_id is unique within an entity;
+    -cnt/-doc_id flip DESC to struct-min/max order)."""
     from nsp_bolt_pipeline_spark.operators.graph import dedup_clusters
-    from pyspark.sql import Window as _W
 
     docs = read_table(spark, sf_dir, "documents")
     blocked = docs.select(
@@ -1681,33 +1688,33 @@ def q_d10_golden_record(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("doc_id", F.col("cluster_id").alias("entity_id"))
     m = clusters.join(docs, "doc_id")
 
-    w_txt = _W.partitionBy("entity_id").orderBy(
-        F.length("text").desc(), F.col("doc_id").asc()
-    )
-    golden_txt = (
-        m.withColumn("rn", F.row_number().over(w_txt))
-        .filter(F.col("rn") == 1)
-        .select("entity_id", F.col("text").alias("golden_text"))
-    )
-    w_lng = _W.partitionBy("entity_id").orderBy(
-        F.col("cnt").desc(), F.col("lang").asc()
-    )
-    golden_lng = (
-        m.groupBy("entity_id", "lang")
-        .agg(F.count(F.lit(1)).alias("cnt"))
-        .withColumn("rn", F.row_number().over(w_lng))
-        .filter(F.col("rn") == 1)
-        .select("entity_id", "lang")
-    )
     tallies = m.groupBy("entity_id").agg(
         F.min("doc_id").cast("long").alias("golden_doc_id"),
         F.count(F.lit(1)).cast("long").alias("n_members"),
         F.countDistinct("source").cast("long").alias("n_sources"),
         F.sum("n_chars").cast("long").alias("total_chars"),
+        F.max(
+            F.struct(
+                F.length("text").alias("l"),
+                (-F.col("doc_id")).alias("nd"),
+                F.col("text").alias("t"),
+            )
+        )["t"].alias("golden_text"),
+    )
+    golden_lng = (
+        m.groupBy("entity_id", "lang")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .groupBy("entity_id")
+        .agg(
+            F.min(
+                F.struct(
+                    (-F.col("cnt")).alias("nc"), F.col("lang").alias("lg")
+                )
+            )["lg"].alias("lang")
+        )
     )
     return (
-        tallies.join(golden_txt, "entity_id")
-        .join(golden_lng, "entity_id")
+        tallies.join(golden_lng, "entity_id")
         .select(
             "entity_id",
             "golden_doc_id",
