@@ -95,11 +95,18 @@ def learn_merge_list(
 ) -> list[tuple[int, str, str, int]]:
     """The learning loop; returns [(rank, lhs, rhs, pair_count)] —
     model state, one argmax row per round. Deterministic: pair-count
-    ties break to the lexicographically smallest (lhs, rhs)."""
+    ties break to the lexicographically smallest (lhs, rhs).
+
+    Checkpoints are LAZY: the loop is serial and latency-bound (the
+    vocab table is tiny), and an eager checkpoint is a whole extra
+    job per round — deferring it folds the materialization into the
+    same round's argmax collect, halving the job count without
+    changing any plan the argmax sees (measured ~0.1-0.15 s per
+    consumer entry; merge lists identical)."""
     cur = (
         word_vocab(df, text_col=text_col)
         .select("wc", _chars(F.col("w")).alias("syms"))
-        .localCheckpoint()
+        .localCheckpoint(eager=False)
     )
     merges: list[tuple[int, str, str, int]] = []
     for rank in range(1, n_merges + 1):
@@ -119,7 +126,7 @@ def learn_merge_list(
         merges.append((rank, a, b, cnt))
         cur = cur.select(
             "wc", _apply_merge(F.col("syms"), a, b).alias("syms")
-        ).localCheckpoint()
+        ).localCheckpoint(eager=False)
     return merges
 
 
