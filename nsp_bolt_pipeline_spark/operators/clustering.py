@@ -12,11 +12,15 @@ Design for 100 TB:
   of (cluster, per-dim partial sums) for the mean update, which
   Spark's partial aggregation collapses map-side to k rows per
   partition.
-- Assignment is a broadcast nested-loop join (corpus x k centroids)
-  collapsed map-side by a ``min_by`` partial aggregation — the corpus
-  never shuffles, codegen size is constant in k (one ``zip_with`` +
-  ``aggregate`` fold), so k can grow to real coarse-quantizer sizes
-  (thousands) without blowing up the plan. No UDFs.
+- Assignment never shuffles the corpus while the model is
+  literal-sized (k*dim within ``_ASSIGN_ARGMIN_MAX_TERMS``): the
+  centroids inline into one narrow ``array_min`` projection. Above
+  the bound it degrades to a broadcast nested-loop join (corpus x k
+  centroids) collapsed by a ``min_by`` aggregation — one corpus
+  shuffle (the groupBy(id) fold), but codegen constant in k (one
+  ``zip_with`` + ``aggregate`` fold), so k can grow to real
+  coarse-quantizer sizes (thousands) without blowing up the plan.
+  No UDFs either way.
 - Cross-engine determinism: the squared-L2 fold is the same
   left-to-right IEEE double op sequence as DuckDB's ``list_sum`` (the
   pairing bit-verified by operators/similarity.py), ties break to the
@@ -98,6 +102,39 @@ def _centroids_df(df: DataFrame, centroids: dict[int, list[float]]) -> DataFrame
     return df.sparkSession.createDataFrame(rows, schema)
 
 
+#: Literal-model budget for the map-side argmin assignment: below
+#: k*dim literals the centroid model inlines into ONE projection (no
+#: corpus Exchange at all); above it the expression tree would bloat
+#: the plan/codegen, so assignment falls back to the broadcast
+#: fan-out + min_by fold (one corpus shuffle, constant-size codegen).
+#: Every registry consumer trains k <= 16 at dim 64 (1024 terms).
+_ASSIGN_ARGMIN_MAX_TERMS = 4096
+
+
+def _argmin_cluster_expr(vec_col: str, centroids: dict[int, list[float]]) -> Column:
+    """``array_min(array(struct(d_i, cid_i)...)).cid`` — the
+    nearest-centroid pick as one parsed expression. Struct ordering is
+    (d, cid) lexicographic, i.e. exactly the ``min_by(cid,
+    struct(d, cid))`` tie-break of the fan-out path; each d_i is the
+    same cast-to-double zip_with/aggregate fold as :func:`sq_dist`
+    (same IEEE op sequence, so assignments are bit-identical —
+    path equality + distance bit-equality pinned by
+    tests/test_clustering.py).
+    Literals ride ``repr(float)`` (shortest round-trip decimal), so
+    the parsed doubles equal the driver-side model bits."""
+    terms = []
+    for cid, cv in sorted(centroids.items()):
+        arr = ", ".join(f"{float(x)!r}D" for x in cv)
+        d = (
+            f"aggregate(zip_with(`{vec_col}`, array({arr}), "
+            f"(x, y) -> (CAST(x AS DOUBLE) - CAST(y AS DOUBLE)) * "
+            f"(CAST(x AS DOUBLE) - CAST(y AS DOUBLE))), 0.0D, "
+            f"(acc, x) -> acc + x)"
+        )
+        terms.append(f"struct({d} AS d, {int(cid)}L AS cid)")
+    return F.expr(f"array_min(array({', '.join(terms)})).cid")
+
+
 def assign_clusters(
     df: DataFrame,
     centroids: dict[int, list[float]],
@@ -108,10 +145,29 @@ def assign_clusters(
 ) -> DataFrame:
     """Nearest-centroid assignment (squared L2, ties -> lowest cid).
 
-    Broadcast the k-row centroid table, expand each vector to k scored
-    pairs, collapse with ``min_by`` partial agg — map-side the k pairs
-    fold back to one row per vector, so the only shuffled payload is
-    (id, vector, cluster)."""
+    While ``k*dim`` fits :data:`_ASSIGN_ARGMIN_MAX_TERMS`, the model
+    is inlined as literals and each vector picks
+    ``array_min(array(struct(d_i, cid_i)))`` in one narrow projection
+    — zero corpus shuffle (struct ordering = (d, cid) lexicographic =
+    exactly the ``min_by`` tie-break). Above the bound: broadcast the
+    k-row centroid table, expand each vector to k scored pairs,
+    collapse with ``min_by`` partial agg — that path pays ONE corpus
+    shuffle (the groupBy(id) fold) but keeps codegen constant in k."""
+    if len(centroids) * dim <= _ASSIGN_ARGMIN_MAX_TERMS:
+        # ONE parser call for the whole argmin expression (the
+        # _mean6_exprs lesson: building k structs x 2 HOF lambdas via
+        # py4j cost ~0.6s of pure driver time PER TRAINING ROUND at
+        # ~1-3ms/call; the parsed tree is semantically identical —
+        # pinned by tests/test_clustering.py). The all-literal
+        # centroid arrays constant-fold into single array literals,
+        # which codegen keeps in its references table, so the
+        # generated source — and the compiled class — is reused
+        # across rounds even though the model values change.
+        return df.select(
+            F.col(id_col),
+            F.col(vec_col),
+            _argmin_cluster_expr(vec_col, centroids).alias("cluster"),
+        )
     c = _centroids_df(df, centroids)
     pairs = (
         df.select(F.col(id_col), F.col(vec_col))

@@ -22,7 +22,10 @@ from nsp_bolt_pipeline_spark.operators.clustering import (
     kmeans_lloyd,
 )
 from nsp_bolt_pipeline_spark.registry import SCALE_WALLS, query
-from nsp_bolt_pipeline_spark.sources.readers import read_table
+from nsp_bolt_pipeline_spark.sources.readers import (
+    read_table,
+    spread_small_scan,
+)
 
 K = 8
 DIM = 64
@@ -104,7 +107,11 @@ _KMEANS_CORE = "    WITH " + kmeans_ctes_sql(K, DIM)
     """,
 )
 def q_kmeans_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
-    emb = read_table(spark, sf_dir, "embeddings")
+    # spread before the Lloyd loop: the argmin assignment keeps the
+    # scan's partitioning all the way into the per-dim mean aggregate,
+    # so an under-split embeddings scan would serialize the k*dim
+    # distance+mean pass (no-op at corpus scale — guide §2.5)
+    emb = spread_small_scan(read_table(spark, sf_dir, "embeddings"))
     return kmeans_lloyd(emb, k=K, dim=DIM, rounds=ROUNDS)
 
 
@@ -126,7 +133,7 @@ def q_kmeans_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def q_kmeans_balanced_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
-    emb = read_table(spark, sf_dir, "embeddings")
+    emb = spread_small_scan(read_table(spark, sf_dir, "embeddings"))
     assigned = kmeans_lloyd(
         emb, k=K, dim=DIM, rounds=ROUNDS
     )
@@ -818,7 +825,7 @@ def q_kmeans_medoids(spark: SparkSession, sf_dir: str) -> DataFrame:
     kmeans_clusters entry verifies: the member a human inspects or a
     labeling pass annotates. The oracle re-ranks members by the same
     squared-L2 fold against the round-6 final centroids."""
-    emb = read_table(spark, sf_dir, "embeddings")
+    emb = spread_small_scan(read_table(spark, sf_dir, "embeddings"))
     return kmeans_medoids(emb, k=K, dim=DIM, rounds=ROUNDS)
 
 

@@ -152,3 +152,99 @@ def test_mean6_exprs_semantics(spark):
     )
     new_arr = df.groupBy("cluster").agg(F.expr(f"array({terms})").alias("mv"))
     assert new_arr.sameSemantics(old_arr)
+
+
+def test_argmin_assignment_matches_fanout_path(spark, monkeypatch):
+    """The literal-model argmin projection (round 10: zero corpus
+    Exchange under _ASSIGN_ARGMIN_MAX_TERMS) must return EXACTLY the
+    broadcast-fanout + min_by path's assignment — same clusters, same
+    tie-breaks — on a corpus with planted ties and near-boundary
+    points. Also pins the plan property the fast path exists for:
+    no Exchange below the projection."""
+    from nsp_bolt_pipeline_spark.operators import clustering as C
+
+    rows = [
+        (i, (float((i * 7) % 13) / 3.0, float((i * 11) % 17) / 5.0))
+        for i in range(60)
+    ] + [(100, (5.0, 5.0)), (101, (2.0, 2.0))]  # planted exact tie
+    cents = {0: [0.0, 0.0], 1: [10.0, 10.0], 2: [4.0, 4.0]}
+    df = _df(spark, rows)
+
+    fast = C.assign_clusters(df, cents, dim=2)
+    monkeypatch.setattr(C, "_ASSIGN_ARGMIN_MAX_TERMS", 0)
+    slow = C.assign_clusters(df, cents, dim=2)
+
+    f = {r["vec_id"]: r["cluster"] for r in fast.collect()}
+    s = {r["vec_id"]: r["cluster"] for r in slow.collect()}
+    assert f == s and len(f) == len(rows)
+    plan = fast._sc._jvm.PythonSQLUtils.explainString(
+        fast._jdf.queryExecution(), "formatted"
+    )
+    assert "Exchange" not in plan
+
+
+def test_argmin_expr_distance_bits_match_sq_dist(spark):
+    """The one-parser-call argmin expression (the _mean6_exprs py4j
+    lesson) must run the same cast-to-double IEEE fold as
+    :func:`sq_dist` — distances bit-identical (struct.repr exposes
+    the raw double), tie-break = min (d, cid), so any consumer's
+    assignment is unchanged at any scale. (sameSemantics can't pin
+    this: lambda-variable naming differs between parsed and
+    Column-built HOFs.)"""
+    import struct as pystruct
+
+    from nsp_bolt_pipeline_spark.operators.clustering import (
+        _argmin_cluster_expr,
+        sq_dist,
+    )
+
+    # irrational-ish floats exercise rounding at every fold step
+    rows = [
+        (i, tuple((j * 0.1 + i * 0.7) / 3.0 for j in range(5)))
+        for i in range(50)
+    ]
+    cents = {
+        0: [x / 7.0 for x in range(5)],
+        3: [(x * 1.3 - 0.9) / 11.0 for x in range(5)],
+    }
+    df = _df(spark, rows)
+    # bit-compare every per-centroid distance, both builds
+    import re
+
+    m = re.search(
+        r"array_min\(array\((.*)\)\)\.cid",
+        _argmin_cluster_expr("embedding", cents)._jc.toString(),
+        re.S,
+    )
+    assert m  # the expression shape itself
+    parsed_ds = df.select(
+        F.col("vec_id"),
+        *[
+            F.expr(
+                f"aggregate(zip_with(`embedding`, array("
+                + ", ".join(f"{float(x)!r}D" for x in cv)
+                + "), (x, y) -> (CAST(x AS DOUBLE) - CAST(y AS DOUBLE))"
+                " * (CAST(x AS DOUBLE) - CAST(y AS DOUBLE))), 0.0D,"
+                " (acc, x) -> acc + x)"
+            ).alias(f"d{cid}")
+            for cid, cv in sorted(cents.items())
+        ],
+    ).collect()
+    col_ds = df.select(
+        F.col("vec_id"),
+        *[
+            sq_dist(
+                F.col("embedding"),
+                F.array(*[F.lit(float(x)) for x in cv]),
+            ).alias(f"d{cid}")
+            for cid, cv in sorted(cents.items())
+        ],
+    ).collect()
+    for pr, cr in zip(
+        sorted(parsed_ds, key=lambda r: r["vec_id"]),
+        sorted(col_ds, key=lambda r: r["vec_id"]),
+    ):
+        for cid in cents:
+            pb = pystruct.pack("<d", pr[f"d{cid}"])
+            cb = pystruct.pack("<d", cr[f"d{cid}"])
+            assert pb == cb, (pr["vec_id"], cid)
