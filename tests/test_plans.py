@@ -69,10 +69,13 @@ def test_multi_join_queries_broadcast_dimensions(plans):
 
 def test_vector_model_sides_broadcast(plans):
     # the centroid table / query set is bounded model state — it must
-    # ride a broadcast, never shuffle the corpus against it
+    # ride a broadcast (or, stronger, inline as a literal argmin model
+    # under _ASSIGN_ARGMIN_MAX_TERMS: zero corpus movement), never
+    # shuffle the corpus against it
     for name in ("kmeans_clusters", "kmeans_balanced_sample",
                  "ann_quantized_topk", "ann_exact_topk"):
-        assert "Broadcast" in plans[name], name
+        plan = plans[name]
+        assert "Broadcast" in plan or "array_min" in plan, name
 
 
 def test_filtered_scans_push_predicates(plans):
