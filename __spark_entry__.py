@@ -13,11 +13,13 @@ order), so iteration order is coverage policy. The order is DERIVED
 STRUCTURALLY from the committed ``CORRECTNESS_r*.json`` history —
 least-recently-sampled first:
 
-1. primary key: the most recent round in which a name received a
-   driver CORRECTNESS row (never-sampled names sort first, round 0);
-2. secondary key: oracle-backed entries before rows-only entries, so
+1. primary key: oracle-backed entries before rows-only entries, so
    the driver's strong hash compare — not the weaker rows-only
-   fallback — gates the front block;
+   fallback — gates the front block (there are only 3 rows-only
+   entries; with 239 oracle-backed names this key alone keeps the
+   front block fully hash-gated no matter how the history rotates);
+2. secondary key: the most recent round in which a name received a
+   driver CORRECTNESS row (never-sampled names sort first, round 0);
 3. tiebreak: registry definition order (stable).
 
 No hand-curated list exists: committing round N's CORRECTNESS file
@@ -78,9 +80,9 @@ def _driver_order() -> list[str]:
     position = {name: i for i, name in enumerate(REGISTRY)}
     history = _sample_history()
 
-    def key(name: str) -> tuple[int, bool, int]:
+    def key(name: str) -> tuple[bool, int, int]:
         lacks_oracle = REGISTRY[name][1] is None
-        return (history.get(name, 0), lacks_oracle, position[name])
+        return (lacks_oracle, history.get(name, 0), position[name])
 
     return sorted(REGISTRY, key=key)
 

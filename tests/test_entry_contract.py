@@ -5,9 +5,10 @@ The external driver hash-gates the FIRST 50 keys of ``queries()``
 (every CORRECTNESS_r*.json through round 8 is exactly a prefix of the
 dict order), so the ordering is coverage policy. Since round 9 the
 order is DERIVED from the committed CORRECTNESS_r*.json history —
-least-recently-sampled first, oracle-backed first within a recency
-class, registry order as tiebreak — so no hand-curated list can keep
-an entry out of external gating. These tests pin that policy.
+oracle-backed entries first (so the front block is always hash-gated),
+least-recently-sampled first within that, registry order as tiebreak —
+so no hand-curated list can keep an oracle-backed entry out of
+external gating. These tests pin that policy.
 """
 
 from __future__ import annotations
@@ -48,31 +49,47 @@ def test_front_block_is_the_queries_prefix():
 def test_front_block_is_fully_hash_gated():
     """Every front entry must carry a SQL oracle: the driver's strong
     (hash) check, never the weaker rows-only fallback. Guaranteed
-    structurally by the oracle-first tiebreak as long as >=50
-    oracle-backed names share the minimum recency class."""
+    structurally by the oracle-first PRIMARY key as long as >=50
+    oracle-backed names exist (there are 239)."""
     oracles = spark_entry.oracle_sql()
     for name in spark_entry.driver_sample_front():
         assert name in oracles, f"{name} lacks an oracle"
 
 
 def test_order_is_least_recently_sampled_first():
-    """The structural policy itself: along the full queries() order,
-    the last-sampled round is non-decreasing, so committed CORRECTNESS
-    history — not a hand-curated list — decides who the driver gates
-    next."""
+    """The structural policy itself: along the oracle-backed portion
+    of the queries() order, the last-sampled round is non-decreasing,
+    so committed CORRECTNESS history — not a hand-curated list —
+    decides who the driver gates next. Rows-only entries (which the
+    driver can never hash-gate) sort after every oracle-backed entry
+    so the front block stays fully hash-gated (see
+    test_front_block_is_fully_hash_gated)."""
     history = spark_entry._sample_history()
-    rounds = [history.get(n, 0) for n in spark_entry.queries()]
+    oracles = spark_entry.oracle_sql()
+    names = list(spark_entry.queries())
+    backed = [n for n in names if n in oracles]
+    rounds = [history.get(n, 0) for n in backed]
     assert rounds == sorted(rounds)
+    # rows-only entries form the tail, in the same recency order
+    tail = names[len(backed):]
+    assert all(n not in oracles for n in tail)
+    tail_rounds = [history.get(n, 0) for n in tail]
+    assert tail_rounds == sorted(tail_rounds)
 
 
 def test_front_block_rotates_never_sampled_names():
-    """While never-sampled names remain (>=50 of them), the whole
-    front block must be fresh vs every committed CORRECTNESS round.
-    Once fewer than 50 remain, the front must still contain all of
-    them (the policy degrades to oldest-first, which is correct)."""
+    """While never-sampled ORACLE-BACKED names remain (>=50 of them),
+    the whole front block must be fresh vs every committed CORRECTNESS
+    round. Once fewer than 50 remain, the front must still contain all
+    of them (the policy degrades to oldest-first, which is correct).
+    Rows-only entries are excluded: they sort last so the driver's
+    strong hash check always gates the front block."""
     seen = _sampled_through(99)
+    oracles = spark_entry.oracle_sql()
     front = spark_entry.driver_sample_front()
-    never = [n for n in spark_entry.queries() if n not in seen]
+    never = [
+        n for n in spark_entry.queries() if n not in seen and n in oracles
+    ]
     fresh = [n for n in front if n not in seen]
     expect = min(len(never), len(front))
     assert len(fresh) >= expect, (
