@@ -50,6 +50,13 @@ from pyspark.sql import Window as W
 #: and any production executor tier.
 _CKPT_HEAP_BUDGET_BYTES = 1 << 30
 
+#: Target bytes per partition for the hierarchical-cells base/level
+#: relations — the same measured-size derivation the streaming replay
+#: harness applies where AQE cannot (guide §2.2: fewer, larger
+#: partitions; the loop's eager checkpoints block AQE re-planning
+#: across levels).
+_LEVEL_PARTITION_BYTES = 32 << 20
+
 def _round6(c: Column) -> Column:
     from nsp_bolt_pipeline_spark.functions.expr import round6
 
@@ -152,8 +159,30 @@ def assign_clusters(
     exactly the ``min_by`` tie-break). Above the bound: broadcast the
     k-row centroid table, expand each vector to k scored pairs,
     collapse with ``min_by`` partial agg — that path pays ONE corpus
-    shuffle (the groupBy(id) fold) but keeps codegen constant in k."""
-    if len(centroids) * dim <= _ASSIGN_ARGMIN_MAX_TERMS:
+    shuffle (the groupBy(id) fold) but keeps codegen constant in k.
+
+    Callers must pass unique ids: the argmin path emits one row per
+    input row while the fan-out path's groupBy(id) collapses
+    duplicate ids, so only under unique ids are the two paths (and
+    therefore any threshold crossing) cardinality-identical.
+
+    The literal path requires every centroid component finite:
+    ``repr(inf)``/``repr(nan)`` parse as identifiers, not doubles, so
+    a non-finite model falls back to the fan-out path (which degrades
+    gracefully to NaN distances) instead of failing analysis. An
+    empty model also takes the fan-out path — its crossJoin against
+    zero centroid rows returns the empty assignment the callers
+    expect, where ``array_min(array())`` would fail to resolve."""
+    import math
+
+    model_is_literal = (
+        bool(centroids)
+        and len(centroids) * dim <= _ASSIGN_ARGMIN_MAX_TERMS
+        and all(
+            math.isfinite(x) for cv in centroids.values() for x in cv
+        )
+    )
+    if model_is_literal:
         # ONE parser call for the whole argmin expression (the
         # _mean6_exprs lesson: building k structs x 2 HOF lambdas via
         # py4j cost ~0.6s of pure driver time PER TRAINING ROUND at
@@ -431,6 +460,24 @@ def _pairs_within_cells(
     )
 
 
+def _argmin_sub_expr(vec_col: str, cents_col: str = "cents") -> Column:
+    """argmin over a per-cell (sub, cv) centroid-ARRAY column:
+    transform each candidate into struct(d, sub) with the same
+    cast-to-double zip_with/aggregate fold as :func:`sq_dist`, then
+    ``array_min`` — struct ordering is (d, sub) lexicographic, i.e.
+    exactly the ``min_by(sub, struct(d, sub))`` tie-break of the old
+    fan-out fold, so assignments are bit-identical (pinned by
+    tests/test_clustering.py::test_grouped_argmin_matches_fanout_fold
+    and the per-cell flat-Lloyd replay in test_round3_ops)."""
+    return F.expr(
+        f"array_min(transform(`{cents_col}`, c -> struct("
+        f"aggregate(zip_with(`{vec_col}`, c.cv, "
+        f"(x, y) -> (CAST(x AS DOUBLE) - CAST(y AS DOUBLE)) * "
+        f"(CAST(x AS DOUBLE) - CAST(y AS DOUBLE))), 0.0D, "
+        f"(acc, x) -> acc + x) AS d, c.sub AS sub))).sub"
+    )
+
+
 def _grouped_lloyd_split(
     members: DataFrame,
     *,
@@ -486,15 +533,27 @@ def _grouped_lloyd_split(
     )
 
     def _assign(cent: DataFrame) -> DataFrame:
-        right = F.broadcast(cent) if broadcast_model else cent
-        scored = members.join(right, "cell").withColumn(
-            "d", sq_dist(F.col(vec_col), F.col("cv"))
+        # one (cell, cents[<=b]) row per cell — same model rows,
+        # aggregated into an array so the nearest-sub pick is a
+        # PROJECTION over the members join. The old form fanned every
+        # member out to b scored rows and re-collapsed them with a
+        # groupBy(id, cell) min_by fold, which shipped the whole
+        # member relation (vector included) through one more corpus
+        # shuffle per assignment (guide §2.3/§2.4); the argmin
+        # projection ships nothing. array_sort orders candidates by
+        # sub (unique per cell), and the argmin tie-break is
+        # bit-identical to the min_by fold (see _argmin_sub_expr).
+        carr = cent.groupBy("cell").agg(
+            F.array_sort(
+                F.collect_list(F.struct("sub", "cv"))
+            ).alias("cents")
         )
-        best = F.min_by(F.col("sub"), F.struct(F.col("d"), F.col("sub")))
-        return (
-            scored.groupBy(id_col, "cell")
-            .agg(F.first(F.col(vec_col)).alias(vec_col), best.alias("sub"))
-            .select(id_col, vec_col, "cell", "sub")
+        right = F.broadcast(carr) if broadcast_model else carr
+        return members.join(right, "cell").select(
+            F.col(id_col),
+            F.col(vec_col),
+            F.col("cell"),
+            _argmin_sub_expr(vec_col).alias("sub"),
         )
 
     cent = init
@@ -578,67 +637,123 @@ def hierarchical_cells(
 
     from pyspark import StorageLevel
 
-    # Level-checkpoint storage: unpersist() on a superseded level does
-    # NOT free its checkpoint RDD's blocks (only the ContextCleaner
-    # after a JVM GC does), so the dead levels of the loop below pile
-    # up for the life of the build. Whether that pile is allowed in
-    # heap is a measured-size decision (the house bound pattern): the
-    # members relation is n * (id + dim doubles + cell) bytes per
-    # level; while the WHOLE pile across depth + overflow passes fits
-    # comfortably under the budget, memory-backed checkpoints skip a
-    # disk round-trip per level — at corpus scale (~1 GiB/level at
-    # sf64, where heap-resident corpses OOMed the isolated run) every
-    # level goes DISK_ONLY and dead levels cost scratch space, not
-    # heap.
-    est_level_bytes = n * (dim * 8 + 32)
-    est_pile_bytes = est_level_bytes * (depth + max_overflow_passes)
+    # Vectors are checkpointed ONCE; levels checkpoint ASSIGNMENTS.
+    # The r10 form checkpointed the full (id, dim*8 vector, cell)
+    # relation per level, and — since unpersist() on a superseded
+    # localCheckpoint does NOT free its RDD blocks (only the
+    # ContextCleaner after a JVM GC does) — the dead-level pile
+    # carried ~17x more bytes than the (id, cell) assignments it
+    # existed to pin (~1 GiB/level at sf64; I/O-linear growth, the
+    # r10 verdict's worst scale item). Now: one base (id, vec)
+    # relation hash-partitioned by id, plus an n*~24-byte (id, cell)
+    # checkpoint per level; each level's members are re-derived as a
+    # zero-Exchange shuffled-hash join of the two (checkpoints
+    # preserve partitioning; the assignment side is the build side —
+    # a few MB per partition at any scale). localCheckpoint, NOT
+    # persist, stays load-bearing: persist leaves the logical plan
+    # intact, so after L levels Catalyst would re-analyze a plan
+    # nesting L grouped Lloyd runs — the treeString of which alone
+    # OOMed the heap at depth 4 (the connected-components lesson,
+    # graph.py). On a real cluster swap in df.checkpoint() for fault
+    # tolerance of the blocks.
+    est_base_bytes = n * (dim * 8 + 32)
+    est_pile_bytes = est_base_bytes + n * 24 * (depth + max_overflow_passes)
     ckpt_level = (
         StorageLevel.MEMORY_AND_DISK
         if est_pile_bytes <= _CKPT_HEAP_BUDGET_BYTES
         else StorageLevel.DISK_ONLY
     )
 
-    members = df.select(
-        F.col(id_col), F.col(vec_col), F.lit(0).cast("long").alias("cell")
+    # Partition count from measured size, not the session constant
+    # (guide §2.2/§2.6): the level loop runs between eager checkpoints
+    # where AQE cannot re-plan across iterations, so a fixed
+    # spark.sql.shuffle.partitions would pin tiny-corpus levels at
+    # full-cluster task counts and corpus-scale levels at too few.
+    sc = df.sparkSession.sparkContext
+    nparts = int(
+        max(
+            min(4, sc.defaultParallelism),
+            min(
+                4 * sc.defaultParallelism,
+                -(-est_base_bytes // _LEVEL_PARTITION_BYTES),
+            ),
+        )
     )
+
+    spark = df.sparkSession
+
+    def _ckpt_by_id(rel: DataFrame) -> DataFrame:
+        # AQE is scoped OFF for the checkpoint materialization: an
+        # AQE-planned checkpoint captures UnknownPartitioning into its
+        # LogicalRDD (the adaptive final plan is not propagated), which
+        # would re-Exchange BOTH sides of every downstream id join.
+        # With AQE off the HashPartitioning(id, nparts) layout survives
+        # the checkpoint and the join plans zero Exchange (pinned by
+        # tests/test_plans.py). The input here is always a scan or an
+        # already-checkpointed relation, so AQE has nothing to offer
+        # this one query; the session value is restored immediately.
+        old = spark.conf.get("spark.sql.adaptive.enabled")
+        spark.conf.set("spark.sql.adaptive.enabled", "false")
+        try:
+            return rel.repartition(nparts, F.col(id_col)).localCheckpoint(
+                eager=True, storageLevel=ckpt_level
+            )
+        finally:
+            spark.conf.set("spark.sql.adaptive.enabled", old)
+
+    base = _ckpt_by_id(df.select(F.col(id_col), F.col(vec_col)))
+
+    def _members(assign: DataFrame) -> DataFrame:
+        # both sides are checkpointed HashPartitioning(id, nparts) —
+        # the join plans ZERO Exchange; the shuffle_hash hint makes
+        # the narrow assignment relation the hash build side (no
+        # sort of the vector side, unlike SMJ).
+        return base.join(assign.hint("shuffle_hash"), id_col).select(
+            F.col(id_col), F.col(vec_col), F.col("cell")
+        )
+
+    def _ckpt_assign(assign: DataFrame) -> DataFrame:
+        # two-step: materialize the level output under normal AQE
+        # (the level's internal shuffles keep adaptive coalescing),
+        # then pin the narrow (id, cell) relation to the id-hash
+        # layout with AQE scoped off — the second pass re-shuffles
+        # ~16 bytes/row, never vectors.
+        flat = assign.localCheckpoint(eager=True, storageLevel=ckpt_level)
+        out = _ckpt_by_id(flat)
+        # the flat intermediate is superseded immediately; its blocks
+        # are freed by the ContextCleaner after GC (they are n*~16
+        # bytes, not vector-scale, so the lag is harmless)
+        flat.unpersist()
+        return out
+
+    members = base.withColumn("cell", F.lit(0).cast("long"))
+    assign = None
     prev = None
     for level in range(depth):
         # the model has b^(level+1) rows; broadcast while it is a few
-        # thousand vectors, shuffle on the (then-diverse) cell key after.
-        # localCheckpoint, NOT persist, between levels: persist caches
-        # the data but leaves the logical plan intact, so after L
-        # levels Catalyst re-analyzes a plan that nested L grouped
-        # Lloyd runs — the treeString of which alone OOMed the heap at
-        # depth 4 (the connected-components lesson, graph.py). The
-        # eager checkpoint keeps every level's plan constant-size; on
-        # a real cluster an executor loss mid-build loses the block
-        # (swap in df.checkpoint() there for fault tolerance).
-        # DISK_ONLY, not the MEMORY_AND_DISK default: the members
-        # relation is corpus-scale (id + the full embedding vector —
-        # ~1 GiB per level at sf64) and unpersist() on the superseded
-        # level does NOT free its checkpoint RDD's blocks (only the
-        # ContextCleaner does, after JVM GC) — at depth 6 the dead
-        # levels accumulated in the heap faster than the cleaner
-        # reclaimed them and OOMed the isolated sf64 run. On disk the
-        # dead levels cost scratch space, not heap, and each level
-        # reads its predecessor back exactly once.
-        members = _grouped_lloyd_split(
-            members,
-            b=b,
-            dim=dim,
-            rounds=rounds,
-            id_col=id_col,
-            vec_col=vec_col,
-            broadcast_model=(b ** (level + 1)) <= 8192,
-        ).localCheckpoint(eager=True, storageLevel=ckpt_level)
+        # thousand vectors, shuffle on the (then-diverse) cell key after
+        assign = _ckpt_assign(
+            _grouped_lloyd_split(
+                members,
+                b=b,
+                dim=dim,
+                rounds=rounds,
+                id_col=id_col,
+                vec_col=vec_col,
+                broadcast_model=(b ** (level + 1)) <= 8192,
+            ).select(F.col(id_col), F.col("cell"))
+        )
         if prev is not None:
             prev.unpersist()
-        prev = members
+        prev = assign
+        members = _members(assign)
 
     cap = overflow_factor * target_cell_size
     for _ in range(max_overflow_passes):
+        # the over-cell scan runs on the narrow ASSIGNMENT relation —
+        # it never touches vectors
         over_cells = (
-            members.groupBy("cell")
+            assign.groupBy("cell")
             .count()
             .filter(F.col("count") > cap)
             .select("cell")
@@ -656,23 +771,25 @@ def hierarchical_cells(
             id_col=id_col,
             vec_col=vec_col,
             broadcast_model=len(over_ids) * b <= 8192,
-        )
+        ).select(F.col(id_col), F.col("cell"))
         # disjoint relabel: kept cells map to cell*(b+1), split cells
         # to parent*(b+1) + 1 + sub — collision-free for sub < b.
         # `div` keeps the arithmetic integer-exact on large composite
         # cell ids (floor(col/b) would detour through double)
-        kept = members.filter(~is_over).withColumn(
-            "cell", F.col("cell") * (b + 1)
+        kept = assign.filter(~is_over).select(
+            F.col(id_col),
+            (F.col("cell") * (b + 1)).cast("long").alias("cell"),
         )
-        resplit = split.withColumn(
-            "cell",
-            F.expr(f"CAST(cell % {b} + (cell div {b}) * {b + 1} + 1 AS LONG)"),
+        resplit = split.select(
+            F.col(id_col),
+            F.expr(
+                f"CAST(cell % {b} + (cell div {b}) * {b + 1} + 1 AS LONG)"
+            ).alias("cell"),
         )
-        members = kept.unionByName(resplit).localCheckpoint(
-            eager=True, storageLevel=ckpt_level
-        )
+        assign = _ckpt_assign(kept.unionByName(resplit))
         prev.unpersist()
-        prev = members
+        prev = assign
+        members = _members(assign)
     return members
 
 

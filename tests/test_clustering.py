@@ -248,3 +248,110 @@ def test_argmin_expr_distance_bits_match_sq_dist(spark):
             pb = pystruct.pack("<d", pr[f"d{cid}"])
             cb = pystruct.pack("<d", cr[f"d{cid}"])
             assert pb == cb, (pr["vec_id"], cid)
+
+
+def test_assign_clusters_nonfinite_model_falls_back(spark):
+    """repr(inf)/repr(nan) centroid components would parse as
+    identifiers in the literal argmin expression and fail analysis —
+    a non-finite model must take the fan-out path, which degrades
+    gracefully to NaN distances (ADVICE r10)."""
+    df = _df(spark, [(0, (1.0, 1.0)), (1, (2.0, 2.0))])
+    cents = {0: [float("nan"), 0.0], 1: [1.5, 1.5]}
+    out = {r["vec_id"]: r["cluster"] for r in
+           assign_clusters(df, cents, dim=2).collect()}
+    # NaN distance sorts above any real distance: centroid 1 wins both
+    assert out == {0: 1, 1: 1}
+    inf_cents = {0: [float("inf"), 0.0], 1: [1.5, 1.5]}
+    out = {r["vec_id"]: r["cluster"] for r in
+           assign_clusters(df, inf_cents, dim=2).collect()}
+    assert out == {0: 1, 1: 1}
+
+
+def test_assign_clusters_empty_model_returns_empty(spark):
+    """An empty centroid dict (empty corpus: zero seed rows) must
+    return the empty assignment, not fail analysis on
+    array_min(array()) (ADVICE r10)."""
+    df = _df(spark, [(0, (1.0, 1.0))])
+    assert assign_clusters(df, {}, dim=2).count() == 0
+
+
+def test_grouped_argmin_matches_fanout_fold(spark):
+    """The per-cell argmin-over-centroid-array projection (round 11)
+    must pick exactly what the old fan-out + min_by(sub, struct(d,
+    sub)) fold picked: same subcell, same tie-breaks, on planted ties
+    and boundary points."""
+    from nsp_bolt_pipeline_spark.operators.clustering import (
+        _argmin_sub_expr,
+        sq_dist,
+    )
+
+    rows = [
+        (i, [float((i * 7) % 13) / 3.0, float((i * 11) % 17) / 5.0], i % 2)
+        for i in range(40)
+    ] + [(100, [5.0, 5.0], 0), (101, [5.0, 5.0], 1)]
+    members = spark.createDataFrame(
+        rows, "vec_id long, embedding array<double>, cell long"
+    )
+    cent = spark.createDataFrame(
+        [
+            (c, s, [float(2 * s), float(2 * s)])
+            for c in (0, 1)
+            for s in range(3)
+        ],
+        "cell long, sub int, cv array<double>",
+    )
+    carr = cent.groupBy("cell").agg(
+        F.array_sort(F.collect_list(F.struct("sub", "cv"))).alias("cents")
+    )
+    fast = members.join(F.broadcast(carr), "cell").select(
+        "vec_id", _argmin_sub_expr("embedding").alias("sub")
+    )
+    scored = members.join(F.broadcast(cent), "cell").withColumn(
+        "d", sq_dist(F.col("embedding"), F.col("cv"))
+    )
+    slow = scored.groupBy("vec_id", "cell").agg(
+        F.min_by(F.col("sub"), F.struct(F.col("d"), F.col("sub"))).alias(
+            "sub"
+        )
+    )
+    f = {r["vec_id"]: r["sub"] for r in fast.collect()}
+    s = {r["vec_id"]: r["sub"] for r in slow.collect()}
+    assert f == s and len(f) == len(rows)
+
+
+def test_hierarchical_members_join_plans_zero_exchange(spark):
+    """The round-11 layout: base (id, vec) and per-level (id, cell)
+    assignments are checkpointed HashPartitioning(id, nparts), so the
+    members re-derivation join must plan ZERO Exchange (the AQE-off
+    checkpoint scope preserves the partitioning) and build its hash
+    side from the narrow assignment relation."""
+    from pyspark import StorageLevel
+
+    n = 4
+    old = spark.conf.get("spark.sql.adaptive.enabled")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try:
+        base = (
+            _df(spark, [(i, (float(i), 0.0)) for i in range(50)])
+            .repartition(n, F.col("vec_id"))
+            .localCheckpoint(
+                eager=True, storageLevel=StorageLevel.MEMORY_AND_DISK
+            )
+        )
+        assign = (
+            spark.range(50)
+            .select(F.col("id").alias("vec_id"), (F.col("id") % 3).alias("cell"))
+            .repartition(n, F.col("vec_id"))
+            .localCheckpoint(
+                eager=True, storageLevel=StorageLevel.MEMORY_AND_DISK
+            )
+        )
+    finally:
+        spark.conf.set("spark.sql.adaptive.enabled", old)
+    j = base.join(assign.hint("shuffle_hash"), "vec_id")
+    plan = j._sc._jvm.PythonSQLUtils.explainString(
+        j._jdf.queryExecution(), "formatted"
+    )
+    assert "ShuffledHashJoin" in plan
+    assert "Exchange" not in plan, plan[:1500]
+    assert j.count() == 50

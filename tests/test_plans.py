@@ -72,10 +72,23 @@ def test_vector_model_sides_broadcast(plans):
     # ride a broadcast (or, stronger, inline as a literal argmin model
     # under _ASSIGN_ARGMIN_MAX_TERMS: zero corpus movement), never
     # shuffle the corpus against it
-    for name in ("kmeans_clusters", "kmeans_balanced_sample",
-                 "ann_quantized_topk", "ann_exact_topk"):
+    for name in ("ann_quantized_topk", "ann_exact_topk"):
+        assert "Broadcast" in plans[name], name
+    for name in ("kmeans_clusters", "kmeans_balanced_sample"):
+        # argmin-inlined model: the projection must be fed straight
+        # from the scan — an Exchange BELOW the argmin would mean the
+        # corpus is shuffled against the model again (any Exchange
+        # above it, e.g. the balanced sample's per-cluster window, is
+        # the consumer's own and fine; parents print before children)
         plan = plans[name]
-        assert "Broadcast" in plan or "array_min" in plan, name
+        assert "array_min" in plan, name
+        below_argmin = plan[plan.rindex("array_min"):]
+        # the deliberate spread_small_scan RoundRobin repartition is a
+        # scan-parallelism aid, not a data-dependent shuffle — only a
+        # KEYED exchange below the argmin means the corpus moved
+        for line in below_argmin.splitlines():
+            if "Exchange" in line:
+                assert "RoundRobinPartitioning" in line, (name, line)
 
 
 def test_filtered_scans_push_predicates(plans):
