@@ -669,15 +669,18 @@ def hierarchical_cells(
     # where AQE cannot re-plan across iterations, so a fixed
     # spark.sql.shuffle.partitions would pin tiny-corpus levels at
     # full-cluster task counts and corpus-scale levels at too few.
+    # The CPU floor matters as much as the byte target here: the level
+    # work is distance-compute-bound, so while partitions stay >= 1
+    # MiB the count must not drop below the core count (a 32 MiB-only
+    # derivation left a 16-core probe running 7 tasks — measured ~2x
+    # the level wall time).
     sc = df.sparkSession.sparkContext
+    by_size = -(-est_base_bytes // _LEVEL_PARTITION_BYTES)
+    cpu_floor = min(
+        sc.defaultParallelism, -(-est_base_bytes // (1 << 20))
+    )
     nparts = int(
-        max(
-            min(4, sc.defaultParallelism),
-            min(
-                4 * sc.defaultParallelism,
-                -(-est_base_bytes // _LEVEL_PARTITION_BYTES),
-            ),
-        )
+        max(1, cpu_floor, min(4 * sc.defaultParallelism, by_size))
     )
 
     spark = df.sparkSession
@@ -707,9 +710,21 @@ def hierarchical_cells(
         # both sides are checkpointed HashPartitioning(id, nparts) —
         # the join plans ZERO Exchange; the shuffle_hash hint makes
         # the narrow assignment relation the hash build side (no
-        # sort of the vector side, unlike SMJ).
-        return base.join(assign.hint("shuffle_hash"), id_col).select(
-            F.col(id_col), F.col(vec_col), F.col("cell")
+        # sort of the vector side, unlike SMJ). The join result is
+        # PERSISTED: the grouped Lloyd consumes members three times
+        # per level (seeds + two assignment rounds) and re-executing
+        # the join per reference measured ~2x the level cost at
+        # n=400k. persist (not localCheckpoint) is safe here because
+        # the join's lineage is constant-size — two LogicalRDD scans —
+        # so no Catalyst plan growth across levels, and persist blocks
+        # (unlike superseded localCheckpoint RDDs) are freed
+        # DETERMINISTICALLY by the explicit unpersist below: at most
+        # one live members copy ever exists, where the r10 form left
+        # a dead full-relation pile behind for the ContextCleaner.
+        return (
+            base.join(assign.hint("shuffle_hash"), id_col)
+            .select(F.col(id_col), F.col(vec_col), F.col("cell"))
+            .persist(ckpt_level)
         )
 
     def _ckpt_assign(assign: DataFrame) -> DataFrame:
@@ -728,7 +743,8 @@ def hierarchical_cells(
 
     members = base.withColumn("cell", F.lit(0).cast("long"))
     assign = None
-    prev = None
+    prev_assign = None
+    prev_members = None
     for level in range(depth):
         # the model has b^(level+1) rows; broadcast while it is a few
         # thousand vectors, shuffle on the (then-diverse) cell key after
@@ -743,10 +759,13 @@ def hierarchical_cells(
                 broadcast_model=(b ** (level + 1)) <= 8192,
             ).select(F.col(id_col), F.col("cell"))
         )
-        if prev is not None:
-            prev.unpersist()
-        prev = assign
+        if prev_assign is not None:
+            prev_assign.unpersist()
+        prev_assign = assign
         members = _members(assign)
+        if prev_members is not None:
+            prev_members.unpersist()
+        prev_members = members
 
     cap = overflow_factor * target_cell_size
     for _ in range(max_overflow_passes):
@@ -787,9 +806,11 @@ def hierarchical_cells(
             ).alias("cell"),
         )
         assign = _ckpt_assign(kept.unionByName(resplit))
-        prev.unpersist()
-        prev = assign
+        prev_assign.unpersist()
+        prev_assign = assign
         members = _members(assign)
+        prev_members.unpersist()
+        prev_members = members
     return members
 
 

@@ -298,18 +298,21 @@ def zorder_layout(
 
     # --- exact quantile boundaries over distinct morton values -----
     coarse_shift = max(0, 2 * bits - 12)  # <= 4096 coarse buckets
-    counts = (
-        base.groupBy("morton")
-        .agg(F.count(F.lit(1)).alias("c"))
-        .withColumn("cb", F.shiftright("morton", coarse_shift))
-        .persist()  # consumed by the bucket totals AND the shard map
-    )
-    # the coarse level is <= 4096 rows — cumulate on the driver (the
-    # k-rows-only pattern) instead of paying a window + crossJoin of
-    # two one-row/4096-row frames; the fact table still never sorts
+    # Coarse bucket totals straight from the base scan: one map-side-
+    # combined shuffle of <= 4096 rows. The per-DISTINCT-morton counts
+    # (corpus-cardinality at scale — morton is near-unique over
+    # high-cardinality keys) never shuffle at all any more: they are
+    # computed in a second, straddling-buckets-only pass below (guide
+    # §2.3: shuffle metadata, not the key universe). The coarse level
+    # is <= 4096 rows — cumulate on the driver (the k-rows-only
+    # pattern); the fact table still never sorts.
     brows = sorted(
         (int(r["cb"]), int(r["bc"]))
-        for r in counts.groupBy("cb").agg(F.sum("c").alias("bc")).collect()
+        for r in base.groupBy(
+            F.shiftright("morton", coarse_shift).alias("cb")
+        )
+        .agg(F.count(F.lit(1)).alias("bc"))
+        .collect()
     )
     n_total, bucket_before = 0, []
     for cb, bc in brows:
@@ -342,6 +345,19 @@ def zorder_layout(
     bmap = base.sparkSession.createDataFrame(
         straddling or [(-1, 0)], "cb long, bucket_before long"
     )
+    # Fine pass: per-distinct-morton counts ONLY inside the <= S-1
+    # straddling buckets — the same rows the old corpus-wide
+    # counts-relation reached after its inner join with bmap, so every
+    # c_before (and therefore every boundary) is bit-identical; what
+    # changed is that the full distinct-morton universe no longer
+    # shuffles (or persists) to produce them.
+    strad_cbs = [cb for cb, _ in straddling]
+    counts = (
+        base.withColumn("cb", F.shiftright("morton", coarse_shift))
+        .filter(F.col("cb").isin(strad_cbs))
+        .groupBy("cb", "morton")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
     within = F.coalesce(
         F.sum("c").over(
             W.partitionBy("cb")
@@ -367,7 +383,6 @@ def zorder_layout(
         .agg(F.min("morton").alias("lo"))
         .collect()
     )
-    counts.unpersist()
     lows = sorted((int(r["lo"]), int(r["shard"])) for r in bounds)
 
     # --- map-side shard assignment from the broadcast boundaries ----

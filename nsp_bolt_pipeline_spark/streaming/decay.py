@@ -199,6 +199,8 @@ def track_debounce(
             ts_us, event_ids = state.get
             state.remove()
             if user_id != SENTINEL_USER and event_ids:
+                import numpy as np
+
                 pairs = sorted(zip(ts_us, event_ids))
                 kept_t, kept_e = [], []
                 last = None
@@ -207,13 +209,21 @@ def track_debounce(
                         kept_t.append(t)
                         kept_e.append(e)
                         last = t
+                # typed numpy columns, not Python lists: the flush
+                # batch runs this once per key, and pandas block
+                # construction + dtype inference over lists measured
+                # ~190 us/key vs ~95 us/key from ready ndarrays — the
+                # greedy fold itself is ~3 us (guide §4.2; the emit
+                # cost IS the flush batch at corpus key counts)
+                n = len(kept_e)
                 yield pd.DataFrame(
                     {
-                        "user_id": [user_id] * len(kept_e),
-                        "event_type": [event_type] * len(kept_e),
-                        "event_id": kept_e,
-                        "ts_us": kept_t,
-                    }
+                        "user_id": np.full(n, user_id, dtype=np.int64),
+                        "event_type": np.full(n, event_type, dtype=object),
+                        "event_id": np.asarray(kept_e, dtype=np.int64),
+                        "ts_us": np.asarray(kept_t, dtype=np.int64),
+                    },
+                    copy=False,
                 )
             return
 
